@@ -1,0 +1,123 @@
+"""Array backend dispatch: NumPy for tiny frames, JAX for real ones.
+
+Every pixel op in ``canvas_tpu.ops`` has two implementations with identical
+semantics: a NumPy one (which doubles as the golden reference used by the
+kernel tests, mirroring the role of the C code in
+/root/reference/src/cprocess/) and a JAX/Pallas one. Device dispatch costs
+O(100µs) per call, so frames below a pixel threshold run the NumPy path —
+the reference's 1×1-pixel test pulls and the editor's host-side bookkeeping
+stay fast — while production-size frames run on the TPU.
+
+The batched render path (canvas_tpu.render) always uses JAX.
+
+Environment / runtime overrides:
+    CANVAS_TPU_BACKEND = auto (default) | numpy | jax
+"""
+
+import os
+import threading
+
+import numpy as np
+
+__all__ = ['get_backend', 'set_backend', 'use_jax_for', 'asnumpy', 'is_jax_array',
+           'jax', 'jnp', 'device_pixel_threshold']
+
+# Pixels (per frame) at or above which the JAX path is used in 'auto' mode.
+# 2**14 = a 128x128 tile; below that, dispatch overhead beats compute.
+device_pixel_threshold = 1 << 14
+
+_state = threading.local()
+_DEFAULT = os.environ.get('CANVAS_TPU_BACKEND', 'auto')
+
+_jax = None
+_jnp = None
+_jax_failed = False
+
+
+def _load_jax():
+    global _jax, _jnp, _jax_failed
+    if _jax is None and not _jax_failed:
+        try:
+            import jax as jax_mod
+            import jax.numpy as jnp_mod
+            _jax, _jnp = jax_mod, jnp_mod
+        except Exception:
+            _jax_failed = True
+    return _jax
+
+
+class _LazyModule:
+    """Attribute access proxy so ``backend.jnp.float16`` works lazily."""
+
+    def __init__(self, getter):
+        self._getter = getter
+
+    def __getattr__(self, name):
+        mod = self._getter()
+        if mod is None:
+            raise RuntimeError('JAX is not available')
+        return getattr(mod, name)
+
+
+jax = _LazyModule(_load_jax)
+jnp = _LazyModule(lambda: _load_jax() and _jnp)
+
+
+def jax_available():
+    return _load_jax() is not None
+
+
+def get_backend():
+    return getattr(_state, 'backend', _DEFAULT)
+
+
+def set_backend(name):
+    """Set the backend for this thread: 'auto', 'numpy', or 'jax'."""
+    if name not in ('auto', 'numpy', 'jax'):
+        raise ValueError(name)
+    _state.backend = name
+
+
+class force_backend:
+    """Context manager to pin the backend (used heavily in tests)."""
+
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        self.saved = get_backend()
+        set_backend(self.name)
+        return self
+
+    def __exit__(self, *exc):
+        set_backend(self.saved)
+        return False
+
+
+def use_jax_for(shape):
+    """Decide whether an op over an array of this shape should run on JAX."""
+    mode = get_backend()
+    if mode == 'numpy':
+        return False
+    if not jax_available():
+        return False
+    if mode == 'jax':
+        return True
+    pixels = 1
+    for dim in shape[-2:]:
+        pixels *= int(dim)
+    return pixels >= device_pixel_threshold
+
+
+def is_jax_array(arr):
+    if _jax is None:
+        return False
+    return isinstance(arr, _jax.Array)
+
+
+def asnumpy(arr):
+    if arr is None:
+        return None
+    if isinstance(arr, np.ndarray):
+        return arr
+    return np.asarray(arr)

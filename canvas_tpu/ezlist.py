@@ -1,0 +1,127 @@
+"""EZList: a MutableSequence built on a single _replace_range primitive,
+with gravity-aware position marks.
+
+Capability match for /root/reference/fluggo/ezlist.py:21-156. Subclasses
+implement ``_replace_range(start, stop, items)`` and call ``_update_marks``;
+every list mutation funnels through it, so observers only need one hook.
+Marks are weakly held positions that slide with edits: a left-gravity mark
+sticks to the start of a replaced range, a right-gravity mark to its end.
+"""
+
+import functools
+import weakref
+from collections.abc import MutableSequence
+
+__all__ = ['EZList']
+
+
+class EZList(MutableSequence):
+    def __init__(self):
+        self._marks = []
+
+    @functools.total_ordering
+    class Mark:
+        __slots__ = ('index', 'left_gravity', '__weakref__')
+
+        def __init__(self, index, left_gravity):
+            self.index = index
+            self.left_gravity = left_gravity
+
+        def __index__(self):
+            return self.index
+
+        def __int__(self):
+            return self.index
+
+        def __add__(self, other):
+            return self.index + other.__index__()
+
+        def __radd__(self, other):
+            return other.__index__() + self.index
+
+        def __sub__(self, other):
+            return self.index - other.__index__()
+
+        def __rsub__(self, other):
+            return other.__index__() - self.index
+
+        def __lt__(self, other):
+            return self.index < other.__index__()
+
+        def __eq__(self, other):
+            return self.index == other.__index__()
+
+        def __hash__(self):
+            return id(self)
+
+        def __repr__(self):
+            return 'Mark({0.index}, left_gravity={0.left_gravity})'.format(self)
+
+    def _replace_range(self, start, stop, items):
+        """Replace range(start, stop) with *items* (any length).
+
+        Subclasses must mutate their storage and then call
+        ``self._update_marks(start, stop, len(items))``.
+        """
+        raise NotImplementedError
+
+    def _iter_marks(self):
+        i = 0
+        while i < len(self._marks):
+            mark = self._marks[i]()
+            if mark is None:
+                del self._marks[i]
+            else:
+                i += 1
+                yield mark
+
+    def create_mark(self, index, left_gravity):
+        if index < 0 or index > len(self):
+            raise IndexError(index)
+
+        for mark in self._iter_marks():
+            if mark.index == index and mark.left_gravity == left_gravity:
+                return mark
+
+        mark = self.Mark(index, left_gravity)
+        self._marks.append(weakref.ref(mark))
+        return mark
+
+    def _update_marks(self, start, stop, new_length):
+        for mark in self._iter_marks():
+            if mark.index < start:
+                continue
+            if mark.index <= stop:
+                mark.index = start if mark.left_gravity else start + new_length
+            else:
+                mark.index += new_length - (stop - start)
+
+    def insert(self, index, value):
+        self[index:index] = [value]
+
+    def __setitem__(self, key, value):
+        if isinstance(key, slice):
+            start, stop, step = key.indices(len(self))
+            items = list(value)
+        else:
+            if key < 0:
+                key += len(self)
+            start, stop, step = key, key + 1, 1
+            items = [value]
+
+        if step == 1:
+            self._replace_range(start, stop, items)
+        else:
+            for i, j in enumerate(range(start, stop, step)):
+                if i < len(items):
+                    self._replace_range(j, j + 1, [items[i]])
+                else:
+                    self._replace_range(j, j + 1, [])
+
+    def __delitem__(self, key):
+        if isinstance(key, slice):
+            self[key] = []
+        else:
+            if key < 0:
+                key += len(self)
+            self[key:key + 1] = []

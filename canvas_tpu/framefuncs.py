@@ -1,0 +1,282 @@
+"""Frame functions: animated parameters evaluated per frame index.
+
+Capability match for /root/reference/src/process/basicframefuncs.c and
+AnimationFunc.c. A frame function maps ``frame -> (v0, v1, v2, v3)`` in
+float64; filters interpret the 4-vector as a scalar, point, box, or color.
+Constants (numbers, tuples, v2i/v2f/box2i/box2f/rgba) are accepted anywhere
+a frame function is (basicframefuncs.c:179-258).
+
+Evaluation happens host-side; the batched render path calls
+``get_values_array`` to produce per-frame parameter arrays that are fed to
+the compiled device program.
+"""
+
+import bisect
+
+import numpy as np
+
+from canvas_tpu.basetypes import box2i, box2f, rgba, v2i, v2f
+
+__all__ = ['FrameFunction', 'ConstFrameFunc', 'LinearFrameFunc', 'LerpFunc',
+           'AnimationFunc', 'AnimationPoint', 'FrameFuncPassThroughFilter',
+           'POINT_HOLD', 'POINT_LINEAR', 'as_framefunc',
+           'get_box2i', 'get_rgba_f32', 'get_f32', 'get_i32', 'get_v2f']
+
+POINT_HOLD = 0
+POINT_LINEAR = 1
+
+
+class FrameFunction:
+    """Base class. Subclasses implement get_values_array."""
+
+    def get_values_array(self, frames):
+        """frames: float64 ndarray (N,) -> float64 ndarray (N, 4)."""
+        raise NotImplementedError
+
+    def get_values(self, frames):
+        """Public API: frames is a number or a sequence; returns a list of
+        4-tuples (or a single 4-tuple for a scalar input), matching the
+        reference's ``FrameFunction.get_values`` (basicframefuncs.c:422-452).
+        """
+        scalar = not hasattr(frames, '__len__')
+        arr = np.atleast_1d(np.asarray(frames, dtype=np.float64))
+        values = self.get_values_array(arr)
+        result = [tuple(row) for row in values]
+        return result[0] if scalar else result
+
+
+class ConstFrameFunc(FrameFunction):
+    def __init__(self, values):
+        self.values = np.zeros(4, dtype=np.float64)
+        vals = list(values)[:4]
+        self.values[:len(vals)] = vals
+
+    def get_values_array(self, frames):
+        return np.broadcast_to(self.values, (len(frames), 4)).copy()
+
+    def __repr__(self):
+        return 'ConstFrameFunc({0})'.format(tuple(self.values))
+
+
+class LinearFrameFunc(FrameFunction):
+    """f(frame) = (frame * a + b, 0, 0, 0) — basicframefuncs.c:86-93."""
+
+    def __init__(self, a, b):
+        self.a = float(a)
+        self.b = float(b)
+
+    def get_values_array(self, frames):
+        out = np.zeros((len(frames), 4), dtype=np.float64)
+        out[:, 0] = frames * self.a + self.b
+        return out
+
+
+class LerpFunc(FrameFunction):
+    """Linear ramp over *length* frames from *start* to *end* 4-vectors,
+    extrapolating outside [0, length] — basicframefuncs.c:159-167."""
+
+    def __init__(self, start, end, length):
+        if float(length) <= 0.0:
+            raise ValueError('length must be greater than zero.')
+        self.start = np.zeros(4, dtype=np.float64)
+        self.end = np.zeros(4, dtype=np.float64)
+        s, e = list(start)[:4], list(end)[:4]
+        self.start[:len(s)] = s
+        self.end[:len(e)] = e
+        self.length = float(length)
+
+    def get_values_array(self, frames):
+        t = (frames / self.length)[:, None]
+        return t * (self.end - self.start) + self.start
+
+
+class AnimationPoint:
+    """A keyframe: interpolation type, frame position, and 4-vector value.
+
+    Mutable (AnimationFunc.c allows ``point.frame = x`` etc.); the owning
+    AnimationFunc re-sorts on access.
+    """
+
+    __slots__ = ('_func', 'type', '_frame', '_values')
+
+    def __init__(self, type, frame, values):
+        self._func = None
+        self.type = type
+        self._frame = float(frame)
+        vals = np.zeros(4, dtype=np.float64)
+        v = list(values)[:4]
+        vals[:len(v)] = v
+        self._values = vals
+
+    @property
+    def frame(self):
+        return self._frame
+
+    @frame.setter
+    def frame(self, value):
+        self._frame = float(value)
+        if self._func is not None:
+            self._func._dirty = True
+
+    @property
+    def values(self):
+        return tuple(self._values)
+
+    @values.setter
+    def values(self, values):
+        vals = np.zeros(4, dtype=np.float64)
+        v = list(values)[:4]
+        vals[:len(v)] = v
+        self._values = vals
+
+    def __repr__(self):
+        return 'AnimationPoint(type={0}, frame={1}, values={2})'.format(
+            self.type, self._frame, tuple(self._values))
+
+
+class AnimationFunc(FrameFunction):
+    """Keyframe curve with hold/linear segments — AnimationFunc.c:413-463.
+
+    Semantics: before the first point, the first point's value; after the
+    last, the last point's value; a HOLD point holds its value until the
+    next point; a LINEAR point lerps to the next point. No points -> zeros.
+    """
+
+    def __init__(self):
+        self._points = []
+        self._dirty = False
+
+    def add(self, type_or_point, frame=None, values=None):
+        if isinstance(type_or_point, AnimationPoint):
+            point = type_or_point
+        else:
+            point = AnimationPoint(type_or_point, frame, values)
+        point._func = self
+        self._points.append(point)
+        self._dirty = True
+        return point
+
+    def remove(self, point):
+        self._points.remove(point)
+        point._func = None
+        self._dirty = True
+
+    def __len__(self):
+        return len(self._points)
+
+    def __getitem__(self, index):
+        self._ensure_sorted()
+        return self._points[index]
+
+    def _ensure_sorted(self):
+        if self._dirty or any(
+                i and self._points[i - 1]._frame > p._frame
+                for i, p in enumerate(self._points)):
+            self._points.sort(key=lambda p: p._frame)
+            self._dirty = False
+
+    def get_values_array(self, frames):
+        self._ensure_sorted()
+        out = np.zeros((len(frames), 4), dtype=np.float64)
+
+        if not self._points:
+            return out
+
+        keys = [p._frame for p in self._points]
+
+        for i, f in enumerate(frames):
+            # left = last point with point.frame <= f; right = the next one
+            idx = bisect.bisect_right(keys, f) - 1
+            if idx < 0:
+                out[i] = self._points[0]._values
+                continue
+            left = self._points[idx]
+            right = self._points[idx + 1] if idx + 1 < len(self._points) else None
+
+            if right is None or left.type == POINT_HOLD:
+                out[i] = left._values
+            elif left.type == POINT_LINEAR:
+                span = right._frame - left._frame
+                if span == 0:
+                    out[i] = right._values
+                else:
+                    t = (f - left._frame) / span
+                    out[i] = left._values * (1.0 - t) + right._values * t
+            # unknown type -> zeros (reference behavior)
+
+        return out
+
+
+class FrameFuncPassThroughFilter(FrameFunction):
+    """Re-times another frame function: f(frame) = inner(frame + offset)
+    — FrameFuncPassThroughFilter.c:44-46."""
+
+    def __init__(self, source, offset=0.0):
+        self.source = as_framefunc(source)
+        self.offset = float(offset)
+
+    def get_values_array(self, frames):
+        return self.source.get_values_array(
+            np.asarray(frames, dtype=np.float64) + self.offset)
+
+
+def as_framefunc(value):
+    """Coerce *value* to a FrameFunction (None -> zeros constant).
+
+    Mirrors py_framefunc_take_source's constant parsing
+    (basicframefuncs.c:179-258): box types map to [min.x, min.y, max.x,
+    max.y]; 2-vectors to [x, y, 0, 0]; tuples of <=4 floats; bare numbers
+    to [v, 0, 0, 0].
+    """
+    if value is None:
+        return ConstFrameFunc((0.0, 0.0, 0.0, 0.0))
+    if isinstance(value, FrameFunction):
+        return value
+    if isinstance(value, (box2i, box2f)):
+        return ConstFrameFunc((value.min.x, value.min.y, value.max.x, value.max.y))
+    if isinstance(value, (v2i, v2f)):
+        return ConstFrameFunc((value.x, value.y, 0.0, 0.0))
+    if isinstance(value, tuple):
+        if not value:
+            raise ValueError('An empty tuple was passed.')
+        if len(value) > 4:
+            raise ValueError('Tuples may have at most four entries.')
+        return ConstFrameFunc(tuple(float(x) for x in value))
+    # A bare number
+    return ConstFrameFunc((float(value), 0.0, 0.0, 0.0))
+
+
+# --- typed single-frame evaluation (basicframefuncs.c:270-347) --------------
+
+def _eval1(func, frame):
+    return func.get_values_array(np.asarray([float(frame)]))[0]
+
+
+def _lround(x):
+    """C lround: round half away from zero."""
+    return int(np.sign(x) * np.floor(np.abs(x) + 0.5))
+
+
+def get_i32(func, frame):
+    return _lround(_eval1(func, frame)[0])
+
+
+def get_f32(func, frame):
+    return float(np.float32(_eval1(func, frame)[0]))
+
+
+def get_v2f(func, frame):
+    vals = _eval1(func, frame)
+    return v2f(float(np.float32(vals[0])), float(np.float32(vals[1])))
+
+
+def get_box2i(func, frame):
+    vals = _eval1(func, frame)
+    return box2i(_lround(vals[0]), _lround(vals[1]),
+                 _lround(vals[2]), _lround(vals[3]))
+
+
+def get_rgba_f32(func, frame):
+    vals = _eval1(func, frame).astype(np.float32)
+    return rgba(float(vals[0]), float(vals[1]), float(vals[2]),
+                float(np.clip(vals[3], 0.0, 1.0)))

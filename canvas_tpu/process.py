@@ -1,0 +1,67 @@
+"""The `process` module: the full engine surface in one namespace.
+
+Mirrors the reference's `fluggo.media.process` C extension module surface
+(/root/reference/src/process/main.c:331-407) so code written against the
+reference maps one-to-one:
+
+    from canvas_tpu import process
+    solid = process.SolidColorVideoSource((1, 0, 0, 1))
+    frame = solid.get_frame_f32(0, process.box2i(0, 0, 719, 479))
+"""
+
+from canvas_tpu import NS_PER_SEC  # noqa: F401
+from canvas_tpu.basetypes import v2i, v2f, box2i, box2f, rgba  # noqa: F401
+from canvas_tpu.frames import (  # noqa: F401
+    RgbaFrameF16, RgbaFrameF32, VideoSource)
+from canvas_tpu.framefuncs import (  # noqa: F401
+    FrameFunction, LinearFrameFunc, LerpFunc, AnimationFunc, AnimationPoint,
+    FrameFuncPassThroughFilter, POINT_HOLD, POINT_LINEAR)
+from canvas_tpu.sources import (  # noqa: F401
+    EmptyVideoSource, SolidColorVideoSource, VideoPassThroughFilter,
+    VideoMixFilter, VideoGainOffsetFilter, VideoSequence, VideoWorkspace,
+    WorkspaceItem)
+
+
+def _cdiv(a, b):
+    """C integer division (truncate toward zero)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def get_frame_time(frame_rate, frame):
+    """Nanosecond presentation time of *frame* at *frame_rate* (a Fraction
+    or (n, d)) — src/cprocess/main.c:22-26 (note the +1ns bias the
+    reference applies so times land strictly inside the frame)."""
+    n, d = _rate(frame_rate)
+    return _cdiv(frame * NS_PER_SEC * d, n) + 1
+
+
+def get_time_frame(frame_rate, time):
+    """Frame index containing nanosecond *time* — src/cprocess/main.c:27-31."""
+    n, d = _rate(frame_rate)
+    return _cdiv(time * n, NS_PER_SEC * d)
+
+
+def _rate(frame_rate):
+    if hasattr(frame_rate, 'numerator'):
+        return frame_rate.numerator, frame_rate.denominator
+    n, d = frame_rate
+    return int(n), int(d)
+
+
+def time_get_frame(source, min_frame, max_frame, data_window=None):
+    """Pull frames [min_frame, max_frame] and return elapsed nanoseconds —
+    the reference's built-in micro-benchmark (src/process/main.c:120-167)."""
+    import time as _time
+    from canvas_tpu import backend
+
+    if data_window is None:
+        data_window = box2i(0, 0, 719, 479)
+
+    start = _time.monotonic_ns()
+    for i in range(int(min_frame), int(max_frame) + 1):
+        frame = source.get_frame_f16(i, data_window)
+        # force completion of async device work
+        if backend.is_jax_array(frame.data):
+            frame.data.block_until_ready()
+    return _time.monotonic_ns() - start

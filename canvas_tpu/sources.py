@@ -1,0 +1,416 @@
+"""Video sources, filters, and containers.
+
+TPU-native equivalents of the reference's `fluggo.media.process` video types
+(/root/reference/src/process/): EmptyVideoSource, SolidColorVideoSource,
+VideoPassThroughFilter, VideoMixFilter, VideoGainOffsetFilter,
+VideoSequence, VideoWorkspace. Pixel work happens in canvas_tpu.ops
+(NumPy or JAX per backend dispatch); window algebra stays host-side.
+"""
+
+import bisect
+import threading
+
+import numpy as np
+
+from canvas_tpu import backend, framefuncs
+from canvas_tpu.basetypes import (EMPTY_BOX2I, INFINITE_BOX2I, box2i,
+                                  box2i_intersect, box2i_union)
+from canvas_tpu.frames import RgbaFrameF16, RgbaFrameF32, VideoSource
+from canvas_tpu.ops import mix as mix_ops
+from canvas_tpu.ops import window as window_ops
+
+__all__ = ['EmptyVideoSource', 'SolidColorVideoSource',
+           'VideoPassThroughFilter', 'VideoMixFilter',
+           'VideoGainOffsetFilter', 'VideoSequence', 'VideoWorkspace',
+           'WorkspaceItem']
+
+
+def _union_defined(a, b):
+    """Union that treats empty boxes as identity (the C code never unions
+    an empty box; it early-returns instead, video_mix.c:114-121)."""
+    if a.empty():
+        return b
+    if b.empty():
+        return a
+    return box2i_union(a, b)
+
+
+class EmptyVideoSource(VideoSource):
+    """Always-empty frames (src/process/EmptyVideoSource.c)."""
+
+    def _render_f16(self, frame_index, frame):
+        frame.current_window = EMPTY_BOX2I
+
+    def _render_f32(self, frame_index, frame):
+        frame.current_window = EMPTY_BOX2I
+
+
+class SolidColorVideoSource(VideoSource):
+    """Animated solid color over an animated window
+    (src/process/SolidColorVideoSource.c:52-101).
+
+    color, window: constants or frame functions; window defaults to
+    infinite (the whole requested frame).
+    """
+
+    def __init__(self, color, window=None):
+        self._color = framefuncs.as_framefunc(color)
+        if window is None:
+            self._window = framefuncs.ConstFrameFunc(
+                (INFINITE_BOX2I.min.x, INFINITE_BOX2I.min.y,
+                 INFINITE_BOX2I.max.x, INFINITE_BOX2I.max.y))
+        else:
+            self._window = framefuncs.as_framefunc(window)
+
+    def _fill(self, frame_index, frame, dtype):
+        window = framefuncs.get_box2i(self._window, frame_index)
+        current = box2i_intersect(window, frame.full_window)
+
+        if current.empty():
+            frame.current_window = EMPTY_BOX2I
+            return
+
+        color = framefuncs.get_rgba_f32(self._color, frame_index)
+        frame.data = window_ops.fill_solid(frame.full_window, dtype,
+                                           tuple(color), current)
+        frame.current_window = current
+
+    def _render_f16(self, frame_index, frame):
+        self._fill(frame_index, frame, np.float16)
+
+    def _render_f32(self, frame_index, frame):
+        self._fill(frame_index, frame, np.float32)
+
+
+class VideoPassThroughFilter(VideoSource):
+    """Identity/retiming filter (src/process/VideoPassThroughFilter.c):
+    shifts frame indices by *offset* and optionally blanks outside
+    [start_frame, end_frame)."""
+
+    def __init__(self, source, offset=0, start_frame=None, end_frame=None):
+        self.source = source
+        self.offset = int(offset)
+        self.start_frame = start_frame
+        self.end_frame = end_frame
+
+    def _in_range(self, frame_index):
+        if self.start_frame is not None and frame_index < self.start_frame:
+            return False
+        if self.end_frame is not None and frame_index >= self.end_frame:
+            return False
+        return self.source is not None
+
+    def _render_f16(self, frame_index, frame):
+        if not self._in_range(frame_index):
+            frame.current_window = EMPTY_BOX2I
+            return
+        self.source.render_f16(frame_index + self.offset, frame)
+
+    def _render_f32(self, frame_index, frame):
+        if not self._in_range(frame_index):
+            frame.current_window = EMPTY_BOX2I
+            return
+        self.source.render_f32(frame_index + self.offset, frame)
+
+
+class VideoMixFilter(VideoSource):
+    """Crossfade of two sources by an animated mix factor
+    (src/process/VideoMixFilter.c:41-93 + video_mix_cross_f32)."""
+
+    def __init__(self, src_a, src_b, mix_b):
+        self.src_a = src_a
+        self.src_b = src_b
+        self.mix_b = framefuncs.as_framefunc(mix_b)
+
+    def _render_f32(self, frame_index, frame):
+        mix_b = framefuncs.get_f32(self.mix_b, frame_index)
+
+        frame_a = RgbaFrameF32(frame.full_window)
+        frame_b = RgbaFrameF32(frame.full_window)
+        self.src_a.render_f32(frame_index, frame_a)
+        self.src_b.render_f32(frame_index, frame_b)
+
+        awin, bwin = frame_a.current_window, frame_b.current_window
+        outer = box2i_intersect(_union_defined(awin, bwin), frame.full_window)
+
+        if outer.empty():
+            frame.current_window = EMPTY_BOX2I
+            return
+
+        frame.data = mix_ops.cross(frame_a.data, frame_b.data, mix_b)
+        frame.current_window = outer
+
+
+class VideoGainOffsetFilter(VideoSource):
+    """color.rgb * gain + offset, alpha unchanged
+    (src/process/VideoGainOffsetFilter.c; shader video_filter.c:36-39)."""
+
+    def __init__(self, source, gain=1.0, offset=0.0):
+        self.source = source
+        self.gain = framefuncs.as_framefunc(gain)
+        self.offset = framefuncs.as_framefunc(offset)
+
+    def _render_f32(self, frame_index, frame):
+        self.source.render_f32(frame_index, frame)
+        if frame.current_window.empty():
+            return
+
+        gain = framefuncs.get_f32(self.gain, frame_index)
+        offset = framefuncs.get_f32(self.offset, frame_index)
+
+        data = frame.data
+        if backend.is_jax_array(data) or backend.use_jax_for(data.shape):
+            jnp = backend.jnp
+            data = jnp.asarray(data)
+            scale = jnp.asarray([gain, gain, gain, 1.0], dtype=jnp.float32)
+            shift = jnp.asarray([offset, offset, offset, 0.0], dtype=jnp.float32)
+            out = data * scale[:, None, None] + shift[:, None, None]
+        else:
+            scale = np.asarray([gain, gain, gain, 1.0], dtype=np.float32)
+            shift = np.asarray([offset, offset, offset, 0.0], dtype=np.float32)
+            out = data * scale[:, None, None] + shift[:, None, None]
+
+        # gain/offset creates nonzero values outside the current window
+        # (offset != 0); reclip to preserve the zero-outside invariant.
+        if frame.current_window != frame.full_window and offset != 0.0:
+            out = _mask_outside(out, frame.full_window, frame.current_window)
+        frame.data = out
+
+
+def _mask_outside(data, full_window, current_window):
+    """Zero everything outside current_window (absolute coords)."""
+    sl = window_ops.window_slices(full_window,
+                                  box2i_intersect(current_window, full_window))
+    if backend.is_jax_array(data):
+        jnp = backend.jnp
+        out = jnp.zeros_like(data)
+        return out.at[:, sl[0], sl[1]].set(data[:, sl[0], sl[1]])
+    out = np.zeros_like(data)
+    out[:, sl[0], sl[1]] = data[:, sl[0], sl[1]]
+    return out
+
+
+class VideoSequence(VideoSource):
+    """Back-to-back list of (source, offset, length) clips
+    (src/process/VideoSequence.c). Mutations via list protocol +
+    insert/append; ``get_start_frame(i)`` gives a clip's first frame."""
+
+    def __init__(self, items=None):
+        self._items = []          # list of (source, offset, length) tuples
+        self._starts = []         # parallel prefix sums
+        self._lock = threading.RLock()
+        if items:
+            for item in items:
+                self.append(item)
+
+    def _recompute(self, from_index=0):
+        start = 0 if from_index == 0 else (
+            self._starts[from_index - 1] + self._items[from_index - 1][2])
+        for i in range(from_index, len(self._items)):
+            if len(self._starts) <= i:
+                self._starts.append(0)
+            self._starts[i] = start
+            start += self._items[i][2]
+        del self._starts[len(self._items):]
+
+    @staticmethod
+    def _check(value):
+        source, offset, length = value
+        if length < 0:
+            raise ValueError('Length cannot be less than zero.')
+        return (source, int(offset), int(length))
+
+    def insert(self, i, value):
+        value = self._check(value)
+        with self._lock:
+            if i < 0:
+                i += len(self._items)
+            i = max(0, min(i, len(self._items)))
+            self._items.insert(i, value)
+            self._recompute(i)
+
+    def append(self, value):
+        self.insert(len(self._items), value)
+
+    def get_start_frame(self, i):
+        if i < 0 or i >= len(self._items):
+            raise IndexError('Index was out of range.')
+        return self._starts[i]
+
+    def __len__(self):
+        return len(self._items)
+
+    def __getitem__(self, i):
+        return self._items[i]
+
+    def __setitem__(self, i, value):
+        value = self._check(value)
+        with self._lock:
+            self._items[i] = value
+            self._recompute(i)
+
+    def __delitem__(self, i):
+        with self._lock:
+            if isinstance(i, int) and i < 0:
+                i += len(self._items)
+            del self._items[i]
+            self._recompute(0)
+
+    def _pick(self, frame_index):
+        """Return (source, offset, start_frame) for the clip containing
+        frame_index, or None (VideoSequence.c:59-84)."""
+        with self._lock:
+            if frame_index < 0 or not self._items:
+                return None
+            # binary search over starts: last i with start <= frame_index
+            i = bisect.bisect_right(self._starts, frame_index) - 1
+            if i < 0:
+                i = 0
+            source, offset, length = self._items[i]
+            if source is None or self._starts[i] + length <= frame_index:
+                return None
+            return source, offset, self._starts[i]
+
+    def _render_f16(self, frame_index, frame):
+        picked = self._pick(frame_index)
+        if picked is None:
+            frame.current_window = EMPTY_BOX2I
+            return
+        source, offset, start = picked
+        source.render_f16(frame_index - start + offset, frame)
+
+    def _render_f32(self, frame_index, frame):
+        picked = self._pick(frame_index)
+        if picked is None:
+            frame.current_window = EMPTY_BOX2I
+            return
+        source, offset, start = picked
+        source.render_f32(frame_index - start + offset, frame)
+
+
+class WorkspaceItem:
+    """An item placed in a workspace: source at [x, x+length) with z-depth,
+    source offset, and an arbitrary tag (workspace.c:62-69)."""
+
+    __slots__ = ('_workspace', '_source', '_x', '_length', '_offset', '_z',
+                 '_tag', '_seq')
+
+    def __init__(self, workspace, source, x, length, offset, z, tag, seq):
+        self._workspace = workspace
+        self._source = source
+        self._x = int(x)
+        self._length = int(length)
+        self._offset = int(offset)
+        self._z = int(z)
+        self._tag = tag
+        self._seq = seq        # insertion sequence number (z tie-break)
+
+    source = property(lambda self: self._source)
+    x = property(lambda self: self._x)
+    length = property(lambda self: self._length)
+    offset = property(lambda self: self._offset)
+    z = property(lambda self: self._z)
+    tag = property(lambda self: self._tag)
+
+    def update(self, **kwargs):
+        """Atomically update any of source/x/length/offset/z/tag
+        (VideoWorkspace.c:412-414)."""
+        ws = self._workspace
+        if ws is None:
+            raise ValueError('Item was removed from its workspace.')
+        with ws._lock:
+            for key in ('source', 'x', 'length', 'offset', 'z', 'tag'):
+                if key in kwargs:
+                    value = kwargs.pop(key)
+                    if key in ('x', 'length', 'offset', 'z'):
+                        value = int(value)
+                    setattr(self, '_' + key, value)
+            if kwargs:
+                raise TypeError('unexpected arguments: %r' % sorted(kwargs))
+
+    def __repr__(self):
+        return ('WorkspaceItem(x={0._x}, length={0._length}, '
+                'offset={0._offset}, z={0._z})'.format(self))
+
+
+class _WorkspaceBase:
+    """Interval container shared by video and audio workspaces
+    (src/cprocess/workspace.c). Items are queried by coordinate range;
+    composite order is z ascending (higher z on top), later-added items
+    below earlier ones at equal z (cmpz + reversal, workspace.c:102-105,
+    494-521)."""
+
+    def __init__(self):
+        self._items = []
+        self._lock = threading.RLock()
+        self._next_seq = 0
+
+    def add(self, source=None, x=0, length=1, offset=0, z=0, tag=None):
+        with self._lock:
+            item = WorkspaceItem(self, source, x, length, offset, z, tag,
+                                 self._next_seq)
+            self._next_seq += 1
+            self._items.append(item)
+            return item
+
+    def remove(self, item):
+        with self._lock:
+            self._items.remove(item)
+            item._workspace = None
+
+    def __len__(self):
+        return len(self._items)
+
+    def __getitem__(self, i):
+        return self._items[i]
+
+    def _composite_items(self, start, end):
+        """Items overlapping [start, end], bottom-to-top."""
+        with self._lock:
+            active = [item for item in self._items
+                      if item._x <= end and start < item._x + item._length]
+        # cmpz sorts descending z (stable in insertion order), then the
+        # composite loop walks the list in reverse: ascending z, and for
+        # equal z, reverse insertion order (later-added below).
+        active.sort(key=lambda item: (-item._z, item._seq))
+        active.reverse()
+        return active
+
+
+class VideoWorkspace(_WorkspaceBase, VideoSource):
+    """Z-ordered compositing workspace (workspace_get_frame_f32,
+    workspace.c:494-550): bottom item pulled directly, every higher item
+    pulled into a temp frame and blended with over at full opacity."""
+
+    def __init__(self):
+        _WorkspaceBase.__init__(self)
+
+    def _render_f32(self, frame_index, frame):
+        items = self._composite_items(frame_index, frame_index)
+
+        if not items:
+            frame.current_window = EMPTY_BOX2I
+            return
+
+        bottom = items[0]
+        bottom.source.render_f32(frame_index - bottom._x + bottom._offset, frame)
+
+        for item in items[1:]:
+            temp = RgbaFrameF32(frame.full_window)
+            item.source.render_f32(frame_index - item._x + item._offset, temp)
+
+            under_win = frame.current_window
+            over_win = temp.current_window
+
+            if under_win.empty():
+                frame.data = mix_ops.attenuate(temp.data, 1.0)
+                frame.current_window = box2i_intersect(over_win,
+                                                       frame.full_window) \
+                    if not over_win.empty() else EMPTY_BOX2I
+                continue
+            if over_win.empty():
+                continue
+
+            frame.data = mix_ops.over(frame.data, temp.data, 1.0)
+            frame.current_window = box2i_intersect(
+                _union_defined(under_win, over_win), frame.full_window)

@@ -1,0 +1,94 @@
+"""Timecode formatting/parsing.
+
+Capability match for /root/reference/fluggo/media/timecode.py:21-161:
+plain frame counts, hh:mm:ss:ff at an integer nominal rate, and NTSC
+drop-frame. Used by the editor's time ruler and by export tooling.
+"""
+
+__all__ = ['Timecode', 'Frames', 'TimeAndFrames', 'NtscDropFrame']
+
+
+class Timecode:
+    """Interface: format(frame) -> str, parse(str) -> frame, major ticks."""
+
+    def format(self, frame):
+        raise NotImplementedError
+
+    def parse(self, timecode):
+        raise NotImplementedError
+
+    def get_major_ticks(self):
+        """Frame counts (small to large) that separate significant frames."""
+        return []
+
+
+class Frames(Timecode):
+    """Plain frame numbers."""
+
+    def format(self, frame):
+        return str(frame)
+
+    def parse(self, timecode):
+        return int(timecode)
+
+
+class TimeAndFrames(Timecode):
+    """hh:mm:ss:ff with an integer nominal frames-per-second.
+
+    If the nominal rate differs from the true frame rate (e.g. 30 vs
+    30000/1001) this timecode drifts from the wall clock; use
+    :class:`NtscDropFrame` for NTSC material.
+    """
+
+    def __init__(self, frames_per_second, frames_separator=':'):
+        self.frames_per_second = int(frames_per_second)
+        self.frames_separator = frames_separator
+
+    def format(self, frame):
+        rem, frames = divmod(abs(frame), self.frames_per_second)
+        rem, seconds = divmod(rem, 60)
+        hours, minutes = divmod(rem, 60)
+        text = '{0:02}:{1:02}:{2:02}{sep}{3:02}'.format(
+            hours, minutes, seconds, frames, sep=self.frames_separator)
+        return '-' + text if frame < 0 else text
+
+    def parse(self, timecode):
+        if not timecode:
+            return 0
+
+        negative = timecode.startswith('-')
+        timecode = timecode.lstrip('-').replace(self.frames_separator, ':')
+
+        fields = reversed(timecode.split(':'))
+        multipliers = [1, self.frames_per_second, 60, 60]
+        result = 0
+        scale = 1
+
+        for sig, value in zip(multipliers, fields):
+            scale *= sig
+            result += scale * int(value)
+
+        return -result if negative else result
+
+    def get_major_ticks(self):
+        fps = self.frames_per_second
+        return [fps, fps * 60, fps * 60 * 60]
+
+
+class NtscDropFrame(TimeAndFrames):
+    """NTSC drop-frame timecode (skips ff 00/01 each minute except every 10th).
+
+    Keeps pace with the wall clock for 30000/1001 fps material.
+    """
+
+    def __init__(self, frames_separator=';'):
+        TimeAndFrames.__init__(self, 30, frames_separator=frames_separator)
+
+    def format(self, frame):
+        # Convert the true frame count into the drop-frame label space.
+        adjusted = frame + 2 * (frame // (30 * 60) - frame // (10 * 30 * 60))
+        return TimeAndFrames.format(self, adjusted)
+
+    def parse(self, timecode):
+        frame = TimeAndFrames.parse(self, timecode)
+        return frame - 2 * (frame // (30 * 60 + 2) - frame // (10 * 30 * 60 + 2))

@@ -1,0 +1,37 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware. Must run before jax
+initializes a backend."""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+
+_flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in _flags:
+    os.environ['XLA_FLAGS'] = (
+        _flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def jax_backend():
+    """Force the JAX op path regardless of frame size."""
+    from canvas_tpu import backend
+    with backend.force_backend('jax'):
+        yield
+
+
+@pytest.fixture
+def numpy_backend():
+    from canvas_tpu import backend
+    with backend.force_backend('numpy'):
+        yield
+
+
+@pytest.fixture(params=['numpy', 'jax'])
+def any_backend(request):
+    """Parametrize a test over both op backends."""
+    from canvas_tpu import backend
+    with backend.force_backend(request.param):
+        yield request.param
