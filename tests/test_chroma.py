@@ -1,0 +1,232 @@
+"""Chroma reconstruction/subsample + pulldown vs reference semantics
+(/root/reference/src/cprocess/video_reconstruct.c, video_subsample.c,
+src/process/Pulldown23RemovalFilter.c)."""
+
+import numpy as np
+import pytest
+
+from canvas_tpu import backend
+from canvas_tpu.basetypes import box2i
+from canvas_tpu.coded import (CodedImage, CodedImageSource,
+                              DVReconstructionFilter, DVSubsampleFilter,
+                              MPEG2SubsampleFilter, Pulldown23RemovalFilter)
+from canvas_tpu.ops import chroma, color
+from canvas_tpu.sources import SolidColorVideoSource
+
+DV_WINDOW = box2i(0, -1, 719, 478)
+
+
+def make_dv_image(y=128, cb=128, cr=128):
+    return CodedImage([
+        np.full((480, 720), y, np.uint8),
+        np.full((480, 180), cb, np.uint8),
+        np.full((480, 180), cr, np.uint8)])
+
+
+class StaticImageSource(CodedImageSource):
+    def __init__(self, image):
+        self.image = image
+
+    def get_frame(self, frame_index, quality=0):
+        return self.image
+
+
+def test_reconstruct_gray():
+    """Neutral chroma (128) + mid luma: r == g == b, alpha 1."""
+    data, window = chroma.reconstruct_dv(
+        make_dv_image(y=126), DV_WINDOW, use_jax=False)
+    assert window == DV_WINDOW
+    # y = (126-16)/219 = 0.5022..., chroma 0 -> rgb all equal
+    mid = data[:, 240, 360]
+    assert abs(float(mid[0]) - float(mid[1])) < 1e-3
+    assert abs(float(mid[1]) - float(mid[2])) < 1e-3
+    assert float(mid[3]) == 1.0
+    want = color.rec709_to_linear_scene(np.float32((126 - 16) / 219.0))
+    assert abs(float(mid[0]) - float(want)) < 2e-3
+
+
+def test_reconstruct_scalar_reference():
+    """Spot-check one pixel against the C row loop done by hand."""
+    rng = np.random.RandomState(0)
+    y = rng.randint(16, 236, (480, 720)).astype(np.uint8)
+    cb = rng.randint(16, 241, (480, 180)).astype(np.uint8)
+    cr = rng.randint(16, 241, (480, 180)).astype(np.uint8)
+    data, window = chroma.reconstruct_dv((y, cb, cr), DV_WINDOW,
+                                         use_jax=False)
+
+    # reference math at an interior pixel (x=100, image row=50):
+    x_abs, y_abs = 100, 49  # image row = y_abs + 1
+    row = y_abs + 1
+    yv = (float(y[row, x_abs]) - 16.0) / 219.0
+    # chroma: scatter from samples x s.t. |x_abs - 4s| < 4
+    cbv = crv = 0.0
+    for s in range(180):
+        d = x_abs - 4 * s
+        if abs(d) < 4:
+            w = 1.0 - abs(d) / 4.0
+            cbv += (float(cb[row, s]) - 128.0) / 224.0 * w
+            crv += (float(cr[row, s]) - 128.0) / 224.0 * w
+    M = chroma.YCBCR_TO_RGB_REC709
+    rgb = M @ np.array([yv, cbv, crv])
+    want = color.rec709_to_linear_scene(
+        np.asarray(rgb, np.float32).astype(np.float16).astype(np.float32))
+    got = data[:3, y_abs - DV_WINDOW.min.y, x_abs].astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-3)
+
+
+def test_reconstruct_jax_matches_numpy():
+    rng = np.random.RandomState(1)
+    planes = (rng.randint(0, 256, (480, 720)).astype(np.uint8),
+              rng.randint(0, 256, (480, 180)).astype(np.uint8),
+              rng.randint(0, 256, (480, 180)).astype(np.uint8))
+    want, wwin = chroma.reconstruct_dv(planes, DV_WINDOW, use_jax=False)
+    got, gwin = chroma.reconstruct_dv(planes, DV_WINDOW, use_jax=True)
+    assert wwin == gwin
+    got = backend.asnumpy(got)
+    # f32 einsum then f16 round then identical LUT: tiny f32 differences
+    # can flip one f16 ulp
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), rtol=1e-2, atol=1e-2)
+    exact = np.mean(got.view(np.uint16) == want.view(np.uint16))
+    assert exact > 0.99
+
+
+def test_dv_round_trip():
+    """subsample(reconstruct(x)) ~= x for smooth in-range data."""
+    y = np.full((480, 720), 100, np.uint8)
+    cb = np.full((480, 180), 140, np.uint8)
+    cr = np.full((480, 180), 110, np.uint8)
+    data, window = chroma.reconstruct_dv((y, cb, cr), DV_WINDOW,
+                                         use_jax=False)
+    y2, cb2, cr2 = chroma.subsample_dv(data, DV_WINDOW, window)
+    # interior values round-trip within a couple of code values
+    assert abs(int(y2[240, 360]) - 100) <= 2
+    assert abs(int(cb2[240, 90]) - 140) <= 2
+    assert abs(int(cr2[240, 90]) - 110) <= 2
+    # untouched row 0 of the coded image (window starts at image row 0
+    # for y=-1... row index = y+1, so row 0 IS covered); check columns
+    # outside nothing — whole window covered. Instead check dtype/shape.
+    assert y2.shape == (480, 720) and cb2.shape == (480, 180)
+
+
+def test_subsample_window_clipping():
+    """Pixels outside the frame's current_window produce zero bytes
+    (the reference's alloc0 + windowed writes)."""
+    full = DV_WINDOW
+    data = np.zeros((4, 480, 720), np.float16)
+    data[:, :, :] = 0.5
+    window = box2i(100, 50, 299, 149)
+    y, cb, cr = chroma.subsample_dv(data, full, window)
+    # inside
+    assert y[51 + 1 - 1, 150] > 0     # image row = y_abs+1 = 52+... row 51+1?
+    assert y[100, 200] > 0            # row 100 = y_abs 99 in [50,149]
+    # outside rows are zero
+    assert y[0, :].max() == 0
+    assert y[200, :].max() == 0
+    assert cb[0, :].max() == 0
+    # outside columns zero
+    assert y[100, 0] == 0 and y[100, 719] == 0
+
+
+def test_mpeg2_subsample_shapes_and_gray():
+    data = np.zeros((4, 480, 720), np.float16)
+    data[:3] = 0.5
+    data[3] = 1.0
+    y, cb, cr = chroma.subsample_mpeg2(data, box2i(0, 0, 719, 479))
+    assert y.shape == (480, 720)
+    assert cb.shape == (240, 360) and cr.shape == (240, 360)
+    # gray: neutral chroma
+    assert abs(int(cb[120, 180]) - 128) <= 1
+    assert abs(int(cr[120, 180]) - 128) <= 1
+    # luma: linear 0.5 -> rec709 ~0.7055 -> *219+16 ~ 170.5
+    want = color.linear_to_rec709(np.float32(0.5)) * 219.0 + 16.0
+    assert abs(int(y[240, 360]) - round(float(want))) <= 1
+
+
+def test_dv_filters_end_to_end(any_backend):
+    """SolidColor -> DVSubsampleFilter -> DVReconstructionFilter."""
+    solid = SolidColorVideoSource((0.25, 0.25, 0.25, 1.0))
+    sub = DVSubsampleFilter(solid)
+    image = sub.get_frame(0)
+    assert image is not None and len(image) == 3
+    recon = DVReconstructionFilter(StaticImageSource(image))
+    frame = recon.get_frame_f16(0, DV_WINDOW)
+    assert frame.current_window == DV_WINDOW
+    px = frame.pixel(360, 240)
+    assert abs(px.r - 0.25) < 0.01
+    assert px.a == 1.0
+
+
+def test_mpeg2_filter():
+    solid = SolidColorVideoSource((0.1, 0.2, 0.3, 1.0))
+    filt = MPEG2SubsampleFilter(solid)
+    image = filt.get_frame(0)
+    assert image[0].shape == (480, 720)
+    assert image[1].shape == (240, 360)
+
+
+class FrameIndexSource(CodedImageSource):
+    """Luma encodes the frame index so tests can see which frame was
+    pulled."""
+
+    def get_frame(self, frame_index, quality=0):
+        return make_dv_image(y=16 + frame_index)
+
+
+class TaggedVideoSource(SolidColorVideoSource):
+    """Video source whose red channel = frame_index / 100, with even rows
+    darker so field interleave is observable."""
+
+    def __init__(self):
+        super().__init__((0, 0, 0, 1))
+        self.calls = []
+
+    def _render_f16(self, frame_index, frame):
+        self.calls.append(frame_index)
+        import numpy as np
+        full = frame.full_window
+        data = np.zeros((4, full.height, full.width), np.float16)
+        data[0] = frame_index / 100.0
+        data[3] = 1.0
+        frame.data = data
+        frame.current_window = full
+
+
+@pytest.mark.parametrize('offset', [0, 1, 2, 3, 4])
+def test_pulldown_frame_mapping(offset):
+    """Solid frames map per the cadence table
+    (Pulldown23RemovalFilter.c:55-66)."""
+    src = TaggedVideoSource()
+    filt = Pulldown23RemovalFilter(src, offset)
+    window = box2i(0, 0, 3, 3)
+
+    for out_frame in range(8):
+        src.calls = []
+        frame = filt.get_frame_f16(out_frame, window)
+        fo = ((out_frame + 3) & 3) if offset == 4 else \
+            ((out_frame + offset) & 3)
+        base = ((out_frame + offset) >> 2) * 5 - offset
+        if fo == 0:
+            assert src.calls == [base]
+        elif fo == 1:
+            assert src.calls == [base + 1]
+        elif fo == 3:
+            assert src.calls == [base + 4]
+        else:
+            assert src.calls == [base + 2, base + 3]
+            # mixed frame: even rows from base+3, odd rows from base+2
+            even = frame.pixel(0, 0).r
+            odd = frame.pixel(0, 1).r
+            assert abs(even - (base + 3) / 100.0) < 1e-3
+            assert abs(odd - (base + 2) / 100.0) < 1e-3
+
+
+def test_pulldown_get_new_length():
+    # 0 AA BB BC CD DD: 10 source frames -> 8; offsets shift the loss
+    filt = Pulldown23RemovalFilter(TaggedVideoSource(), 0)
+    assert filt.get_new_length(10) == 8
+    assert filt.get_new_length(5) == 4
+    assert filt.get_new_length(3) == 2   # partial 3 > 2 -> loses one
+    assert filt.get_new_length(2) == 2   # partial 2 not > 2
+    filt2 = Pulldown23RemovalFilter(TaggedVideoSource(), 2)
+    assert filt2.get_new_length(1) == 0  # partial 1 > 0 -> loses one

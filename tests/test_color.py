@@ -1,0 +1,139 @@
+"""Transfer-function and color-matrix kernels vs reference semantics
+(/root/reference/src/cprocess/gammatab.c, color.c)."""
+
+import numpy as np
+import pytest
+
+from canvas_tpu import backend
+from canvas_tpu.ops import color
+
+
+def _halves():
+    # All finite f16 bit patterns (skip NaN/Inf for formula comparisons)
+    bits = np.arange(65536, dtype=np.uint16)
+    vals = bits.view(np.float16)
+    return vals[np.isfinite(vals)]
+
+
+def test_scalar_formulas():
+    # Known fixed points of the Rec.709 curve
+    assert color.rec709_to_linear_scene(np.float32(0.0)) == 0.0
+    assert color.linear_to_rec709(np.float32(0.0)) == 0.0
+    assert abs(color.linear_to_rec709(np.float32(1.0)) - 1.0) < 1e-6
+    assert abs(color.rec709_to_linear_scene(np.float32(1.0)) - 1.0) < 1e-6
+    # Round trip through the linear segment
+    x = np.float32(0.05)
+    rt = color.rec709_to_linear_scene(color.linear_to_rec709(x))
+    assert abs(float(rt) - 0.05) < 1e-6
+    # Display intent: pure 2.5 power, negatives clamp to 0
+    assert color.rec709_to_linear_display(np.float32(-0.5)) == 0.0
+    assert abs(color.rec709_to_linear_display(np.float32(0.5)) -
+               0.5 ** 2.5) < 1e-7
+    # sRGB transition point continuity
+    t = np.float32(0.0031308)
+    lo = color.linear_to_srgb(t)
+    assert abs(float(lo) - 12.92 * 0.0031308) < 1e-6
+
+
+def test_half_lut_matches_formula_f16():
+    """f16 path must agree with building the table by hand: f16 in ->
+    f32 -> formula -> f16 out (the C table construction)."""
+    h = _halves().astype(np.float16)
+    expected = color.linear_to_rec709(h.astype(np.float32)).astype(np.float16)
+    got = color.transfer_linear_to_rec709(h)
+    assert got.dtype == np.float16
+    np.testing.assert_array_equal(
+        got.view(np.uint16), expected.view(np.uint16))
+
+
+def test_half_lut_jax_matches_numpy():
+    jnp = backend.jnp
+    h = _halves().astype(np.float16)[:4096]
+    want = color.transfer_rec709_to_linear_scene(h)
+    got = np.asarray(color.transfer_rec709_to_linear_scene(jnp.asarray(h)))
+    np.testing.assert_array_equal(got.view(np.uint16), want.view(np.uint16))
+
+
+def test_gamma45_ramp():
+    ramp = color.gamma45_ramp_u8()
+    assert ramp.shape == (65536,)
+    assert ramp.dtype == np.uint8
+    # 0 -> 0, 1.0 -> 255
+    one = np.float16(1.0)
+    assert ramp[one.view(np.uint16)] == 255
+    assert ramp[np.float16(0.0).view(np.uint16)] == 0
+    # mid value matches the formula with C truncation
+    x = np.float16(0.25)
+    want = int(min(max((float(np.float32(x)) ** 0.45) * 255.0, 0.0), 255.0))
+    assert ramp[x.view(np.uint16)] == want
+    # apply helper
+    arr = np.asarray([0.0, 0.25, 1.0, 2.0], dtype=np.float16)
+    out = color.apply_gamma45_u8(arr)
+    assert out[3] == 255  # clamped
+
+
+def test_color_matrix_passes_alpha():
+    data = np.random.RandomState(0).rand(4, 8, 8).astype(np.float32)
+    out = color.color_matrix(data, color.RGB_TO_XYZ_SDTV)
+    np.testing.assert_array_equal(out[3], data[3])
+    # spot-check one pixel against the reference's mult_mat_xyz
+    r, g, b = data[0, 2, 3], data[1, 2, 3], data[2, 2, 3]
+    m = color.RGB_TO_XYZ_SDTV
+    want_x = r * m[0, 0] + g * m[0, 1] + b * m[0, 2]
+    assert abs(out[0, 2, 3] - want_x) < 1e-5
+
+
+def test_rgb_to_xyz_sdtv_composition():
+    """rgb_to_xyz = scene transfer (all 4 channels) then matrix
+    (color.c:104-142): verify the composition by hand."""
+    data = np.random.RandomState(3).rand(4, 2, 2).astype(np.float16)
+    out = color.rgb_to_xyz_sdtv_frame(data)
+    lin = color.transfer_rec709_to_linear_scene(data)
+    want = color.color_matrix(lin, color.RGB_TO_XYZ_SDTV)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+    # white maps to the matrix row sums (the D65-ish whitepoint)
+    white = np.ones((4, 1, 1), dtype=np.float16)
+    w = color.rgb_to_xyz_sdtv_frame(white)
+    np.testing.assert_allclose(
+        np.asarray(w[:3, 0, 0], dtype=np.float64),
+        color.RGB_TO_XYZ_SDTV.sum(axis=1), atol=2e-3)
+
+
+def test_color_matrix_jax_matches_numpy():
+    jnp = backend.jnp
+    data = np.random.RandomState(1).rand(4, 16, 16).astype(np.float16)
+    want = color.xyz_to_srgb_frame(data)
+    got = np.asarray(color.xyz_to_srgb_frame(jnp.asarray(data)))
+    # Matrix math runs in f32 then rounds to f16 before the LUT; XLA's
+    # f32 accumulation order can flip an f16 bit, and the sRGB curve's
+    # 12.92x segment amplifies that on out-of-gamut values — allow a few
+    # f16 ulps.
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), rtol=2e-2, atol=2e-3)
+
+
+def test_transfer_preserves_zero():
+    """Zero-outside-window invariant: all curves map 0 -> 0."""
+    z = np.zeros(4, dtype=np.float16)
+    for fn in (color.transfer_rec709_to_linear_scene,
+               color.transfer_rec709_to_linear_display,
+               color.transfer_linear_to_rec709,
+               color.transfer_linear_to_srgb):
+        np.testing.assert_array_equal(np.asarray(fn(z)), z)
+
+
+def test_transfer_filter_source():
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.sources import (SolidColorVideoSource,
+                                    VideoColorTransferFilter)
+    src = SolidColorVideoSource((0.25, 0.5, 1.0, 1.0),
+                                window=box2i(0, 0, 3, 3))
+    filt = VideoColorTransferFilter(src, 'linear_to_rec709')
+    frame = filt.get_frame_f16(0, box2i(0, 0, 7, 7))
+    assert frame.current_window == box2i(0, 0, 3, 3)
+    px = frame.pixel(0, 0)
+    want = color.linear_to_rec709(
+        np.float32(np.float16(0.25))).astype(np.float16)
+    assert abs(px.r - float(want)) < 1e-6
+    # outside the window stays zero
+    assert frame.pixel(5, 5).a == 0.0
