@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Canvas-TPU headline benchmark.
+
+BASELINE.md primary metric: 1080p composited frames/sec/chip on a
+10-layer timeline (animated opacity + gain + affine motion via scalers),
+rendered through the batched device path (canvas_tpu.render).
+
+vs_baseline: ratio against the same graph pulled frame-by-frame through
+the NumPy kernels — the stand-in for the reference's single-threaded C
+cprocess path (the reference publishes no numbers; see BASELINE.md).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/canvas_tpu_jax_cache')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
+
+import numpy as np  # noqa: E402
+
+
+def build_timeline(length=1024):
+    """10-layer 1080p timeline: solids with animated windows/colors,
+    opacity (gain) animation, and two animated scalers (affine motion)."""
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.framefuncs import LerpFunc, LinearFrameFunc
+    from canvas_tpu.sources import (SolidColorVideoSource,
+                                    VideoGainOffsetFilter, VideoScaler,
+                                    VideoWorkspace)
+
+    ws = VideoWorkspace()
+    # Layer 0: full-frame background
+    ws.add(source=SolidColorVideoSource((0.1, 0.1, 0.12, 1.0)),
+           x=0, length=length, z=0)
+    # Layers 1-5: animated color cards at varying windows/opacity
+    for i in range(5):
+        color = LerpFunc((0.9 - 0.1 * i, 0.1 * i, 0.3, 0.9),
+                         (0.1 * i, 0.8, 0.9 - 0.1 * i, 0.4), length)
+        win = box2i(60 * i, 40 * i, 60 * i + 900, 40 * i + 600)
+        layer = VideoGainOffsetFilter(
+            SolidColorVideoSource(color, window=win),
+            gain=LinearFrameFunc(0.3 / length, 0.7), offset=0.0)
+        ws.add(source=layer, x=0, length=length, z=i + 1)
+    # Layers 6-7: animated scalers (affine motion: translate + zoom)
+    for i in range(2):
+        base = SolidColorVideoSource((0.2, 0.5 + 0.2 * i, 0.8, 0.8),
+                                     window=box2i(0, 0, 479, 269))
+        sc = VideoScaler(
+            base,
+            target_point=LerpFunc((200 + 300 * i, 150), (900, 700), length),
+            source_point=(0.0, 0.0),
+            scale_factors=LerpFunc((1.0, 1.0), (1.8, 1.8), length),
+            source_rect=box2i(0, 0, 479, 269))
+        ws.add(source=sc, x=0, length=length, z=6 + i)
+    # Layers 8-9: crossfading cards
+    from canvas_tpu.sources import VideoMixFilter
+    mix = VideoMixFilter(
+        SolidColorVideoSource((1.0, 0.4, 0.1, 0.6),
+                              window=box2i(400, 300, 1500, 900)),
+        SolidColorVideoSource((0.1, 0.4, 1.0, 0.6),
+                              window=box2i(400, 300, 1500, 900)),
+        LerpFunc((0.0,), (1.0,), length))
+    ws.add(source=mix, x=0, length=length, z=8)
+    ws.add(source=SolidColorVideoSource((1, 1, 1, 0.08),
+                                        window=box2i(0, 980, 1919, 1079)),
+           x=0, length=length, z=9)
+    return ws
+
+
+def main():
+    from canvas_tpu import backend, render
+    from canvas_tpu.basetypes import box2i
+
+    window = box2i(0, 0, 1919, 1079)
+    ws = build_timeline()
+
+    planner = render.RenderPlanner(ws, window)
+
+    batch = int(os.environ.get('CANVAS_BENCH_BATCH', '16'))
+    warm_frames = batch
+    timed_frames = int(os.environ.get('CANVAS_BENCH_FRAMES', '96'))
+
+    # Warmup / compile
+    out = planner.render(0, warm_frames, device_out=True)
+    if hasattr(out, 'block_until_ready'):
+        out.block_until_ready()
+
+    # Timed: steady-state batched rendering
+    t0 = time.perf_counter()
+    done = 0
+    start = warm_frames
+    last = None
+    while done < timed_frames:
+        last = planner.render(start + done, start + done + batch,
+                              device_out=True)
+        done += batch
+    if hasattr(last, 'block_until_ready'):
+        last.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    fps = timed_frames / elapsed
+
+    # Baseline proxy: frame-by-frame NumPy pull (single-thread scalar
+    # kernels, standing in for the reference's C cprocess path)
+    n_base = 3
+    with backend.force_backend('numpy'):
+        t0 = time.perf_counter()
+        for i in range(n_base):
+            ws.get_frame_f16(500 + i, window)
+        base_elapsed = time.perf_counter() - t0
+    base_fps = n_base / base_elapsed
+
+    print(json.dumps({
+        'metric': '1080p_10layer_composite_fps_per_chip',
+        'value': round(fps, 2),
+        'unit': 'frames/sec',
+        'vs_baseline': round(fps / base_fps, 2),
+    }))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -67,6 +67,30 @@ def jax_available():
     return _load_jax() is not None
 
 
+_initialized = False
+
+
+def ensure_initialized():
+    """Initialize the JAX backend from the *calling* thread.
+
+    Some TPU runtimes hang if first touched from a non-main thread;
+    engine components that spawn render/prefetch threads call this in
+    their constructors (normally on the main thread) so device discovery
+    and client setup happen before any worker thread runs JAX.
+    """
+    global _initialized
+    if _initialized:
+        return
+    if _load_jax() is not None:
+        try:
+            _jax.devices()
+            import jax.numpy as jnp_mod
+            jnp_mod.zeros(8).block_until_ready()
+        except Exception:
+            pass
+    _initialized = True
+
+
 def get_backend():
     return getattr(_state, 'backend', _DEFAULT)
 

@@ -199,3 +199,51 @@ class Pulldown23RemovalFilter(VideoSource):
         if partial > thresholds[self.offset]:
             partial -= 1
         return new_length + partial
+
+
+def _dvrecon_emit(self, ctx):
+    """Batched-render node: planes staged host-side (decode stays on the
+    host), reconstruction traced on device (canvas_tpu.render)."""
+    from canvas_tpu.render import Node
+    from canvas_tpu.basetypes import box2i_intersect
+    from canvas_tpu.ops import color as color_ops
+
+    ox, oy = chroma_ops.DV_PIC_OFFSET
+    image_box = box2i(ox, oy, chroma_ops.DV_FULL_WIDTH + ox - 1,
+                      chroma_ops.DV_FULL_HEIGHT + oy - 1)
+    current = box2i_intersect(image_box, ctx.window)
+    B = len(ctx.frames)
+    if current.empty() or self.source is None:
+        from canvas_tpu.sources import _emit_empty
+        return _emit_empty(ctx)
+
+    ys, cbs, crs = [], [], []
+    for f in ctx.frames:
+        image = self.source.get_frame(int(f))
+        if image is None:
+            return None     # fall back to host staging of the whole node
+        ys.append(np.asarray(image[0]))
+        cbs.append(np.asarray(image[1]))
+        crs.append(np.asarray(image[2]))
+
+    recon = Node('dv_recon', params={
+        'y': np.stack(ys), 'cb': np.stack(cbs), 'cr': np.stack(crs),
+        'up': chroma_ops._dv_up_matrix(),
+        'm': chroma_ops.YCBCR_TO_RGB_REC709,
+        'table': color_ops.build_half_lut(color_ops.rec709_to_linear_scene),
+    }, windows=[current] * B)
+
+    # Place image-coordinate output into the target window
+    sy0 = current.min.y - image_box.min.y
+    sy1 = current.max.y - image_box.min.y
+    sx0 = current.min.x - image_box.min.x
+    sx1 = current.max.x - image_box.min.x
+    dy0 = current.min.y - ctx.window.min.y
+    dx0 = current.min.x - ctx.window.min.x
+    return Node('place',
+                static=(ctx.window.height, ctx.window.width,
+                        sy0, sy1, sx0, sx1, dy0, dx0),
+                children=[recon], windows=[current] * B)
+
+
+DVReconstructionFilter.emit = _dvrecon_emit

@@ -100,32 +100,55 @@ def axis_matrix(factor, t_lo, t_hi, s_lo, s_hi, t_point, s_point):
     if T <= 0 or S <= 0 or factor <= 0.0:
         return W, touched
 
-    if factor > 1.0:
-        # One filter per *source* sample, scattered into target rows
-        # (video_scale.c:62-90).
-        width = float(factor)
-        for s in range(s_lo, s_hi + 1):
-            c = (s - s_point) * factor + t_point
-            base = math.floor(c)
-            coeff, center = triangle_weights(factor, c - base)
-            for i, w in enumerate(coeff):
-                t = base - center + i
-                if t_lo <= t <= t_hi:
-                    W[t - t_lo, s - s_lo] += w
-                    touched[t - t_lo] = True
-    else:
-        # One filter per *target* sample gathering source taps
-        # (video_scale.c:92-122).
-        for t in range(t_lo, t_hi + 1):
-            c = (t - t_point) / factor + s_point
-            base = math.floor(c)
-            coeff, center = triangle_weights(factor, c - base)
-            for i, w in enumerate(coeff):
-                s = base - center + i
-                if s_lo <= s <= s_hi:
-                    W[t - t_lo, s - s_lo] += w
-                    touched[t - t_lo] = True
+    # Both the upsample scatter (one filter per source sample,
+    # video_scale.c:62-90) and downsample gather (one filter per target
+    # sample, :92-122) reduce to the same gather-form taps; build them
+    # vectorized and scatter into W.
+    pos, w, touched = axis_taps(factor, t_lo, t_hi, s_lo, s_hi,
+                                t_point, s_point)
+    t_idx = np.repeat(np.arange(T), pos.shape[1])
+    s_idx = (pos - s_lo).ravel()
+    np.add.at(W, (t_idx, s_idx), w.ravel())
     return W, touched
+
+
+def axis_taps(factor, t_lo, t_hi, s_lo, s_hi, t_point, s_point):
+    """Gather-form resample taps: (pos (T, K) int32 absolute source
+    coords, w (T, K) f32, touched (T,) bool).
+
+    Mathematically identical to :func:`axis_matrix` (the scatter form of
+    the upsample case rewrites to a gather with w = 1 - |g - s|, where
+    g = (t - t_point)/factor + s_point), but with O(K) state per output
+    sample instead of an (T, S) matrix — the right shape when parameters
+    animate per frame. Out-of-window taps get weight 0 (after the
+    downsample normalization, which the reference computes over the full
+    support before clipping, filter.c:62-75).
+    """
+    T = t_hi - t_lo + 1
+    t = np.arange(t_lo, t_hi + 1, dtype=np.float64)
+    if factor > 1.0:
+        width = 1.0
+        g = (t - t_point) / factor + s_point
+        norm = False
+    else:
+        width = 1.0 / factor
+        g = (t - t_point) / factor + s_point
+        norm = True
+    left = np.floor(g - width).astype(np.int64) + 1
+    right = np.ceil(g + width).astype(np.int64) - 1
+    K = int(max(1, (right - left).max() + 1)) if T else 1
+    pos = left[:, None] + np.arange(K)[None, :]
+    in_support = pos <= right[:, None]
+    dist = np.abs(pos - g[:, None]) / width
+    w = np.where(in_support, 1.0 - dist, 0.0).astype(np.float32)
+    if norm:
+        sums = w.sum(axis=1, keepdims=True)
+        w = np.where(sums != 0.0, w / np.where(sums != 0.0, sums, 1.0), 0.0)
+    in_window = (pos >= s_lo) & (pos <= s_hi)
+    w = np.where(in_window, w, 0.0).astype(np.float32)
+    touched = (in_window & in_support & (np.where(in_support, 1.0 - dist, 0.0) != 0.0)).any(axis=1)
+    pos = np.clip(pos, s_lo, s_hi).astype(np.int32)
+    return pos, w, touched
 
 
 def _touched_range(touched, lo):
@@ -179,8 +202,10 @@ def scale_plan(target_window, target_point, source_window, source_point,
 
 
 def _apply_np(src, Wy, Wx):
-    tmp = np.einsum('yh,chw->cyw', Wy, src.astype(np.float32))
-    return np.einsum('xw,cyw->cyx', Wx, tmp).astype(np.float32)
+    # np.matmul (BLAS) instead of einsum: (Ty,H)@(4,H,W) -> (4,Ty,W),
+    # then (4,Ty,W)@(W,Tx) -> (4,Ty,Tx)
+    tmp = np.matmul(Wy, src.astype(np.float32))
+    return np.matmul(tmp, Wx.T).astype(np.float32)
 
 
 _jax_apply = None

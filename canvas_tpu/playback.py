@@ -1,0 +1,147 @@
+"""Toolkit-independent playback engine.
+
+TPU-native equivalent of /root/reference/src/cprocess/widget_gl.c: a
+render thread follows a presentation clock, renders frames ahead of the
+presentation time into a small ring, and hands display-ready frames to a
+host callback. Differences from the reference are deliberate TPU design:
+
+* The reference pulls one frame at a time into a 4-slot ring
+  (widget_gl.c:25,65). Here the render thread renders *batches* ahead
+  through the compiled device program (canvas_tpu.render), so the TPU
+  stays busy and per-frame dispatch overhead amortizes; the ring holds
+  display-converted host frames.
+* Display conversion (f16 -> u8 BGRA via the gamma45 ramp,
+  widget_gl.c:793-816) runs on device as part of the batch, so only u8
+  bytes cross PCIe.
+
+The display sink is any callable ``present(frame_index, argb_u8)`` where
+argb_u8 is an (H, W, 4) uint8 BGRA array. Qt/GTK widget layers plug in
+on top (the reference's GtkVideoWidget/VideoWidget equivalents).
+"""
+
+import threading
+from fractions import Fraction
+
+import numpy as np
+
+from canvas_tpu import process
+from canvas_tpu.basetypes import box2i
+
+__all__ = ['VideoPlaybackEngine']
+
+
+class VideoPlaybackEngine:
+    """Clock-driven playback of a video source.
+
+    source: VideoSource; clock: PresentationClock; frame_rate: Fraction;
+    window: display box2i; present: callback(frame_index, bgra (H,W,4) u8).
+    """
+
+    def __init__(self, source, clock, frame_rate, window, present,
+                 batch=4, ring_frames=8):
+        self.source = source
+        self.clock = clock
+        self.frame_rate = Fraction(frame_rate)
+        self.window = box2i(window)
+        self.present = present
+        self.batch = int(batch)
+        self.ring_frames = int(ring_frames)
+
+        from canvas_tpu import backend
+        backend.ensure_initialized()   # JAX must first init on this thread
+
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._quit = False
+        self._cache = {}            # frame_index -> u8 BGRA array
+        self._clock_handle = self.clock.register_callback(
+            self._clock_changed, None)
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name='canvas-playback')
+        self._thread.start()
+
+    # -- clock integration (widget_gl.c:841 _clock_callback) -------------
+
+    def _clock_changed(self, speed, time_ns, data):
+        with self._lock:
+            self._cache.clear()     # seek invalidates the ring
+        self._wake.set()
+
+    def stop(self):
+        self._quit = True
+        self._wake.set()
+        self._thread.join(timeout=5)
+        self._clock_handle.unregister()
+
+    # -- render loop -----------------------------------------------------
+
+    def _frame_at(self, time_ns):
+        return process.get_time_frame(self.frame_rate, time_ns)
+
+    def _render_batch(self, start, stop):
+        from canvas_tpu import render
+        from canvas_tpu.ops import color as color_ops
+        data = render.render_frames(self.source, self.window, start, stop)
+        u8 = color_ops.apply_gamma45_u8(data)       # (B, 4, H, W) u8
+        # BGRA interleave for display
+        bgra = np.stack([u8[:, 2], u8[:, 1], u8[:, 0], u8[:, 3]], axis=-1)
+        with self._lock:
+            for i, idx in enumerate(range(start, stop)):
+                self._cache[idx] = bgra[i]
+            # Evict behind the playhead
+            if len(self._cache) > self.ring_frames * 2:
+                for k in sorted(self._cache)[:-self.ring_frames * 2]:
+                    del self._cache[k]
+
+    def _run(self):
+        last_presented = None
+        while not self._quit:
+            speed = self.clock.get_speed()
+            now = self.clock.get_presentation_time()
+            current = self._frame_at(now)
+
+            with self._lock:
+                have = current in self._cache
+
+            if not have:
+                if speed >= 0:
+                    self._render_batch(current, current + self.batch)
+                else:
+                    # Reverse playback renders the batch *behind*
+                    self._render_batch(current - self.batch + 1, current + 1)
+
+            with self._lock:
+                frame = self._cache.get(current)
+            if frame is not None and current != last_presented:
+                self.present(current, frame)
+                last_presented = current
+
+            if speed == 0:
+                self._wake.wait()
+                self._wake.clear()
+                continue
+
+            # Render ahead while waiting for the next frame time
+            # (speed-aware timeout, widget_gl.c:122-181)
+            next_frame = current + (1 if speed > 0 else -1)
+            with self._lock:
+                ahead_missing = [
+                    i for i in (range(next_frame,
+                                      next_frame + self.batch) if speed > 0
+                                else range(next_frame - self.batch + 1,
+                                           next_frame + 1))
+                    if i not in self._cache]
+            if ahead_missing:
+                if speed > 0:
+                    self._render_batch(min(ahead_missing),
+                                       min(ahead_missing) + self.batch)
+                else:
+                    self._render_batch(max(ahead_missing) - self.batch + 1,
+                                       max(ahead_missing) + 1)
+
+            next_time = process.get_frame_time(self.frame_rate, next_frame)
+            now = self.clock.get_presentation_time()
+            delta_ns = (next_time - now) / float(abs(speed))
+            if delta_ns > 0:
+                self._wake.wait(min(delta_ns / 1e9, 0.25))
+                self._wake.clear()

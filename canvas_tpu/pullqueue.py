@@ -1,0 +1,106 @@
+"""Background frame prefetcher.
+
+TPU-native equivalent of /root/reference/src/process/VideoPullQueue.c: a
+small thread pool pulls frames (host decode + device render) off the UI
+thread and marshals results back through a dispatch callable. The
+reference marshals onto the GLib main loop (g_timeout_add_full,
+VideoPullQueue.c:72-97); here the *dispatch* argument plugs into whatever
+loop the app has (Qt's singleShot, asyncio's call_soon_threadsafe); the
+default runs callbacks on a single dispatch thread.
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+__all__ = ['VideoPullQueue']
+
+
+class _Item:
+    __slots__ = ('source', 'frame_index', 'window', 'callback', 'data',
+                 'cancelled')
+
+    def __init__(self, source, frame_index, window, callback, data):
+        self.source = source
+        self.frame_index = frame_index
+        self.window = window
+        self.callback = callback
+        self.data = data
+        self.cancelled = False
+
+    def cancel(self):
+        """Best-effort cancel (VideoPullQueue.c:48 volatile flag)."""
+        self.cancelled = True
+
+
+class VideoPullQueue:
+    """enqueue(source, frame_index, window, callback, data) -> item.
+
+    callback(frame_index, frame, data) runs via *dispatch* once the
+    RgbaFrameF16 is ready. workers=2 mirrors the reference's pool
+    (VideoPullQueue.c:110).
+    """
+
+    def __init__(self, workers=2, dispatch=None):
+        from canvas_tpu import backend
+        backend.ensure_initialized()   # JAX must first init on this thread
+        self._pool = ThreadPoolExecutor(max_workers=workers,
+                                        thread_name_prefix='canvas-pull')
+        if dispatch is None:
+            self._dispatch_queue = queue.Queue()
+            self._dispatch_thread = threading.Thread(
+                target=self._dispatch_loop, daemon=True,
+                name='canvas-pull-dispatch')
+            self._dispatch_thread.start()
+            dispatch = self._dispatch_queue.put
+        else:
+            self._dispatch_queue = None
+        self._dispatch = dispatch
+        self._closed = False
+
+    def _dispatch_loop(self):
+        while True:
+            fn = self._dispatch_queue.get()
+            if fn is None:
+                return
+            try:
+                fn()
+            except Exception:
+                import traceback
+                traceback.print_exc()
+
+    def enqueue(self, source, frame_index, window, callback, data=None):
+        if self._closed:
+            raise RuntimeError('queue is closed')
+        item = _Item(source, frame_index, window, callback, data)
+        self._pool.submit(self._work, item)
+        return item
+
+    def _work(self, item):
+        if item.cancelled:
+            return
+        frame = item.source.get_frame_f16(item.frame_index, item.window)
+        if item.cancelled:
+            return
+
+        def deliver():
+            if not item.cancelled:
+                item.callback(item.frame_index, frame, item.data)
+
+        self._dispatch(deliver)
+
+    def join(self, timeout=None):
+        """Drain workers (test helper; the C version has no join)."""
+        self._pool.shutdown(wait=True)
+        self._pool = ThreadPoolExecutor(max_workers=2,
+                                        thread_name_prefix='canvas-pull')
+        if self._dispatch_queue is not None:
+            done = threading.Event()
+            self._dispatch_queue.put(done.set)
+            done.wait(timeout)
+
+    def close(self):
+        self._closed = True
+        self._pool.shutdown(wait=False)
+        if self._dispatch_queue is not None:
+            self._dispatch_queue.put(None)

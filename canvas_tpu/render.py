@@ -49,15 +49,22 @@ def _jx():
 
 
 class Node:
-    """One IR node: a static signature + per-frame params + children."""
+    """One IR node: a static signature + per-frame params + children.
 
-    __slots__ = ('op', 'static', 'params', 'children')
+    ``windows`` is host-side metadata: the per-frame current_window list
+    (the same window algebra the pull path computes), used by parents for
+    masking boxes and by the planner for the final frame metadata. It is
+    not part of the compile signature.
+    """
 
-    def __init__(self, op, static=(), params=None, children=()):
+    __slots__ = ('op', 'static', 'params', 'children', 'windows')
+
+    def __init__(self, op, static=(), params=None, children=(), windows=None):
         self.op = op
         self.static = tuple(static)
         self.params = params if params is not None else {}
         self.children = list(children)
+        self.windows = windows
 
     def signature(self):
         child_sigs = tuple(c.signature() for c in self.children)
@@ -107,23 +114,27 @@ class PlanContext:
     def solid(self, colors, windows):
         """colors: (B,4) f32; windows: list of box2i per frame."""
         B = len(self.frames)
-        rel = np.asarray([_rel_box(w, self.window) for w in windows],
+        clipped = [box2i_intersect(w, self.window) for w in windows]
+        rel = np.asarray([_rel_box(w, self.window) for w in clipped],
                          dtype=np.int32)
         return Node('solid',
                     static=(self.window.height, self.window.width),
                     params={'color': np.asarray(colors, np.float32),
-                            'box': rel.reshape(B, 4)})
+                            'box': rel.reshape(B, 4)},
+                    windows=clipped)
 
     def stage(self, source):
         """Host-pull fallback: pull every frame now and ship the batch."""
         B = len(self.frames)
         datas = []
+        windows = []
         with backend.force_backend('numpy'):
             for i in range(B):
                 frame = source.get_frame_f16(int(self.frames[i]), self.window)
                 datas.append(np.asarray(frame.data, np.float16))
+                windows.append(frame.current_window)
         return Node('stage', static=(self.window.height, self.window.width),
-                    params={'data': np.stack(datas)})
+                    params={'data': np.stack(datas)}, windows=windows)
 
     def plan(self, source):
         """Plan *source*: its emit() if traceable, else staged."""
@@ -173,8 +184,8 @@ def _eval(node_sig, params_iter, jnp, jax):
 
     if op == 'gain_offset':
         child = _eval(child_sigs[0], params_iter, jnp, jax)
-        gain = params['gain'][:, None, None]
-        offset = params['offset'][:, None, None]
+        gain = params['gain'][:, None, None, None]
+        offset = params['offset'][:, None, None, None]
         rgb = child[:, :3] * gain + offset
         # Mask back to the current window to keep zero-outside invariant
         box = params['box']
@@ -191,8 +202,8 @@ def _eval(node_sig, params_iter, jnp, jax):
         a = _eval(child_sigs[0], params_iter, jnp, jax)
         bb = _eval(child_sigs[1], params_iter, jnp, jax)
         mix_b = jnp.clip(params['mix_b'], 0.0, 1.0)[:, None, None]
-        alpha_a = a[:, 3] * (1.0 - mix_b[..., 0])
-        alpha_b = bb[:, 3] * mix_b[..., 0]
+        alpha_a = a[:, 3] * (1.0 - mix_b)
+        alpha_b = bb[:, 3] * mix_b
         out_a = alpha_a + alpha_b
         num = a[:, :3] * alpha_a[:, None] + bb[:, :3] * alpha_b[:, None]
         rgb = jnp.where(out_a[:, None] != 0.0,
@@ -222,6 +233,35 @@ def _eval(node_sig, params_iter, jnp, jax):
                          preferred_element_type=jnp.float32)
         return jnp.einsum('bxw,bcyw->bcyx', Wx, tmp, precision='highest',
                           preferred_element_type=jnp.float32)
+
+    if op == 'scale_taps':
+        # Animated resample: K gathered taps per output sample per axis.
+        # Cheaper than per-frame resample matrices when parameters animate
+        # (bench config 4: per-layer affine motion) — K is small (<= ~5
+        # for typical motion scales), so this is VPU/bandwidth work with
+        # tiny per-frame params instead of (B, T, S) matrices.
+        child = _eval(child_sigs[0], params_iter, jnp, jax)
+        iy, wy = params['iy'], params['wy']    # (B, Ty, Ky)
+        ix, wx = params['ix'], params['wx']    # (B, Tx, Kx)
+
+        def gather_rows(ch, idx):
+            return ch[:, idx, :]
+
+        def gather_cols(ch, idx):
+            return ch[:, :, idx]
+
+        grows = jax.vmap(gather_rows)
+        gcols = jax.vmap(gather_cols)
+        out = None
+        for k in range(iy.shape[2]):
+            term = grows(child, iy[:, :, k]) * wy[:, :, k][:, None, :, None]
+            out = term if out is None else out + term
+        child = out
+        out = None
+        for k in range(ix.shape[2]):
+            term = gcols(child, ix[:, :, k]) * wx[:, :, k][:, None, None, :]
+            out = term if out is None else out + term
+        return out
 
     if op == 'place':
         # Static re-window: child rendered at src window, copy into dst.

@@ -523,3 +523,337 @@ class VideoWorkspace(_WorkspaceBase, VideoSource):
             frame.data = mix_ops.over(frame.data, temp.data, 1.0)
             frame.current_window = box2i_intersect(
                 _union_defined(under_win, over_win), frame.full_window)
+
+
+# --- batched render-plan protocol (canvas_tpu.render) -----------------------
+#
+# Each source contributes an IR node to the batched device program. All
+# frame-function evaluation and window algebra happens here (host side);
+# the device program receives per-frame parameter arrays. plan_cuts
+# reports frame indices where the *structure* of the graph changes so the
+# planner can split ranges into fixed-shape segments.
+
+def _emit_empty(ctx):
+    from canvas_tpu.render import Node
+    from canvas_tpu.basetypes import EMPTY_BOX2I as _E
+    B = len(ctx.frames)
+    return Node('empty', static=(B, ctx.window.height, ctx.window.width),
+                windows=[_E] * B)
+
+
+def _solid_emit(self, ctx):
+    frames = np.asarray(ctx.frames, dtype=np.float64)
+    vals = self._color.get_values_array(frames).astype(np.float32)
+    colors = vals.copy()
+    colors[:, 3] = np.clip(colors[:, 3], 0.0, 1.0)
+    wins = [framefuncs.get_box2i(self._window, float(f)) for f in frames]
+    return ctx.solid(colors, wins)
+
+
+SolidColorVideoSource.emit = _solid_emit
+EmptyVideoSource.emit = lambda self, ctx: _emit_empty(ctx)
+
+
+def _pass_plan_cuts(self, start, stop):
+    cuts = set()
+    if self.start_frame is not None:
+        cuts.add(int(self.start_frame))
+    if self.end_frame is not None:
+        cuts.add(int(self.end_frame))
+    if self.source is not None:
+        for c in self.source.plan_cuts(start + self.offset,
+                                       stop + self.offset):
+            cuts.add(int(c) - self.offset)
+    return cuts
+
+
+def _pass_emit(self, ctx):
+    if not self._in_range(int(ctx.frames[0])):
+        return _emit_empty(ctx)
+    return ctx.with_frames(ctx.frames + self.offset).plan(self.source)
+
+
+VideoPassThroughFilter.plan_cuts = _pass_plan_cuts
+VideoPassThroughFilter.emit = _pass_emit
+
+
+def _mix_plan_cuts(self, start, stop):
+    cuts = set(self.src_a.plan_cuts(start, stop))
+    cuts.update(self.src_b.plan_cuts(start, stop))
+    return cuts
+
+
+def _mix_emit(self, ctx):
+    from canvas_tpu.render import Node
+    a = ctx.plan(self.src_a)
+    b = ctx.plan(self.src_b)
+    mix = np.asarray([framefuncs.get_f32(self.mix_b, int(f))
+                      for f in ctx.frames], np.float32)
+    windows = [box2i_intersect(_union_defined(aw, bw), ctx.window)
+               if not (aw.empty() and bw.empty()) else EMPTY_BOX2I
+               for aw, bw in zip(a.windows, b.windows)]
+    return Node('mix', params={'mix_b': mix}, children=[a, b],
+                windows=windows)
+
+
+VideoMixFilter.plan_cuts = _mix_plan_cuts
+VideoMixFilter.emit = _mix_emit
+
+
+def _gain_plan_cuts(self, start, stop):
+    return self.source.plan_cuts(start, stop)
+
+
+def _gain_emit(self, ctx):
+    from canvas_tpu.render import Node, _rel_box
+    child = ctx.plan(self.source)
+    B = len(ctx.frames)
+    gain = np.asarray([framefuncs.get_f32(self.gain, int(f))
+                       for f in ctx.frames], np.float32)
+    offset = np.asarray([framefuncs.get_f32(self.offset, int(f))
+                         for f in ctx.frames], np.float32)
+    box = np.asarray([_rel_box(w, ctx.window) for w in child.windows],
+                     np.int32).reshape(B, 4)
+    return Node('gain_offset',
+                params={'gain': gain, 'offset': offset, 'box': box},
+                children=[child], windows=list(child.windows))
+
+
+VideoGainOffsetFilter.plan_cuts = _gain_plan_cuts
+VideoGainOffsetFilter.emit = _gain_emit
+
+
+def _seq_plan_cuts(self, start, stop):
+    cuts = set()
+    with self._lock:
+        for i, (source, offset, length) in enumerate(self._items):
+            s = self._starts[i]
+            cuts.add(s)
+            cuts.add(s + length)
+            if source is not None and hasattr(source, 'plan_cuts'):
+                lo = max(start, s)
+                hi = min(stop, s + length)
+                if lo < hi:
+                    for c in source.plan_cuts(lo - s + offset,
+                                              hi - s + offset):
+                        cuts.add(int(c) - offset + s)
+    return cuts
+
+
+def _seq_emit(self, ctx):
+    picked = self._pick(int(ctx.frames[0]))
+    if picked is None:
+        return _emit_empty(ctx)
+    source, offset, start = picked
+    return ctx.with_frames(ctx.frames - start + offset).plan(source)
+
+
+VideoSequence.plan_cuts = _seq_plan_cuts
+VideoSequence.emit = _seq_emit
+
+
+def _ws_plan_cuts(self, start, stop):
+    cuts = set()
+    with self._lock:
+        items = list(self._items)
+    for item in items:
+        cuts.add(item._x)
+        cuts.add(item._x + item._length)
+        if item._source is not None and hasattr(item._source, 'plan_cuts'):
+            lo = max(start, item._x)
+            hi = min(stop, item._x + item._length)
+            if lo < hi:
+                for c in item._source.plan_cuts(
+                        lo - item._x + item._offset,
+                        hi - item._x + item._offset):
+                    cuts.add(int(c) - item._offset + item._x)
+    return cuts
+
+
+def _ws_emit(self, ctx):
+    from canvas_tpu.render import Node
+    f0 = int(ctx.frames[0])
+    items = self._composite_items(f0, f0)
+    if not items:
+        return _emit_empty(ctx)
+
+    children = []
+    for item in items:
+        sub = ctx.with_frames(ctx.frames - item._x + item._offset)
+        children.append(sub.plan(item._source))
+
+    if len(children) == 1:
+        return children[0]
+
+    # Window algebra mirrors VideoWorkspace._render_f32
+    windows = list(children[0].windows)
+    for child in children[1:]:
+        new = []
+        for under, over in zip(windows, child.windows):
+            if under.empty():
+                new.append(box2i_intersect(over, ctx.window)
+                           if not over.empty() else EMPTY_BOX2I)
+            elif over.empty():
+                new.append(under)
+            else:
+                new.append(box2i_intersect(_union_defined(under, over),
+                                           ctx.window))
+        windows = new
+    return Node('over_stack', children=children, windows=windows)
+
+
+VideoWorkspace.plan_cuts = _ws_plan_cuts
+VideoWorkspace.emit = _ws_emit
+
+
+def _scaler_plan_cuts(self, start, stop):
+    if self.source is None or not hasattr(self.source, 'plan_cuts'):
+        return []
+    return self.source.plan_cuts(start, stop)
+
+
+def _scaler_emit(self, ctx):
+    from canvas_tpu.render import Node
+    from canvas_tpu.basetypes import box2i_union
+    if self.source is None:
+        return _emit_empty(ctx)
+
+    B = len(ctx.frames)
+    tps = [framefuncs.get_v2f(self.target_point, int(f)) for f in ctx.frames]
+    sps = [framefuncs.get_v2f(self.source_point, int(f)) for f in ctx.frames]
+    fs = [framefuncs.get_v2f(self.scale_factors, int(f)) for f in ctx.frames]
+    rects = [framefuncs.get_box2i(self.source_rect, int(f))
+             for f in ctx.frames]
+
+    if any(f.x == 0.0 or f.y == 0.0 for f in fs):
+        if all(f.x == 0.0 or f.y == 0.0 for f in fs):
+            return _emit_empty(ctx)
+        return ctx.stage(self)      # mixed zero/nonzero inside a segment
+
+    if all(f.x == 1.0 and f.y == 1.0 and t.x == s.x and t.y == s.y
+           for f, t, s in zip(fs, tps, sps)):
+        return ctx.plan(self.source)
+
+    # Union of per-frame fetch windows -> one static child window
+    full = ctx.window
+    fetch = None
+    for tp, sp, f, rect in zip(tps, sps, fs, rects):
+        b = box2i(
+            _trunc(sp.x - (tp.x - full.min.x) / f.x) - 1,
+            _trunc(sp.y - (tp.y - full.min.y) / f.y) - 1,
+            _trunc(sp.x + (full.max.x - tp.x) / f.x) + 1,
+            _trunc(sp.y + (full.max.y - tp.y) / f.y) + 1)
+        b = box2i_intersect(b, rect)
+        if not b.empty():
+            fetch = b if fetch is None else box2i_union(fetch, b)
+    if fetch is None:
+        return _emit_empty(ctx)
+
+    child = ctx.with_window(fetch).plan(self.source)
+
+    constant = all(t == tps[0] and s == sps[0] and f == fs[0]
+                   for t, s, f in zip(tps, sps, fs))
+
+    if constant and all(w == child.windows[0] for w in child.windows):
+        plan = scale_ops.scale_plan(full, tps[0], child.windows[0], sps[0],
+                                    fs[0])
+        if plan is None:
+            return _emit_empty(ctx)
+        Wy_cur, Wx_cur, out_window = plan
+
+        def expand(W, lo_cur, hi_cur, lo_full, hi_full):
+            out = np.zeros((W.shape[0], hi_full - lo_full + 1), np.float32)
+            a = lo_cur - lo_full
+            out[:, a:a + W.shape[1]] = W
+            return out
+
+        Wy = expand(Wy_cur, child.windows[0].min.y, child.windows[0].max.y,
+                    fetch.min.y, fetch.max.y)
+        Wx = expand(Wx_cur, child.windows[0].min.x, child.windows[0].max.x,
+                    fetch.min.x, fetch.max.x)
+        out_window = box2i_intersect(out_window, full)
+        return Node('scale', params={'wy': Wy, 'wx': Wx}, children=[child],
+                    windows=[out_window] * B)
+
+    # Animated: per-frame gather taps. Frames whose child window is empty
+    # keep all-zero weights (the gathered result is zero everywhere).
+    per_frame = []                      # (iy, wy, ix, wx) or None
+    windows = []
+    for tp, sp, f, cw in zip(tps, sps, fs, child.windows):
+        if cw.empty():
+            per_frame.append(None)
+            windows.append(EMPTY_BOX2I)
+            continue
+        py, wy1, ty = scale_ops.axis_taps(f.y, full.min.y, full.max.y,
+                                          cw.min.y, cw.max.y, tp.y, sp.y)
+        px, wx1, tx = scale_ops.axis_taps(f.x, full.min.x, full.max.x,
+                                          cw.min.x, cw.max.x, tp.x, sp.x)
+        per_frame.append((py - fetch.min.y, wy1, px - fetch.min.x, wx1))
+        yr = np.nonzero(ty)[0]
+        xr = np.nonzero(tx)[0]
+        if yr.size and xr.size:
+            windows.append(box2i(int(xr[0]) + full.min.x,
+                                 int(yr[0]) + full.min.y,
+                                 int(xr[-1]) + full.min.x,
+                                 int(yr[-1]) + full.min.y))
+        else:
+            windows.append(EMPTY_BOX2I)
+
+    if all(v is None for v in per_frame):
+        return _emit_empty(ctx)
+
+    Ky = max(v[1].shape[1] for v in per_frame if v is not None)
+    Kx = max(v[3].shape[1] for v in per_frame if v is not None)
+    iy = np.zeros((B, full.height, Ky), np.int32)
+    wy = np.zeros((B, full.height, Ky), np.float32)
+    ix = np.zeros((B, full.width, Kx), np.int32)
+    wx = np.zeros((B, full.width, Kx), np.float32)
+    for i, v in enumerate(per_frame):
+        if v is None:
+            continue
+        iy[i, :, :v[0].shape[1]] = v[0]
+        wy[i, :, :v[1].shape[1]] = v[1]
+        ix[i, :, :v[2].shape[1]] = v[2]
+        wx[i, :, :v[3].shape[1]] = v[3]
+    return Node('scale_taps',
+                params={'iy': iy, 'wy': wy, 'ix': ix, 'wx': wx},
+                children=[child], windows=windows)
+
+
+VideoScaler.plan_cuts = _scaler_plan_cuts
+VideoScaler.emit = _scaler_emit
+
+
+def _transfer_plan_cuts(self, start, stop):
+    return self.source.plan_cuts(start, stop)
+
+
+def _transfer_emit(self, ctx):
+    from canvas_tpu.render import Node
+    from canvas_tpu.ops import color as color_ops
+    child = ctx.plan(self.source)
+    windows = list(child.windows)
+
+    def lut_node(name, fn, inner):
+        table = color_ops.build_half_lut(fn)
+        return Node('transfer', static=(name,), params={'table': table},
+                    children=[inner], windows=windows)
+
+    def matrix_node(m, inner):
+        return Node('matrix', params={'m': np.asarray(m, np.float32)},
+                    children=[inner], windows=windows)
+
+    name = self.transform
+    ops = self._ops
+    if name == 'rgb_to_xyz_sdtv':
+        node = lut_node('rec709_to_linear_scene',
+                        ops.rec709_to_linear_scene, child)
+        return matrix_node(ops.RGB_TO_XYZ_SDTV, node)
+    if name == 'xyz_to_srgb':
+        node = matrix_node(ops.XYZ_TO_SRGB, child)
+        return lut_node('linear_to_srgb', ops.linear_to_srgb, node)
+    return lut_node(name, getattr(ops, name), child)
+
+
+VideoColorTransferFilter.plan_cuts = _transfer_plan_cuts
+VideoColorTransferFilter.emit = _transfer_emit

@@ -1,0 +1,148 @@
+"""Clocks, pull queue, and playback engine.
+
+Clock tests port the reference suite
+(/root/reference/tests/process/SystemPresentationClock.py).
+"""
+
+import time
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from canvas_tpu.basetypes import box2i
+from canvas_tpu.clock import SystemPresentationClock
+from canvas_tpu.pullqueue import VideoPullQueue
+from canvas_tpu.sources import SolidColorVideoSource
+
+
+def test_clock_callback():
+    results = []
+
+    def callback(speed, time_ns, data):
+        data.append((speed, time_ns))
+
+    clock = SystemPresentationClock()
+    handle = clock.register_callback(callback, results)
+    clock.play(1)
+    assert results[0] == (Fraction(1, 1), 0)
+
+    clock.stop()
+    assert results[1][0] == Fraction(0, 1)
+    t = results[1][1]
+
+    clock.play(Fraction(-1, 2))
+    assert results[2] == (Fraction(-1, 2), t)
+
+    clock.seek(200)
+    assert results[3] == (Fraction(-1, 2), 200)
+
+    handle.unregister()
+    clock.stop()
+    assert len(results) == 4
+
+
+def test_clock_seek():
+    clock = SystemPresentationClock()
+    clock.seek(100)
+    assert clock.get_presentation_time() == 100
+
+
+def test_clock_advances():
+    clock = SystemPresentationClock()
+    clock.set(Fraction(2, 1), 0)
+    time.sleep(0.05)
+    t = clock.get_presentation_time()
+    # 50ms at 2x -> ~100ms of stream time
+    assert 50_000_000 < t < 400_000_000
+    clock.stop()
+    frozen = clock.get_presentation_time()
+    time.sleep(0.02)
+    assert clock.get_presentation_time() == frozen
+
+
+def test_clock_negative_speed():
+    clock = SystemPresentationClock()
+    clock.set(Fraction(-1, 1), 1_000_000_000)
+    time.sleep(0.05)
+    assert clock.get_presentation_time() < 1_000_000_000
+
+
+def test_pull_queue():
+    queue = VideoPullQueue()
+    results = []
+    src = SolidColorVideoSource((1, 0, 0, 1))
+    for i in range(4):
+        queue.enqueue(src, i, box2i(0, 0, 3, 3),
+                      lambda idx, frame, data: results.append((idx, data)),
+                      data=i * 10)
+    deadline = time.time() + 5
+    while len(results) < 4 and time.time() < deadline:
+        time.sleep(0.01)
+    assert sorted(r[0] for r in results) == [0, 1, 2, 3]
+    assert sorted(r[1] for r in results) == [0, 10, 20, 30]
+    queue.close()
+
+
+def test_pull_queue_cancel():
+    queue = VideoPullQueue()
+    results = []
+    src = SolidColorVideoSource((1, 0, 0, 1))
+    item = queue.enqueue(src, 0, box2i(0, 0, 3, 3),
+                         lambda idx, frame, data: results.append(idx))
+    item.cancel()
+    time.sleep(0.2)
+    # cancelled before or after pull; either way no late delivery is
+    # guaranteed only if cancel landed before dispatch — just assert no
+    # crash and at most one result
+    assert len(results) <= 1
+    queue.close()
+
+
+def test_playback_engine_presents_frames():
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.playback import VideoPlaybackEngine
+
+    presented = []
+    src = SolidColorVideoSource(LerpFunc((0, 0, 0, 1), (1, 1, 1, 1), 100))
+    clock = SystemPresentationClock()
+    engine = VideoPlaybackEngine(
+        src, clock, Fraction(100, 1), box2i(0, 0, 15, 15),
+        lambda idx, bgra: presented.append((idx, bgra.shape)))
+    try:
+        clock.play(1)
+        deadline = time.time() + 10
+        while len(presented) < 3 and time.time() < deadline:
+            time.sleep(0.02)
+        clock.stop()
+        assert len(presented) >= 3
+        idx0, shape = presented[0]
+        assert shape == (16, 16, 4)
+        # frames advance monotonically during forward playback
+        indices = [p[0] for p in presented]
+        assert indices == sorted(indices)
+    finally:
+        engine.stop()
+
+
+def test_playback_seek_invalidates():
+    from canvas_tpu.playback import VideoPlaybackEngine
+
+    presented = []
+    src = SolidColorVideoSource((0, 1, 0, 1))
+    clock = SystemPresentationClock()
+    engine = VideoPlaybackEngine(
+        src, clock, Fraction(100, 1), box2i(0, 0, 7, 7),
+        lambda idx, bgra: presented.append(idx))
+    try:
+        clock.seek(0)
+        deadline = time.time() + 5
+        while not presented and time.time() < deadline:
+            time.sleep(0.02)
+        clock.seek(50 * 10_000_000)   # frame 50 at 100fps
+        deadline = time.time() + 5
+        while 50 not in presented and time.time() < deadline:
+            time.sleep(0.02)
+        assert 50 in presented
+    finally:
+        engine.stop()

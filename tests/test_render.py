@@ -1,0 +1,199 @@
+"""Batched device render path vs the per-frame pull path.
+
+The pull path (canvas_tpu.sources) is the behavioral reference; the
+batched planner (canvas_tpu.render) must produce the same f16 frames for
+every graph it can trace.
+"""
+
+import numpy as np
+import pytest
+
+from canvas_tpu import render
+from canvas_tpu.basetypes import box2i
+from canvas_tpu.framefuncs import LerpFunc, LinearFrameFunc
+from canvas_tpu.sources import (EmptyVideoSource, SolidColorVideoSource,
+                                VideoGainOffsetFilter, VideoMixFilter,
+                                VideoPassThroughFilter, VideoScaler,
+                                VideoSequence, VideoColorTransferFilter,
+                                VideoWorkspace)
+
+WINDOW = box2i(0, 0, 31, 31)
+
+
+def pull_frames(source, window, start, stop):
+    out = []
+    wins = []
+    for i in range(start, stop):
+        frame = source.get_frame_f16(i, window)
+        out.append(np.asarray(frame.data, np.float16))
+        wins.append(frame.current_window)
+    return np.stack(out), wins
+
+
+def assert_matches_pull(source, window=WINDOW, start=0, stop=4,
+                        atol=2e-3):
+    want, _ = pull_frames(source, window, start, stop)
+    got = render.render_frames(source, window, start, stop)
+    assert got.shape == want.shape
+    assert got.dtype == np.float16
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=atol)
+
+
+def test_solid_animated():
+    src = SolidColorVideoSource(
+        LerpFunc((1, 0, 0, 1), (0, 1, 0, 0.5), 10),
+        window=box2i(2, 3, 20, 25))
+    assert_matches_pull(src)
+
+
+def test_empty():
+    got = render.render_frames(EmptyVideoSource(), WINDOW, 0, 3)
+    assert got.shape == (3, 4, 32, 32)
+    assert np.all(got == 0)
+
+
+def test_pass_through_offset():
+    src = VideoPassThroughFilter(
+        SolidColorVideoSource(LerpFunc((0, 0, 0, 1), (1, 1, 1, 1), 10)),
+        offset=3)
+    assert_matches_pull(src)
+
+
+def test_pass_through_range_cuts():
+    src = VideoPassThroughFilter(
+        SolidColorVideoSource((1, 0, 0, 1)), start_frame=2, end_frame=5)
+    assert_matches_pull(src, start=0, stop=8)
+
+
+def test_mix_crossfade():
+    a = SolidColorVideoSource((1, 0, 0, 1))
+    b = SolidColorVideoSource((0, 0, 1, 1))
+    mix = VideoMixFilter(a, b, LerpFunc((0,), (1,), 8))
+    assert_matches_pull(mix, start=0, stop=8)
+
+
+def test_gain_offset():
+    src = VideoGainOffsetFilter(
+        SolidColorVideoSource((0.5, 0.5, 0.5, 1.0), window=box2i(4, 4, 12, 12)),
+        gain=LinearFrameFunc(0.1, 1.0), offset=0.125)
+    assert_matches_pull(src)
+
+
+def test_sequence_segments():
+    seq = VideoSequence([
+        (SolidColorVideoSource((1, 0, 0, 1)), 0, 3),
+        (SolidColorVideoSource((0, 1, 0, 1)), 5, 4),
+    ])
+    assert_matches_pull(seq, start=0, stop=9)
+
+
+def test_workspace_layers():
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource((1, 0, 0, 1)), x=0, length=10, z=0)
+    ws.add(source=SolidColorVideoSource((0, 0, 1, 0.5),
+                                        window=box2i(8, 8, 24, 24)),
+           x=2, length=6, z=1)
+    assert_matches_pull(ws, start=0, stop=10)
+
+
+def test_workspace_offsets_and_z():
+    ws = VideoWorkspace()
+    anim = SolidColorVideoSource(LerpFunc((0, 0, 0, 1), (1, 1, 1, 1), 20))
+    ws.add(source=anim, x=0, length=20, offset=7, z=0)
+    ws.add(source=SolidColorVideoSource((1, 1, 0, 0.25)), x=5, length=5, z=-1)
+    assert_matches_pull(ws, start=0, stop=12)
+
+
+def test_scaler_constant():
+    solid = SolidColorVideoSource((0.8, 0.2, 0.1, 1.0),
+                                  window=box2i(0, 0, 7, 7))
+    sc = VideoScaler(solid, (0.0, 0.0), (0.0, 0.0), (2.0, 2.0),
+                     box2i(0, 0, 7, 7))
+    assert_matches_pull(sc)
+
+
+def test_scaler_animated():
+    solid = SolidColorVideoSource((0.5, 0.5, 0.5, 1.0),
+                                  window=box2i(0, 0, 15, 15))
+    sc = VideoScaler(solid, (0.0, 0.0), (0.0, 0.0),
+                     LerpFunc((1.0, 1.0), (2.0, 2.0), 8),
+                     box2i(0, 0, 15, 15))
+    assert_matches_pull(sc, start=0, stop=4, atol=4e-3)
+
+
+def test_transfer_filter():
+    src = VideoColorTransferFilter(
+        SolidColorVideoSource((0.25, 0.5, 0.75, 1.0)), 'linear_to_rec709')
+    assert_matches_pull(src)
+
+
+def test_transfer_matrix_filter():
+    src = VideoColorTransferFilter(
+        SolidColorVideoSource((0.25, 0.5, 0.75, 1.0)), 'xyz_to_srgb')
+    assert_matches_pull(src)
+
+
+def test_stage_fallback():
+    """A source without emit() gets host-staged but still renders."""
+
+    class Custom(SolidColorVideoSource.__mro__[1]):  # plain VideoSource
+        def _render_f16(self, frame_index, frame):
+            data = np.zeros((4, frame.full_window.height,
+                             frame.full_window.width), np.float16)
+            data[0] = frame_index * 0.01
+            data[3] = 1.0
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    assert_matches_pull(Custom())
+
+
+def test_dv_recon_batched():
+    from canvas_tpu.coded import (CodedImage, CodedImageSource,
+                                  DVReconstructionFilter)
+
+    class Source(CodedImageSource):
+        def get_frame(self, frame_index, quality=0):
+            rng = np.random.RandomState(frame_index)
+            return CodedImage([
+                rng.randint(16, 236, (480, 720)).astype(np.uint8),
+                rng.randint(16, 241, (480, 180)).astype(np.uint8),
+                rng.randint(16, 241, (480, 180)).astype(np.uint8)])
+
+    filt = DVReconstructionFilter(Source())
+    window = box2i(0, -1, 719, 478)
+    want, _ = pull_frames(filt, window, 0, 2)
+    got = render.render_frames(filt, window, 0, 2)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=1e-2)
+    exact = np.mean(got.view(np.uint16) == want.view(np.uint16))
+    assert exact > 0.99
+
+
+def test_program_cache_reuse():
+    """Same structure, different params -> same compiled program."""
+    render._program_cache.clear()
+    a = SolidColorVideoSource((1, 0, 0, 1))
+    render.render_frames(a, WINDOW, 0, 4)
+    n = len(render._program_cache)
+    b = SolidColorVideoSource((0, 1, 0, 0.5))
+    render.render_frames(b, WINDOW, 4, 8)
+    assert len(render._program_cache) == n
+
+
+def test_render_sharded_matches():
+    from canvas_tpu import backend
+    jax = backend.jax
+    if len(jax.devices()) < 2:
+        pytest.skip('needs multiple devices')
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource(
+        LerpFunc((1, 0, 0, 1), (0, 1, 0, 1), 16)), x=0, length=16, z=0)
+    ws.add(source=SolidColorVideoSource((0, 0, 1, 0.5),
+                                        window=box2i(4, 4, 20, 20)),
+           x=0, length=16, z=1)
+    want, _ = pull_frames(ws, WINDOW, 0, 16)
+    got = render.render_sharded(ws, WINDOW, 0, 16)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=2e-3)
