@@ -1,0 +1,537 @@
+"""Media IO: demux/decode/encode/mux via the native canvas_av library.
+
+Python face of native/canvas_av.cpp (the C++ equivalent of the
+reference's /root/reference/src/libav module). API parity map:
+
+  reference (fluggo.media.libav)      canvas_tpu.libav
+  --------------------------------    ---------------------------------
+  AVContainer / AVStream (probe)      AVContainer / AVStreamInfo
+  AVDemuxer (packet source)           AVDemuxer (CodecPacketSource)
+  AVVideoDecoder (coded images)       AVVideoDecoder (CodedImageSource)
+  AVAudioDecoder (audio source)       AVAudioDecoder (AudioSource-like)
+  AVVideoEncoder + AVMuxer            AVMuxer (encoders owned natively)
+  write_video                         write_video
+
+Design difference (deliberate): the reference pipes every packet through
+Python between the demuxer and decoder (PyCapsule vtables,
+AVDemuxer.c:220-222); here decoders own their demuxer natively so the
+decode loop never crosses the language boundary. The packet-level
+AVDemuxer remains for packet workflows (e.g. the Matroska muxer).
+
+The native library is built on demand from native/ (make) if missing.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from canvas_tpu.basetypes import box2i
+from canvas_tpu.coded import CodedImage, CodedImageSource
+
+__all__ = ['available', 'AVContainer', 'AVStreamInfo', 'AVDemuxer',
+           'CodecPacket', 'AVVideoDecoder', 'AVAudioDecoder', 'AVMuxer',
+           'write_video']
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), '_native')
+_LIB_PATH = os.path.join(_NATIVE_DIR, 'libcanvas_av.so')
+_lib = None
+_lib_lock = threading.Lock()
+
+
+class _CavStreamInfo(ctypes.Structure):
+    _fields_ = [
+        ('type', ctypes.c_int32),
+        ('codec_name', ctypes.c_char * 32),
+        ('width', ctypes.c_int32), ('height', ctypes.c_int32),
+        ('pix_fmt', ctypes.c_char * 32),
+        ('frame_rate_num', ctypes.c_int32),
+        ('frame_rate_den', ctypes.c_int32),
+        ('sar_num', ctypes.c_int32), ('sar_den', ctypes.c_int32),
+        ('time_base_num', ctypes.c_int32),
+        ('time_base_den', ctypes.c_int32),
+        ('duration', ctypes.c_int64),
+        ('nb_frames', ctypes.c_int64),
+        ('sample_rate', ctypes.c_int32),
+        ('channels', ctypes.c_int32),
+        ('start_time', ctypes.c_int64),
+    ]
+
+
+class _CavPacket(ctypes.Structure):
+    _fields_ = [
+        ('data', ctypes.POINTER(ctypes.c_uint8)),
+        ('size', ctypes.c_int32),
+        ('pts', ctypes.c_int64), ('dts', ctypes.c_int64),
+        ('duration', ctypes.c_int64),
+        ('keyframe', ctypes.c_int32),
+        ('stream', ctypes.c_int32),
+    ]
+
+
+def _build_library():
+    native_src = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                              'native')
+    subprocess.run(['make', '-C', native_src], check=True,
+                   capture_output=True)
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            _build_library()
+        lib = ctypes.CDLL(_LIB_PATH)
+
+        lib.cav_open.restype = ctypes.c_void_p
+        lib.cav_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                 ctypes.c_int]
+        lib.cav_close.argtypes = [ctypes.c_void_p]
+        lib.cav_stream_count.argtypes = [ctypes.c_void_p]
+        lib.cav_format_name.restype = ctypes.c_char_p
+        lib.cav_format_name.argtypes = [ctypes.c_void_p]
+        lib.cav_stream_info.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.POINTER(_CavStreamInfo)]
+        lib.cav_read_packet.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.POINTER(_CavPacket)]
+        lib.cav_packet_free.argtypes = [ctypes.POINTER(_CavPacket)]
+        lib.cav_seek.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.c_int64, ctypes.c_int]
+
+        lib.cav_video_decoder_open.restype = ctypes.c_void_p
+        lib.cav_video_decoder_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+        lib.cav_video_decoder_close.argtypes = [ctypes.c_void_p]
+        lib.cav_video_decode_rgba.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
+        lib.cav_video_decode_planar.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int)]
+
+        lib.cav_audio_decoder_open.restype = ctypes.c_void_p
+        lib.cav_audio_decoder_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_int]
+        lib.cav_audio_decoder_close.argtypes = [ctypes.c_void_p]
+        lib.cav_audio_decoder_channels.argtypes = [ctypes.c_void_p]
+        lib.cav_audio_decoder_sample_rate.argtypes = [ctypes.c_void_p]
+        lib.cav_audio_decode.restype = ctypes.c_int64
+        lib.cav_audio_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float)]
+
+        lib.cav_muxer_create.restype = ctypes.c_void_p
+        lib.cav_muxer_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                         ctypes.c_char_p, ctypes.c_int]
+        lib.cav_muxer_add_video.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int]
+        lib.cav_muxer_add_audio.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int]
+        lib.cav_muxer_start.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                        ctypes.c_int]
+        lib.cav_muxer_write_video.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        lib.cav_muxer_write_audio.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int]
+        lib.cav_muxer_finish.argtypes = [ctypes.c_void_p]
+        lib.cav_version.restype = ctypes.c_char_p
+        _lib = lib
+        return lib
+
+
+def available():
+    """True if the native library can be loaded/built."""
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def _err_buf():
+    return ctypes.create_string_buffer(512)
+
+
+# --------------------------------------------------------------------------
+
+class AVStreamInfo:
+    """Probed stream metadata (reference AVContainer/AVStream,
+    src/libav/AVContainer.c:65-358)."""
+
+    def __init__(self, raw):
+        self.type = {0: 'video', 1: 'audio', 2: 'other'}[raw.type]
+        self.codec = raw.codec_name.decode()
+        self.frame_size = (raw.width, raw.height)
+        self.pixel_format = raw.pix_fmt.decode()
+        from fractions import Fraction
+        self.real_frame_rate = (Fraction(raw.frame_rate_num,
+                                         raw.frame_rate_den)
+                                if raw.frame_rate_den else None)
+        self.sample_aspect_ratio = (Fraction(raw.sar_num, raw.sar_den)
+                                    if raw.sar_den and raw.sar_num else None)
+        self.time_base = (Fraction(raw.time_base_num, raw.time_base_den)
+                          if raw.time_base_den else None)
+        self.duration = raw.duration
+        self.frame_count = raw.nb_frames
+        self.sample_rate = raw.sample_rate
+        self.channels = raw.channels
+        self.start_time = raw.start_time
+
+
+class AVContainer:
+    """Container probe (the reference `probe` script's backend)."""
+
+    def __init__(self, filename):
+        lib = _load()
+        err = _err_buf()
+        self._handle = lib.cav_open(filename.encode(), err, len(err))
+        if not self._handle:
+            raise IOError(err.value.decode())
+        self.format_name = lib.cav_format_name(self._handle).decode()
+        self.streams = []
+        for i in range(lib.cav_stream_count(self._handle)):
+            raw = _CavStreamInfo()
+            lib.cav_stream_info(self._handle, i, ctypes.byref(raw))
+            self.streams.append(AVStreamInfo(raw))
+
+    def close(self):
+        if self._handle:
+            _load().cav_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class CodecPacket:
+    """One coded packet (reference codec_packet, framework.h)."""
+
+    __slots__ = ('data', 'pts', 'dts', 'duration', 'keyframe', 'stream')
+
+    def __init__(self, data, pts, dts, duration, keyframe, stream):
+        self.data = data
+        self.pts = pts
+        self.dts = dts
+        self.duration = duration
+        self.keyframe = keyframe
+        self.stream = stream
+
+
+class AVDemuxer:
+    """Codec packet source for one stream of a file
+    (src/libav/AVDemuxer.c:60-222): get_next_packet() and seek(ts)."""
+
+    def __init__(self, filename, stream):
+        lib = _load()
+        err = _err_buf()
+        self.filename = filename
+        self.stream = int(stream)
+        self._handle = lib.cav_open(filename.encode(), err, len(err))
+        if not self._handle:
+            raise IOError(err.value.decode())
+
+    def get_next_packet(self):
+        lib = _load()
+        pkt = _CavPacket()
+        rc = lib.cav_read_packet(self._handle, self.stream,
+                                 ctypes.byref(pkt))
+        if rc == 0:
+            return None
+        if rc < 0:
+            raise IOError('read_packet failed: %d' % rc)
+        data = ctypes.string_at(pkt.data, pkt.size)
+        lib.cav_packet_free(ctypes.byref(pkt))
+        return CodecPacket(data, pkt.pts, pkt.dts, pkt.duration,
+                           bool(pkt.keyframe), pkt.stream)
+
+    def seek(self, ts):
+        rc = _load().cav_seek(self._handle, self.stream, int(ts), 1)
+        if rc < 0:
+            raise IOError('seek failed: %d' % rc)
+
+    def close(self):
+        if self._handle:
+            _load().cav_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class AVVideoDecoder(CodedImageSource):
+    """Frame-accurate video decoder producing planar coded images
+    (src/libav/AVVideoDecoder.c:128-301).
+
+    Accepts a filename (native demux) or an AVDemuxer (its file/stream is
+    reused — the decode loop stays in C++, unlike the reference's
+    per-packet Python crossing).
+    """
+
+    def __init__(self, source, codec=None, stream=None):
+        lib = _load()
+        err = _err_buf()
+        if isinstance(source, AVDemuxer):
+            filename = source.filename
+            stream = source.stream if stream is None else stream
+        else:
+            filename = source
+            stream = -1 if stream is None else int(stream)
+        self._handle = lib.cav_video_decoder_open(filename.encode(), stream,
+                                                  err, len(err))
+        if not self._handle:
+            raise IOError(err.value.decode())
+        self._lock = threading.Lock()
+
+    def get_frame(self, frame_index, quality=0):
+        """Planar YCbCr CodedImage for *frame_index*, or None at EOF."""
+        lib = _load()
+        # Max plane sizes: luma W*H; chroma <= luma
+        y = np.empty((4096 * 2176,), np.uint8)
+        cb = np.empty((4096 * 2176,), np.uint8)
+        cr = np.empty((4096 * 2176,), np.uint8)
+        dims = (ctypes.c_int * 6)()
+        with self._lock:
+            rc = lib.cav_video_decode_planar(
+                self._handle, int(frame_index),
+                y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                cr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                dims)
+        if rc == 0:
+            return None
+        if rc == -1000:
+            raise ValueError('decoded format is not planar 8-bit YCbCr')
+        if rc < 0:
+            raise IOError('decode failed: %d' % rc)
+        yw, yh, cw, ch = dims[0], dims[1], dims[2], dims[3]
+        return CodedImage([
+            y[:yw * yh].reshape(yh, yw).copy(),
+            cb[:cw * ch].reshape(ch, cw).copy(),
+            cr[:cw * ch].reshape(ch, cw).copy()])
+
+    def get_frame_rgba(self, frame_index, width, height):
+        """Decoded frame converted to (H, W, 4) RGBA u8 (swscale)."""
+        lib = _load()
+        out = np.empty((height, width, 4), np.uint8)
+        with self._lock:
+            rc = lib.cav_video_decode_rgba(
+                self._handle, int(frame_index),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                width, height)
+        if rc == 0:
+            return None
+        if rc < 0:
+            raise IOError('decode failed: %d' % rc)
+        return out
+
+    def close(self):
+        if self._handle:
+            _load().cav_video_decoder_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class AVAudioDecoder:
+    """Audio source decoding a file's audio stream
+    (src/libav/AVAudioDecoder.c:100-492). get_frame(min, max, channels)
+    mirrors the reference audio pull protocol."""
+
+    def __init__(self, source, codec=None, channels=2, stream=None):
+        lib = _load()
+        err = _err_buf()
+        if isinstance(source, AVDemuxer):
+            filename = source.filename
+            stream = source.stream if stream is None else stream
+        else:
+            filename = source
+            stream = -1 if stream is None else int(stream)
+        self._handle = lib.cav_audio_decoder_open(
+            filename.encode(), stream, int(channels), err, len(err))
+        if not self._handle:
+            raise IOError(err.value.decode())
+        self.channels = lib.cav_audio_decoder_channels(self._handle)
+        self.sample_rate = lib.cav_audio_decoder_sample_rate(self._handle)
+        self._lock = threading.Lock()
+
+    def get_frame(self, min_sample, max_sample, channels=None):
+        from canvas_tpu.audio import AudioFrame
+        channels = self.channels if channels is None else int(channels)
+        count = max_sample - min_sample + 1
+        buf = np.zeros((count, self.channels), np.float32)
+        with self._lock:
+            _load().cav_audio_decode(
+                self._handle, int(min_sample), int(max_sample),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        data = np.zeros((count, channels), np.float32)
+        n = min(channels, self.channels)
+        data[:, :n] = buf[:, :n]
+        return AudioFrame(min_sample, max_sample, channels, data=data)
+
+    def close(self):
+        if self._handle:
+            _load().cav_audio_decoder_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class AVMuxer:
+    """Multi-stream encoder+muxer (src/libav/AVMuxer.c:70-245 +
+    AVVideoEncoder.c). add_video_stream/add_audio_stream then write
+    frames; close() finalizes the file."""
+
+    def __init__(self, filename, format=''):
+        lib = _load()
+        err = _err_buf()
+        self._handle = lib.cav_muxer_create(filename.encode(),
+                                            format.encode(), err, len(err))
+        if not self._handle:
+            raise IOError(err.value.decode())
+        self._started = False
+
+    def add_video_stream(self, codec, frame_size, frame_rate,
+                         bit_rate=0, options=''):
+        err = _err_buf()
+        from fractions import Fraction
+        rate = Fraction(frame_rate)
+        idx = _load().cav_muxer_add_video(
+            self._handle, codec.encode(), int(frame_size[0]),
+            int(frame_size[1]), rate.numerator, rate.denominator,
+            int(bit_rate), options.encode(), err, len(err))
+        if idx < 0:
+            raise IOError(err.value.decode())
+        return idx
+
+    def add_audio_stream(self, codec, sample_rate, channels, bit_rate=0):
+        err = _err_buf()
+        idx = _load().cav_muxer_add_audio(
+            self._handle, codec.encode(), int(sample_rate), int(channels),
+            int(bit_rate), err, len(err))
+        if idx < 0:
+            raise IOError(err.value.decode())
+        return idx
+
+    def start(self):
+        err = _err_buf()
+        rc = _load().cav_muxer_start(self._handle, err, len(err))
+        if rc < 0:
+            raise IOError(err.value.decode())
+        self._started = True
+
+    def write_video_frame(self, stream, rgba):
+        """rgba: (H, W, 4) uint8."""
+        if not self._started:
+            self.start()
+        rgba = np.ascontiguousarray(rgba, np.uint8)
+        rc = _load().cav_muxer_write_video(
+            self._handle, int(stream),
+            rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc < 0:
+            raise IOError('write_video failed: %d' % rc)
+
+    def write_audio_frame(self, stream, samples):
+        """samples: (N, channels) float32 interleaved."""
+        if not self._started:
+            self.start()
+        samples = np.ascontiguousarray(samples, np.float32)
+        rc = _load().cav_muxer_write_audio(
+            self._handle, int(stream),
+            samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            samples.shape[0])
+        if rc < 0:
+            raise IOError('write_audio failed: %d' % rc)
+
+    def close(self):
+        if self._handle:
+            rc = _load().cav_muxer_finish(self._handle)
+            self._handle = None
+            if rc < 0:
+                raise IOError('finish failed: %d' % rc)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def write_video(filename, video_source, audio_source, start_frame, end_frame,
+                frame_size=(720, 480), frame_rate=None, sample_rate=48000,
+                channels=2, video_codec='mpeg4', audio_codec=None,
+                bit_rate=4_000_000, format='', window=None, use_batch=True):
+    """One-call export (src/libav/writeVideo.c:41-120): pull video frames,
+    gamma-ramp to 8-bit, encode and mux with optional audio.
+
+    Unlike the reference (frame-at-a-time f16 pulls), the video is rendered
+    in batches through the compiled device path when the graph supports it.
+    """
+    from fractions import Fraction
+
+    from canvas_tpu.ops import color as color_ops
+
+    if frame_rate is None:
+        frame_rate = Fraction(30000, 1001)
+    if window is None:
+        window = box2i(0, 0, frame_size[0] - 1, frame_size[1] - 1)
+
+    n_frames = int(end_frame - start_frame)
+    with AVMuxer(filename, format) as mux:
+        vstream = mux.add_video_stream(video_codec, frame_size, frame_rate,
+                                       bit_rate)
+        astream = None
+        if audio_source is not None and audio_codec:
+            astream = mux.add_audio_stream(audio_codec, sample_rate, channels)
+        mux.start()
+
+        batch = 16
+        for b0 in range(0, n_frames, batch):
+            b1 = min(b0 + batch, n_frames)
+            if use_batch:
+                from canvas_tpu import render
+                data = render.render_frames(video_source, window,
+                                            start_frame + b0,
+                                            start_frame + b1)
+            else:
+                frames = [video_source.get_frame_f16(start_frame + i, window)
+                          for i in range(b0, b1)]
+                data = np.stack([np.asarray(f.data) for f in frames])
+            u8 = color_ops.apply_gamma45_u8(data)      # (B, 4, H, W)
+            rgba = np.moveaxis(np.asarray(u8), 1, -1)  # (B, H, W, 4)
+            for i in range(rgba.shape[0]):
+                mux.write_video_frame(vstream, rgba[i])
+
+            if astream is not None:
+                s0 = (start_frame + b0) * sample_rate * \
+                    frame_rate.denominator // frame_rate.numerator
+                s1 = (start_frame + b1) * sample_rate * \
+                    frame_rate.denominator // frame_rate.numerator
+                aframe = audio_source.get_frame(s0, s1 - 1, channels)
+                mux.write_audio_frame(astream, np.asarray(aframe.data))

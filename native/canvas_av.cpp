@@ -1,0 +1,802 @@
+// canvas_av: native media IO for Canvas-TPU.
+//
+// C++ equivalent of the reference's libav module
+// (/root/reference/src/libav/: AVDemuxer.c, AVVideoDecoder.c,
+// AVAudioDecoder.c, AVVideoEncoder.c, AVMuxer.c, writeVideo.c), built as a
+// shared library with a C ABI consumed from Python via ctypes
+// (canvas_tpu/libav.py). Design differences from the reference:
+//
+//  * Decoders own their demuxer (one format context per decoder) instead
+//    of crossing the language boundary per packet — the Python side still
+//    exposes a packet-source protocol for parity, but the hot decode loop
+//    never leaves C++.
+//  * The muxer accepts raw RGBA/float buffers and converts with
+//    swscale/swresample in-process; the TPU render path hands it batches.
+//
+// Frame-accurate seeking follows the reference's strategy
+// (AVVideoDecoder.c:182-256): seek to a keyframe at-or-before the target,
+// then decode forward until the target presentation time is reached.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswresample/swresample.h>
+#include <libswscale/swscale.h>
+}
+
+#define CAV_EXPORT extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+void set_err(char *err, int errlen, const std::string &msg) {
+    if (err && errlen > 0) {
+        snprintf(err, errlen, "%s", msg.c_str());
+    }
+}
+
+std::string av_errstr(int code) {
+    char buf[AV_ERROR_MAX_STRING_SIZE] = {0};
+    av_strerror(code, buf, sizeof(buf));
+    return std::string(buf);
+}
+
+}  // namespace
+
+// --------------------------------------------------------------------------
+// Container probe (AVContainer.c equivalent)
+
+struct CavStreamInfo {
+    int32_t type;           // 0 video, 1 audio, 2 other
+    char codec_name[32];
+    int32_t width, height;
+    char pix_fmt[32];
+    int32_t frame_rate_num, frame_rate_den;
+    int32_t sar_num, sar_den;
+    int32_t time_base_num, time_base_den;
+    int64_t duration;       // in time_base units
+    int64_t nb_frames;      // container-reported frame count (0 unknown)
+    int32_t sample_rate;
+    int32_t channels;
+    int64_t start_time;
+};
+
+struct CavFormat {
+    AVFormatContext *ctx = nullptr;
+};
+
+CAV_EXPORT CavFormat *cav_open(const char *filename, char *err, int errlen) {
+    auto *f = new CavFormat();
+    int rc = avformat_open_input(&f->ctx, filename, nullptr, nullptr);
+    if (rc < 0) {
+        set_err(err, errlen, "open_input: " + av_errstr(rc));
+        delete f;
+        return nullptr;
+    }
+    rc = avformat_find_stream_info(f->ctx, nullptr);
+    if (rc < 0) {
+        set_err(err, errlen, "find_stream_info: " + av_errstr(rc));
+        avformat_close_input(&f->ctx);
+        delete f;
+        return nullptr;
+    }
+    return f;
+}
+
+CAV_EXPORT void cav_close(CavFormat *f) {
+    if (!f) return;
+    if (f->ctx) avformat_close_input(&f->ctx);
+    delete f;
+}
+
+CAV_EXPORT int cav_stream_count(CavFormat *f) {
+    return f && f->ctx ? (int)f->ctx->nb_streams : 0;
+}
+
+CAV_EXPORT const char *cav_format_name(CavFormat *f) {
+    return f && f->ctx && f->ctx->iformat ? f->ctx->iformat->name : "";
+}
+
+CAV_EXPORT int cav_stream_info(CavFormat *f, int idx, CavStreamInfo *out) {
+    if (!f || !f->ctx || idx < 0 || idx >= (int)f->ctx->nb_streams) return -1;
+    AVStream *s = f->ctx->streams[idx];
+    AVCodecParameters *par = s->codecpar;
+    memset(out, 0, sizeof(*out));
+    switch (par->codec_type) {
+        case AVMEDIA_TYPE_VIDEO: out->type = 0; break;
+        case AVMEDIA_TYPE_AUDIO: out->type = 1; break;
+        default: out->type = 2; break;
+    }
+    const char *cname = avcodec_get_name(par->codec_id);
+    snprintf(out->codec_name, sizeof(out->codec_name), "%s", cname);
+    out->width = par->width;
+    out->height = par->height;
+    if (par->codec_type == AVMEDIA_TYPE_VIDEO) {
+        const char *pname = av_get_pix_fmt_name((AVPixelFormat)par->format);
+        snprintf(out->pix_fmt, sizeof(out->pix_fmt), "%s", pname ? pname : "");
+        AVRational fr = av_guess_frame_rate(f->ctx, s, nullptr);
+        out->frame_rate_num = fr.num;
+        out->frame_rate_den = fr.den;
+        out->sar_num = par->sample_aspect_ratio.num;
+        out->sar_den = par->sample_aspect_ratio.den;
+    }
+    out->time_base_num = s->time_base.num;
+    out->time_base_den = s->time_base.den;
+    out->duration = s->duration;
+    out->nb_frames = s->nb_frames;
+    out->sample_rate = par->sample_rate;
+    out->channels = par->ch_layout.nb_channels;
+    out->start_time = s->start_time;
+    return 0;
+}
+
+// --------------------------------------------------------------------------
+// Packet-level demux (AVDemuxer.c equivalent)
+
+struct CavPacket {
+    uint8_t *data;
+    int32_t size;
+    int64_t pts, dts, duration;
+    int32_t keyframe;
+    int32_t stream;
+};
+
+CAV_EXPORT int cav_read_packet(CavFormat *f, int stream, CavPacket *out) {
+    AVPacket *pkt = av_packet_alloc();
+    while (true) {
+        int rc = av_read_frame(f->ctx, pkt);
+        if (rc == AVERROR_EOF) {
+            av_packet_free(&pkt);
+            return 0;
+        }
+        if (rc < 0) {
+            av_packet_free(&pkt);
+            return rc;
+        }
+        if (stream < 0 || pkt->stream_index == stream) break;
+        av_packet_unref(pkt);
+    }
+    out->data = (uint8_t *)malloc(pkt->size);
+    memcpy(out->data, pkt->data, pkt->size);
+    out->size = pkt->size;
+    out->pts = pkt->pts;
+    out->dts = pkt->dts;
+    out->duration = pkt->duration;
+    out->keyframe = (pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0;
+    out->stream = pkt->stream_index;
+    av_packet_unref(pkt);
+    av_packet_free(&pkt);
+    return 1;
+}
+
+CAV_EXPORT void cav_packet_free(CavPacket *p) {
+    if (p && p->data) {
+        free(p->data);
+        p->data = nullptr;
+    }
+}
+
+CAV_EXPORT int cav_seek(CavFormat *f, int stream, int64_t ts, int backward) {
+    // AVDemuxer.c:126-135
+    return av_seek_frame(f->ctx, stream, ts,
+                         backward ? AVSEEK_FLAG_BACKWARD : 0);
+}
+
+// --------------------------------------------------------------------------
+// Video decoder (AVVideoDecoder.c equivalent; owns demux + codec)
+
+struct CavVideoDec {
+    AVFormatContext *fmt = nullptr;
+    AVCodecContext *codec = nullptr;
+    SwsContext *sws = nullptr;
+    AVFrame *frame = nullptr;
+    AVPacket *pkt = nullptr;
+    int stream = -1;
+    AVRational frame_rate{};     // frames per second
+    AVRational time_base{};
+    int64_t next_frame = -1;     // next frame index decode will produce
+    bool eof = false;
+    int out_w = 0, out_h = 0;
+    AVPixelFormat out_fmt = AV_PIX_FMT_NONE;
+};
+
+CAV_EXPORT CavVideoDec *cav_video_decoder_open(const char *filename,
+                                               int stream, char *err,
+                                               int errlen) {
+    auto *d = new CavVideoDec();
+    int rc = avformat_open_input(&d->fmt, filename, nullptr, nullptr);
+    if (rc < 0) {
+        set_err(err, errlen, "open_input: " + av_errstr(rc));
+        delete d;
+        return nullptr;
+    }
+    avformat_find_stream_info(d->fmt, nullptr);
+    if (stream < 0) {
+        stream = av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                     nullptr, 0);
+    }
+    if (stream < 0 || stream >= (int)d->fmt->nb_streams ||
+        d->fmt->streams[stream]->codecpar->codec_type != AVMEDIA_TYPE_VIDEO) {
+        set_err(err, errlen, "no such video stream");
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    d->stream = stream;
+    AVStream *s = d->fmt->streams[stream];
+    const AVCodec *codec = avcodec_find_decoder(s->codecpar->codec_id);
+    if (!codec) {
+        set_err(err, errlen, "no decoder for stream codec");
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    d->codec = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(d->codec, s->codecpar);
+    rc = avcodec_open2(d->codec, codec, nullptr);
+    if (rc < 0) {
+        set_err(err, errlen, "avcodec_open2: " + av_errstr(rc));
+        avcodec_free_context(&d->codec);
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    d->frame = av_frame_alloc();
+    d->pkt = av_packet_alloc();
+    d->frame_rate = av_guess_frame_rate(d->fmt, s, nullptr);
+    if (d->frame_rate.num == 0) d->frame_rate = {30000, 1001};
+    d->time_base = s->time_base;
+    d->next_frame = 0;
+    return d;
+}
+
+CAV_EXPORT void cav_video_decoder_close(CavVideoDec *d) {
+    if (!d) return;
+    if (d->sws) sws_freeContext(d->sws);
+    if (d->frame) av_frame_free(&d->frame);
+    if (d->pkt) av_packet_free(&d->pkt);
+    if (d->codec) avcodec_free_context(&d->codec);
+    if (d->fmt) avformat_close_input(&d->fmt);
+    delete d;
+}
+
+CAV_EXPORT void cav_video_decoder_info(CavVideoDec *d, CavStreamInfo *out) {
+    cav_stream_info(reinterpret_cast<CavFormat *>(&d->fmt), d->stream, out);
+}
+
+namespace {
+
+int64_t pts_to_frame(CavVideoDec *d, int64_t pts) {
+    if (pts == AV_NOPTS_VALUE) return -1;
+    AVStream *s = d->fmt->streams[d->stream];
+    int64_t start = s->start_time == AV_NOPTS_VALUE ? 0 : s->start_time;
+    // frame = (pts - start) * time_base * frame_rate, rounded
+    return av_rescale_q(pts - start, d->time_base, av_inv_q(d->frame_rate));
+}
+
+int64_t frame_to_pts(CavVideoDec *d, int64_t frame) {
+    AVStream *s = d->fmt->streams[d->stream];
+    int64_t start = s->start_time == AV_NOPTS_VALUE ? 0 : s->start_time;
+    return start + av_rescale_q(frame, av_inv_q(d->frame_rate), d->time_base);
+}
+
+// Decode the next frame into d->frame. 1 ok, 0 eof, <0 error.
+int decode_next(CavVideoDec *d) {
+    while (true) {
+        int rc = avcodec_receive_frame(d->codec, d->frame);
+        if (rc == 0) return 1;
+        if (rc != AVERROR(EAGAIN) && rc != AVERROR_EOF) return rc;
+        if (rc == AVERROR_EOF) return 0;
+        rc = av_read_frame(d->fmt, d->pkt);
+        if (rc == AVERROR_EOF) {
+            avcodec_send_packet(d->codec, nullptr);  // flush
+            continue;
+        }
+        if (rc < 0) return rc;
+        if (d->pkt->stream_index != d->stream) {
+            av_packet_unref(d->pkt);
+            continue;
+        }
+        rc = avcodec_send_packet(d->codec, d->pkt);
+        av_packet_unref(d->pkt);
+        if (rc < 0 && rc != AVERROR(EAGAIN)) return rc;
+    }
+}
+
+}  // namespace
+
+// Decode frame by index into caller-provided RGBA8 buffer (h*w*4).
+// Returns 1 ok, 0 past-eof, <0 error.
+CAV_EXPORT int cav_video_decode_rgba(CavVideoDec *d, int64_t frame_index,
+                                     uint8_t *out, int out_w, int out_h) {
+    // Seek when going backward or far forward (AVVideoDecoder.c:182-219)
+    if (frame_index < d->next_frame || frame_index > d->next_frame + 64) {
+        int64_t target_pts = frame_to_pts(d, frame_index);
+        int rc = av_seek_frame(d->fmt, d->stream, target_pts,
+                               AVSEEK_FLAG_BACKWARD);
+        if (rc < 0) return rc;
+        avcodec_flush_buffers(d->codec);
+        d->next_frame = -1;  // unknown until first decoded pts
+    }
+
+    while (true) {
+        int rc = decode_next(d);
+        if (rc <= 0) return rc;
+        int64_t pts = d->frame->best_effort_timestamp;
+        int64_t got = pts_to_frame(d, pts);
+        if (got < 0) got = d->next_frame < 0 ? 0 : d->next_frame;
+        d->next_frame = got + 1;
+        if (got >= frame_index) break;
+        av_frame_unref(d->frame);
+    }
+
+    if (!d->sws || d->out_w != out_w || d->out_h != out_h ||
+        d->out_fmt != (AVPixelFormat)d->frame->format) {
+        if (d->sws) sws_freeContext(d->sws);
+        d->sws = sws_getContext(d->frame->width, d->frame->height,
+                                (AVPixelFormat)d->frame->format, out_w, out_h,
+                                AV_PIX_FMT_RGBA, SWS_BILINEAR, nullptr,
+                                nullptr, nullptr);
+        d->out_w = out_w;
+        d->out_h = out_h;
+        d->out_fmt = (AVPixelFormat)d->frame->format;
+    }
+    uint8_t *dst[4] = {out, nullptr, nullptr, nullptr};
+    int dst_stride[4] = {out_w * 4, 0, 0, 0};
+    sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, d->frame->height,
+              dst, dst_stride);
+    av_frame_unref(d->frame);
+    return 1;
+}
+
+// Decode frame by index into caller-provided planar YCbCr buffers.
+// Supports planar 8-bit source formats (yuv411p/420p/422p...); fills the
+// three planes at their native subsampled sizes. Returns plane dims via
+// dims[6] = {yw,yh,cw,ch,cw,ch}. 1 ok, 0 eof, <0 error, -1000 if the
+// decoded format is not planar 8-bit YCbCr.
+CAV_EXPORT int cav_video_decode_planar(CavVideoDec *d, int64_t frame_index,
+                                       uint8_t *y, uint8_t *cb, uint8_t *cr,
+                                       int *dims) {
+    if (frame_index < d->next_frame || frame_index > d->next_frame + 64) {
+        int64_t target_pts = frame_to_pts(d, frame_index);
+        int rc = av_seek_frame(d->fmt, d->stream, target_pts,
+                               AVSEEK_FLAG_BACKWARD);
+        if (rc < 0) return rc;
+        avcodec_flush_buffers(d->codec);
+        d->next_frame = -1;
+    }
+    while (true) {
+        int rc = decode_next(d);
+        if (rc <= 0) return rc;
+        int64_t got = pts_to_frame(d, d->frame->best_effort_timestamp);
+        if (got < 0) got = d->next_frame < 0 ? 0 : d->next_frame;
+        d->next_frame = got + 1;
+        if (got >= frame_index) break;
+        av_frame_unref(d->frame);
+    }
+    const AVPixFmtDescriptor *desc =
+        av_pix_fmt_desc_get((AVPixelFormat)d->frame->format);
+    if (!desc || desc->nb_components < 3 ||
+        desc->comp[0].depth != 8 ||
+        (desc->flags & AV_PIX_FMT_FLAG_RGB)) {
+        av_frame_unref(d->frame);
+        return -1000;
+    }
+    int yw = d->frame->width, yh = d->frame->height;
+    int cw = AV_CEIL_RSHIFT(yw, desc->log2_chroma_w);
+    int ch = AV_CEIL_RSHIFT(yh, desc->log2_chroma_h);
+    dims[0] = yw; dims[1] = yh;
+    dims[2] = cw; dims[3] = ch;
+    dims[4] = cw; dims[5] = ch;
+    for (int r = 0; r < yh; r++)
+        memcpy(y + r * yw, d->frame->data[0] + r * d->frame->linesize[0], yw);
+    for (int r = 0; r < ch; r++) {
+        memcpy(cb + r * cw, d->frame->data[1] + r * d->frame->linesize[1], cw);
+        memcpy(cr + r * cw, d->frame->data[2] + r * d->frame->linesize[2], cw);
+    }
+    av_frame_unref(d->frame);
+    return 1;
+}
+
+// --------------------------------------------------------------------------
+// Audio decoder (AVAudioDecoder.c equivalent)
+
+struct CavAudioDec {
+    AVFormatContext *fmt = nullptr;
+    AVCodecContext *codec = nullptr;
+    SwrContext *swr = nullptr;
+    AVFrame *frame = nullptr;
+    AVPacket *pkt = nullptr;
+    int stream = -1;
+    int channels = 0;
+    int sample_rate = 0;
+    int64_t next_sample = 0;   // next output sample index decode produces
+};
+
+CAV_EXPORT CavAudioDec *cav_audio_decoder_open(const char *filename,
+                                               int stream, int channels,
+                                               char *err, int errlen) {
+    auto *d = new CavAudioDec();
+    int rc = avformat_open_input(&d->fmt, filename, nullptr, nullptr);
+    if (rc < 0) {
+        set_err(err, errlen, "open_input: " + av_errstr(rc));
+        delete d;
+        return nullptr;
+    }
+    avformat_find_stream_info(d->fmt, nullptr);
+    if (stream < 0)
+        stream = av_find_best_stream(d->fmt, AVMEDIA_TYPE_AUDIO, -1, -1,
+                                     nullptr, 0);
+    if (stream < 0 || stream >= (int)d->fmt->nb_streams ||
+        d->fmt->streams[stream]->codecpar->codec_type != AVMEDIA_TYPE_AUDIO) {
+        set_err(err, errlen, "no such audio stream");
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    d->stream = stream;
+    AVStream *s = d->fmt->streams[stream];
+    const AVCodec *codec = avcodec_find_decoder(s->codecpar->codec_id);
+    d->codec = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(d->codec, s->codecpar);
+    rc = avcodec_open2(d->codec, codec, nullptr);
+    if (rc < 0) {
+        set_err(err, errlen, "avcodec_open2: " + av_errstr(rc));
+        avcodec_free_context(&d->codec);
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    d->frame = av_frame_alloc();
+    d->pkt = av_packet_alloc();
+    d->sample_rate = s->codecpar->sample_rate;
+    d->channels = channels > 0 ? channels : s->codecpar->ch_layout.nb_channels;
+
+    AVChannelLayout out_layout;
+    av_channel_layout_default(&out_layout, d->channels);
+    swr_alloc_set_opts2(&d->swr, &out_layout, AV_SAMPLE_FMT_FLT,
+                        d->sample_rate, &s->codecpar->ch_layout,
+                        (AVSampleFormat)s->codecpar->format, d->sample_rate,
+                        0, nullptr);
+    swr_init(d->swr);
+    av_channel_layout_uninit(&out_layout);
+    return d;
+}
+
+CAV_EXPORT void cav_audio_decoder_close(CavAudioDec *d) {
+    if (!d) return;
+    if (d->swr) swr_free(&d->swr);
+    if (d->frame) av_frame_free(&d->frame);
+    if (d->pkt) av_packet_free(&d->pkt);
+    if (d->codec) avcodec_free_context(&d->codec);
+    if (d->fmt) avformat_close_input(&d->fmt);
+    delete d;
+}
+
+CAV_EXPORT int cav_audio_decoder_channels(CavAudioDec *d) {
+    return d->channels;
+}
+
+CAV_EXPORT int cav_audio_decoder_sample_rate(CavAudioDec *d) {
+    return d->sample_rate;
+}
+
+// Fill interleaved float32 out[(max-min+1) * channels] with samples
+// [min_sample, max_sample]. Missing data is zero. Returns count filled.
+CAV_EXPORT int64_t cav_audio_decode(CavAudioDec *d, int64_t min_sample,
+                                    int64_t max_sample, float *out) {
+    int64_t count = max_sample - min_sample + 1;
+    memset(out, 0, sizeof(float) * count * d->channels);
+
+    AVStream *s = d->fmt->streams[d->stream];
+    // Seek when going backward (AVAudioDecoder.c seek-avoidance: small
+    // forward distances just decode ahead, :240-295)
+    if (min_sample < d->next_sample ||
+        min_sample > d->next_sample + d->sample_rate * 4) {
+        int64_t ts = av_rescale_q(min_sample, {1, d->sample_rate},
+                                  s->time_base);
+        int64_t start =
+            s->start_time == AV_NOPTS_VALUE ? 0 : s->start_time;
+        av_seek_frame(d->fmt, d->stream, start + ts, AVSEEK_FLAG_BACKWARD);
+        avcodec_flush_buffers(d->codec);
+        d->next_sample = -1;
+    }
+
+    int64_t filled = 0;
+    std::vector<float> conv;
+    while (true) {
+        int rc;
+        while ((rc = avcodec_receive_frame(d->codec, d->frame)) ==
+               AVERROR(EAGAIN)) {
+            rc = av_read_frame(d->fmt, d->pkt);
+            if (rc == AVERROR_EOF) {
+                avcodec_send_packet(d->codec, nullptr);
+                continue;
+            }
+            if (rc < 0) return filled;
+            if (d->pkt->stream_index != d->stream) {
+                av_packet_unref(d->pkt);
+                continue;
+            }
+            avcodec_send_packet(d->codec, d->pkt);
+            av_packet_unref(d->pkt);
+        }
+        if (rc == AVERROR_EOF || rc < 0) return filled;
+
+        // Position: prefer pts; fall back to running counter
+        int64_t pos;
+        if (d->frame->pts != AV_NOPTS_VALUE) {
+            int64_t start =
+                s->start_time == AV_NOPTS_VALUE ? 0 : s->start_time;
+            pos = av_rescale_q(d->frame->pts - start, s->time_base,
+                               {1, d->sample_rate});
+        } else {
+            pos = d->next_sample < 0 ? 0 : d->next_sample;
+        }
+        int n = d->frame->nb_samples;
+        d->next_sample = pos + n;
+
+        conv.resize((size_t)n * d->channels);
+        uint8_t *outp[1] = {(uint8_t *)conv.data()};
+        swr_convert(d->swr, outp, n,
+                    (const uint8_t **)d->frame->extended_data, n);
+        av_frame_unref(d->frame);
+
+        int64_t lo = pos > min_sample ? pos : min_sample;
+        int64_t hi = (pos + n - 1) < max_sample ? (pos + n - 1) : max_sample;
+        for (int64_t i = lo; i <= hi; i++) {
+            memcpy(out + (i - min_sample) * d->channels,
+                   conv.data() + (i - pos) * d->channels,
+                   sizeof(float) * d->channels);
+        }
+        if (hi >= lo) filled += hi - lo + 1;
+        if (d->next_sample > max_sample) return filled;
+    }
+}
+
+// --------------------------------------------------------------------------
+// Muxer + encoders (AVMuxer.c / AVVideoEncoder.c / writeVideo.c equivalent)
+
+struct CavMuxStream {
+    AVStream *stream = nullptr;
+    AVCodecContext *codec = nullptr;
+    SwsContext *sws = nullptr;
+    SwrContext *swr = nullptr;
+    AVFrame *frame = nullptr;
+    int64_t next_pts = 0;
+    int is_video = 0;
+};
+
+struct CavMuxer {
+    AVFormatContext *ctx = nullptr;
+    std::vector<CavMuxStream *> streams;
+    bool header_written = false;
+};
+
+CAV_EXPORT CavMuxer *cav_muxer_create(const char *filename,
+                                      const char *format_name, char *err,
+                                      int errlen) {
+    auto *m = new CavMuxer();
+    int rc = avformat_alloc_output_context2(
+        &m->ctx, nullptr, format_name && *format_name ? format_name : nullptr,
+        filename);
+    if (rc < 0 || !m->ctx) {
+        set_err(err, errlen, "alloc_output_context: " + av_errstr(rc));
+        delete m;
+        return nullptr;
+    }
+    if (!(m->ctx->oformat->flags & AVFMT_NOFILE)) {
+        rc = avio_open(&m->ctx->pb, filename, AVIO_FLAG_WRITE);
+        if (rc < 0) {
+            set_err(err, errlen, "avio_open: " + av_errstr(rc));
+            avformat_free_context(m->ctx);
+            delete m;
+            return nullptr;
+        }
+    }
+    return m;
+}
+
+CAV_EXPORT int cav_muxer_add_video(CavMuxer *m, const char *codec_name,
+                                   int width, int height, int fps_num,
+                                   int fps_den, int64_t bit_rate,
+                                   const char *options, char *err,
+                                   int errlen) {
+    const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
+    if (!codec) {
+        set_err(err, errlen, std::string("no encoder: ") + codec_name);
+        return -1;
+    }
+    auto *s = new CavMuxStream();
+    s->is_video = 1;
+    s->codec = avcodec_alloc_context3(codec);
+    s->codec->width = width;
+    s->codec->height = height;
+    s->codec->time_base = {fps_den, fps_num};
+    s->codec->framerate = {fps_num, fps_den};
+    s->codec->pix_fmt =
+        codec->pix_fmts ? codec->pix_fmts[0] : AV_PIX_FMT_YUV420P;
+    if (bit_rate > 0) s->codec->bit_rate = bit_rate;
+    s->codec->gop_size = 12;
+    if (m->ctx->oformat->flags & AVFMT_GLOBALHEADER)
+        s->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+
+    AVDictionary *opts = nullptr;
+    if (options && *options) av_dict_parse_string(&opts, options, "=", ":", 0);
+    int rc = avcodec_open2(s->codec, codec, &opts);
+    av_dict_free(&opts);
+    if (rc < 0) {
+        set_err(err, errlen, "avcodec_open2: " + av_errstr(rc));
+        avcodec_free_context(&s->codec);
+        delete s;
+        return -1;
+    }
+    s->stream = avformat_new_stream(m->ctx, nullptr);
+    s->stream->time_base = s->codec->time_base;
+    avcodec_parameters_from_context(s->stream->codecpar, s->codec);
+    s->frame = av_frame_alloc();
+    s->frame->format = s->codec->pix_fmt;
+    s->frame->width = width;
+    s->frame->height = height;
+    av_frame_get_buffer(s->frame, 0);
+    s->sws = sws_getContext(width, height, AV_PIX_FMT_RGBA, width, height,
+                            s->codec->pix_fmt, SWS_BILINEAR, nullptr, nullptr,
+                            nullptr);
+    m->streams.push_back(s);
+    return (int)m->streams.size() - 1;
+}
+
+CAV_EXPORT int cav_muxer_add_audio(CavMuxer *m, const char *codec_name,
+                                   int sample_rate, int channels,
+                                   int64_t bit_rate, char *err, int errlen) {
+    const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
+    if (!codec) {
+        set_err(err, errlen, std::string("no encoder: ") + codec_name);
+        return -1;
+    }
+    auto *s = new CavMuxStream();
+    s->codec = avcodec_alloc_context3(codec);
+    s->codec->sample_rate = sample_rate;
+    av_channel_layout_default(&s->codec->ch_layout, channels);
+    s->codec->sample_fmt = codec->sample_fmts ? codec->sample_fmts[0]
+                                              : AV_SAMPLE_FMT_FLTP;
+    s->codec->time_base = {1, sample_rate};
+    if (bit_rate > 0) s->codec->bit_rate = bit_rate;
+    if (m->ctx->oformat->flags & AVFMT_GLOBALHEADER)
+        s->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    int rc = avcodec_open2(s->codec, codec, nullptr);
+    if (rc < 0) {
+        set_err(err, errlen, "avcodec_open2: " + av_errstr(rc));
+        avcodec_free_context(&s->codec);
+        delete s;
+        return -1;
+    }
+    s->stream = avformat_new_stream(m->ctx, nullptr);
+    s->stream->time_base = s->codec->time_base;
+    avcodec_parameters_from_context(s->stream->codecpar, s->codec);
+    s->frame = av_frame_alloc();
+    s->frame->format = s->codec->sample_fmt;
+    s->frame->nb_samples = s->codec->frame_size > 0 ? s->codec->frame_size
+                                                    : 1024;
+    av_channel_layout_copy(&s->frame->ch_layout, &s->codec->ch_layout);
+    s->frame->sample_rate = sample_rate;
+    av_frame_get_buffer(s->frame, 0);
+
+    AVChannelLayout in_layout;
+    av_channel_layout_default(&in_layout, channels);
+    swr_alloc_set_opts2(&s->swr, &s->codec->ch_layout, s->codec->sample_fmt,
+                        sample_rate, &in_layout, AV_SAMPLE_FMT_FLT,
+                        sample_rate, 0, nullptr);
+    swr_init(s->swr);
+    av_channel_layout_uninit(&in_layout);
+    m->streams.push_back(s);
+    return (int)m->streams.size() - 1;
+}
+
+CAV_EXPORT int cav_muxer_start(CavMuxer *m, char *err, int errlen) {
+    int rc = avformat_write_header(m->ctx, nullptr);
+    if (rc < 0) {
+        set_err(err, errlen, "write_header: " + av_errstr(rc));
+        return rc;
+    }
+    m->header_written = true;
+    return 0;
+}
+
+namespace {
+
+int drain_packets(CavMuxer *m, CavMuxStream *s) {
+    // DTS-ordered interleave handled by av_interleaved_write_frame
+    // (AVMuxer.c:232-245 does this manually; libavformat does it for us)
+    AVPacket *pkt = av_packet_alloc();
+    int rc;
+    while ((rc = avcodec_receive_packet(s->codec, pkt)) == 0) {
+        av_packet_rescale_ts(pkt, s->codec->time_base, s->stream->time_base);
+        pkt->stream_index = s->stream->index;
+        rc = av_interleaved_write_frame(m->ctx, pkt);
+        av_packet_unref(pkt);
+        if (rc < 0) break;
+    }
+    av_packet_free(&pkt);
+    return (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) ? 0 : rc;
+}
+
+}  // namespace
+
+// Encode one RGBA8 video frame (h*w*4, top-down).
+CAV_EXPORT int cav_muxer_write_video(CavMuxer *m, int stream,
+                                     const uint8_t *rgba) {
+    CavMuxStream *s = m->streams[stream];
+    av_frame_make_writable(s->frame);
+    const uint8_t *src[4] = {rgba, nullptr, nullptr, nullptr};
+    int src_stride[4] = {s->codec->width * 4, 0, 0, 0};
+    sws_scale(s->sws, src, src_stride, 0, s->codec->height, s->frame->data,
+              s->frame->linesize);
+    s->frame->pts = s->next_pts++;
+    int rc = avcodec_send_frame(s->codec, s->frame);
+    if (rc < 0) return rc;
+    return drain_packets(m, s);
+}
+
+// Encode interleaved float32 audio samples (n_samples * channels).
+CAV_EXPORT int cav_muxer_write_audio(CavMuxer *m, int stream,
+                                     const float *samples, int n_samples) {
+    CavMuxStream *s = m->streams[stream];
+    int done = 0;
+    while (done < n_samples) {
+        int chunk = s->frame->nb_samples;
+        if (chunk > n_samples - done) chunk = n_samples - done;
+        av_frame_make_writable(s->frame);
+        const uint8_t *in[1] = {
+            (const uint8_t *)(samples +
+                              (size_t)done * s->codec->ch_layout.nb_channels)};
+        int conv = swr_convert(s->swr, s->frame->data, chunk, in, chunk);
+        if (conv < 0) return conv;
+        s->frame->nb_samples = conv;
+        s->frame->pts = s->next_pts;
+        s->next_pts += conv;
+        int rc = avcodec_send_frame(s->codec, s->frame);
+        s->frame->nb_samples = s->codec->frame_size > 0 ? s->codec->frame_size
+                                                        : 1024;
+        if (rc < 0) return rc;
+        rc = drain_packets(m, s);
+        if (rc < 0) return rc;
+        done += chunk;
+    }
+    return 0;
+}
+
+CAV_EXPORT int cav_muxer_finish(CavMuxer *m) {
+    int rc = 0;
+    for (auto *s : m->streams) {
+        avcodec_send_frame(s->codec, nullptr);  // flush
+        rc = drain_packets(m, s);
+    }
+    if (m->header_written) av_write_trailer(m->ctx);
+    for (auto *s : m->streams) {
+        if (s->sws) sws_freeContext(s->sws);
+        if (s->swr) swr_free(&s->swr);
+        if (s->frame) av_frame_free(&s->frame);
+        if (s->codec) avcodec_free_context(&s->codec);
+        delete s;
+    }
+    if (m->ctx && !(m->ctx->oformat->flags & AVFMT_NOFILE))
+        avio_closep(&m->ctx->pb);
+    if (m->ctx) avformat_free_context(m->ctx);
+    delete m;
+    return rc;
+}
+
+CAV_EXPORT const char *cav_version() {
+    static char buf[128];
+    snprintf(buf, sizeof(buf), "canvas_av avformat=%u avcodec=%u",
+             avformat_version(), avcodec_version());
+    return buf;
+}

@@ -1,0 +1,161 @@
+"""Native media IO (canvas_av) round-trip tests.
+
+No media fixtures: we *create* files with our own muxer, then probe,
+demux, and decode them back — covering the same surface the reference's
+libav module exposes (src/libav/).
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+libav = pytest.importorskip('canvas_tpu.libav')
+
+if not libav.available():
+    pytest.skip('native canvas_av unavailable', allow_module_level=True)
+
+from canvas_tpu.basetypes import box2i
+from canvas_tpu.framefuncs import LerpFunc
+from canvas_tpu.sources import SolidColorVideoSource
+
+
+@pytest.fixture(scope='module')
+def sample_file(tmp_path_factory):
+    """A tiny mpeg4/avi file with video + pcm audio written by AVMuxer."""
+    path = str(tmp_path_factory.mktemp('media') / 'sample.avi')
+    with libav.AVMuxer(path) as mux:
+        v = mux.add_video_stream('mpeg4', (64, 48), 25, bit_rate=400_000)
+        a = mux.add_audio_stream('pcm_s16le', 8000, 1)
+        mux.start()
+        for i in range(25):
+            frame = np.zeros((48, 64, 4), np.uint8)
+            frame[:, :, 0] = min(255, i * 10)       # red ramps with time
+            frame[:, :, 3] = 255
+            mux.write_video_frame(v, frame)
+        t = np.arange(8000, dtype=np.float32) / 8000.0
+        tone = (0.5 * np.sin(2 * math.pi * 440 * t)).astype(np.float32)
+        mux.write_audio_frame(a, tone.reshape(-1, 1))
+    return path
+
+
+def test_version():
+    assert b'canvas_av' in libav._load().cav_version()
+
+
+def test_probe(sample_file):
+    container = libav.AVContainer(sample_file)
+    assert 'avi' in container.format_name
+    types = sorted(s.type for s in container.streams)
+    assert types == ['audio', 'video']
+    video = next(s for s in container.streams if s.type == 'video')
+    assert video.frame_size == (64, 48)
+    assert video.codec == 'mpeg4'
+    assert video.real_frame_rate == 25
+    audio = next(s for s in container.streams if s.type == 'audio')
+    assert audio.sample_rate == 8000
+    assert audio.channels == 1
+    container.close()
+
+
+def test_demux_packets(sample_file):
+    container = libav.AVContainer(sample_file)
+    vidx = next(i for i, s in enumerate(container.streams)
+                if s.type == 'video')
+    container.close()
+    demux = libav.AVDemuxer(sample_file, vidx)
+    packets = []
+    while True:
+        pkt = demux.get_next_packet()
+        if pkt is None:
+            break
+        packets.append(pkt)
+    assert len(packets) == 25
+    assert packets[0].keyframe
+    assert all(p.stream == vidx for p in packets)
+    assert len(packets[0].data) > 0
+    # seek back and read again
+    demux.seek(0)
+    pkt = demux.get_next_packet()
+    assert pkt is not None
+    demux.close()
+
+
+def test_video_decode_rgba(sample_file):
+    dec = libav.AVVideoDecoder(sample_file)
+    f0 = dec.get_frame_rgba(0, 64, 48)
+    f20 = dec.get_frame_rgba(20, 64, 48)
+    assert f0.shape == (48, 64, 4)
+    # red ramp: frame 20 much redder than frame 0
+    assert int(f20[24, 32, 0]) > int(f0[24, 32, 0]) + 100
+    # random access backward
+    f0b = dec.get_frame_rgba(0, 64, 48)
+    assert abs(int(f0b[24, 32, 0]) - int(f0[24, 32, 0])) <= 2
+    dec.close()
+
+
+def test_video_decode_planar(sample_file):
+    dec = libav.AVVideoDecoder(sample_file)
+    image = dec.get_frame(0)
+    assert image is not None
+    assert image[0].shape == (48, 64)
+    # mpeg4 is 4:2:0
+    assert image[1].shape == (24, 32)
+    assert image[2].shape == (24, 32)
+    # past EOF
+    assert dec.get_frame(1000) is None
+    dec.close()
+
+
+def test_audio_decode(sample_file):
+    dec = libav.AVAudioDecoder(sample_file, channels=1)
+    assert dec.sample_rate == 8000
+    frame = dec.get_frame(0, 7999)
+    data = np.asarray(frame.data)[:, 0]
+    # 440 Hz tone at 0.5 amplitude: RMS ~ 0.354
+    rms = float(np.sqrt(np.mean(data ** 2)))
+    assert 0.3 < rms < 0.4
+    # random access re-read matches
+    again = np.asarray(dec.get_frame(1000, 1999).data)[:, 0]
+    np.testing.assert_allclose(again, data[1000:2000], atol=1e-4)
+    dec.close()
+
+
+def test_write_video_end_to_end(tmp_path):
+    """write_video exports a synthetic timeline; decode verifies pixels."""
+    path = str(tmp_path / 'export.avi')
+    src = SolidColorVideoSource(
+        LerpFunc((0.0, 0.0, 0.0, 1.0), (1.0, 1.0, 1.0, 1.0), 25))
+    libav.write_video(path, src, None, 0, 25, frame_size=(64, 48),
+                      frame_rate=25, video_codec='mpeg4',
+                      bit_rate=1_000_000)
+    assert os.path.getsize(path) > 1000
+    dec = libav.AVVideoDecoder(path)
+    first = dec.get_frame_rgba(0, 64, 48)
+    last = dec.get_frame_rgba(24, 64, 48)
+    assert int(last[24, 32, 1]) > int(first[24, 32, 1]) + 100
+    dec.close()
+
+
+def test_h264_available():
+    """libx264 encode via avcodec (the reference's x264 module role)."""
+    lib = libav._load()
+    import ctypes
+    lib.cav_muxer_create.restype = ctypes.c_void_p
+    # just check the encoder exists by trying to add it
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, 't.mkv')
+        try:
+            with libav.AVMuxer(path, 'matroska') as mux:
+                mux.add_video_stream('libx264', (64, 48), 25,
+                                     options='preset=ultrafast:crf=30')
+                mux.start()
+                frame = np.zeros((48, 64, 4), np.uint8)
+                frame[:, :, 3] = 255
+                for _ in range(5):
+                    mux.write_video_frame(0, frame)
+        except IOError as e:
+            pytest.skip('libx264 not available: %s' % e)
+        assert os.path.getsize(path) > 0
