@@ -354,7 +354,10 @@ class AVVideoDecoder(CodedImageSource):
             pass
 
 
-class AVAudioDecoder:
+from canvas_tpu.audio import AudioSource as _AudioSourceBase
+
+
+class AVAudioDecoder(_AudioSourceBase):
     """Audio source decoding a file's audio stream
     (src/libav/AVAudioDecoder.c:100-492). get_frame(min, max, channels)
     mirrors the reference audio pull protocol."""
@@ -389,6 +392,13 @@ class AVAudioDecoder:
         n = min(channels, self.channels)
         data[:, :n] = buf[:, :n]
         return AudioFrame(min_sample, max_sample, channels, data=data)
+
+    def _render(self, frame):
+        pulled = self.get_frame(frame.full_min_sample,
+                                frame.full_max_sample, frame.channels)
+        frame.data = pulled.data
+        frame.current_min_sample = frame.full_min_sample
+        frame.current_max_sample = frame.full_max_sample
 
     def close(self):
         if self._handle:

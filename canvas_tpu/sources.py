@@ -94,6 +94,11 @@ class VideoPassThroughFilter(VideoSource):
         self.start_frame = start_frame
         self.end_frame = end_frame
 
+    def set_source(self, source):
+        """Replace the wrapped source (live pass-through behavior used by
+        the editor's VideoStream wrappers, _source.py:470-487)."""
+        self.source = source
+
     def _in_range(self, frame_index):
         if self.start_frame is not None and frame_index < self.start_frame:
             return False

@@ -1,0 +1,168 @@
+"""Editor plugin framework: alerts, manager, libav source plugin.
+
+Mirrors the reference's editor plugin behaviors
+(/root/reference/fluggo/editor/plugins/, tests/canvas/VideoSourceRefConnector.py
+fixtures).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from canvas_tpu.basetypes import box2i
+from canvas_tpu.editor import plugins
+from canvas_tpu.editor.plugins import (Alert, AlertIcon, AlertPublisher,
+                                       PluginManager)
+from canvas_tpu.editor.settings import set_settings_path
+
+
+@pytest.fixture(autouse=True)
+def fresh_settings(tmp_path):
+    set_settings_path(str(tmp_path / 'settings.json'))
+    PluginManager._reset_for_tests()
+    yield
+    PluginManager._reset_for_tests()
+
+
+def test_alert_publisher_basics():
+    pub = AlertPublisher()
+    seen = []
+    pub.alert_added.connect(lambda a: seen.append(('add', a)))
+    pub.alert_removed.connect(lambda a: seen.append(('rm', a)))
+
+    alert = Alert('something broke', icon=AlertIcon.Error, key='k1')
+    pub.show_alert(alert)
+    assert pub.alerts == [alert]
+    assert seen == [('add', alert)]
+
+    pub.hide_alert(alert)
+    assert pub.alerts == []
+    assert seen[-1] == ('rm', alert)
+
+
+def test_alert_following():
+    upstream = AlertPublisher()
+    downstream = AlertPublisher()
+    downstream.follow_alerts(upstream)
+
+    alert = Alert('upstream issue', key='k')
+    upstream.show_alert(alert)
+    assert downstream.alerts == [alert]
+
+    upstream.hide_alert(alert)
+    assert downstream.alerts == []
+
+    # unfollow stops propagation
+    upstream.show_alert(alert)
+    assert downstream.alerts == [alert]
+    downstream.unfollow_alerts(upstream)
+    assert downstream.alerts == []
+
+
+def test_plugin_discovery_and_enable():
+    PluginManager.load_all()
+    from canvas_tpu.editor.plugins.libav_plugin import LibavSourcePlugin
+    plugin = PluginManager.find_plugin_by_urn(
+        'urn:canvas-tpu/plugins:libav', enabled_only=False)
+    assert plugin is LibavSourcePlugin
+    # disabled by default
+    assert not PluginManager.is_plugin_enabled(plugin)
+    PluginManager.set_plugin_enabled(plugin, True)
+    assert PluginManager.is_plugin_enabled(plugin)
+    assert plugin in PluginManager.find_plugins()
+
+
+def test_codec_priorities():
+    PluginManager.load_all()
+    from canvas_tpu.editor.plugins.libav_plugin import (
+        DVVideoCodec, GenericVideoCodec, LibavCodecPlugin)
+    PluginManager.set_plugin_enabled(LibavCodecPlugin, True)
+    decoders = PluginManager.find_decoders(
+        'urn:canvas:codec-format:dvvideo')
+    assert DVVideoCodec in decoders
+    # DV codec has higher priority than the generic fallback
+    assert decoders.index(DVVideoCodec) < decoders.index(GenericVideoCodec)
+
+    PluginManager.set_decoder_enabled(DVVideoCodec, False)
+    decoders = PluginManager.find_decoders('urn:canvas:codec-format:dvvideo')
+    assert DVVideoCodec not in decoders
+    PluginManager.set_decoder_enabled(DVVideoCodec, True)
+
+    PluginManager.set_decoder_priority(GenericVideoCodec, 10)
+    decoders = PluginManager.find_decoders('urn:canvas:codec-format:dvvideo')
+    assert decoders.index(GenericVideoCodec) < decoders.index(DVVideoCodec)
+
+
+@pytest.fixture(scope='module')
+def media_file(tmp_path_factory):
+    libav = pytest.importorskip('canvas_tpu.libav')
+    if not libav.available():
+        pytest.skip('native canvas_av unavailable')
+    path = str(tmp_path_factory.mktemp('plug') / 'clip.avi')
+    with libav.AVMuxer(path) as mux:
+        v = mux.add_video_stream('mpeg4', (64, 48), 25, bit_rate=400_000)
+        a = mux.add_audio_stream('pcm_s16le', 8000, 1)
+        mux.start()
+        for i in range(10):
+            frame = np.zeros((48, 64, 4), np.uint8)
+            frame[:, :, 2] = 100
+            frame[:, :, 3] = 255
+            mux.write_video_frame(v, frame)
+        t = np.arange(3200, dtype=np.float32) / 8000.0
+        mux.write_audio_frame(
+            a, (0.25 * np.sin(2 * math.pi * 220 * t)).reshape(-1, 1))
+    return path
+
+
+def test_libav_source_end_to_end(media_file):
+    PluginManager.load_all()
+    from canvas_tpu.editor.plugins.libav_plugin import (LibavCodecPlugin,
+                                                       LibavSourcePlugin)
+    PluginManager.set_plugin_enabled(LibavCodecPlugin, True)
+    PluginManager.set_plugin_enabled(LibavSourcePlugin, True)
+
+    source = LibavSourcePlugin.create_source_from_file('clip', media_file)
+    assert source is not None
+    assert not source.offline
+    streams = source.get_streams()
+    assert len(streams) == 2
+    video = [s for s in streams if s.stream_type == 'video'][0]
+    audio = [s for s in streams if s.stream_type == 'audio'][0]
+
+    # video decodes through the connector chain
+    frame = video.get_frame_f16(0, box2i(0, 0, 63, 47))
+    assert not frame.current_window.empty()
+    px = frame.pixel(32, 24)
+    assert px.b > px.r    # blue-ish frame
+
+    # audio decodes
+    aframe = audio.get_frame(0, 999, 1)
+    data = np.asarray(aframe.data)
+    assert float(np.abs(data).max()) > 0.1
+
+    # definition round trip
+    definition = source.get_definition()
+    assert definition['path'] == media_file
+    source2 = LibavSourcePlugin.create_source('clip2', definition)
+    source2.bring_online()
+    assert not source2.offline
+
+
+def test_decoder_connector_missing_codec_alert(media_file):
+    PluginManager.load_all()
+    from canvas_tpu.editor.plugins.libav_plugin import LibavCodecPlugin
+    PluginManager.set_plugin_enabled(LibavCodecPlugin, True)
+    from canvas_tpu import libav
+
+    demux = libav.AVDemuxer(media_file, 0)
+    connector = plugins.VideoDecoderConnector(
+        demux, 'urn:canvas:codec-format:mpeg4', 0, 10,
+        codec_urn='urn:does-not-exist')
+    assert connector.decoder is None
+    assert len(connector.alerts) == 1
+    assert 'Could not find codec' in str(connector.alerts[0])
+
+    # a frame pull degrades to empty rather than crashing
+    frame = connector.get_frame_f16(0, box2i(0, 0, 15, 15))
+    assert frame.current_window.empty()
