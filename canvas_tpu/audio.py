@@ -298,16 +298,19 @@ class AudioPassThroughFilter(AudioSource):
     source is swappable at runtime."""
 
     def __init__(self, source):
-        self.source = source
+        self._source = source
 
     def set_source(self, source):
-        self.source = source
+        self._source = source
+
+    def get_source(self):
+        return self._source
 
     def _render(self, frame):
-        if self.source is None:
+        if self._source is None:
             frame.set_empty()
             return
-        self.source._render(frame)
+        self._source._render(frame)
 
 
 class AudioSequence(AudioSource):

@@ -104,6 +104,8 @@ class AnimationPoint:
         self.type = type
         self._frame = float(frame)
         vals = np.zeros(4, dtype=np.float64)
+        if not hasattr(values, '__len__'):
+            values = (float(values),)
         v = list(values)[:4]
         vals[:len(v)] = v
         self._values = vals
@@ -125,6 +127,8 @@ class AnimationPoint:
     @values.setter
     def values(self, values):
         vals = np.zeros(4, dtype=np.float64)
+        if not hasattr(values, '__len__'):
+            values = (float(values),)
         v = list(values)[:4]
         vals[:len(v)] = v
         self._values = vals

@@ -137,9 +137,10 @@ class _RgbaFrame(VideoSource):
         return self.full_window.height
 
     def pixel(self, x, y):
-        """Color at absolute coordinate (x, y) (must lie in full_window)."""
-        if not self.full_window.contains_point(x, y):
-            raise IndexError((x, y))
+        """Color at absolute coordinate (x, y), or None outside
+        current_window (RgbaFrameF32.c:95-107)."""
+        if not self.current_window.contains_point(x, y):
+            return None
         r = y - self.full_window.min.y
         c = x - self.full_window.min.x
         vals = backend.asnumpy(self.data[:, r, c]).astype(np.float64)

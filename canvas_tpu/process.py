@@ -24,6 +24,12 @@ from canvas_tpu.sources import (  # noqa: F401
 from canvas_tpu.coded import (  # noqa: F401
     CodedImage, CodedImageSource, DVReconstructionFilter, DVSubsampleFilter,
     MPEG2SubsampleFilter, Pulldown23RemovalFilter)
+from canvas_tpu.audio import (  # noqa: F401
+    AudioFrame, AudioSource, AudioPassThroughFilter, AudioSequence,
+    AudioWorkspace)
+from canvas_tpu.clock import (  # noqa: F401
+    PresentationClock, SystemPresentationClock)
+from canvas_tpu.pullqueue import VideoPullQueue  # noqa: F401
 
 
 def _cdiv(a, b):

@@ -89,7 +89,10 @@ class VideoPassThroughFilter(VideoSource):
     [start_frame, end_frame)."""
 
     def __init__(self, source, offset=0, start_frame=None, end_frame=None):
-        self.source = source
+        # Stored privately: editor subclasses (VideoStream, connectors)
+        # use their own ``source`` attributes, mirroring the reference
+        # where the wrapped source lives in the C struct.
+        self._source = source
         self.offset = int(offset)
         self.start_frame = start_frame
         self.end_frame = end_frame
@@ -97,26 +100,29 @@ class VideoPassThroughFilter(VideoSource):
     def set_source(self, source):
         """Replace the wrapped source (live pass-through behavior used by
         the editor's VideoStream wrappers, _source.py:470-487)."""
-        self.source = source
+        self._source = source
+
+    def get_source(self):
+        return self._source
 
     def _in_range(self, frame_index):
         if self.start_frame is not None and frame_index < self.start_frame:
             return False
         if self.end_frame is not None and frame_index >= self.end_frame:
             return False
-        return self.source is not None
+        return self._source is not None
 
     def _render_f16(self, frame_index, frame):
         if not self._in_range(frame_index):
             frame.current_window = EMPTY_BOX2I
             return
-        self.source.render_f16(frame_index + self.offset, frame)
+        self._source.render_f16(frame_index + self.offset, frame)
 
     def _render_f32(self, frame_index, frame):
         if not self._in_range(frame_index):
             frame.current_window = EMPTY_BOX2I
             return
-        self.source.render_f32(frame_index + self.offset, frame)
+        self._source.render_f32(frame_index + self.offset, frame)
 
 
 class VideoMixFilter(VideoSource):
@@ -565,9 +571,9 @@ def _pass_plan_cuts(self, start, stop):
         cuts.add(int(self.start_frame))
     if self.end_frame is not None:
         cuts.add(int(self.end_frame))
-    if self.source is not None:
-        for c in self.source.plan_cuts(start + self.offset,
-                                       stop + self.offset):
+    if self._source is not None:
+        for c in self._source.plan_cuts(start + self.offset,
+                                        stop + self.offset):
             cuts.add(int(c) - self.offset)
     return cuts
 
@@ -575,7 +581,7 @@ def _pass_plan_cuts(self, start, stop):
 def _pass_emit(self, ctx):
     if not self._in_range(int(ctx.frames[0])):
         return _emit_empty(ctx)
-    return ctx.with_frames(ctx.frames + self.offset).plan(self.source)
+    return ctx.with_frames(ctx.frames + self.offset).plan(self._source)
 
 
 VideoPassThroughFilter.plan_cuts = _pass_plan_cuts

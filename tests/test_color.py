@@ -135,5 +135,5 @@ def test_transfer_filter_source():
     want = color.linear_to_rec709(
         np.float32(np.float16(0.25))).astype(np.float16)
     assert abs(px.r - float(want)) < 1e-6
-    # outside the window stays zero
-    assert frame.pixel(5, 5).a == 0.0
+    # outside the window: undefined pixel -> None
+    assert frame.pixel(5, 5) is None

@@ -1,0 +1,369 @@
+"""Editor model + graph compilation tests.
+
+Ports the reference's test strategy (tests/canvas/sequence.py: assert
+*rendered pixel colors* after each edit; tests/canvas/SequenceCommands.py:
+undo/redo semantics; tests/canvas/VideoSourceRefConnector.py: alert
+behavior on missing/offline sources).
+"""
+
+import fractions
+
+import pytest
+import yaml
+
+from canvas_tpu import process
+from canvas_tpu.basetypes import box2i, rgba
+from canvas_tpu.editor import model, plugins
+from canvas_tpu.editor.graph.video import SequenceVideoManager, \
+    SpaceVideoManager
+
+
+class FailedSource(plugins.Source):
+    """Refuses to come online (tests/canvas/VideoSourceRefConnector.py:6)."""
+
+    def __init__(self, name):
+        plugins.Source.__init__(self, name)
+        self._load_error = plugins.Alert("Can't load maaaan", source=name,
+                                         icon=plugins.AlertIcon.Error)
+
+    def bring_online(self):
+        self.show_alert(self._load_error)
+
+    def get_stream(self, name):
+        raise plugins.SourceOfflineError
+
+
+class SilentFailedSource(plugins.Source):
+    def __init__(self, name):
+        plugins.Source.__init__(self, name)
+
+    def bring_online(self):
+        pass
+
+    def get_stream(self, name):
+        raise plugins.SourceOfflineError
+
+
+def make_asset_list():
+    slist = model.AssetList()
+    for name, color in (('red', (100, 0, 0)), ('green', (0, 100, 0)),
+                        ('blue', (0, 0, 100))):
+        source = process.SolidColorVideoSource(
+            process.LerpFunc((0, 0, 0, 1),
+                             (color[0], color[1], color[2], 1), 100))
+        slist[name] = model.RuntimeSourceAsset(model.RuntimeSource(
+            name, {'video': plugins.VideoStream(source)}))
+    slist['noload'] = model.RuntimeSourceAsset(FailedSource('noload'))
+    slist['noload_silent'] = model.RuntimeSourceAsset(
+        SilentFailedSource('noload_silent'))
+    slist['nostreams'] = model.RuntimeSourceAsset(
+        model.RuntimeSource('nostreams', {}))
+    return slist
+
+
+def getcolor(source, frame):
+    return source.get_frame_f32(frame, box2i(0, 0, 0, 0)).pixel(0, 0)
+
+
+vidformat = plugins.VideoFormat()
+
+
+def check1(source):
+    """Ten frames of red, cut to green, then 5-frame fade to blue
+    (tests/canvas/sequence.py:55-100)."""
+    colors = [getcolor(source, i) for i in range(0, 30)]
+
+    for i in range(0, 10):
+        assert colors[i].r == pytest.approx(float(i + 1), abs=1e-5), i
+        assert colors[i].g == pytest.approx(0.0, abs=1e-5), i
+        assert colors[i].b == pytest.approx(0.0, abs=1e-5), i
+        assert colors[i].a == pytest.approx(1.0, abs=1e-5), i
+    for i in range(10, 15):
+        assert colors[i].r == pytest.approx(0.0, abs=1e-5), i
+        assert colors[i].g == pytest.approx(float(i - 10 + 1), abs=1e-5), i
+        assert colors[i].b == pytest.approx(0.0, abs=1e-5), i
+    for i in range(15, 20):
+        assert colors[i].r == pytest.approx(0.0, abs=1e-5), i
+        assert colors[i].g == pytest.approx(
+            float(i - 10 + 1) * (1.0 - float(i - 15) / 5.0), abs=1e-4), i
+        assert colors[i].b == pytest.approx(
+            float(i - 15 + 1) * float(i - 15) / 5.0, abs=1e-4), i
+        assert colors[i].a == pytest.approx(1.0, abs=1e-5), i
+    for i in range(20, 25):
+        assert colors[i].r == pytest.approx(0.0, abs=1e-5), i
+        assert colors[i].g == pytest.approx(0.0, abs=1e-5), i
+        assert colors[i].b == pytest.approx(float(i - 15 + 1), abs=1e-5), i
+    for i in range(25, 30):
+        assert colors[i] is None, i
+
+
+def make_check1_sequence():
+    return model.Sequence(type='video', items=[
+        model.SequenceItem(source=model.AssetStreamRef('red', 'video'),
+                           offset=1, length=10),
+        model.SequenceItem(source=model.AssetStreamRef('green', 'video'),
+                           offset=1, length=10),
+        model.SequenceItem(source=model.AssetStreamRef('blue', 'video'),
+                           offset=1, length=10, transition_length=5)])
+
+
+def check_no_alerts(publisher):
+    assert not publisher.alerts, str(publisher.alerts[0])
+
+
+def test_sequence_manager_start():
+    """tests/canvas/sequence.py test_1_start"""
+    sequence = make_check1_sequence()
+    manager = SequenceVideoManager(sequence, make_asset_list(), vidformat)
+    check_no_alerts(manager)
+    check1(manager)
+
+
+def test_sequence_manager_adjust_lengths():
+    """tests/canvas/sequence.py test_1_adjlen1: reshape wrong lengths
+    into the check1 shape via updates."""
+    slist = make_asset_list()
+    sequence = model.Sequence(type='video', items=[
+        model.SequenceItem(source=model.AssetStreamRef('red', 'video'),
+                           offset=1, length=7),
+        model.SequenceItem(source=model.AssetStreamRef('green', 'video'),
+                           offset=1, length=19),
+        model.SequenceItem(source=model.AssetStreamRef('blue', 'video'),
+                           offset=1, length=100, transition_length=5)])
+    manager = SequenceVideoManager(sequence, slist, vidformat)
+
+    sequence[0].update(length=10)
+    sequence[1].update(length=10)
+    sequence[2].update(length=10)
+    check_no_alerts(manager)
+    check1(manager)
+
+
+def test_sequence_manager_replace_source():
+    """Swapping an item's source ref updates the rendered frames."""
+    slist = make_asset_list()
+    sequence = make_check1_sequence()
+    manager = SequenceVideoManager(sequence, slist, vidformat)
+
+    sequence[0].update(source=model.AssetStreamRef('green', 'video'))
+    color = getcolor(manager, 5)
+    assert color.g == pytest.approx(6.0, abs=1e-5)
+    assert color.r == pytest.approx(0.0, abs=1e-5)
+
+
+def test_sequence_manager_missing_source_alert():
+    slist = make_asset_list()
+    sequence = model.Sequence(type='video', items=[
+        model.SequenceItem(source=model.AssetStreamRef('missing', 'video'),
+                           offset=0, length=10)])
+    manager = SequenceVideoManager(sequence, slist, vidformat)
+    assert manager.alerts
+    assert 'missing' in str(manager.alerts[0])
+    # pulls degrade to empty
+    assert getcolor(manager, 5) is None
+
+
+def test_space_video_manager_composite():
+    """SpaceVideoManager composites z-ordered clips; edits propagate
+    (graph/video.py:32-130)."""
+    slist = make_asset_list()
+    audio_format = plugins.AudioFormat(sample_rate=48000)
+    space = model.Space('test', vidformat, audio_format)
+
+    clip_red = model.Clip(type='video', x=0, y=0.0, length=20, height=1.0,
+                          source=model.AssetStreamRef('red', 'video'),
+                          offset=0)
+    clip_blue = model.Clip(type='video', x=5, y=1.0, length=10, height=1.0,
+                           source=model.AssetStreamRef('blue', 'video'),
+                           offset=0)
+    space[0:0] = [clip_red, clip_blue]
+
+    manager = SpaceVideoManager(space, slist)
+    check_no_alerts(manager)
+
+    # Space z semantics: index == z, and LOWER z is on top
+    # (BringItemForwardCommand moves toward smaller z) — red (z=0) wins
+    # during the overlap
+    color = getcolor(manager, 7)
+    assert color.r == pytest.approx(7.0, abs=1e-4)
+    # move red out of the way; blue (frame 7 - x 5 = source frame 2) shows
+    clip_red.update(x=100)
+    color = getcolor(manager, 7)
+    assert color.b == pytest.approx(2.0, abs=1e-4)
+
+    # remove blue: frame 7 is now empty
+    del space[space.index(clip_blue)]
+    assert getcolor(manager, 7) is None
+
+
+def test_space_overlaps_and_anchors():
+    space = model.Space('s', vidformat, plugins.AudioFormat())
+    a = model.Clip(type='video', x=0, y=0.0, length=10, height=1.0)
+    b = model.Clip(type='video', x=5, y=0.5, length=10, height=1.0)
+    c = model.Clip(type='video', x=30, y=0.0, length=10, height=1.0)
+    space[0:0] = [a, b, c]
+
+    assert space.find_overlaps(a) == [b]
+    assert space.find_overlaps_recursive(a) == {b}
+    assert space.find_overlaps(c) == []
+
+    # anchors
+    b.update(anchor=model.Anchor(target=a, offset_ns=0))
+    assert space.find_anchored_items(a) == {b}
+    assert b.anchor_target is a
+    b.update(anchor=None)
+    assert space.find_anchored_items(a) == set()
+
+
+def test_undo_stack_update_command():
+    space = model.Space('s', vidformat, plugins.AudioFormat())
+    clip = model.Clip(type='video', x=0, y=0.0, length=10, height=1.0)
+    space[0:0] = [clip]
+
+    stack = model.UndoStack()
+    stack.push(model.MoveItemCommand(clip, 5, 2.0))
+    assert clip.x == 5 and clip.y == 2.0
+    stack.undo()
+    assert clip.x == 0 and clip.y == 0.0
+    stack.redo()
+    assert clip.x == 5
+
+
+def test_undo_adjust_clip_commands():
+    space = model.Space('s', vidformat, plugins.AudioFormat())
+    clip = model.Clip(type='video', x=10, y=0.0, length=10, height=1.0,
+                      offset=3)
+    space[0:0] = [clip]
+    stack = model.UndoStack()
+
+    stack.push(model.AdjustClipStartCommand(clip, 2))
+    assert (clip.x, clip.offset, clip.length) == (12, 5, 8)
+    stack.push(model.AdjustClipLengthCommand(clip, 4))
+    assert clip.length == 12
+    stack.undo()
+    assert clip.length == 8
+    stack.undo()
+    assert (clip.x, clip.offset, clip.length) == (10, 3, 10)
+
+    with pytest.raises(model.NoRoomError):
+        model.AdjustClipLengthCommand(clip, -10)
+
+
+def test_undo_remove_insert_item():
+    space = model.Space('s', vidformat, plugins.AudioFormat())
+    a = model.Clip(type='video', x=0, length=10)
+    b = model.Clip(type='video', x=20, length=10)
+    space[0:0] = [a, b]
+
+    stack = model.UndoStack()
+    stack.push(model.RemoveItemCommand(space, a))
+    assert len(space) == 1 and space[0] is b
+    assert b.z == 0
+    stack.undo()
+    assert len(space) == 2
+    assert space[0].x == 0
+
+
+def test_sequence_remove_adjacent_preserves_timing():
+    """RemoveAdjacentItemsFromSequenceCommand keeps later items in place
+    (commands.py:613-675)."""
+    slist = make_asset_list()
+    sequence = make_check1_sequence()
+    space = model.Space('s', vidformat, plugins.AudioFormat())
+    sequence.update(x=7)
+    space[0:0] = [sequence]
+
+    # blue starts at x=15 within the sequence
+    assert sequence[2].x == 15
+
+    stack = model.UndoStack()
+    cmd = model.RemoveAdjacentItemsFromSequenceCommand([sequence[1]])
+    stack.push(cmd)
+    assert len(sequence) == 2
+    stack.undo()
+    assert len(sequence) == 3
+    assert sequence[2].x == 15
+    assert sequence[1].source.asset_path == 'green'
+
+
+def test_sequence_mover_to_item():
+    seq_items = [
+        model.SequenceItem(source=model.AssetStreamRef('red', 'video'),
+                           offset=0, length=10),
+        model.SequenceItem(source=model.AssetStreamRef('green', 'video'),
+                           offset=0, length=10, transition_length=3)]
+    mover = model.SequenceItemsMover(seq_items)
+    item = mover.to_item(height=2.0, x=5, y=1.0)
+    assert isinstance(item, model.Sequence)
+    assert item.x == 5
+    assert item.length == 17
+
+    single = model.SequenceItemsMover([
+        model.SequenceItem(source=model.AssetStreamRef('red', 'video'),
+                           offset=2, length=8)])
+    clip = single.to_item(height=1.0, x=0, y=0)
+    assert isinstance(clip, model.Clip)
+    assert clip.length == 8
+    assert clip.offset == 2
+
+
+def test_yaml_round_trip_space():
+    """Model persistence: YAML out and back (space.py:211-221 +
+    items.py:775)."""
+    space = model.Space('s', vidformat, plugins.AudioFormat())
+    seq = make_check1_sequence()
+    clip = model.Clip(type='video', x=3, y=1.0, length=5, height=1.0,
+                      source=model.AssetStreamRef('red', 'video'), offset=2)
+    space[0:0] = [clip, seq]
+
+    text = yaml.dump(space)
+    assert '!CanvasSpace' in text
+    assert '!CanvasClip' in text
+    assert '!CanvasSequenceItem' in text
+
+    loaded = yaml.load(text, Loader=yaml.Loader)
+    loaded._video_format = vidformat
+    loaded._audio_format = plugins.AudioFormat()
+    loaded.fixup()
+    assert len(loaded) == 2
+    assert loaded[0].x == 3
+    assert loaded[0].source.asset_path == 'red'
+    assert len(loaded[1]) == 3
+    assert loaded[1][2].transition_length == 5
+    # renders identically
+    manager = SequenceVideoManager(loaded[1], make_asset_list(), vidformat)
+    check1(manager)
+
+
+def test_ref_connector_failed_sources():
+    """tests/canvas/VideoSourceRefConnector.py behaviors."""
+    slist = make_asset_list()
+
+    conn = model.VideoSourceRefConnector(
+        slist, model.AssetStreamRef('noload', 'video'))
+    assert conn.alerts      # followed from the failing source
+    assert getcolor(conn, 0) is None
+
+    conn = model.VideoSourceRefConnector(
+        slist, model.AssetStreamRef('noload_silent', 'video'))
+    assert conn.alerts      # connector adds its own alert
+    assert 'Unable to bring source' in str(conn.alerts[0])
+
+    conn = model.VideoSourceRefConnector(
+        slist, model.AssetStreamRef('nostreams', 'video'))
+    assert conn.alerts
+    assert "Can't find stream" in str(conn.alerts[0])
+
+    # working ref has no alerts and yields pixels
+    conn = model.VideoSourceRefConnector(
+        slist, model.AssetStreamRef('red', 'video'))
+    assert not conn.alerts
+    assert getcolor(conn, 4).r == pytest.approx(4.0, abs=1e-4)
+
+    # switching the ref fixes a broken connector
+    conn2 = model.VideoSourceRefConnector(
+        slist, model.AssetStreamRef('missing', 'video'))
+    assert conn2.alerts
+    conn2.set_ref(model.AssetStreamRef('blue', 'video'))
+    assert not conn2.alerts
+    assert getcolor(conn2, 4).b == pytest.approx(4.0, abs=1e-4)

@@ -153,7 +153,7 @@ def test_video_scaler_source(any_backend):
     assert abs(px.r - 1.0) < 1e-4
     assert abs(px.a - 1.0) < 1e-4
     # well outside the scaled 8x8 region
-    assert frame.pixel(12, 12).a == 0.0
+    assert frame.pixel(12, 12) is None
 
 
 def test_video_scaler_identity_passthrough():

@@ -35,15 +35,14 @@ class TestSolidColor:
 
         assert frame.current_window == box2i(0, 0, 2, 2)
         check_color(frame.pixel(0, 0), color)
-        # outside the window: zero (we guarantee it; the reference leaves
-        # it undefined but its own mixes treat it as transparent)
-        check_color(frame.pixel(3, 3), (0, 0, 0, 0))
+        # outside the window: undefined -> None (RgbaFrameF32.c:95-107)
+        assert frame.pixel(3, 3) is None
 
         # a frame is itself a source: re-window it
         frame2 = frame.get_frame_f32(0, box2i(-1, -1, 1, 1))
         assert frame2.current_window == box2i(0, 0, 1, 1)
         check_color(frame2.pixel(0, 0), color)
-        check_color(frame2.pixel(-1, -1), (0, 0, 0, 0))
+        assert frame2.pixel(-1, -1) is None
 
     def test_moving_color(self, any_backend):
         solid = process.SolidColorVideoSource(
@@ -110,7 +109,7 @@ class TestFrameRoundTrip:
         shifted = frame.get_frame_f32(0, box2i(4, 4, 9, 9))
         assert shifted.current_window == box2i(4, 4, 5, 5)
         check_color(shifted.pixel(5, 5), (1, 1, 1, 1))
-        check_color(shifted.pixel(6, 6), (0, 0, 0, 0))
+        assert shifted.pixel(6, 6) is None
 
 
 class TestPassThrough:
@@ -170,7 +169,7 @@ class TestMixFilter:
         assert f.current_window == box2i(0, 0, 3, 3)
         check_color(f.pixel(0, 0), (1, 0, 0, 0.5))
         check_color(f.pixel(3, 3), (0, 1, 0, 0.5))
-        check_color(f.pixel(4, 4), (0, 0, 0, 0))
+        assert f.pixel(4, 4) is None
 
 
 class TestGainOffset:
@@ -186,7 +185,7 @@ class TestGainOffset:
         filt = process.VideoGainOffsetFilter(src, gain=1.0, offset=0.25)
         f = filt.get_frame_f32(0, box2i(0, 0, 1, 1))
         check_color(f.pixel(0, 0), (0.75, 0.75, 0.75, 1.0))
-        check_color(f.pixel(1, 1), (0, 0, 0, 0))
+        assert f.pixel(1, 1) is None
 
 
 class TestVideoSequence:
