@@ -11,3 +11,6 @@ from canvas_tpu.editor.model.connectors import (  # noqa: F401
 from canvas_tpu.editor.model.undo import (  # noqa: F401
     UndoCommand, UndoStack)
 from canvas_tpu.editor.model.commands import *  # noqa: F401,F403
+from canvas_tpu.editor.model.manip import (  # noqa: F401
+    ClipManipulator, SequenceItemGroupManipulator, SequenceManipulator,
+    ItemManipulator)

@@ -545,3 +545,198 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
                     frame_rate.denominator // frame_rate.numerator
                 aframe = audio_source.get_frame(s0, s1 - 1, channels)
                 mux.write_audio_frame(astream, np.asarray(aframe.data))
+
+
+# --------------------------------------------------------------------------
+# Standalone packet encoders (reference AVVideoEncoder.c shape)
+
+class _EncoderBase:
+    def _setup(self):
+        lib = _load()
+        lib.cav_video_encoder_open.restype = ctypes.c_void_p
+        lib.cav_video_encoder_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int]
+        lib.cav_audio_encoder_open.restype = ctypes.c_void_p
+        lib.cav_audio_encoder_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int]
+        lib.cav_encoder_close.argtypes = [ctypes.c_void_p]
+        lib.cav_encoder_extradata.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        lib.cav_encoder_frame_size.argtypes = [ctypes.c_void_p]
+        lib.cav_encoder_send_video.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.cav_encoder_send_audio.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.cav_encoder_flush.argtypes = [ctypes.c_void_p]
+        lib.cav_encoder_packet.argtypes = [ctypes.c_void_p,
+                                           ctypes.POINTER(_CavPacket)]
+        return lib
+
+    def get_header(self):
+        """Codec global header bytes (SPS/PPS / AudioSpecificConfig) —
+        reference CodecPacketSource.get_header / X264VideoEncoder sps+pps."""
+        lib = _load()
+        n = lib.cav_encoder_extradata(self._handle, None, 0)
+        if n <= 0:
+            return b''
+        buf = (ctypes.c_uint8 * n)()
+        lib.cav_encoder_extradata(
+            self._handle, ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)), n)
+        return bytes(buf)
+
+    def _next_packet(self):
+        lib = _load()
+        pkt = _CavPacket()
+        rc = lib.cav_encoder_packet(self._handle, ctypes.byref(pkt))
+        if rc == 0:
+            return None
+        if rc < 0:
+            raise IOError('encoder packet failed: %d' % rc)
+        data = ctypes.string_at(pkt.data, pkt.size)
+        lib.cav_packet_free(ctypes.byref(pkt))
+        return CodecPacket(data, pkt.pts, pkt.dts, pkt.duration,
+                           bool(pkt.keyframe), 0)
+
+    def close(self):
+        if getattr(self, '_handle', None):
+            _load().cav_encoder_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class AVVideoEncoder(_EncoderBase):
+    """Video source -> codec packet source (src/libav/AVVideoEncoder.c
+    shape; also the X264VideoEncoder role when codec='libx264').
+
+    Pulls frames [start_frame, end_frame] from *source* through the
+    batched device path, gamma-ramps to 8-bit, and encodes; packets come
+    out of get_next_packet() for a muxer (e.g. MatroskaWriter).
+    """
+
+    def __init__(self, source, start_frame, end_frame, codec='libx264',
+                 frame_size=(720, 480), frame_rate=None, bit_rate=0,
+                 options='', window=None):
+        from fractions import Fraction
+        lib = self._setup()
+        if frame_rate is None:
+            frame_rate = Fraction(30000, 1001)
+        frame_rate = Fraction(frame_rate)
+        err = _err_buf()
+        self._handle = lib.cav_video_encoder_open(
+            codec.encode(), int(frame_size[0]), int(frame_size[1]),
+            frame_rate.numerator, frame_rate.denominator, int(bit_rate),
+            options.encode(), err, len(err))
+        if not self._handle:
+            raise IOError(err.value.decode())
+
+        self.source = source
+        self.start_frame = int(start_frame)
+        self.end_frame = int(end_frame)
+        self.frame_size = frame_size
+        self.frame_rate = frame_rate
+        self.window = window or box2i(0, 0, frame_size[0] - 1,
+                                      frame_size[1] - 1)
+        self._next_to_send = self.start_frame
+        self._flushed = False
+        self._batch = 8
+        self._pending = []
+
+    def _send_more(self):
+        from canvas_tpu import render
+        from canvas_tpu.ops import color as color_ops
+        lib = _load()
+        if self._next_to_send > self.end_frame:
+            if not self._flushed:
+                lib.cav_encoder_flush(self._handle)
+                self._flushed = True
+            return False
+        stop = min(self._next_to_send + self._batch, self.end_frame + 1)
+        data = render.render_frames(self.source, self.window,
+                                    self._next_to_send, stop)
+        u8 = color_ops.apply_gamma45_u8(data)
+        rgba = np.ascontiguousarray(np.moveaxis(np.asarray(u8), 1, -1))
+        for i in range(rgba.shape[0]):
+            # Drain between sends: avcodec_send_frame EAGAINs when its
+            # output queue fills
+            self._drain()
+            rc = lib.cav_encoder_send_video(
+                self._handle,
+                rgba[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            if rc < 0 and rc != -11:    # -EAGAIN
+                raise IOError('send_video failed: %d' % rc)
+        self._next_to_send = stop
+        return True
+
+    def _drain(self):
+        while True:
+            pkt = self._next_packet()
+            if pkt is None:
+                return
+            self._pending.append(pkt)
+
+    def get_next_packet(self):
+        while True:
+            if self._pending:
+                return self._pending.pop(0)
+            if not self._send_more() and self._flushed:
+                self._drain()
+                if self._pending:
+                    return self._pending.pop(0)
+                return None
+            self._drain()
+
+
+class AVAudioEncoder(_EncoderBase):
+    """Audio source -> codec packet source (the AACAudioEncoder role when
+    codec='aac'; src/faac/AACAudioEncoder.c:49-270 shape)."""
+
+    def __init__(self, source, start_sample, end_sample, codec='aac',
+                 sample_rate=48000, channels=2, bit_rate=0):
+        lib = self._setup()
+        err = _err_buf()
+        self._handle = lib.cav_audio_encoder_open(
+            codec.encode(), int(sample_rate), int(channels), int(bit_rate),
+            err, len(err))
+        if not self._handle:
+            raise IOError(err.value.decode())
+        self.source = source
+        self.start_sample = int(start_sample)
+        self.end_sample = int(end_sample)
+        self.sample_rate = int(sample_rate)
+        self.channels = int(channels)
+        self._next_to_send = self.start_sample
+        self._flushed = False
+        self._pending = []
+        self._chunk = max(1024, lib.cav_encoder_frame_size(self._handle) or
+                          1024)
+
+    def _send_more(self):
+        lib = _load()
+        if self._next_to_send > self.end_sample:
+            if not self._flushed:
+                lib.cav_encoder_flush(self._handle)
+                self._flushed = True
+            return False
+        hi = min(self._next_to_send + self._chunk - 1, self.end_sample)
+        frame = self.source.get_frame(self._next_to_send, hi, self.channels)
+        data = np.ascontiguousarray(np.asarray(frame.data, np.float32))
+        self._drain()
+        rc = lib.cav_encoder_send_audio(
+            self._handle,
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            data.shape[0])
+        if rc < 0 and rc != -11:
+            raise IOError('send_audio failed: %d' % rc)
+        self._next_to_send = hi + 1
+        return True
+
+    _drain = AVVideoEncoder._drain
+    get_next_packet = AVVideoEncoder.get_next_packet

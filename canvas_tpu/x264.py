@@ -1,0 +1,133 @@
+"""H.264 encoding module.
+
+API-parity equivalent of the reference's x264 module
+(/root/reference/src/x264/X264VideoEncoder.c), implemented over the
+native canvas_av packet encoder with the libx264 codec (the same encoder
+library the reference links directly). Differences:
+
+* The reference encodes *coded image* (pre-subsampled) input; ours takes
+  a video source and renders it through the batched device path, handing
+  RGBA to libx264's own colorspace conversion (swscale).
+* ``sps``/``pps``/``sei`` are parsed out of the codec's global header
+  (avcC/Annex-B extradata) rather than x264_encoder_headers.
+"""
+
+from fractions import Fraction
+
+from canvas_tpu import libav
+
+__all__ = ['X264EncoderParams', 'X264VideoEncoder']
+
+
+class X264EncoderParams:
+    """Encoder settings (X264VideoEncoder.c:41-45). Maps onto x264's
+    preset/tune system plus rate control."""
+
+    def __init__(self, preset='medium', tune=None, frame_rate=None,
+                 sample_aspect_ratio=None, timebase=None, width=720,
+                 height=480, constant_ratefactor=None,
+                 constant_quantizer=None, bitrate=None,
+                 vbv_max_bitrate=None, annex_b=None, repeat_headers=None,
+                 interlaced=False):
+        self.preset = preset
+        self.tune = tune
+        self.frame_rate = Fraction(frame_rate) if frame_rate else \
+            Fraction(30000, 1001)
+        self.sample_aspect_ratio = sample_aspect_ratio
+        self.timebase = timebase
+        self.width = int(width)
+        self.height = int(height)
+        self.constant_ratefactor = constant_ratefactor
+        self.constant_quantizer = constant_quantizer
+        self.bitrate = bitrate
+        self.vbv_max_bitrate = vbv_max_bitrate
+        self.annex_b = annex_b
+        self.repeat_headers = repeat_headers
+        self.interlaced = bool(interlaced)
+
+    def to_options(self):
+        opts = ['preset=%s' % self.preset]
+        if self.tune:
+            opts.append('tune=%s' % self.tune)
+        if self.constant_ratefactor is not None:
+            opts.append('crf=%g' % self.constant_ratefactor)
+        if self.constant_quantizer is not None:
+            opts.append('qp=%d' % self.constant_quantizer)
+        if self.interlaced:
+            opts.append('flags=+ildct+ilme')
+        return ':'.join(opts)
+
+
+def _split_nals(extradata):
+    """Split avcC or Annex-B extradata into (sps, pps, sei)."""
+    sps = pps = sei = b''
+    if not extradata:
+        return sps, pps, sei
+    if extradata[0] == 1:
+        # avcC: [version profile compat level 0xFF] [0xE0|n] (len sps)...
+        pos = 5
+        n_sps = extradata[pos] & 0x1F
+        pos += 1
+        for _ in range(n_sps):
+            ln = int.from_bytes(extradata[pos:pos + 2], 'big')
+            pos += 2
+            sps = extradata[pos:pos + ln]
+            pos += ln
+        n_pps = extradata[pos]
+        pos += 1
+        for _ in range(n_pps):
+            ln = int.from_bytes(extradata[pos:pos + 2], 'big')
+            pos += 2
+            pps = extradata[pos:pos + ln]
+            pos += ln
+    else:
+        # Annex B: split on start codes
+        parts = extradata.split(b'\x00\x00\x01')
+        for part in parts:
+            if not part:
+                continue
+            part = part.lstrip(b'\x00')
+            if not part:
+                continue
+            nal_type = part[0] & 0x1F
+            if nal_type == 7:
+                sps = part
+            elif nal_type == 8:
+                pps = part
+            elif nal_type == 6:
+                sei = part
+    return sps, pps, sei
+
+
+class X264VideoEncoder(libav.AVVideoEncoder):
+    """H.264 packet source over a video source
+    (X264VideoEncoder.c:207-388): get_next_packet() + sps/pps/sei."""
+
+    def __init__(self, source, start_frame, end_frame, params=None,
+                 window=None):
+        params = params or X264EncoderParams()
+        libav.AVVideoEncoder.__init__(
+            self, source, start_frame, end_frame, codec='libx264',
+            frame_size=(params.width, params.height),
+            frame_rate=params.frame_rate,
+            bit_rate=(params.bitrate or 0) * 1000 if params.bitrate else 0,
+            options=params.to_options(), window=window)
+        self.params = params
+        self._headers = None
+
+    def _parse_headers(self):
+        if self._headers is None:
+            self._headers = _split_nals(self.get_header())
+        return self._headers
+
+    @property
+    def sps(self):
+        return self._parse_headers()[0]
+
+    @property
+    def pps(self):
+        return self._parse_headers()[1]
+
+    @property
+    def sei(self):
+        return self._parse_headers()[2]

@@ -800,3 +800,195 @@ CAV_EXPORT const char *cav_version() {
              avformat_version(), avcodec_version());
     return buf;
 }
+
+// --------------------------------------------------------------------------
+// Standalone packet encoders (X264VideoEncoder.c / AACAudioEncoder.c
+// equivalents): encode frames pushed from Python into packets pulled by
+// Python — feeds the pure-Python Matroska muxer path
+// (scripts/encode_x264_mkv.py shape).
+
+struct CavEncoder {
+    AVCodecContext *codec = nullptr;
+    SwsContext *sws = nullptr;
+    SwrContext *swr = nullptr;
+    AVFrame *frame = nullptr;
+    int64_t next_pts = 0;
+    int is_video = 0;
+};
+
+CAV_EXPORT CavEncoder *cav_video_encoder_open(const char *codec_name,
+                                              int width, int height,
+                                              int fps_num, int fps_den,
+                                              int64_t bit_rate,
+                                              const char *options, char *err,
+                                              int errlen) {
+    const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
+    if (!codec) {
+        set_err(err, errlen, std::string("no encoder: ") + codec_name);
+        return nullptr;
+    }
+    auto *e = new CavEncoder();
+    e->is_video = 1;
+    e->codec = avcodec_alloc_context3(codec);
+    e->codec->width = width;
+    e->codec->height = height;
+    e->codec->time_base = {fps_den, fps_num};
+    e->codec->framerate = {fps_num, fps_den};
+    e->codec->pix_fmt = codec->pix_fmts ? codec->pix_fmts[0]
+                                        : AV_PIX_FMT_YUV420P;
+    if (bit_rate > 0) e->codec->bit_rate = bit_rate;
+    e->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;  // SPS/PPS in extradata
+
+    AVDictionary *opts = nullptr;
+    if (options && *options) av_dict_parse_string(&opts, options, "=", ":", 0);
+    int rc = avcodec_open2(e->codec, codec, &opts);
+    av_dict_free(&opts);
+    if (rc < 0) {
+        set_err(err, errlen, "avcodec_open2: " + av_errstr(rc));
+        avcodec_free_context(&e->codec);
+        delete e;
+        return nullptr;
+    }
+    e->frame = av_frame_alloc();
+    e->frame->format = e->codec->pix_fmt;
+    e->frame->width = width;
+    e->frame->height = height;
+    av_frame_get_buffer(e->frame, 0);
+    e->sws = sws_getContext(width, height, AV_PIX_FMT_RGBA, width, height,
+                            e->codec->pix_fmt, SWS_BILINEAR, nullptr, nullptr,
+                            nullptr);
+    return e;
+}
+
+CAV_EXPORT CavEncoder *cav_audio_encoder_open(const char *codec_name,
+                                              int sample_rate, int channels,
+                                              int64_t bit_rate, char *err,
+                                              int errlen) {
+    const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
+    if (!codec) {
+        set_err(err, errlen, std::string("no encoder: ") + codec_name);
+        return nullptr;
+    }
+    auto *e = new CavEncoder();
+    e->codec = avcodec_alloc_context3(codec);
+    e->codec->sample_rate = sample_rate;
+    av_channel_layout_default(&e->codec->ch_layout, channels);
+    e->codec->sample_fmt = codec->sample_fmts ? codec->sample_fmts[0]
+                                              : AV_SAMPLE_FMT_FLTP;
+    e->codec->time_base = {1, sample_rate};
+    if (bit_rate > 0) e->codec->bit_rate = bit_rate;
+    e->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    int rc = avcodec_open2(e->codec, codec, nullptr);
+    if (rc < 0) {
+        set_err(err, errlen, "avcodec_open2: " + av_errstr(rc));
+        avcodec_free_context(&e->codec);
+        delete e;
+        return nullptr;
+    }
+    e->frame = av_frame_alloc();
+    e->frame->format = e->codec->sample_fmt;
+    e->frame->nb_samples = e->codec->frame_size > 0 ? e->codec->frame_size
+                                                    : 1024;
+    av_channel_layout_copy(&e->frame->ch_layout, &e->codec->ch_layout);
+    e->frame->sample_rate = sample_rate;
+    av_frame_get_buffer(e->frame, 0);
+
+    AVChannelLayout in_layout;
+    av_channel_layout_default(&in_layout, channels);
+    swr_alloc_set_opts2(&e->swr, &e->codec->ch_layout, e->codec->sample_fmt,
+                        sample_rate, &in_layout, AV_SAMPLE_FMT_FLT,
+                        sample_rate, 0, nullptr);
+    swr_init(e->swr);
+    av_channel_layout_uninit(&in_layout);
+    return e;
+}
+
+CAV_EXPORT void cav_encoder_close(CavEncoder *e) {
+    if (!e) return;
+    if (e->sws) sws_freeContext(e->sws);
+    if (e->swr) swr_free(&e->swr);
+    if (e->frame) av_frame_free(&e->frame);
+    if (e->codec) avcodec_free_context(&e->codec);
+    delete e;
+}
+
+// Global header bytes (SPS/PPS for H.264; AudioSpecificConfig for AAC) —
+// the reference exposes sps/pps/sei on X264VideoEncoder and get_header on
+// AACAudioEncoder.
+CAV_EXPORT int cav_encoder_extradata(CavEncoder *e, uint8_t *out,
+                                     int out_size) {
+    if (!e->codec->extradata) return 0;
+    int n = e->codec->extradata_size;
+    if (out && out_size >= n) memcpy(out, e->codec->extradata, n);
+    return n;
+}
+
+CAV_EXPORT int cav_encoder_frame_size(CavEncoder *e) {
+    return e->codec->frame_size;
+}
+
+// Push one RGBA frame (video) — packets retrieved with cav_encoder_packet.
+CAV_EXPORT int cav_encoder_send_video(CavEncoder *e, const uint8_t *rgba) {
+    av_frame_make_writable(e->frame);
+    const uint8_t *src[4] = {rgba, nullptr, nullptr, nullptr};
+    int src_stride[4] = {e->codec->width * 4, 0, 0, 0};
+    sws_scale(e->sws, src, src_stride, 0, e->codec->height, e->frame->data,
+              e->frame->linesize);
+    e->frame->pts = e->next_pts++;
+    return avcodec_send_frame(e->codec, e->frame);
+}
+
+// Push interleaved float samples (audio).
+CAV_EXPORT int cav_encoder_send_audio(CavEncoder *e, const float *samples,
+                                      int n_samples) {
+    int done = 0;
+    while (done < n_samples) {
+        int chunk = e->frame->nb_samples;
+        if (chunk > n_samples - done) chunk = n_samples - done;
+        av_frame_make_writable(e->frame);
+        const uint8_t *in[1] = {
+            (const uint8_t *)(samples +
+                              (size_t)done * e->codec->ch_layout.nb_channels)};
+        int conv = swr_convert(e->swr, e->frame->data, chunk, in, chunk);
+        if (conv < 0) return conv;
+        int saved = e->frame->nb_samples;
+        e->frame->nb_samples = conv;
+        e->frame->pts = e->next_pts;
+        e->next_pts += conv;
+        int rc = avcodec_send_frame(e->codec, e->frame);
+        e->frame->nb_samples = saved;
+        if (rc < 0 && rc != AVERROR(EAGAIN)) return rc;
+        done += chunk;
+    }
+    return 0;
+}
+
+CAV_EXPORT int cav_encoder_flush(CavEncoder *e) {
+    return avcodec_send_frame(e->codec, nullptr);
+}
+
+// Pull the next packet: 1 = packet copied (data malloc'd into *out),
+// 0 = need more input / flushed dry, <0 = error.
+CAV_EXPORT int cav_encoder_packet(CavEncoder *e, CavPacket *out) {
+    AVPacket *pkt = av_packet_alloc();
+    int rc = avcodec_receive_packet(e->codec, pkt);
+    if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) {
+        av_packet_free(&pkt);
+        return 0;
+    }
+    if (rc < 0) {
+        av_packet_free(&pkt);
+        return rc;
+    }
+    out->data = (uint8_t *)malloc(pkt->size);
+    memcpy(out->data, pkt->data, pkt->size);
+    out->size = pkt->size;
+    out->pts = pkt->pts;
+    out->dts = pkt->dts;
+    out->duration = pkt->duration;
+    out->keyframe = (pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0;
+    out->stream = 0;
+    av_packet_unref(pkt);
+    av_packet_free(&pkt);
+    return 1;
+}

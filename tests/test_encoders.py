@@ -1,0 +1,150 @@
+"""Packet encoders (x264/faac roles) + the full encode-to-MKV pipeline."""
+
+import math
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+libav = pytest.importorskip('canvas_tpu.libav')
+if not libav.available():
+    pytest.skip('native canvas_av unavailable', allow_module_level=True)
+
+from canvas_tpu import faac, matroska, x264
+from canvas_tpu.audio import AudioFrame, AudioSource
+from canvas_tpu.basetypes import box2i
+from canvas_tpu.framefuncs import LerpFunc
+from canvas_tpu.sources import SolidColorVideoSource
+
+
+def test_x264_encoder_packets(tmp_path):
+    src = SolidColorVideoSource(
+        LerpFunc((0.1, 0.1, 0.1, 1.0), (0.9, 0.9, 0.9, 1.0), 20))
+    params = x264.X264EncoderParams(preset='ultrafast', width=64, height=48,
+                                    frame_rate=25, constant_ratefactor=30)
+    try:
+        encoder = x264.X264VideoEncoder(src, 0, 19, params)
+    except IOError as e:
+        pytest.skip('libx264 unavailable: %s' % e)
+
+    header = encoder.get_header()
+    assert len(header) > 8
+    assert len(encoder.sps) > 0
+    assert len(encoder.pps) > 0
+
+    packets = []
+    while True:
+        pkt = encoder.get_next_packet()
+        if pkt is None:
+            break
+        packets.append(pkt)
+    assert len(packets) == 20
+    assert packets[0].keyframe
+
+    # Mux into MKV with the pure-Python writer; libav must read it back
+    path = str(tmp_path / 'h264.mkv')
+    with open(path, 'wb') as fd:
+        writer = matroska.MatroskaWriter(fd)
+        writer.write_start(writing_app='test', duration=0.0,
+                           timecode_scale=1_000_000)
+        writer.write_tracks([matroska.Track(
+            number=1, uid=1, type_=matroska.TrackType.VIDEO,
+            codec_id='V_MPEG4/ISO/AVC', lacing=False,
+            default_duration=40_000_000, codec_private=header,
+            video=matroska.TrackVideo(64, 48))])
+        for pkt in packets:
+            writer.write_simple_block(1, int(pkt.pts * 40), pkt.data,
+                                      keyframe=pkt.keyframe)
+        writer.write_end(duration=float(len(packets) * 40))
+
+    dec = libav.AVVideoDecoder(path)
+    first = dec.get_frame_rgba(0, 64, 48)
+    last = dec.get_frame_rgba(19, 64, 48)
+    assert first is not None and last is not None
+    # brightness ramps up (gamma45 of 0.1->0.9 ramp)
+    assert int(last[24, 32, 0]) > int(first[24, 32, 0]) + 50
+    dec.close()
+
+
+class ToneSource(AudioSource):
+    def _render(self, frame):
+        t = np.arange(frame.full_min_sample, frame.full_max_sample + 1) \
+            / 48000.0
+        tone = 0.5 * np.sin(2 * math.pi * 440 * t)
+        frame.data = np.repeat(tone[:, None], frame.channels,
+                               axis=1).astype(np.float32)
+        frame.current_min_sample = frame.full_min_sample
+        frame.current_max_sample = frame.full_max_sample
+
+
+def test_aac_encoder_packets():
+    try:
+        encoder = faac.AACAudioEncoder(ToneSource(), 0, 48000 - 1,
+                                       sample_rate=48000, channels=2)
+    except IOError as e:
+        pytest.skip('aac unavailable: %s' % e)
+    header = encoder.get_header()
+    assert len(header) >= 2     # AudioSpecificConfig
+    packets = []
+    while True:
+        pkt = encoder.get_next_packet()
+        if pkt is None:
+            break
+        packets.append(pkt)
+    assert len(packets) > 20
+    assert sum(len(p.data) for p in packets) > 1000
+
+
+def test_encode_script_end_to_end(tmp_path):
+    """scripts/encode_x264_mkv.py runs against a generated input file."""
+    src_path = str(tmp_path / 'in.avi')
+    with libav.AVMuxer(src_path) as mux:
+        v = mux.add_video_stream('mpeg4', (64, 48), 25, bit_rate=400_000)
+        mux.start()
+        for i in range(10):
+            frame = np.zeros((48, 64, 4), np.uint8)
+            frame[:, :, 0] = i * 20
+            frame[:, :, 3] = 255
+            mux.write_video_frame(v, frame)
+
+    out_path = str(tmp_path / 'out.mkv')
+    result = subprocess.run(
+        [sys.executable, 'scripts/encode_x264_mkv.py', src_path, out_path,
+         '10'], capture_output=True, text=True, cwd='/root/repo')
+    assert result.returncode == 0, result.stderr
+    assert os.path.getsize(out_path) > 500
+    container = libav.AVContainer(out_path)
+    video = next(s for s in container.streams if s.type == 'video')
+    assert video.codec == 'h264'
+    container.close()
+
+
+def test_audio_player_clock():
+    """AudioPlayer drives time like AlsaPlayer (the audio sink clock)."""
+    import time
+    from fractions import Fraction
+
+    from canvas_tpu.audioout import AudioPlayer
+
+    consumed = []
+    player = AudioPlayer(8000, 1, ToneSource(),
+                         sink=lambda data: consumed.append(len(data)))
+    try:
+        assert player.get_presentation_time() == 0
+        player.play(1)
+        time.sleep(0.3)
+        t = player.get_presentation_time()
+        assert 100_000_000 < t < 2_000_000_000
+        assert consumed          # sink got samples
+        player.stop()
+        frozen = player.get_presentation_time()
+        time.sleep(0.05)
+        assert player.get_presentation_time() == frozen
+        # negative speed
+        player.play(Fraction(-1, 1))
+        time.sleep(0.1)
+        assert player.get_presentation_time() < frozen
+    finally:
+        player.close()
