@@ -1,0 +1,132 @@
+"""Headless editor application: project lifecycle + playback wiring.
+
+Equivalent of the reference's qttest.py MainWindow/UIManager glue
+(:88, :393-426, :500-903) with the Qt chrome removed: plugin loading,
+YAML project open/save, per-space editors with undo stacks, an alert
+manager, and clock/playback wiring. A GUI shell (Qt, web, ...) drives
+this object; tests and batch tools drive it directly.
+"""
+
+import fractions
+
+import yaml
+
+from canvas_tpu.clock import SystemPresentationClock
+from canvas_tpu.editor import model, plugins
+from canvas_tpu.editor.model.undo import UndoStack
+from canvas_tpu.editor.ui.canvas_models import (CanvasSceneModel,
+                                                DragController)
+from canvas_tpu.editor.ui.notification import AlertListModel
+from canvas_tpu.signal import Signal
+
+__all__ = ['EditorApp', 'SpaceEditor']
+
+
+class SpaceEditor:
+    """One open composition: scene model + undo stack + graph managers
+    (qttest.py SpaceEditor, :462-498)."""
+
+    def __init__(self, app, space_asset):
+        self.app = app
+        self.space_asset = space_asset
+        self.space = space_asset.space
+        self.undo_stack = UndoStack()
+        self.scene = CanvasSceneModel(self.space)
+        self.drag = DragController(self.scene, self.undo_stack)
+        self._source = space_asset.get_source()
+        self._source.bring_online()
+
+    @property
+    def video_stream(self):
+        streams = self._source.get_streams()
+        return next(s for s in streams if s.stream_type == 'video')
+
+    @property
+    def audio_stream(self):
+        streams = self._source.get_streams()
+        return next(s for s in streams if s.stream_type == 'audio')
+
+    def start_playback(self, present, window, batch=4):
+        """Attach a playback engine to the app clock."""
+        from canvas_tpu.playback import VideoPlaybackEngine
+        rate = self.space.video_format.frame_rate
+        return VideoPlaybackEngine(self.video_stream, self.app.clock,
+                                   rate, window, present, batch=batch)
+
+
+class EditorApp:
+    def __init__(self, load_plugins=True):
+        if load_plugins:
+            plugins.PluginManager.load_all()
+        self.asset_list = model.AssetList()
+        self.alert_model = AlertListModel(
+            plugins.PluginManager.alert_manager)
+        self.editors = []
+        self.current_editor = None
+        self.clock = SystemPresentationClock()
+        self.editor_added = Signal()
+
+    # -- project lifecycle (qttest.py:795-827) ----------------------------
+
+    def open_file(self, path):
+        with open(path) as stream:
+            project = yaml.load(stream, Loader=yaml.Loader)
+        project.fixup()
+        self.set_asset_list(project.assets)
+        return project
+
+    def save_file(self, path, project=None):
+        if project is None:
+            project = model.Project(assets=self.asset_list)
+        with open(path, 'w') as stream:
+            yaml.dump(project, stream)
+
+    def set_asset_list(self, asset_list):
+        self.asset_list = asset_list
+        self.editors = []
+        self.current_editor = None
+
+    # -- editors ----------------------------------------------------------
+
+    def open_space(self, asset_name):
+        asset = self.asset_list[asset_name]
+        editor = SpaceEditor(self, asset)
+        self.editors.append(editor)
+        self.current_editor = editor
+        self.editor_added(editor)
+        return editor
+
+    def new_space(self, name, video_format=None, audio_format=None):
+        video_format = video_format or plugins.VideoFormat(
+            frame_rate=fractions.Fraction(30000, 1001))
+        audio_format = audio_format or plugins.AudioFormat(sample_rate=48000)
+        space = model.Space(name, video_format, audio_format)
+        asset = model.SpaceAsset(space, name=name)
+        self.asset_list[name] = asset
+        return self.open_space(name)
+
+    # -- assets -----------------------------------------------------------
+
+    def import_file(self, name, path):
+        """Probe a media file through the source plugins and add it as an
+        asset (the reference's source list drop handler)."""
+        for plugin in plugins.PluginManager.find_plugins(
+                plugins.SourcePlugin):
+            source = plugin.create_source_from_file(name, path)
+            if source is not None:
+                asset = model.PluginSourceAsset(
+                    name, plugin.plugin_urn, source.get_definition())
+                self.asset_list[name] = asset
+                return asset
+        raise IOError('No plugin could read ' + path)
+
+    # -- transport --------------------------------------------------------
+
+    def play(self, rate=1):
+        self.clock.play(rate)
+
+    def stop(self):
+        self.clock.stop()
+
+    def seek(self, time_ns):
+        self.clock.seek(time_ns)

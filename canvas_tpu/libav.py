@@ -496,12 +496,15 @@ class AVMuxer:
 def write_video(filename, video_source, audio_source, start_frame, end_frame,
                 frame_size=(720, 480), frame_rate=None, sample_rate=48000,
                 channels=2, video_codec='mpeg4', audio_codec=None,
-                bit_rate=4_000_000, format='', window=None, use_batch=True):
+                bit_rate=4_000_000, format='', window=None, use_batch=True,
+                progress_callback=None):
     """One-call export (src/libav/writeVideo.c:41-120): pull video frames,
     gamma-ramp to 8-bit, encode and mux with optional audio.
 
     Unlike the reference (frame-at-a-time f16 pulls), the video is rendered
     in batches through the compiled device path when the graph supports it.
+    *progress_callback(frames_done)* is called per batch; returning False
+    aborts the export (the file is finalized with what was written).
     """
     from fractions import Fraction
 
@@ -545,6 +548,10 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
                     frame_rate.denominator // frame_rate.numerator
                 aframe = audio_source.get_frame(s0, s1 - 1, channels)
                 mux.write_audio_frame(astream, np.asarray(aframe.data))
+
+            if progress_callback is not None:
+                if progress_callback(b1) is False:
+                    break
 
 
 # --------------------------------------------------------------------------

@@ -25,6 +25,12 @@ class Timecode:
 class Frames(Timecode):
     """Plain frame numbers."""
 
+    def get_major_ticks(self):
+        # Decimal ticks for plain frame numbers (the reference leaves
+        # this empty and its ruler never pairs Frames with tick math;
+        # we give the ruler something sensible)
+        return [1, 10, 100, 1000, 10000, 100000]
+
     def format(self, frame):
         return str(frame)
 

@@ -9,6 +9,11 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get('CANVAS_FORCE_CPU'):
+    import jax
+
+    jax.config.update('jax_platforms', 'cpu')
 import fractions
 import sys
 

@@ -1,0 +1,173 @@
+"""Headless editor UI layer: ruler, scene model, thumbnails, render job,
+alert model, and the full EditorApp lifecycle."""
+
+import fractions
+import os
+import time
+
+import numpy as np
+import pytest
+
+from canvas_tpu import process, timecode
+from canvas_tpu.basetypes import box2i
+from canvas_tpu.editor import model, plugins
+from canvas_tpu.editor.ui import (AlertListModel, CanvasSceneModel,
+                                  DragController, EditorApp, RenderJob,
+                                  ThumbnailPainter, TimeRulerModel)
+
+vidformat = plugins.VideoFormat(frame_rate=1)
+audformat = plugins.AudioFormat(sample_rate=1)
+
+
+def test_ruler_model():
+    ruler = TimeRulerModel(timecode.Frames(), scale=2,
+                           frame_rate=fractions.Fraction(30, 1))
+    assert ruler.frame_at_x(20) == 10
+    assert ruler.x_at_frame(10) == 20.0
+    ruler.set_left_frame(100)
+    assert ruler.frame_at_x(0) == 100
+
+    ticks = ruler.ticks_in_width(200)
+    assert ticks
+    majors = [t for t in ticks if t[1] == 'major']
+    assert majors and majors[0][2] is not None   # labeled
+
+    # zooming out coarsens ticks
+    ruler2 = TimeRulerModel(timecode.Frames(), scale=fractions.Fraction(1, 100))
+    assert ruler2.minor_tick > ruler.minor_tick
+
+
+def test_scene_model_and_hit_test():
+    space = model.Space('s', vidformat, audformat)
+    a = model.Clip(type='video', x=0, y=0.0, length=10, height=1.0)
+    b = model.Clip(type='video', x=5, y=0.0, length=10, height=1.0)
+    space[0:0] = [a, b]
+
+    scene = CanvasSceneModel(space)
+    assert len(scene.views) == 2
+    assert scene.view_for(a).rect == (0.0, 0.0, 10.0, 1.0)
+
+    # a is z=0 (on top) in the overlap
+    assert scene.item_at(7.0, 0.5) is a
+    assert scene.item_at(12.0, 0.5) is b
+    assert scene.item_at(50.0, 0.5) is None
+
+    # selection
+    scene.select([a])
+    assert scene.selected_items == [a]
+    scene.select([b], extend=True)
+    assert set(scene.selected_items) == {a, b}
+
+    # snapping to edges
+    assert scene.snap_x(10.1, exclude=()) == 10.0
+    assert scene.snap_x(30.0) == 30.0
+
+
+def test_drag_controller_undo():
+    space = model.Space('s', vidformat, audformat)
+    clip = model.Clip(type='video', x=0, y=0.0, length=10, height=1.0)
+    space[0:0] = [clip]
+
+    from canvas_tpu.editor.model.undo import UndoStack
+    scene = CanvasSceneModel(space)
+    stack = UndoStack()
+    drag = DragController(scene, stack)
+
+    drag.start(clip, 0.0, 0.0)
+    drag.move_to_space(20.0, 1.0)
+    assert clip.x == 20
+    drag.drop()
+    assert clip.x == 20
+    stack.undo()
+    assert clip.x == 0
+    stack.redo()
+    assert clip.x == 20
+
+    # cancel restores
+    drag.start(clip, 20.0, 1.0)
+    drag.move_to_space(40.0, 0.0)
+    assert clip.x == 40
+    drag.cancel()
+    assert clip.x == 20
+
+
+def test_thumbnail_painter():
+    solid = process.SolidColorVideoSource((1.0, 0.0, 0.0, 1.0))
+    painter = ThumbnailPainter(stream=solid, window=box2i(0, 0, 31, 31),
+                               size=(8, 8), count=3)
+    painter.set_range(0, 30)
+    ready = []
+    painter.thumbnail_ready.connect(lambda slot, bgra: ready.append(slot))
+    painter.request_all()
+
+    deadline = time.time() + 10
+    while len(ready) < 3 and time.time() < deadline:
+        time.sleep(0.02)
+    assert sorted(ready) == [0, 1, 2]
+    thumb = painter.thumbnail(0)
+    assert thumb.shape == (8, 8, 4)
+    # red solid: red channel bright, green dark (BGRA layout)
+    assert thumb[4, 4, 2] > 200
+    assert thumb[4, 4, 1] < 30
+
+
+def test_alert_list_model():
+    pub = plugins.AlertPublisher()
+    alerts = AlertListModel(pub)
+    assert len(alerts) == 0
+    a = plugins.Alert('one', key='1')
+    pub.show_alert(a)
+    assert len(alerts) == 1
+    assert 'one' in alerts.row_text(0)
+    pub.hide_alert(a)
+    assert len(alerts) == 0
+
+
+def test_render_job(tmp_path):
+    libav = pytest.importorskip('canvas_tpu.libav')
+    if not libav.available():
+        pytest.skip('native canvas_av unavailable')
+
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.sources import SolidColorVideoSource
+
+    src = SolidColorVideoSource(LerpFunc((0, 0, 0, 1), (1, 1, 1, 1), 20))
+    path = str(tmp_path / 'out.avi')
+    job = RenderJob(path, src, None, 0, 20, frame_size=(64, 48),
+                    frame_rate=25, video_codec='mpeg4', bit_rate=500_000)
+    events = []
+    job.progress.connect(lambda done, total: events.append((done, total)))
+    done = []
+    job.finished.connect(lambda err: done.append(err))
+    job.start()
+    job.join(30)
+    assert done == [None]
+    assert events and events[-1][0] == 20
+    assert os.path.getsize(path) > 500
+
+
+def test_editor_app_lifecycle(tmp_path):
+    app = EditorApp(load_plugins=False)
+    editor = app.new_space('test', vidformat, audformat)
+    clip = model.Clip(type='video', x=2, y=0.0, length=8, height=1.0,
+                      source=model.AssetStreamRef('red', 'video'), offset=0)
+    editor.space[0:0] = [clip]
+
+    # save + reload round trip (qttest.py:795-827)
+    path = str(tmp_path / 'project.yaml')
+    app.save_file(path)
+    assert os.path.getsize(path) > 0
+
+    app2 = EditorApp(load_plugins=False)
+    project = app2.open_file(path)
+    assert 'test' in app2.asset_list
+    editor2 = app2.open_space('test')
+    assert len(editor2.space) == 1
+    assert editor2.space[0].x == 2
+    assert editor2.space[0].source.asset_path == 'red'
+
+    # transport
+    app2.play(1)
+    assert app2.clock.get_speed() == 1
+    app2.stop()
+    assert app2.clock.get_speed() == 0

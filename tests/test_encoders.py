@@ -110,9 +110,10 @@ def test_encode_script_end_to_end(tmp_path):
             mux.write_video_frame(v, frame)
 
     out_path = str(tmp_path / 'out.mkv')
+    env = dict(os.environ, CANVAS_FORCE_CPU='1')
     result = subprocess.run(
         [sys.executable, 'scripts/encode_x264_mkv.py', src_path, out_path,
-         '10'], capture_output=True, text=True, cwd='/root/repo')
+         '10'], capture_output=True, text=True, cwd='/root/repo', env=env)
     assert result.returncode == 0, result.stderr
     assert os.path.getsize(out_path) > 500
     container = libav.AVContainer(out_path)
