@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Full benchmark suite: the five BASELINE.md configs.
+
+``bench.py`` prints the single headline line the driver records; this
+script measures the whole matrix and writes BENCHMARKS.md. Configs:
+
+1. Single 720p clip pull (solid source -> rec709->linear f16).
+2. Two-clip 1080p crossfade.
+3. DV 4:1:1 reconstruction (+ pulldown removal) on synthetic coded frames.
+4. 10-layer 1080p timeline with affine motion + opacity (the headline).
+5. Frame-parallel export sharding (single chip here; multi-chip via
+   render_sharded is validated in __graft_entry__.dryrun_multichip).
+
+Also reports p50 single-frame pull latency on config 4 (BASELINE's
+second metric).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/canvas_tpu_jax_cache')
+
+import numpy as np
+
+
+def timeit_batches(planner, batch, n_frames, start=0):
+    out = planner.render(start, start + batch, device_out=True)
+    if hasattr(out, 'block_until_ready'):
+        out.block_until_ready()
+    t0 = time.perf_counter()
+    done = 0
+    last = None
+    while done < n_frames:
+        last = planner.render(start + done, start + done + batch,
+                              device_out=True)
+        done += batch
+    if hasattr(last, 'block_until_ready'):
+        last.block_until_ready()
+    return n_frames / (time.perf_counter() - t0)
+
+
+def config1():
+    """720p single clip: solid + rec709->linear transfer."""
+    from canvas_tpu import render
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.sources import (SolidColorVideoSource,
+                                    VideoColorTransferFilter)
+
+    src = VideoColorTransferFilter(
+        SolidColorVideoSource(LerpFunc((0, 0, 0, 1), (1, 1, 1, 1), 1024)),
+        'rec709_to_linear_scene')
+    planner = render.RenderPlanner(src, box2i(0, 0, 1279, 719))
+    return timeit_batches(planner, 32, 256)
+
+
+def config2():
+    """1080p two-clip crossfade."""
+    from canvas_tpu import render
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.sources import SolidColorVideoSource, VideoMixFilter
+
+    mix = VideoMixFilter(
+        SolidColorVideoSource(LerpFunc((1, 0, 0, 1), (0, 1, 0, 1), 1024)),
+        SolidColorVideoSource(LerpFunc((0, 0, 1, 1), (1, 1, 0, 1), 1024)),
+        LerpFunc((0.0,), (1.0,), 1024))
+    planner = render.RenderPlanner(mix, box2i(0, 0, 1919, 1079))
+    return timeit_batches(planner, 32, 256)
+
+
+def config3():
+    """DV 4:1:1 reconstruction + 2:3 pulldown removal."""
+    from canvas_tpu import render
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.coded import (CodedImage, CodedImageSource,
+                                  DVReconstructionFilter,
+                                  Pulldown23RemovalFilter)
+
+    rng = np.random.RandomState(0)
+    y = rng.randint(16, 236, (480, 720)).astype(np.uint8)
+    cb = rng.randint(16, 241, (480, 180)).astype(np.uint8)
+    cr = rng.randint(16, 241, (480, 180)).astype(np.uint8)
+
+    class Source(CodedImageSource):
+        def get_frame(self, frame_index, quality=0):
+            return CodedImage([y, cb, cr])
+
+    src = Pulldown23RemovalFilter(DVReconstructionFilter(Source()), 0)
+    planner = render.RenderPlanner(src, box2i(0, -1, 719, 478))
+    return timeit_batches(planner, 16, 128)
+
+
+def config4():
+    """10-layer 1080p timeline (the bench.py headline)."""
+    import bench
+    from canvas_tpu import render
+    from canvas_tpu.basetypes import box2i
+
+    ws = bench.build_timeline()
+    planner = render.RenderPlanner(ws, box2i(0, 0, 1919, 1079))
+    fps = timeit_batches(planner, 16, 128)
+
+    # p50 single-frame pull latency on the same graph
+    lat = []
+    for i in range(20):
+        t0 = time.perf_counter()
+        out = planner.render(200 + i, 201 + i, device_out=True)
+        if hasattr(out, 'block_until_ready'):
+            out.block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    return fps, float(np.percentile(lat, 50) * 1e3)
+
+
+def config5():
+    """Frame-parallel sharded render (all local devices)."""
+    import bench
+    from canvas_tpu import render
+    from canvas_tpu.basetypes import box2i
+
+    ws = bench.build_timeline()
+    window = box2i(0, 0, 1919, 1079)
+    # warmup
+    render.render_sharded(ws, window, 0, 16)
+    t0 = time.perf_counter()
+    render.render_sharded(ws, window, 16, 80)
+    return 64 / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+
+    results = {}
+    results['config1_720p_single_clip_fps'] = round(config1(), 1)
+    results['config2_1080p_crossfade_fps'] = round(config2(), 1)
+    results['config3_dv_reconstruct_pulldown_fps'] = round(config3(), 1)
+    fps4, p50 = config4()
+    results['config4_10layer_1080p_fps'] = round(fps4, 1)
+    results['config4_single_frame_p50_ms'] = round(p50, 2)
+    results['config5_sharded_fps_%d_devices' % len(jax.devices())] = \
+        round(config5(), 1)
+
+    print(json.dumps(results, indent=1))
+
+    with open('BENCHMARKS.md', 'w') as f:
+        f.write('# Benchmark results (BASELINE.md configs)\n\n')
+        f.write('Device: %s x%d\n\n' % (jax.devices()[0].device_kind,
+                                        len(jax.devices())))
+        f.write('| Config | Result |\n|---|---|\n')
+        for key, value in results.items():
+            f.write('| %s | %s |\n' % (key, value))
+        f.write('\nHeadline metric: see bench.py / BENCH_r*.json. '
+                'The reference publishes no numbers (BASELINE.md); its '
+                'implied target is ~30 fps realtime DV playback.\n')
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

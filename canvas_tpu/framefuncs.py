@@ -284,3 +284,28 @@ def get_rgba_f32(func, frame):
     vals = _eval1(func, frame).astype(np.float32)
     return rgba(float(vals[0]), float(vals[1]), float(vals[2]),
                 float(np.clip(vals[3], 0.0, 1.0)))
+
+
+# --- batched evaluation (used by the render planner) -------------------------
+
+def _lround_array(x):
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+def get_box2i_array(func, frames):
+    """Vectorized get_box2i over a frame array -> list of box2i."""
+    vals = func.get_values_array(np.asarray(frames, dtype=np.float64))
+    r = _lround_array(vals)
+    return [box2i(int(r[i, 0]), int(r[i, 1]), int(r[i, 2]), int(r[i, 3]))
+            for i in range(len(r))]
+
+
+def get_v2f_array(func, frames):
+    """Vectorized get_v2f -> float32 (N, 2) array."""
+    vals = func.get_values_array(np.asarray(frames, dtype=np.float64))
+    return vals[:, :2].astype(np.float32).astype(np.float64)
+
+
+def get_f32_array(func, frames):
+    vals = func.get_values_array(np.asarray(frames, dtype=np.float64))
+    return vals[:, 0].astype(np.float32)

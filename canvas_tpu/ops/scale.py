@@ -151,6 +151,39 @@ def axis_taps(factor, t_lo, t_hi, s_lo, s_hi, t_point, s_point):
     return pos, w, touched
 
 
+def axis_taps_batch(factors, t_lo, t_hi, s_los, s_his, t_points, s_points):
+    """Vectorized :func:`axis_taps` over a batch of per-frame parameters.
+
+    factors/s_los/s_his/t_points/s_points: arrays of shape (B,). Returns
+    (pos (B, T, K) int32, w (B, T, K) f32, touched (B, T) bool) with one
+    shared K = max over the batch (extra taps have weight 0).
+    """
+    factors = np.asarray(factors, np.float64)
+    t = np.arange(t_lo, t_hi + 1, dtype=np.float64)[None, :]   # (1, T)
+    f = factors[:, None]
+    width = np.where(f > 1.0, 1.0, 1.0 / f)
+    g = (t - np.asarray(t_points, np.float64)[:, None]) / f + \
+        np.asarray(s_points, np.float64)[:, None]              # (B, T)
+    left = np.floor(g - width).astype(np.int64) + 1
+    right = np.ceil(g + width).astype(np.int64) - 1
+    K = int(max(1, (right - left).max() + 1))
+    pos = left[:, :, None] + np.arange(K)[None, None, :]
+    in_support = pos <= right[:, :, None]
+    dist = np.abs(pos - g[:, :, None]) / width[:, :, None]
+    w = np.where(in_support, 1.0 - dist, 0.0).astype(np.float32)
+    norm = (factors <= 1.0)[:, None, None]
+    sums = w.sum(axis=2, keepdims=True)
+    w = np.where(norm & (sums != 0.0),
+                 w / np.where(sums != 0.0, sums, 1.0), w)
+    lo = np.asarray(s_los, np.int64)[:, None, None]
+    hi = np.asarray(s_his, np.int64)[:, None, None]
+    in_window = (pos >= lo) & (pos <= hi)
+    w = np.where(in_window, w, 0.0).astype(np.float32)
+    touched = (in_window & in_support).any(axis=2)
+    pos = np.clip(pos, lo, hi).astype(np.int32)
+    return pos, w, touched
+
+
 def _touched_range(touched, lo):
     idx = np.nonzero(touched)[0]
     if idx.size == 0:

@@ -91,6 +91,46 @@ def _rel_box(window, full):
             clipped.min.x - full.min.x, clipped.max.x - full.min.x)
 
 
+def windows_to_array(windows):
+    """List of box2i -> (B, 4) int64 [x0, y0, x1, y1] (empty boxes keep
+    their max<min encoding). Vectorized window algebra for the planner."""
+    out = np.empty((len(windows), 4), np.int64)
+    for i, w in enumerate(windows):
+        mn, mx = w
+        out[i, 0] = mn[0]
+        out[i, 1] = mn[1]
+        out[i, 2] = mx[0]
+        out[i, 3] = mx[1]
+    return out
+
+
+def array_to_windows(arr):
+    from canvas_tpu.basetypes import EMPTY_BOX2I as _E
+    result = []
+    for x0, y0, x1, y1 in arr.tolist():
+        if x1 < x0 or y1 < y0:
+            result.append(_E)
+        else:
+            result.append(box2i(x0, y0, x1, y1))
+    return result
+
+
+def rel_box_array(windows, full):
+    """Windows (list of box2i or (B,4) array) -> (B, 4) int32
+    [y0, y1, x0, x1] relative to *full*, clipped; empty -> (0,-1,0,-1)."""
+    arr = windows if isinstance(windows, np.ndarray) \
+        else windows_to_array(windows)
+    x0 = np.maximum(arr[:, 0], full.min.x) - full.min.x
+    y0 = np.maximum(arr[:, 1], full.min.y) - full.min.y
+    x1 = np.minimum(arr[:, 2], full.max.x) - full.min.x
+    y1 = np.minimum(arr[:, 3], full.max.y) - full.min.y
+    empty = (x1 < x0) | (y1 < y0)
+    out = np.stack([np.where(empty, 0, y0), np.where(empty, -1, y1),
+                    np.where(empty, 0, x0), np.where(empty, -1, x1)],
+                   axis=1)
+    return out.astype(np.int32)
+
+
 class PlanContext:
     """Planning context handed to ``VideoSource.emit``.
 
@@ -114,14 +154,19 @@ class PlanContext:
     def solid(self, colors, windows):
         """colors: (B,4) f32; windows: list of box2i per frame."""
         B = len(self.frames)
-        clipped = [box2i_intersect(w, self.window) for w in windows]
-        rel = np.asarray([_rel_box(w, self.window) for w in clipped],
-                         dtype=np.int32)
+        arr = windows_to_array(windows)
+        full = self.window
+        clipped_arr = np.stack([
+            np.maximum(arr[:, 0], full.min.x),
+            np.maximum(arr[:, 1], full.min.y),
+            np.minimum(arr[:, 2], full.max.x),
+            np.minimum(arr[:, 3], full.max.y)], axis=1)
+        rel = rel_box_array(clipped_arr, full)
         return Node('solid',
                     static=(self.window.height, self.window.width),
                     params={'color': np.asarray(colors, np.float32),
                             'box': rel.reshape(B, 4)},
-                    windows=clipped)
+                    windows=array_to_windows(clipped_arr))
 
     def stage(self, source):
         """Host-pull fallback: pull every frame now and ship the batch."""
@@ -233,6 +278,60 @@ def _eval(node_sig, params_iter, jnp, jax):
                          preferred_element_type=jnp.float32)
         return jnp.einsum('bxw,bcyw->bcyx', Wx, tmp, precision='highest',
                           preferred_element_type=jnp.float32)
+
+    if op == 'scale_taps_dyn':
+        # Animated resample with taps computed ON DEVICE from per-frame
+        # scalars (factor/points/window bounds). Same math as the
+        # host-built taps in ops/scale.axis_taps_batch, but the host ships
+        # only (B,)-sized params and the VPU builds the (B, T, K) weights
+        # inside the fused program — planning cost and H2D traffic drop
+        # to almost nothing.
+        child = _eval(child_sigs[0], params_iter, jnp, jax)
+        (t_lo_y, t_lo_x, Ky, Kx, Ty, Tx) = static
+
+        def axis(fv, tp, sp, lo, hi, t_lo, T, K, S):
+            t = jax.lax.broadcasted_iota(jnp.float32, (1, T), 1) + t_lo
+            f = fv[:, None]
+            width = jnp.where(f > 1.0, 1.0, 1.0 / f)
+            g = (t - tp[:, None]) / f + sp[:, None]
+            left = jnp.floor(g - width) + 1.0
+            k = jax.lax.broadcasted_iota(jnp.float32, (1, 1, K), 2)
+            pos = left[:, :, None] + k
+            dist = jnp.abs(pos - g[:, :, None]) / width[:, :, None]
+            w = jnp.maximum(0.0, 1.0 - dist)
+            sums = jnp.sum(w, axis=2, keepdims=True)
+            w = jnp.where((f <= 1.0)[:, :, None] & (sums != 0.0),
+                          w / jnp.where(sums != 0.0, sums, 1.0), w)
+            in_window = ((pos >= lo[:, None, None]) &
+                         (pos <= hi[:, None, None]))
+            w = jnp.where(in_window, w, 0.0)
+            idx = jnp.clip(pos, 0, S - 1).astype(jnp.int32)
+            return idx, w
+
+        Sy, Sx = child.shape[2], child.shape[3]
+        iy, wy = axis(params['fy'], params['tpy'], params['spy'],
+                      params['yl'], params['yh'], t_lo_y, Ty, Ky, Sy)
+        ix, wx = axis(params['fx'], params['tpx'], params['spx'],
+                      params['xl'], params['xh'], t_lo_x, Tx, Kx, Sx)
+
+        def gather_rows(ch, idx):
+            return ch[:, idx, :]
+
+        def gather_cols(ch, idx):
+            return ch[:, :, idx]
+
+        grows = jax.vmap(gather_rows)
+        gcols = jax.vmap(gather_cols)
+        out = None
+        for k in range(Ky):
+            term = grows(child, iy[:, :, k]) * wy[:, :, k][:, None, :, None]
+            out = term if out is None else out + term
+        child = out
+        out = None
+        for k in range(Kx):
+            term = gcols(child, ix[:, :, k]) * wx[:, :, k][:, None, None, :]
+            out = term if out is None else out + term
+        return out
 
     if op == 'scale_taps':
         # Animated resample: K gathered taps per output sample per axis.

@@ -14,7 +14,7 @@ import numpy as np
 
 from canvas_tpu import backend, framefuncs
 from canvas_tpu.basetypes import (EMPTY_BOX2I, INFINITE_BOX2I, box2i,
-                                  box2i_intersect, box2i_union)
+                                  box2i_intersect, box2i_union, v2f)
 from canvas_tpu.frames import RgbaFrameF16, RgbaFrameF32, VideoSource
 from canvas_tpu.ops import mix as mix_ops
 from canvas_tpu.ops import scale as scale_ops
@@ -557,7 +557,7 @@ def _solid_emit(self, ctx):
     vals = self._color.get_values_array(frames).astype(np.float32)
     colors = vals.copy()
     colors[:, 3] = np.clip(colors[:, 3], 0.0, 1.0)
-    wins = [framefuncs.get_box2i(self._window, float(f)) for f in frames]
+    wins = framefuncs.get_box2i_array(self._window, frames)
     return ctx.solid(colors, wins)
 
 
@@ -598,8 +598,7 @@ def _mix_emit(self, ctx):
     from canvas_tpu.render import Node
     a = ctx.plan(self.src_a)
     b = ctx.plan(self.src_b)
-    mix = np.asarray([framefuncs.get_f32(self.mix_b, int(f))
-                      for f in ctx.frames], np.float32)
+    mix = framefuncs.get_f32_array(self.mix_b, ctx.frames)
     windows = [box2i_intersect(_union_defined(aw, bw), ctx.window)
                if not (aw.empty() and bw.empty()) else EMPTY_BOX2I
                for aw, bw in zip(a.windows, b.windows)]
@@ -619,12 +618,10 @@ def _gain_emit(self, ctx):
     from canvas_tpu.render import Node, _rel_box
     child = ctx.plan(self.source)
     B = len(ctx.frames)
-    gain = np.asarray([framefuncs.get_f32(self.gain, int(f))
-                       for f in ctx.frames], np.float32)
-    offset = np.asarray([framefuncs.get_f32(self.offset, int(f))
-                         for f in ctx.frames], np.float32)
-    box = np.asarray([_rel_box(w, ctx.window) for w in child.windows],
-                     np.int32).reshape(B, 4)
+    gain = framefuncs.get_f32_array(self.gain, ctx.frames)
+    offset = framefuncs.get_f32_array(self.offset, ctx.frames)
+    from canvas_tpu.render import rel_box_array
+    box = rel_box_array(child.windows, ctx.window)
     return Node('gain_offset',
                 params={'gain': gain, 'offset': offset, 'box': box},
                 children=[child], windows=list(child.windows))
@@ -696,21 +693,35 @@ def _ws_emit(self, ctx):
     if len(children) == 1:
         return children[0]
 
-    # Window algebra mirrors VideoWorkspace._render_f32
-    windows = list(children[0].windows)
+    # Window algebra mirrors VideoWorkspace._render_f32, vectorized:
+    # under empty -> clipped over; over empty -> under; else clipped union
+    from canvas_tpu.render import array_to_windows, windows_to_array
+    full = ctx.window
+    fullbox = np.asarray([full.min.x, full.min.y, full.max.x, full.max.y],
+                         np.int64)
+    acc = windows_to_array(children[0].windows)
     for child in children[1:]:
-        new = []
-        for under, over in zip(windows, child.windows):
-            if under.empty():
-                new.append(box2i_intersect(over, ctx.window)
-                           if not over.empty() else EMPTY_BOX2I)
-            elif over.empty():
-                new.append(under)
-            else:
-                new.append(box2i_intersect(_union_defined(under, over),
-                                           ctx.window))
-        windows = new
-    return Node('over_stack', children=children, windows=windows)
+        over = windows_to_array(child.windows)
+        under_empty = (acc[:, 2] < acc[:, 0]) | (acc[:, 3] < acc[:, 1])
+        over_empty = (over[:, 2] < over[:, 0]) | (over[:, 3] < over[:, 1])
+        union = np.stack([np.minimum(acc[:, 0], over[:, 0]),
+                          np.minimum(acc[:, 1], over[:, 1]),
+                          np.maximum(acc[:, 2], over[:, 2]),
+                          np.maximum(acc[:, 3], over[:, 3])], axis=1)
+        merged = np.where(under_empty[:, None], over,
+                          np.where(over_empty[:, None], acc, union))
+        # clip to the target window unless keeping `under` unchanged
+        clipped = np.stack([np.maximum(merged[:, 0], fullbox[0]),
+                            np.maximum(merged[:, 1], fullbox[1]),
+                            np.minimum(merged[:, 2], fullbox[2]),
+                            np.minimum(merged[:, 3], fullbox[3])], axis=1)
+        both_empty = under_empty & over_empty
+        keep_under = (~under_empty) & over_empty
+        acc = np.where(keep_under[:, None], acc,
+                       np.where(both_empty[:, None],
+                                np.asarray([0, 0, -1, -1], np.int64), clipped))
+    return Node('over_stack', children=children,
+                windows=array_to_windows(acc))
 
 
 VideoWorkspace.plan_cuts = _ws_plan_cuts
@@ -730,11 +741,13 @@ def _scaler_emit(self, ctx):
         return _emit_empty(ctx)
 
     B = len(ctx.frames)
-    tps = [framefuncs.get_v2f(self.target_point, int(f)) for f in ctx.frames]
-    sps = [framefuncs.get_v2f(self.source_point, int(f)) for f in ctx.frames]
-    fs = [framefuncs.get_v2f(self.scale_factors, int(f)) for f in ctx.frames]
-    rects = [framefuncs.get_box2i(self.source_rect, int(f))
-             for f in ctx.frames]
+    tp_arr = framefuncs.get_v2f_array(self.target_point, ctx.frames)
+    sp_arr = framefuncs.get_v2f_array(self.source_point, ctx.frames)
+    f_arr = framefuncs.get_v2f_array(self.scale_factors, ctx.frames)
+    tps = [v2f(*row) for row in tp_arr]
+    sps = [v2f(*row) for row in sp_arr]
+    fs = [v2f(*row) for row in f_arr]
+    rects = framefuncs.get_box2i_array(self.source_rect, ctx.frames)
 
     if any(f.x == 0.0 or f.y == 0.0 for f in fs):
         if all(f.x == 0.0 or f.y == 0.0 for f in fs):
@@ -786,49 +799,67 @@ def _scaler_emit(self, ctx):
         return Node('scale', params={'wy': Wy, 'wx': Wx}, children=[child],
                     windows=[out_window] * B)
 
-    # Animated: per-frame gather taps. Frames whose child window is empty
-    # keep all-zero weights (the gathered result is zero everywhere).
-    per_frame = []                      # (iy, wy, ix, wx) or None
-    windows = []
-    for tp, sp, f, cw in zip(tps, sps, fs, child.windows):
-        if cw.empty():
-            per_frame.append(None)
-            windows.append(EMPTY_BOX2I)
-            continue
-        py, wy1, ty = scale_ops.axis_taps(f.y, full.min.y, full.max.y,
-                                          cw.min.y, cw.max.y, tp.y, sp.y)
-        px, wx1, tx = scale_ops.axis_taps(f.x, full.min.x, full.max.x,
-                                          cw.min.x, cw.max.x, tp.x, sp.x)
-        per_frame.append((py - fetch.min.y, wy1, px - fetch.min.x, wx1))
-        yr = np.nonzero(ty)[0]
-        xr = np.nonzero(tx)[0]
-        if yr.size and xr.size:
-            windows.append(box2i(int(xr[0]) + full.min.x,
-                                 int(yr[0]) + full.min.y,
-                                 int(xr[-1]) + full.min.x,
-                                 int(yr[-1]) + full.min.y))
-        else:
-            windows.append(EMPTY_BOX2I)
-
-    if all(v is None for v in per_frame):
+    # Animated: taps are computed ON DEVICE from per-frame scalars
+    # (render.py 'scale_taps_dyn'). Host work is just window metadata.
+    empty_mask = np.asarray([cw.empty() for cw in child.windows])
+    if empty_mask.all():
         return _emit_empty(ctx)
 
-    Ky = max(v[1].shape[1] for v in per_frame if v is not None)
-    Kx = max(v[3].shape[1] for v in per_frame if v is not None)
-    iy = np.zeros((B, full.height, Ky), np.int32)
-    wy = np.zeros((B, full.height, Ky), np.float32)
-    ix = np.zeros((B, full.width, Kx), np.int32)
-    wx = np.zeros((B, full.width, Kx), np.float32)
-    for i, v in enumerate(per_frame):
-        if v is None:
-            continue
-        iy[i, :, :v[0].shape[1]] = v[0]
-        wy[i, :, :v[1].shape[1]] = v[1]
-        ix[i, :, :v[2].shape[1]] = v[2]
-        wx[i, :, :v[3].shape[1]] = v[3]
-    return Node('scale_taps',
-                params={'iy': iy, 'wy': wy, 'ix': ix, 'wx': wx},
-                children=[child], windows=windows)
+    def bounds(sel):
+        los = np.asarray([getattr(cw.min, sel) if not cw.empty() else 1
+                          for cw in child.windows], np.float64)
+        his = np.asarray([getattr(cw.max, sel) if not cw.empty() else 0
+                          for cw in child.windows], np.float64)
+        return los, his
+
+    ylo, yhi = bounds('y')
+    xlo, xhi = bounds('x')
+    fy, fx = f_arr[:, 1], f_arr[:, 0]
+    tpy, tpx = tp_arr[:, 1], tp_arr[:, 0]
+    spy, spx = sp_arr[:, 1], sp_arr[:, 0]
+
+    # Static K per axis: integers strictly inside a 2*width support
+    wy_max = float(np.max(np.where(fy > 1.0, 1.0, 1.0 / fy)))
+    wx_max = float(np.max(np.where(fx > 1.0, 1.0, 1.0 / fx)))
+    Ky = int(np.ceil(2.0 * wy_max)) + 1
+    Kx = int(np.ceil(2.0 * wx_max)) + 1
+
+    # Output windows: t where the filter support can reach the source
+    # window — interval algebra, conservative by at most one pixel at
+    # each edge (the extra rows/cols carry zero weights, so data is
+    # unaffected).
+    def out_range(f, tp, sp, lo, hi, t_min, t_max):
+        width = np.where(f > 1.0, 1.0, 1.0 / f)
+        t_low = (lo - width - sp) * f + tp
+        t_high = (hi + width - sp) * f + tp
+        lo_i = np.maximum(np.floor(t_low) + 1, t_min)
+        hi_i = np.minimum(np.ceil(t_high) - 1, t_max)
+        return lo_i.astype(np.int64), hi_i.astype(np.int64)
+
+    y0, y1 = out_range(fy, tpy, spy, ylo, yhi, full.min.y, full.max.y)
+    x0, x1 = out_range(fx, tpx, spx, xlo, xhi, full.min.x, full.max.x)
+    windows = []
+    for i in range(B):
+        if empty_mask[i] or y1[i] < y0[i] or x1[i] < x0[i]:
+            windows.append(EMPTY_BOX2I)
+        else:
+            windows.append(box2i(int(x0[i]), int(y0[i]),
+                                 int(x1[i]), int(y1[i])))
+
+    return Node(
+        'scale_taps_dyn',
+        static=(full.min.y, full.min.x, Ky, Kx, full.height, full.width),
+        params={
+            'fy': fy.astype(np.float32), 'fx': fx.astype(np.float32),
+            'tpy': tpy.astype(np.float32), 'tpx': tpx.astype(np.float32),
+            'spy': (spy - fetch.min.y).astype(np.float32),
+            'spx': (spx - fetch.min.x).astype(np.float32),
+            'yl': (ylo - fetch.min.y).astype(np.float32),
+            'yh': (yhi - fetch.min.y).astype(np.float32),
+            'xl': (xlo - fetch.min.x).astype(np.float32),
+            'xh': (xhi - fetch.min.x).astype(np.float32),
+        },
+        children=[child], windows=windows)
 
 
 VideoScaler.plan_cuts = _scaler_plan_cuts
