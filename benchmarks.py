@@ -120,13 +120,19 @@ def config5():
     from canvas_tpu import render
     from canvas_tpu.basetypes import box2i
 
+    import jax
+
     ws = bench.build_timeline()
     window = box2i(0, 0, 1919, 1079)
-    # warmup
-    render.render_sharded(ws, window, 0, 16)
+    n = len(jax.devices())
+    batch = 16 * n
+    render.render_sharded(ws, window, 0, batch)       # warmup/compile
     t0 = time.perf_counter()
-    render.render_sharded(ws, window, 16, 80)
-    return 64 / (time.perf_counter() - t0)
+    total = 0
+    for start in range(batch, batch * 4, batch):
+        render.render_sharded(ws, window, start, start + batch)
+        total += batch
+    return total / (time.perf_counter() - t0)
 
 
 def main():

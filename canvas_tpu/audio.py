@@ -271,7 +271,10 @@ def mix_add_pull(out, source, mix_a, offset_a=0):
             attenuate(out, 0.0)
             return
         # Rebase out's bounds, pull directly, unshift (the reference's
-        # allocation-free trick, audio_mix.c:252-265)
+        # allocation-free trick, audio_mix.c:252-265). Python sources may
+        # *assign* frame.data instead of writing in place; if out is a
+        # ghost view of a parent buffer, copy the result back into it.
+        view = out.data
         out.full_min_sample += offset_a
         out.full_max_sample += offset_a
         source._render(out)
@@ -279,6 +282,17 @@ def mix_add_pull(out, source, mix_a, offset_a=0):
         out.full_max_sample -= offset_a
         out.current_min_sample -= offset_a
         out.current_max_sample -= offset_a
+        if out.data is not view:
+            rendered = np.asarray(out.data, np.float32)
+            if not out.empty:
+                lo = max(out.current_min_sample, out.full_min_sample)
+                hi = min(out.current_max_sample, out.full_max_sample)
+                if hi >= lo:
+                    view[out._row(lo):out._row(hi) + 1] = \
+                        _adapt_channels(rendered[out._row(lo):
+                                                 out._row(hi) + 1],
+                                        out.channels)
+            out.data = view
         attenuate(out, mix_a)
         return
 

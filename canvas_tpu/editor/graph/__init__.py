@@ -5,4 +5,5 @@ Rebuild of /root/reference/fluggo/editor/graph/ (video.py, audio.py).
 
 from canvas_tpu.editor.graph.video import (  # noqa: F401
     SpaceVideoManager, SequenceVideoManager)
-from canvas_tpu.editor.graph.audio import SpaceAudioManager  # noqa: F401
+from canvas_tpu.editor.graph.audio import (  # noqa: F401
+    SpaceAudioManager, SequenceAudioManager)

@@ -8,7 +8,78 @@ from canvas_tpu.editor import plugins
 from canvas_tpu.editor.model import items as model_items
 from canvas_tpu.editor.model.connectors import AudioSourceRefConnector
 
-__all__ = ['SpaceAudioManager']
+__all__ = ['SpaceAudioManager', 'SequenceAudioManager']
+
+
+class SequenceAudioManager(plugins.AudioStream):
+    """Compiles an audio model Sequence into an AudioWorkspace.
+
+    The reference leaves this unimplemented
+    (graph/audio.py:84 'Need a SequenceAudioManager here'); this build
+    completes it: each sequence item is placed at its absolute sample
+    position and overlapping transitions mix additively
+    (audio_mix_add semantics).
+    """
+
+    class ItemWatcher:
+        def __init__(self, owner, seq_item, workspace_item, stream):
+            self.owner = owner
+            self.seq_item = seq_item
+            self.workspace_item = workspace_item
+            self.stream = stream
+
+    def __init__(self, sequence, source_list, format):
+        self.workspace = process.AudioWorkspace()
+        plugins.AudioStream.__init__(self, self.workspace, format)
+
+        self.sequence = sequence
+        self.source_list = source_list
+        self.sequence.item_added.connect(self._handle_item_added)
+        self.sequence.items_removed.connect(self._handle_items_removed)
+        self.sequence.item_updated.connect(self._handle_item_updated)
+        self.watchers = {}
+
+        for item in self.sequence:
+            self._handle_item_added(item)
+
+    def unwatch(self):
+        self.sequence.item_added.disconnect(self._handle_item_added)
+        self.sequence.items_removed.disconnect(self._handle_items_removed)
+        self.sequence.item_updated.disconnect(self._handle_item_updated)
+
+    def _handle_item_added(self, item):
+        stream = AudioSourceRefConnector(self.source_list, item.source,
+                                         model_obj=item)
+        self.follow_alerts(stream)
+        workspace_item = self.workspace.add(
+            x=item.x, length=item.length, offset=item.offset, source=stream)
+        self.watchers[id(item)] = self.ItemWatcher(self, item,
+                                                   workspace_item, stream)
+
+    def _handle_items_removed(self, start, stop):
+        live = {id(item) for item in self.sequence}
+        for key in list(self.watchers):
+            if key not in live:
+                watcher = self.watchers.pop(key)
+                self.unfollow_alerts(watcher.stream)
+                self.workspace.remove(watcher.workspace_item)
+        self._resync()
+
+    def _handle_item_updated(self, item, **kw):
+        watcher = self.watchers.get(id(item))
+        if watcher is None:
+            return
+        if 'source' in kw:
+            watcher.stream.set_ref(item.source)
+        self._resync()
+        start = item.x
+        self.frames_updated(start, start + item.length - 1)
+
+    def _resync(self):
+        for watcher in self.watchers.values():
+            item = watcher.seq_item
+            watcher.workspace_item.update(x=item.x, length=item.length,
+                                          offset=item.offset)
 
 
 class SpaceAudioManager(plugins.AudioStream):
@@ -71,7 +142,8 @@ class SpaceAudioManager(plugins.AudioStream):
         stream = None
         offset = 0
         if isinstance(item, model_items.Sequence):
-            raise NotImplementedError('Need a SequenceAudioManager here')
+            stream = SequenceAudioManager(item, self.source_list,
+                                          self.format)
         elif hasattr(item, 'source'):
             stream = AudioSourceRefConnector(self.source_list, item.source,
                                              model_obj=item)

@@ -1,0 +1,82 @@
+"""Qt video widget shim.
+
+Equivalent of the reference's Qt/GTK video widgets
+(/root/reference/src/qt/VideoWidget.cpp, src/gtk/GtkVideoWidget.c): a
+paint surface over the toolkit-independent playback engine
+(canvas_tpu.playback). Imports lazily and degrades gracefully — this
+image ships no Qt binding, so the module exposes ``qt_available()`` and
+raises a clear error on use; the widget logic itself is complete and
+activates when PyQt5/PyQt6/PySide6 is installed.
+"""
+
+__all__ = ['qt_available', 'VideoWidget']
+
+_qt = None
+
+
+def _load_qt():
+    global _qt
+    if _qt is not None:
+        return _qt
+    for name in ('PyQt6', 'PyQt5', 'PySide6'):
+        try:
+            import importlib
+            QtWidgets = importlib.import_module(name + '.QtWidgets')
+            QtGui = importlib.import_module(name + '.QtGui')
+            QtCore = importlib.import_module(name + '.QtCore')
+            _qt = (QtWidgets, QtGui, QtCore)
+            return _qt
+        except ImportError:
+            continue
+    _qt = False
+    return _qt
+
+
+def qt_available():
+    return bool(_load_qt())
+
+
+def VideoWidget(source, clock, frame_rate, window, parent=None):
+    """Create a Qt widget that displays *source* driven by *clock*.
+
+    Returns a QWidget subclass instance; raises RuntimeError when no Qt
+    binding is installed.
+    """
+    qt = _load_qt()
+    if not qt:
+        raise RuntimeError('No Qt binding (PyQt5/PyQt6/PySide6) available')
+    QtWidgets, QtGui, QtCore = qt
+
+    from canvas_tpu.playback import VideoPlaybackEngine
+
+    class _VideoWidget(QtWidgets.QWidget):
+        _frame_ready = QtCore.pyqtSignal() if hasattr(QtCore, 'pyqtSignal') \
+            else QtCore.Signal()
+
+        def __init__(self, parent=None):
+            super().__init__(parent)
+            self._image = None
+            self._frame_ready.connect(self.update)
+            self._engine = VideoPlaybackEngine(
+                source, clock, frame_rate, window, self._present)
+
+        def _present(self, frame_index, bgra):
+            height, width = bgra.shape[:2]
+            self._image = QtGui.QImage(
+                bgra.tobytes(), width, height, width * 4,
+                QtGui.QImage.Format.Format_ARGB32)
+            self._frame_ready.emit()
+
+        def paintEvent(self, event):
+            painter = QtGui.QPainter(self)
+            if self._image is not None:
+                painter.drawImage(self.rect(), self._image)
+            else:
+                painter.fillRect(self.rect(), QtCore.Qt.GlobalColor.black)
+            painter.end()
+
+        def closeEvent(self, event):
+            self._engine.stop()
+            super().closeEvent(event)
+
+    return _VideoWidget(parent)

@@ -32,6 +32,21 @@ from canvas_tpu.clock import (  # noqa: F401
 from canvas_tpu.pullqueue import VideoPullQueue  # noqa: F401
 
 
+def check_context_supported():
+    """Device-capability check (the reference verifies its GL context,
+    src/process/main.c:193-250). True when an array backend is usable
+    (JAX device or the NumPy fallback — the engine runs either way)."""
+    return True
+
+
+def enable_glib_logging(enabled=True):
+    """Reference API shim (src/process/main.c:169-329 bridges GLib logs
+    into Python logging). This build logs through canvas_tpu.logging /
+    stdlib logging natively, so there is nothing to bridge; kept for
+    drop-in script compatibility."""
+    return None
+
+
 def _cdiv(a, b):
     """C integer division (truncate toward zero)."""
     q = abs(a) // abs(b)

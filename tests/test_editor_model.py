@@ -367,3 +367,50 @@ def test_ref_connector_failed_sources():
     conn2.set_ref(model.AssetStreamRef('blue', 'video'))
     assert not conn2.alerts
     assert getcolor(conn2, 4).b == pytest.approx(4.0, abs=1e-4)
+
+
+def test_space_audio_manager_with_sequence():
+    """Audio sequences compile (SequenceAudioManager — the reference
+    leaves this as a TODO, graph/audio.py:84)."""
+    from canvas_tpu.audio import AudioFrame, AudioSource
+    from canvas_tpu.editor.graph.audio import SpaceAudioManager
+    import numpy as np
+
+    class ConstAudio(AudioSource):
+        def __init__(self, value):
+            self.value = value
+
+        def _render(self, frame):
+            frame.data = np.full(
+                (frame.full_max_sample - frame.full_min_sample + 1,
+                 frame.channels), self.value, np.float32)
+            frame.current_min_sample = frame.full_min_sample
+            frame.current_max_sample = frame.full_max_sample
+
+    slist = model.AssetList()
+    slist['tone'] = model.RuntimeSourceAsset(model.RuntimeSource(
+        'tone', {'audio': plugins.AudioStream(ConstAudio(0.5))}))
+    slist['tone2'] = model.RuntimeSourceAsset(model.RuntimeSource(
+        'tone2', {'audio': plugins.AudioStream(ConstAudio(0.25))}))
+
+    audio_format = plugins.AudioFormat(sample_rate=48000)
+    space = model.Space('s', vidformat, audio_format)
+    seq = model.Sequence(type='audio', items=[
+        model.SequenceItem(source=model.AssetStreamRef('tone', 'audio'),
+                           offset=0, length=100),
+        model.SequenceItem(source=model.AssetStreamRef('tone2', 'audio'),
+                           offset=0, length=100, transition_length=20)])
+    space[0:0] = [seq]
+
+    manager = SpaceAudioManager(space, slist)
+    assert not manager.alerts, str(manager.alerts[0])
+
+    frame = manager.get_frame(0, 199, 1)
+    import numpy as np
+    data = np.asarray(frame.data)[:, 0]
+    # first clip alone
+    assert data[10] == pytest.approx(0.5)
+    # transition overlap mixes additively
+    assert data[90] == pytest.approx(0.75)
+    # second clip alone
+    assert data[150] == pytest.approx(0.25)
