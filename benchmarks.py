@@ -103,7 +103,11 @@ def config4():
     planner = render.RenderPlanner(ws, box2i(0, 0, 1919, 1079))
     fps = timeit_batches(planner, 16, 128)
 
-    # p50 single-frame pull latency on the same graph
+    # p50 single-frame pull latency on the same graph (warm the
+    # B=1 program first so we measure steady state, not compilation)
+    out = planner.render(199, 200, device_out=True)
+    if hasattr(out, 'block_until_ready'):
+        out.block_until_ready()
     lat = []
     for i in range(20):
         t0 = time.perf_counter()
@@ -126,12 +130,16 @@ def config5():
     window = box2i(0, 0, 1919, 1079)
     n = len(jax.devices())
     batch = 16 * n
-    render.render_sharded(ws, window, 0, batch)       # warmup/compile
+    out = render.render_sharded(ws, window, 0, batch,
+                                device_out=True)      # warmup/compile
+    out.block_until_ready()
     t0 = time.perf_counter()
     total = 0
     for start in range(batch, batch * 4, batch):
-        render.render_sharded(ws, window, start, start + batch)
+        out = render.render_sharded(ws, window, start, start + batch,
+                                    device_out=True)
         total += batch
+    out.block_until_ready()
     return total / (time.perf_counter() - t0)
 
 

@@ -247,3 +247,54 @@ def _dvrecon_emit(self, ctx):
 
 
 DVReconstructionFilter.emit = _dvrecon_emit
+
+
+def _pulldown_plan_cuts(self, start, stop):
+    if self.source is not None and hasattr(self.source, 'plan_cuts'):
+        # Child cuts can't be mapped exactly (frame mapping is
+        # non-affine); conservatively cut where the child would
+        return self.source.plan_cuts(start, stop)
+    return []
+
+
+def _pulldown_emit(self, ctx):
+    """Batched node handling solid and mixed cadence frames in one
+    program: every frame interleaves child pulls a and b, where solid
+    frames use b == a with an empty row mask (identity). This keeps
+    batches intact across the 4-frame cadence
+    (Pulldown23RemovalFilter.c:47-104)."""
+    from canvas_tpu.render import Node
+    from canvas_tpu.sources import _emit_empty
+
+    if self.source is None:
+        return _emit_empty(ctx)
+
+    maps = [self._map(int(f)) for f in ctx.frames]
+    frames_a = np.asarray([a for (a, _b) in maps], np.int64)
+    frames_b = np.asarray([a if b is None else b for (a, b) in maps],
+                          np.int64)
+    mixed = np.asarray([b is not None for (_a, b) in maps])
+
+    child_a = ctx.with_frames(frames_a).plan(self.source)
+    if not mixed.any():
+        return child_a
+    child_b = ctx.with_frames(frames_b).plan(self.source)
+
+    # Even absolute rows >= (window.min.y + 1) & ~1 come from frame b;
+    # solid frames get an empty mask. Window metadata follows frame a
+    # (the reference leaves the a-pull's current_window untouched).
+    starts = np.asarray(
+        [((w.min.y + 1) & ~1) if (m and not w.empty()) else 0
+         for w, m in zip(child_a.windows, mixed)], np.int32)
+    ends = np.asarray(
+        [w.max.y if (m and not w.empty()) else -1
+         for w, m in zip(child_a.windows, mixed)], np.int32)
+    return Node('field_interleave',
+                static=(ctx.window.min.y,),
+                params={'start_y': starts, 'end_y': ends},
+                children=[child_a, child_b],
+                windows=list(child_a.windows))
+
+
+Pulldown23RemovalFilter.plan_cuts = _pulldown_plan_cuts
+Pulldown23RemovalFilter.emit = _pulldown_emit

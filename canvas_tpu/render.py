@@ -279,6 +279,20 @@ def _eval(node_sig, params_iter, jnp, jax):
         return jnp.einsum('bxw,bcyw->bcyx', Wx, tmp, precision='highest',
                           preferred_element_type=jnp.float32)
 
+    if op == 'field_interleave':
+        # 2:3 pulldown mixed frame: even absolute rows in
+        # [start_y, end_y] come from child b, the rest from child a
+        # (Pulldown23RemovalFilter.c:81-104).
+        a = _eval(child_sigs[0], params_iter, jnp, jax)
+        b = _eval(child_sigs[1], params_iter, jnp, jax)
+        (min_y,) = static
+        H = a.shape[2]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H, 1), 2) + min_y
+        start = params['start_y'][:, None, None, None]
+        end = params['end_y'][:, None, None, None]
+        mask = (rows >= start) & (rows <= end) & (rows % 2 == 0)
+        return jnp.where(mask, b, a)
+
     if op == 'scale_taps_dyn':
         # Animated resample with taps computed ON DEVICE from per-frame
         # scalars (factor/points/window bounds). Same math as the
@@ -482,7 +496,8 @@ def render_frames(source, window, start, stop, **kw):
     return RenderPlanner(source, window).render(start, stop, **kw)
 
 
-def render_sharded(source, window, start, stop, mesh=None, axis='frames'):
+def render_sharded(source, window, start, stop, mesh=None, axis='frames',
+                   device_out=False):
     """Frame-parallel batched render across a device mesh.
 
     Shards the frame batch over *axis* of *mesh* (defaults to a 1-D mesh
@@ -509,6 +524,8 @@ def render_sharded(source, window, start, stop, mesh=None, axis='frames'):
         # Structure changes inside the range: render each segment
         # unsharded-batched and concatenate. (Scatter frames *within*
         # a segment; segments are usually >> shard count.)
+        if device_out:
+            raise ValueError('device_out requires a single-structure range')
         return np.concatenate([
             render_sharded(source, window, s0, s1, mesh=mesh, axis=axis)
             if (s1 - s0) % n == 0 else
@@ -532,4 +549,6 @@ def render_sharded(source, window, start, stop, mesh=None, axis='frames'):
     params = [{k: shard_param(v) for k, v in p.items()} for p in params]
     fn = _get_program(sig)
     out = fn(params)
+    if device_out:
+        return out
     return np.asarray(out)

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headless playback demo: media file -> decode -> (DV reconstruct +
+pulldown) -> workspace -> clock-driven playback engine.
+
+Port of the reference's GTK demo pipeline (/root/reference/main.py:64-98)
+without the widget: presents frames to a callback and reports achieved
+rate.
+
+Usage: play_demo.py INPUT [SECONDS]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get('CANVAS_FORCE_CPU'):
+    import jax
+
+    jax.config.update('jax_platforms', 'cpu')
+
+import time
+from fractions import Fraction
+
+
+def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 1
+    path = sys.argv[1]
+    seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
+
+    from canvas_tpu import libav, process
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.clock import SystemPresentationClock
+    from canvas_tpu.playback import VideoPlaybackEngine
+
+    container = libav.AVContainer(path)
+    video = next(s for s in container.streams if s.type == 'video')
+    rate = video.real_frame_rate or Fraction(30000, 1001)
+    width, height = video.frame_size
+    is_dv = video.codec == 'dvvideo'
+    container.close()
+
+    decoder = libav.AVVideoDecoder(path)
+    if is_dv:
+        source = process.Pulldown23RemovalFilter(
+            process.DVReconstructionFilter(decoder), 0)
+        window = box2i(0, -1, 719, 478)
+    else:
+        from canvas_tpu.editor.plugins.libav_plugin import _RgbaDecoderSource
+        source = _RgbaDecoderSource(decoder, width, height)
+        window = box2i(0, 0, width - 1, height - 1)
+
+    workspace = process.VideoWorkspace()
+    workspace.add(source=source, x=0, length=100000)
+
+    presented = []
+
+    def present(frame_index, bgra):
+        presented.append((time.perf_counter(), frame_index))
+
+    clock = SystemPresentationClock()
+    engine = VideoPlaybackEngine(workspace, clock, rate, window, present)
+    try:
+        clock.play(1)
+        time.sleep(seconds)
+        clock.stop()
+    finally:
+        engine.stop()
+
+    if len(presented) > 1:
+        span = presented[-1][0] - presented[0][0]
+        print('presented %d frames in %.2fs (%.1f fps; target %.2f)' % (
+            len(presented), span, (len(presented) - 1) / span, float(rate)))
+    else:
+        print('presented %d frames' % len(presented))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

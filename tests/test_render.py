@@ -197,3 +197,17 @@ def test_render_sharded_matches():
     got = render.render_sharded(ws, WINDOW, 0, 16)
     np.testing.assert_allclose(got.astype(np.float32),
                                want.astype(np.float32), atol=2e-3)
+
+
+def test_pulldown_batched_matches_pull():
+    """Pulldown removal renders batched, mixing solid and interleaved
+    cadence frames in one program."""
+    from canvas_tpu.coded import Pulldown23RemovalFilter
+
+    src = SolidColorVideoSource(LerpFunc((0, 0, 0, 1), (1, 1, 1, 1), 40))
+    filt = Pulldown23RemovalFilter(src, 2)
+    window = box2i(0, 0, 15, 15)
+    want, _ = pull_frames(filt, window, 0, 12)
+    got = render.render_frames(filt, window, 0, 12)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=2e-3)
