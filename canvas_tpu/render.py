@@ -473,6 +473,9 @@ class RenderPlanner:
         device_out=True returns the device array (no host copy).
         """
         jax, jnp = _jx()
+        # Staging cache lives for one render call: dedups host pulls that
+        # occur in multiple children of the same plan (e.g. pulldown)
+        self._stage_cache = {}
         outs = []
         for seg_start, seg_stop in self.segments(start, stop):
             frames = np.arange(seg_start, seg_stop, dtype=np.int64)
