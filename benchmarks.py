@@ -167,7 +167,12 @@ def main():
             f.write('| %s | %s |\n' % (key, value))
         f.write('\nHeadline metric: see bench.py / BENCH_r*.json. '
                 'The reference publishes no numbers (BASELINE.md); its '
-                'implied target is ~30 fps realtime DV playback.\n')
+                'implied target is ~30 fps realtime DV playback.\n\n'
+                'Note: this rig reaches the TPU through a network tunnel; '
+                'configs that stage host data per frame (config 3) are '
+                'bound by ~80 MB/s tunnel H2D, not by device compute '
+                '(device executes the same batch in <1 ms). On a local '
+                'PCIe host the staged path scales with ~10-30 GB/s.\n')
     return 0
 
 

@@ -34,15 +34,14 @@ class FrameFunction:
         raise NotImplementedError
 
     def get_values(self, frames):
-        """Public API: frames is a number or a sequence; returns a list of
-        4-tuples (or a single 4-tuple for a scalar input), matching the
-        reference's ``FrameFunction.get_values`` (basicframefuncs.c:422-452).
+        """Public API: frames is a number or a sequence; always returns a
+        LIST of 4-tuples, matching the reference's
+        ``FrameFunction.get_values`` (basicframefuncs.c:422-452; see
+        tests/process/frame_func.py usage ``get_values(0)[0]``).
         """
-        scalar = not hasattr(frames, '__len__')
         arr = np.atleast_1d(np.asarray(frames, dtype=np.float64))
         values = self.get_values_array(arr)
-        result = [tuple(row) for row in values]
-        return result[0] if scalar else result
+        return [tuple(row) for row in values]
 
 
 class ConstFrameFunc(FrameFunction):
