@@ -120,6 +120,39 @@ class EditorApp:
                 return asset
         raise IOError('No plugin could read ' + path)
 
+    def add_asset_to_space(self, editor, asset_name, x=0, y=0.0,
+                           length=None):
+        """Drop an asset into a space: one clip per default stream (the
+        source-list drag handler's job in the reference UI). Returns the
+        created items."""
+        asset = self.asset_list[asset_name]
+        source = asset.get_source()
+        if source.offline:
+            source.bring_online()
+        streams = source.get_default_streams()
+
+        items = []
+        for lane, stream in enumerate(streams):
+            rng = stream.defined_range
+            if length is not None:
+                item_length = length
+            elif rng and rng[1] is not None:
+                item_length = rng[1] - (rng[0] or 0) + 1
+            else:
+                item_length = 100
+            clip = model.Clip(
+                type=stream.stream_type, x=int(x), y=float(y) + lane,
+                length=int(item_length), height=1.0,
+                source=model.AssetStreamRef(asset_name, stream.name),
+                offset=0)
+            items.append(clip)
+
+        editor.undo_stack.push(model.CompoundCommand(
+            'Add asset to space',
+            [model.InsertItemCommand(editor.space, clip, len(editor.space))
+             for clip in items]))
+        return items
+
     # -- transport --------------------------------------------------------
 
     def play(self, rate=1):

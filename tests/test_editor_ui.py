@@ -171,3 +171,31 @@ def test_editor_app_lifecycle(tmp_path):
     assert app2.clock.get_speed() == 1
     app2.stop()
     assert app2.clock.get_speed() == 0
+
+
+def test_add_asset_to_space():
+    """Dropping an asset creates clips for its default streams with undo
+    (the reference UI's source-list drag handler role)."""
+    from canvas_tpu import process
+
+    app = EditorApp(load_plugins=False)
+    editor = app.new_space('comp', vidformat, audformat)
+
+    stream = plugins.VideoStream(
+        process.SolidColorVideoSource((1, 0, 0, 1)), range=(0, 49),
+        name='video')
+    app.asset_list['red'] = model.RuntimeSourceAsset(
+        model.RuntimeSource('red', {'video': stream}))
+
+    items = app.add_asset_to_space(editor, 'red', x=5, y=1.0)
+    assert len(items) == 1
+    assert len(editor.space) == 1
+    clip = editor.space[0]
+    assert clip.x == 5
+    assert clip.length == 50          # from the defined range
+    assert clip.source.asset_path == 'red'
+
+    editor.undo_stack.undo()
+    assert len(editor.space) == 0
+    editor.undo_stack.redo()
+    assert len(editor.space) == 1

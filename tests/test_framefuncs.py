@@ -90,13 +90,13 @@ class TestAnimationFunc:
         # linear 0..10
         assert f.get_values(5)[0][0] == 5.0
         # hold 10..20
-        assert f.get_values(15)[0] == 10.0
-        assert f.get_values(19.999)[0] == 10.0
+        assert f.get_values(15)[0][0] == 10.0
+        assert f.get_values(19.999)[0][0] == 10.0
         # linear 20..30
-        assert f.get_values(25)[0] == 10.0  # lerp 20 -> 0 at t=0.5
+        assert f.get_values(25)[0][0] == 10.0  # lerp 20 -> 0 at t=0.5
         # before first: first value; after last: last value
-        assert f.get_values(-5)[0] == 0.0
-        assert f.get_values(99)[0] == 0.0
+        assert f.get_values(-5)[0][0] == 0.0
+        assert f.get_values(99)[0][0] == 0.0
 
     def test_point_mutation_resorts(self):
         f = AnimationFunc()
