@@ -414,3 +414,59 @@ def test_space_audio_manager_with_sequence():
     assert data[90] == pytest.approx(0.75)
     # second clip alone
     assert data[150] == pytest.approx(0.25)
+
+
+class UpdateTracker:
+    """Accumulates frames_updated dirty ranges
+    (tests/canvas/sequence.py:43-53)."""
+
+    def __init__(self, track):
+        track.frames_updated.connect(self.update_frames)
+        self.reset()
+
+    def update_frames(self, *args):
+        # graph managers fire (min, max); stream wrappers fire
+        # (stream, min, max) — accept both like the reference's loose
+        # signal contract
+        min_frame, max_frame = args[-2], args[-1]
+        if min_frame is None or max_frame is None:
+            return
+        self.min_frame = min(min_frame, self.min_frame
+                             if self.min_frame is not None else min_frame)
+        self.max_frame = max(max_frame, self.max_frame
+                             if self.max_frame is not None else max_frame)
+
+    def reset(self):
+        self.min_frame, self.max_frame = None, None
+
+
+def test_sequence_manager_dirty_ranges():
+    """tests/canvas/sequence.py test_1_adjlen1 dirty-range assertions."""
+    slist = make_asset_list()
+    sequence = model.Sequence(type='video', items=[
+        model.SequenceItem(source=model.AssetStreamRef('red', 'video'),
+                           offset=1, length=7),
+        model.SequenceItem(source=model.AssetStreamRef('green', 'video'),
+                           offset=1, length=19),
+        model.SequenceItem(source=model.AssetStreamRef('blue', 'video'),
+                           offset=1, length=100, transition_length=5)])
+    manager = SequenceVideoManager(sequence, slist, vidformat)
+    track = UpdateTracker(manager)
+    assert not manager.alerts
+
+    sequence[0].update(length=10)
+    assert track.min_frame == 7
+    assert track.max_frame == 10 + 19 + 100 - 5 - 1
+    track.reset()
+
+    sequence[1].update(length=10)
+    assert track.min_frame == 15
+    assert track.max_frame == 10 + 19 + 100 - 5 - 1
+    track.reset()
+
+    sequence[2].update(length=10)
+    assert track.min_frame == 25
+    assert track.max_frame == 10 + 10 + 100 - 5 - 1
+    track.reset()
+
+    check1(manager)
