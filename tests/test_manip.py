@@ -194,3 +194,96 @@ def test_item_manipulator_moves_anchored():
     assert b.x == 23
 
     manip.finish()
+
+
+def test_one_item_add_seq_full_walk():
+    """Port of tests/canvas/ItemManipulator.py test_one_item_add_seq:
+    drag one clip through every placement around/into a 2-item sequence,
+    asserting positions, transitions, and NoRoomError at both crossings.
+    """
+    space = make_space()
+    clip = model.Clip(x=0, y=0.0, height=20.0, length=15, offset=0,
+                      type='video',
+                      source=model.AssetStreamRef('red', 0))
+    other = model.Clip(x=20, y=10.0, height=15.0, length=35, offset=10,
+                       type='video',
+                       source=model.AssetStreamRef('green', 0))
+    seq = model.Sequence(x=10, y=10.0, type='video', items=[
+        model.SequenceItem(source=model.AssetStreamRef('seq1', 0),
+                           offset=1, length=10),
+        model.SequenceItem(source=model.AssetStreamRef('seq2', 0),
+                           offset=1, length=10)])
+    space[0:0] = [clip, other, seq]
+
+    manip = ClipManipulator(clip, 0, 0.0)
+    item = clip
+
+    assert len(seq) == 2
+    assert item.space is not None
+
+    manip.set_sequence_item(seq, -6, 'add')      # before sequence
+    assert seq.x == -6
+    assert len(seq) == 3
+    assert item.space is None
+    assert seq[0].source.asset_path == 'red'
+    assert seq[1].transition_length == -1
+
+    manip.set_sequence_item(seq, -5, 'add')      # start, no overlap
+    assert (seq.x, len(seq)) == (-5, 3)
+    assert seq[1].transition_length == 0
+
+    manip.set_sequence_item(seq, -4, 'add')      # start, 1-frame overlap
+    assert (seq.x, len(seq)) == (-4, 3)
+    assert seq[1].transition_length == 1
+
+    manip.set_sequence_item(seq, 5, 'add')       # start, full overlap
+    assert (seq.x, len(seq)) == (5, 3)
+    assert seq[0].source.asset_path == 'red'
+    assert seq[1].transition_length == 10
+
+    with pytest.raises(model.NoRoomError):
+        manip.set_sequence_item(seq, 6, 'add')   # would cross two transitions
+    # failure backs everything out (clip neither in space nor sequence)
+    assert (seq.x, len(seq)) == (10, 2)
+    assert item.space is None
+    assert seq[0].source.asset_path == 'seq1'
+    assert seq[1].transition_length == 0
+
+    with pytest.raises(model.NoRoomError):
+        manip.set_sequence_item(seq, 9, 'add')
+    assert (seq.x, len(seq)) == (10, 2)
+
+    manip.set_sequence_item(seq, 10, 'add')      # across the middle cut
+    assert len(seq) == 3
+    assert [i.source.asset_path for i in seq] == ['seq1', 'red', 'seq2']
+    assert seq[1].transition_length == 10
+    assert seq[2].transition_length == 5
+
+    manip.set_sequence_item(seq, 15, 'add')
+    assert [i.source.asset_path for i in seq] == ['seq1', 'red', 'seq2']
+    assert seq[1].transition_length == 5
+    assert seq[2].transition_length == 10
+
+    with pytest.raises(model.NoRoomError):
+        manip.set_sequence_item(seq, 16, 'add')
+    with pytest.raises(model.NoRoomError):
+        manip.set_sequence_item(seq, 19, 'add')
+
+    manip.set_sequence_item(seq, 20, 'add')      # end, full overlap
+    assert [i.source.asset_path for i in seq] == ['seq1', 'seq2', 'red']
+    assert [i.transition_length for i in seq] == [0, 0, 10]
+
+    manip.set_sequence_item(seq, 29, 'add')      # end, 1-frame overlap
+    assert [i.transition_length for i in seq] == [0, 0, 1]
+
+    manip.set_sequence_item(seq, 20, 'add')
+    assert [i.transition_length for i in seq] == [0, 0, 10]
+
+    manip.set_sequence_item(seq, 30, 'add')      # end, no overlap
+    assert [i.transition_length for i in seq] == [0, 0, 0]
+
+    manip.set_sequence_item(seq, 31, 'add')      # after the sequence
+    assert [i.transition_length for i in seq] == [0, 0, -1]
+
+    command = manip.finish()
+    assert command is not None
