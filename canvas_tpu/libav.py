@@ -525,8 +525,8 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
         mux.start()
 
         batch = 16
-        for b0 in range(0, n_frames, batch):
-            b1 = min(b0 + batch, n_frames)
+
+        def render_batch(b0, b1):
             if use_batch:
                 from canvas_tpu import render
                 data = render.render_frames(video_source, window,
@@ -537,21 +537,70 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
                           for i in range(b0, b1)]
                 data = np.stack([np.asarray(f.data) for f in frames])
             u8 = color_ops.apply_gamma45_u8(data)      # (B, 4, H, W)
-            rgba = np.moveaxis(np.asarray(u8), 1, -1)  # (B, H, W, 4)
-            for i in range(rgba.shape[0]):
-                mux.write_video_frame(vstream, rgba[i])
+            return np.moveaxis(np.asarray(u8), 1, -1)  # (B, H, W, 4)
 
-            if astream is not None:
-                s0 = (start_frame + b0) * sample_rate * \
-                    frame_rate.denominator // frame_rate.numerator
-                s1 = (start_frame + b1) * sample_rate * \
-                    frame_rate.denominator // frame_rate.numerator
-                aframe = audio_source.get_frame(s0, s1 - 1, channels)
-                mux.write_audio_frame(astream, np.asarray(aframe.data))
+        # Pipeline: a producer thread renders batch N+1 while this thread
+        # encodes batch N (the encoder's C calls release the GIL). This
+        # is the async-staging design from ARCHITECTURE.md — device
+        # render and host encode overlap instead of alternating
+        # (the reference's writeVideo.c is strictly serial).
+        import queue as queue_mod
+        import threading
 
-            if progress_callback is not None:
-                if progress_callback(b1) is False:
+        from canvas_tpu import backend
+        backend.ensure_initialized()
+
+        ranges = [(b0, min(b0 + batch, n_frames))
+                  for b0 in range(0, n_frames, batch)]
+        work = queue_mod.Queue(maxsize=2)
+        stop_flag = threading.Event()
+
+        def producer():
+            try:
+                for b0, b1 in ranges:
+                    if stop_flag.is_set():
+                        break
+                    work.put((b0, b1, render_batch(b0, b1), None))
+            except Exception as ex:
+                work.put((None, None, None, ex))
+            finally:
+                work.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True,
+                                  name='canvas-export-render')
+        thread.start()
+        try:
+            while True:
+                item = work.get()
+                if item is None:
                     break
+                b0, b1, rgba, error = item
+                if error is not None:
+                    raise error
+                for i in range(rgba.shape[0]):
+                    mux.write_video_frame(vstream, rgba[i])
+
+                if astream is not None:
+                    s0 = (start_frame + b0) * sample_rate * \
+                        frame_rate.denominator // frame_rate.numerator
+                    s1 = (start_frame + b1) * sample_rate * \
+                        frame_rate.denominator // frame_rate.numerator
+                    aframe = audio_source.get_frame(s0, s1 - 1, channels)
+                    mux.write_audio_frame(astream, np.asarray(aframe.data))
+
+                if progress_callback is not None:
+                    if progress_callback(b1) is False:
+                        stop_flag.set()
+                        break
+        finally:
+            stop_flag.set()
+            # Drain so the producer can exit
+            try:
+                while work.get_nowait() is not None:
+                    pass
+            except queue_mod.Empty:
+                pass
+            thread.join(timeout=10)
 
 
 # --------------------------------------------------------------------------
