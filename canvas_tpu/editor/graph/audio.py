@@ -92,28 +92,9 @@ class SpaceAudioManager(plugins.AudioStream):
             self.stream = stream
 
         def handle_updated(self, **kw):
-            if 'x' in kw or 'length' in kw or 'offset' in kw:
-                old_x = self.workspace_item.x
-                old_length = self.workspace_item.length
-                old_offset = self.workspace_item.offset
-                new_x = kw.get('x', old_x)
-                new_length = kw.get('length', old_length)
-                new_offset = kw.get('offset', old_offset)
-                old_right = old_x + old_length
-                new_right = new_x + new_length
-
-                self.workspace_item.update(x=new_x, length=new_length,
-                                           offset=new_offset)
-
-                if old_x != new_x:
-                    self.owner.frames_updated(min(old_x, new_x),
-                                              max(old_x, new_x) - 1)
-                if old_right != new_right:
-                    self.owner.frames_updated(min(old_right, new_right),
-                                              max(old_right, new_right) - 1)
-                if old_x - old_offset != new_x - new_offset:
-                    self.owner.frames_updated(max(old_x, new_x),
-                                              min(old_right, new_right) - 1)
+            from canvas_tpu.editor.graph.common import apply_geometry_update
+            apply_geometry_update(self.workspace_item,
+                                  self.owner.frames_updated, **kw)
 
         def unwatch(self):
             self.canvas_item.updated.disconnect(self.handle_updated)

@@ -1,0 +1,37 @@
+"""Shared graph-manager plumbing.
+
+The video and audio space managers translate the same three geometry
+edits (x, length, offset) into workspace updates plus dirty ranges; this
+module holds that translation so both managers stay small.
+"""
+
+__all__ = ['apply_geometry_update']
+
+
+def apply_geometry_update(workspace_item, notify, **kw):
+    """Apply x/length/offset changes from a model item to its workspace
+    item and report the invalidated coordinate ranges through *notify*.
+
+    Three ranges can go stale (graph/video.py:56-64 in the reference):
+    the leading edge sweep, the trailing edge sweep, and — when the
+    source alignment (x - offset) changes — the whole overlap region.
+    """
+    before = (workspace_item.x, workspace_item.length,
+              workspace_item.offset)
+    after = (kw.get('x', before[0]), kw.get('length', before[1]),
+             kw.get('offset', before[2]))
+    if before == after:
+        return
+
+    workspace_item.update(x=after[0], length=after[1], offset=after[2])
+
+    left_a, left_b = before[0], after[0]
+    right_a = before[0] + before[1]
+    right_b = after[0] + after[1]
+
+    if left_a != left_b:
+        notify(min(left_a, left_b), max(left_a, left_b) - 1)
+    if right_a != right_b:
+        notify(min(right_a, right_b), max(right_a, right_b) - 1)
+    if before[0] - before[2] != after[0] - after[2]:
+        notify(max(left_a, left_b), min(right_a, right_b) - 1)

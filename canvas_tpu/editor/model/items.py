@@ -155,18 +155,17 @@ class Item:
     def _create_repr_dict(self):
         result = {'x': self._x, 'y': self._y, 'length': self._length,
                   'height': self._height, 'type': self._type}
-        if self._anchor:
-            result['anchor'] = self._anchor
-        if self._ease_in:
-            result['ease_in'] = self._ease_in
-            if self._ease_in_type:
-                result['ease_in_type'] = self._ease_in_type
-        if self._ease_out:
-            result['ease_out'] = self._ease_out
-            if self._ease_out_type:
-                result['ease_out_type'] = self._ease_out_type
-        if self._tags:
-            result['tags'] = list(self._tags)
+        optional = (('anchor', self._anchor),
+                    ('ease_in', self._ease_in),
+                    ('ease_out', self._ease_out),
+                    ('tags', list(self._tags) if self._tags else None))
+        for key, value in optional:
+            if value:
+                result[key] = value
+        if self._ease_in and self._ease_in_type:
+            result['ease_in_type'] = self._ease_in_type
+        if self._ease_out and self._ease_out_type:
+            result['ease_out_type'] = self._ease_out_type
         return result
 
     @classmethod
@@ -224,17 +223,14 @@ class Item:
             if self._anchor.two_way:
                 self._space.add_anchor_map(self._anchor.target, self)
 
+    _UPDATE_COERCE = {'x': ('_x', int), 'length': ('_length', int),
+                      'y': ('_y', float), 'height': ('_height', float),
+                      'z': ('_z', int)}
+
     def update(self, **kw):
-        if 'x' in kw:
-            self._x = int(kw['x'])
-        if 'length' in kw:
-            self._length = int(kw['length'])
-        if 'y' in kw:
-            self._y = float(kw['y'])
-        if 'height' in kw:
-            self._height = float(kw['height'])
-        if 'z' in kw:
-            self._z = int(kw['z'])
+        for key, (attr, coerce) in self._UPDATE_COERCE.items():
+            if key in kw:
+                setattr(self, attr, coerce(kw[key]))
         if 'in_motion' in kw:
             self.in_motion = bool(kw['in_motion'])
         if 'anchor' in kw:
