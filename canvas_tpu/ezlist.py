@@ -27,35 +27,19 @@ class EZList(MutableSequence):
             self.index = index
             self.left_gravity = left_gravity
 
-        def __index__(self):
-            return self.index
-
-        def __int__(self):
-            return self.index
-
-        def __add__(self, other):
-            return self.index + other.__index__()
-
-        def __radd__(self, other):
-            return other.__index__() + self.index
-
-        def __sub__(self, other):
-            return self.index - other.__index__()
-
-        def __rsub__(self, other):
-            return other.__index__() - self.index
-
-        def __lt__(self, other):
-            return self.index < other.__index__()
-
-        def __eq__(self, other):
-            return self.index == other.__index__()
-
-        def __hash__(self):
-            return id(self)
+        # Marks act like plain ints in arithmetic and comparisons
+        __index__ = __int__ = lambda self: self.index
+        __add__ = lambda self, o: self.index + o.__index__()
+        __radd__ = lambda self, o: o.__index__() + self.index
+        __sub__ = lambda self, o: self.index - o.__index__()
+        __rsub__ = lambda self, o: o.__index__() - self.index
+        __lt__ = lambda self, o: self.index < o.__index__()
+        __eq__ = lambda self, o: self.index == o.__index__()
+        __hash__ = lambda self: id(self)
 
         def __repr__(self):
-            return 'Mark({0.index}, left_gravity={0.left_gravity})'.format(self)
+            return 'Mark({0.index}, left_gravity={0.left_gravity})'.format(
+                self)
 
     def _replace_range(self, start, stop, items):
         """Replace range(start, stop) with *items* (any length).

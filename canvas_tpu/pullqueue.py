@@ -44,6 +44,7 @@ class VideoPullQueue:
     def __init__(self, workers=2, dispatch=None):
         from canvas_tpu import backend
         backend.ensure_initialized()   # JAX must first init on this thread
+        self._workers = workers
         self._pool = ThreadPoolExecutor(max_workers=workers,
                                         thread_name_prefix='canvas-pull')
         if dispatch is None:
@@ -92,7 +93,7 @@ class VideoPullQueue:
     def join(self, timeout=None):
         """Drain workers (test helper; the C version has no join)."""
         self._pool.shutdown(wait=True)
-        self._pool = ThreadPoolExecutor(max_workers=2,
+        self._pool = ThreadPoolExecutor(max_workers=self._workers,
                                         thread_name_prefix='canvas-pull')
         if self._dispatch_queue is not None:
             done = threading.Event()
