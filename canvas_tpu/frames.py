@@ -150,6 +150,19 @@ class _RgbaFrame(VideoSource):
         """Host (4, H, W) array covering full_window."""
         return backend.asnumpy(self.data)
 
+    # -- sequence protocol: raster-order pixel access
+    #    (RgbaFrameF32.c:67-92) ------------------------------------------
+
+    def __len__(self):
+        return self.width * self.height
+
+    def __getitem__(self, i):
+        if i < 0 or i >= len(self):
+            raise IndexError('Index was out of range.')
+        r, c = divmod(i, self.width)
+        vals = backend.asnumpy(self.data[:, r, c]).astype(np.float64)
+        return rgba(vals[0], vals[1], vals[2], vals[3])
+
     def to_argb_string(self):
         """8-bit BGRA bytes via the 0.45 gamma ramp (RgbaFrameF16.c:122).
 

@@ -796,3 +796,78 @@ class AVAudioEncoder(_EncoderBase):
 
     _drain = AVVideoEncoder._drain
     get_next_packet = AVVideoEncoder.get_next_packet
+
+
+class AVPlanarVideoEncoder(_EncoderBase):
+    """Coded-image source -> codec packet source.
+
+    This is the reference's encoder shape (AVVideoEncoder.c /
+    X264VideoEncoder.c consume *coded images*): pre-subsampled planar
+    YCbCr frames — e.g. DVSubsampleFilter or MPEG2SubsampleFilter output
+    computed on device — go straight into the codec with no RGB round
+    trip.
+    """
+
+    def __init__(self, source, start_frame, end_frame, codec='dvvideo',
+                 pix_fmt='yuv411p', frame_size=(720, 480), frame_rate=None,
+                 bit_rate=0, options=''):
+        from fractions import Fraction
+        lib = self._setup()
+        lib.cav_video_encoder_open_planar.restype = ctypes.c_void_p
+        lib.cav_video_encoder_open_planar.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int]
+        lib.cav_encoder_send_planar.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        if frame_rate is None:
+            frame_rate = Fraction(30000, 1001)
+        frame_rate = Fraction(frame_rate)
+        err = _err_buf()
+        self._handle = lib.cav_video_encoder_open_planar(
+            codec.encode(), pix_fmt.encode(), int(frame_size[0]),
+            int(frame_size[1]), frame_rate.numerator,
+            frame_rate.denominator, int(bit_rate), options.encode(), err,
+            len(err))
+        if not self._handle:
+            raise IOError(err.value.decode())
+
+        self.source = source
+        self.start_frame = int(start_frame)
+        self.end_frame = int(end_frame)
+        self.frame_rate = frame_rate
+        self._next_to_send = self.start_frame
+        self._flushed = False
+        self._pending = []
+
+    def _send_more(self):
+        lib = _load()
+        if self._next_to_send > self.end_frame:
+            if not self._flushed:
+                lib.cav_encoder_flush(self._handle)
+                self._flushed = True
+            return False
+        image = self.source.get_frame(self._next_to_send)
+        if image is None:
+            self._next_to_send = self.end_frame + 1
+            return self._send_more()
+        self._drain()
+        planes = [np.ascontiguousarray(p, np.uint8) for p in image]
+        rc = lib.cav_encoder_send_planar(
+            self._handle,
+            planes[0].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            planes[0].shape[1],
+            planes[1].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            planes[1].shape[1],
+            planes[2].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            planes[2].shape[1])
+        if rc < 0 and rc != -11:
+            raise IOError('send_planar failed: %d' % rc)
+        self._next_to_send += 1
+        return True
+
+    _drain = AVVideoEncoder._drain
+    get_next_packet = AVVideoEncoder.get_next_packet

@@ -992,3 +992,73 @@ CAV_EXPORT int cav_encoder_packet(CavEncoder *e, CavPacket *out) {
     av_packet_free(&pkt);
     return 1;
 }
+
+// Planar-input video encoder: encode pre-subsampled planar YCbCr (e.g.
+// the TPU DV/MPEG-2 subsample output) without an RGB round trip — the
+// reference's X264VideoEncoder/AVVideoEncoder consume coded images the
+// same way.
+CAV_EXPORT CavEncoder *cav_video_encoder_open_planar(
+    const char *codec_name, const char *pix_fmt_name, int width, int height,
+    int fps_num, int fps_den, int64_t bit_rate, const char *options,
+    char *err, int errlen) {
+    const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
+    if (!codec) {
+        set_err(err, errlen, std::string("no encoder: ") + codec_name);
+        return nullptr;
+    }
+    AVPixelFormat fmt = av_get_pix_fmt(pix_fmt_name);
+    if (fmt == AV_PIX_FMT_NONE) {
+        set_err(err, errlen, std::string("bad pix_fmt: ") + pix_fmt_name);
+        return nullptr;
+    }
+    auto *e = new CavEncoder();
+    e->is_video = 1;
+    e->codec = avcodec_alloc_context3(codec);
+    e->codec->width = width;
+    e->codec->height = height;
+    e->codec->time_base = {fps_den, fps_num};
+    e->codec->framerate = {fps_num, fps_den};
+    e->codec->pix_fmt = fmt;
+    if (bit_rate > 0) e->codec->bit_rate = bit_rate;
+    e->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+
+    AVDictionary *opts = nullptr;
+    if (options && *options) av_dict_parse_string(&opts, options, "=", ":", 0);
+    int rc = avcodec_open2(e->codec, codec, &opts);
+    av_dict_free(&opts);
+    if (rc < 0) {
+        set_err(err, errlen, "avcodec_open2: " + av_errstr(rc));
+        avcodec_free_context(&e->codec);
+        delete e;
+        return nullptr;
+    }
+    e->frame = av_frame_alloc();
+    e->frame->format = fmt;
+    e->frame->width = width;
+    e->frame->height = height;
+    av_frame_get_buffer(e->frame, 0);
+    return e;
+}
+
+// Push one planar frame: three contiguous planes with given row strides.
+CAV_EXPORT int cav_encoder_send_planar(CavEncoder *e, const uint8_t *y,
+                                       int y_stride, const uint8_t *cb,
+                                       int cb_stride, const uint8_t *cr,
+                                       int cr_stride) {
+    av_frame_make_writable(e->frame);
+    const AVPixFmtDescriptor *desc =
+        av_pix_fmt_desc_get((AVPixelFormat)e->frame->format);
+    int h = e->codec->height;
+    int ch = AV_CEIL_RSHIFT(h, desc->log2_chroma_h);
+    for (int r = 0; r < h; r++)
+        memcpy(e->frame->data[0] + r * e->frame->linesize[0],
+               y + r * y_stride, y_stride);
+    for (int r = 0; r < ch; r++) {
+        memcpy(e->frame->data[1] + r * e->frame->linesize[1],
+               cb + r * cb_stride, cb_stride);
+        memcpy(e->frame->data[2] + r * e->frame->linesize[2],
+               cr + r * cr_stride, cr_stride);
+    }
+    e->frame->pts = e->next_pts++;
+    return avcodec_send_frame(e->codec, e->frame);
+}

@@ -149,3 +149,45 @@ def test_audio_player_clock():
         assert player.get_presentation_time() < frozen
     finally:
         player.close()
+
+
+def test_planar_dv_round_trip(tmp_path):
+    """TPU subsample -> native dvvideo encode -> mux -> decode -> TPU
+    reconstruct. The full coded-image encode path of the reference
+    (DVSubsampleFilter -> AVVideoEncoder)."""
+    from canvas_tpu.coded import DVSubsampleFilter
+
+    src = SolidColorVideoSource((0.3, 0.3, 0.3, 1.0))
+    subsampler = DVSubsampleFilter(src)
+    from fractions import Fraction
+    try:
+        encoder = libav.AVPlanarVideoEncoder(
+            subsampler, 0, 4, codec='dvvideo', pix_fmt='yuv411p',
+            frame_size=(720, 480), frame_rate=Fraction(30000, 1001))
+    except IOError as e:
+        pytest.skip('dvvideo encoder unavailable: %s' % e)
+
+    packets = []
+    while True:
+        pkt = encoder.get_next_packet()
+        if pkt is None:
+            break
+        packets.append(pkt)
+    assert len(packets) == 5
+    assert all(len(p.data) == 120000 for p in packets)   # NTSC DV frame
+
+    # DV is self-contained: concatenated frames form a raw .dv stream
+    raw_path = str(tmp_path / 'raw.dv')
+    with open(raw_path, 'wb') as f:
+        for pkt in packets:
+            f.write(pkt.data)
+
+    from canvas_tpu.coded import DVReconstructionFilter
+    from canvas_tpu.libdv import DVVideoDecoder
+    decoder = DVVideoDecoder(raw_path)
+    recon = DVReconstructionFilter(decoder)
+    frame = recon.get_frame_f16(2, box2i(0, -1, 719, 478))
+    assert not frame.current_window.empty()
+    px = frame.pixel(360, 240)
+    assert abs(px.r - 0.3) < 0.02
+    assert abs(px.g - 0.3) < 0.02
