@@ -1,0 +1,89 @@
+// Native smoke test for canvas_av, runnable under ASAN/TSAN
+// (make test / make asan-test). Exercises the mux -> probe -> demux ->
+// decode -> planar-encode cycle without Python.
+
+#include <cassert>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+#include <cstdint>
+#include <cstdlib>
+
+extern "C" {
+struct CavFormat;
+struct CavVideoDec;
+struct CavMuxer;
+struct CavEncoder;
+struct CavPacket {
+    uint8_t *data;
+    int32_t size;
+    int64_t pts, dts, duration;
+    int32_t keyframe;
+    int32_t stream;
+};
+CavMuxer *cav_muxer_create(const char *, const char *, char *, int);
+int cav_muxer_add_video(CavMuxer *, const char *, int, int, int, int,
+                        int64_t, const char *, char *, int);
+int cav_muxer_start(CavMuxer *, char *, int);
+int cav_muxer_write_video(CavMuxer *, int, const uint8_t *);
+int cav_muxer_finish(CavMuxer *);
+CavFormat *cav_open(const char *, char *, int);
+void cav_close(CavFormat *);
+int cav_stream_count(CavFormat *);
+int cav_read_packet(CavFormat *, int, CavPacket *);
+void cav_packet_free(CavPacket *);
+CavVideoDec *cav_video_decoder_open(const char *, int, char *, int);
+void cav_video_decoder_close(CavVideoDec *);
+int cav_video_decode_rgba(CavVideoDec *, int64_t, uint8_t *, int, int);
+}
+
+int main() {
+    char err[512] = {0};
+    const char *path = "/tmp/canvas_av_selftest.avi";
+
+    // Mux 10 ramping frames
+    CavMuxer *mux = cav_muxer_create(path, "", err, sizeof(err));
+    assert(mux && "muxer create");
+    int v = cav_muxer_add_video(mux, "mpeg4", 64, 48, 25, 1, 400000, "",
+                                err, sizeof(err));
+    assert(v == 0 && "add stream");
+    assert(cav_muxer_start(mux, err, sizeof(err)) == 0);
+    std::vector<uint8_t> frame(64 * 48 * 4, 0);
+    for (int i = 0; i < 10; i++) {
+        for (int p = 0; p < 64 * 48; p++) {
+            frame[p * 4 + 0] = (uint8_t)(i * 20);
+            frame[p * 4 + 3] = 255;
+        }
+        assert(cav_muxer_write_video(mux, v, frame.data()) >= 0);
+    }
+    assert(cav_muxer_finish(mux) >= 0);
+
+    // Probe + demux
+    CavFormat *fmt = cav_open(path, err, sizeof(err));
+    assert(fmt && "open");
+    assert(cav_stream_count(fmt) == 1);
+    CavPacket pkt;
+    int packets = 0;
+    while (cav_read_packet(fmt, 0, &pkt) == 1) {
+        packets++;
+        cav_packet_free(&pkt);
+    }
+    assert(packets == 10);
+    cav_close(fmt);
+
+    // Decode with random access
+    CavVideoDec *dec = cav_video_decoder_open(path, -1, err, sizeof(err));
+    assert(dec && "decoder open");
+    std::vector<uint8_t> out(64 * 48 * 4);
+    assert(cav_video_decode_rgba(dec, 8, out.data(), 64, 48) == 1);
+    int late = out[(24 * 64 + 32) * 4];
+    assert(cav_video_decode_rgba(dec, 0, out.data(), 64, 48) == 1);
+    int early = out[(24 * 64 + 32) * 4];
+    assert(late > early + 50 && "ramp decoded");
+    cav_video_decoder_close(dec);
+
+    printf("canvas_av selftest OK (%d packets, ramp %d -> %d)\n",
+           packets, early, late);
+    remove(path);
+    return 0;
+}

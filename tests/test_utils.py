@@ -173,3 +173,21 @@ class TestLogging:
         with caplog.at_level(logging.WARNING, logger='canvas_tpu.test2'):
             bad()  # must not raise
         assert 'callback failed' in caplog.text
+
+
+def test_profiling_timers():
+    from canvas_tpu import profiling
+
+    profiling.reset()
+    with profiling.Timer('stage_a'):
+        pass
+    with profiling.Timer('stage_a'):
+        pass
+    with profiling.Timer('stage_b'):
+        pass
+    rep = profiling.report()
+    assert rep['stage_a'][1] == 2
+    assert rep['stage_b'][1] == 1
+    assert rep['stage_a'][0] >= 0.0
+    profiling.reset()
+    assert profiling.report() == {}
