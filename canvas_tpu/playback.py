@@ -56,6 +56,11 @@ class VideoPlaybackEngine:
         self._cache = {}            # frame_index -> u8 BGRA array
         self._clock_handle = self.clock.register_callback(
             self._clock_changed, None)
+        # Live editor streams publish frames_updated(stream, lo, hi) when
+        # model edits change content; drop the affected cached frames
+        updated = getattr(source, 'frames_updated', None)
+        if updated is not None:
+            updated.connect(self._frames_updated)
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name='canvas-playback')
         self._thread.start()
@@ -65,6 +70,19 @@ class VideoPlaybackEngine:
     def _clock_changed(self, speed, time_ns, data):
         with self._lock:
             self._cache.clear()     # seek invalidates the ring
+        self._wake.set()
+
+    def _frames_updated(self, *args):
+        # Accept (lo, hi) or (stream, lo, hi); None bounds = everything
+        lo, hi = args[-2], args[-1]
+        with self._lock:
+            if lo is None and hi is None:
+                self._cache.clear()
+            else:
+                lo = -10**12 if lo is None else lo
+                hi = 10**12 if hi is None else hi
+                for key in [k for k in self._cache if lo <= k <= hi]:
+                    del self._cache[key]
         self._wake.set()
 
     def stop(self):

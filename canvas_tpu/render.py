@@ -500,7 +500,7 @@ def render_frames(source, window, start, stop, **kw):
 
 
 def render_sharded(source, window, start, stop, mesh=None, axis='frames',
-                   device_out=False):
+                   device_out=False, spatial_axis=None):
     """Frame-parallel batched render across a device mesh.
 
     Shards the frame batch over *axis* of *mesh* (defaults to a 1-D mesh
@@ -552,6 +552,11 @@ def render_sharded(source, window, start, stop, mesh=None, axis='frames',
     params = [{k: shard_param(v) for k, v in p.items()} for p in params]
     fn = _get_program(sig)
     out = fn(params)
+    if spatial_axis is not None:
+        # Reshard rows across a second mesh axis (the 4K single-frame
+        # split): XLA inserts the all-to-all over ICI
+        out = jax.device_put(out, NamedSharding(
+            mesh, P(axis, None, spatial_axis, None)))
     if device_out:
         return out
     return np.asarray(out)

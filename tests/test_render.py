@@ -211,3 +211,25 @@ def test_pulldown_batched_matches_pull():
     got = render.render_frames(filt, window, 0, 12)
     np.testing.assert_allclose(got.astype(np.float32),
                                want.astype(np.float32), atol=2e-3)
+
+
+def test_render_sharded_spatial_axis():
+    """Frames x rows 2-D sharding on the virtual mesh."""
+    from canvas_tpu import backend
+    jax = backend.jax
+    if len(jax.devices()) < 4:
+        pytest.skip('needs >= 4 devices')
+    import numpy as onp
+    from jax.sharding import Mesh
+
+    devices = onp.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, ('frames', 'space'))
+
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource(
+        LerpFunc((1, 0, 0, 1), (0, 1, 0, 1), 8)), x=0, length=8, z=0)
+    want, _ = pull_frames(ws, WINDOW, 0, 8)
+    got = render.render_sharded(ws, WINDOW, 0, 8, mesh=mesh,
+                                spatial_axis='space')
+    np.testing.assert_allclose(np.asarray(got).astype(np.float32),
+                               want.astype(np.float32), atol=2e-3)
