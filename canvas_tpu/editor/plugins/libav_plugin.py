@@ -87,6 +87,45 @@ class _RgbaDecoderSource(VideoSource):
                                       current)
         frame.current_window = current
 
+    def emit(self, ctx):
+        """Batched node: stage the decoder's u8 RGBA (half the bytes of
+        f16) and linearize on device (u8 -> /255 -> f16 -> LUT)."""
+        from canvas_tpu.basetypes import box2i_intersect
+        from canvas_tpu.ops import color as color_ops
+        from canvas_tpu.render import Node
+        from canvas_tpu.sources import _emit_empty
+
+        image_box = box2i(0, 0, self.width - 1, self.height - 1)
+        current = box2i_intersect(image_box, ctx.window)
+        if current.empty():
+            return _emit_empty(ctx)
+
+        frames_u8 = []
+        for f in ctx.frames:
+            rgba = self.decoder.get_frame_rgba(int(f), self.width,
+                                               self.height)
+            if rgba is None:
+                rgba = np.zeros((self.height, self.width, 4), np.uint8)
+            frames_u8.append(np.moveaxis(rgba, -1, 0))
+        B = len(ctx.frames)
+
+        node = Node('u8_linearize', params={
+            'data': np.stack(frames_u8),
+            'table': color_ops.build_half_lut(
+                color_ops.rec709_to_linear_scene),
+        }, windows=[current] * B)
+
+        sy0 = current.min.y - image_box.min.y
+        sy1 = current.max.y - image_box.min.y
+        sx0 = current.min.x - image_box.min.x
+        sx1 = current.max.x - image_box.min.x
+        dy0 = current.min.y - ctx.window.min.y
+        dx0 = current.min.x - ctx.window.min.x
+        return Node('place',
+                    static=(ctx.window.height, ctx.window.width,
+                            sy0, sy1, sx0, sx1, dy0, dx0),
+                    children=[node], windows=[current] * B)
+
 
 class DVVideoCodec(plugins.Codec):
     """DV video: native decode + TPU 4:1:1 reconstruction

@@ -248,6 +248,50 @@ def subsample_dv(data, full_window, current_window):
 
 # --- MPEG-2 4:2:0 subsampling ------------------------------------------------
 
+_jax_mpeg2 = None
+
+
+def _jax_subsample_mpeg2():
+    global _jax_mpeg2
+    if _jax_mpeg2 is None:
+        jax = backend.jax
+        jnp = backend.jnp
+
+        @jax.jit
+        def sub(arr, M):
+            H, W = arr.shape[1], arr.shape[2]
+            x = arr[:3].astype(jnp.float32)
+            rgb709 = jnp.where(x < 0.018, x * 4.5,
+                               1.099 * jnp.power(x, 0.45) - 0.099)
+            ycc = jnp.einsum('ij,jhw->ihw', M, rgb709,
+                             preferred_element_type=jnp.float32,
+                             precision='highest')
+            y = ycc[0] * (219.0 / 255.0) + (16.0 / 255.0)
+            y8 = jnp.clip(jnp.round(y * 255.0), 0, 255).astype(jnp.uint8)
+
+            cbcr = ycc[1:3]
+            cx = jnp.arange(W // 2) * 2
+            left = jnp.clip(cx - 1, 0, W - 1)
+            right = jnp.clip(cx + 1, 0, W - 1)
+
+            def hpass(rows):
+                return (rows[..., left] + 2.0 * rows[..., cx] +
+                        rows[..., right]) / 4.0
+
+            cy = jnp.arange(H // 2)
+            even = (cy % 2) == 0
+            near = jnp.clip(jnp.where(even, 2 * cy, 2 * cy + 1), 0, H - 1)
+            far = jnp.clip(jnp.where(even, 2 * cy + 2, 2 * cy - 1), 0, H - 1)
+            subv = (3.0 * hpass(cbcr[:, near, :]) +
+                    hpass(cbcr[:, far, :])) / 4.0
+            subv = subv * (224.0 / 255.0) + (128.0 / 255.0)
+            sub8 = jnp.clip(jnp.round(subv * 255.0), 0, 255).astype(jnp.uint8)
+            return y8, sub8[0], sub8[1]
+
+        _jax_mpeg2 = sub
+    return _jax_mpeg2
+
+
 def subsample_mpeg2(data, full_window, current_window=None):
     """Linear RGBA -> MPEG-2 4:2:0 interlaced planar u8.
 
@@ -263,6 +307,13 @@ def subsample_mpeg2(data, full_window, current_window=None):
     window like the GL path (which renders the frame's full texture).
     Returns (y, cb, cr) planes: (H, W), (H/2, W/2), (H/2, W/2).
     """
+    if backend.is_jax_array(data) or backend.use_jax_for(data.shape):
+        jnp = backend.jnp
+        y8, cb8, cr8 = _jax_subsample_mpeg2()(
+            jnp.asarray(data), jnp.asarray(RGB_TO_YCBCR_REC709))
+        return (backend.asnumpy(y8), backend.asnumpy(cb8),
+                backend.asnumpy(cr8))
+
     arr = backend.asnumpy(data)
     H, W = arr.shape[1], arr.shape[2]
 

@@ -404,6 +404,15 @@ def _eval(node_sig, params_iter, jnp, jax):
                          preferred_element_type=jnp.float32)
         return jnp.concatenate([rgb, child[:, 3:]], axis=1)
 
+    if op == 'u8_linearize':
+        # Staged u8 RGBA -> f16 linear via the rec709 LUT (generic
+        # decoded video path; u8 staging halves host->device bytes)
+        data = params['data'].astype(jnp.float32) / 255.0
+        rgba16 = data.astype(jnp.float16)
+        bits = jax.lax.bitcast_convert_type(
+            rgba16, jnp.uint16).astype(jnp.int32)
+        return jnp.take(params['table'], bits, axis=0).astype(jnp.float32)
+
     if op == 'dv_recon':
         # params: y (B,480,720) u8, cb/cr (B,480,180) u8; static: target
         # placement precomputed; output in image coords then placed.

@@ -230,3 +230,17 @@ def test_pulldown_get_new_length():
     assert filt.get_new_length(2) == 2   # partial 2 not > 2
     filt2 = Pulldown23RemovalFilter(TaggedVideoSource(), 2)
     assert filt2.get_new_length(1) == 0  # partial 1 > 0 -> loses one
+
+
+def test_mpeg2_subsample_jax_matches_numpy():
+    rng = np.random.RandomState(5)
+    data = (rng.rand(4, 96, 128) * 0.9).astype(np.float16)
+    with backend.force_backend('numpy'):
+        y_np, cb_np, cr_np = chroma.subsample_mpeg2(data, box2i(0, 0, 127, 95))
+    with backend.force_backend('jax'):
+        y_j, cb_j, cr_j = chroma.subsample_mpeg2(data, box2i(0, 0, 127, 95))
+    # round-to-nearest at the u8 boundary can differ by 1 code value
+    for a, b in ((y_np, y_j), (cb_np, cb_j), (cr_np, cr_j)):
+        diff = np.abs(a.astype(int) - b.astype(int))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 0.02

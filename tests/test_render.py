@@ -233,3 +233,30 @@ def test_render_sharded_spatial_axis():
                                 spatial_axis='space')
     np.testing.assert_allclose(np.asarray(got).astype(np.float32),
                                want.astype(np.float32), atol=2e-3)
+
+
+def test_rgba_decoder_source_batched(tmp_path):
+    """Generic decoded video renders batched (u8 staging + device
+    linearize) and matches the pull path."""
+    libav = pytest.importorskip('canvas_tpu.libav')
+    if not libav.available():
+        pytest.skip('native canvas_av unavailable')
+    from canvas_tpu.editor.plugins.libav_plugin import _RgbaDecoderSource
+
+    path = str(tmp_path / 'ramp.avi')
+    with libav.AVMuxer(path) as mux:
+        v = mux.add_video_stream('mpeg4', (64, 48), 25, bit_rate=800_000)
+        mux.start()
+        for i in range(8):
+            frame = np.zeros((48, 64, 4), np.uint8)
+            frame[:, :, 1] = i * 30
+            frame[:, :, 3] = 255
+            mux.write_video_frame(v, frame)
+
+    src = _RgbaDecoderSource(libav.AVVideoDecoder(path), 64, 48)
+    window = box2i(0, 0, 63, 47)
+    want, _ = pull_frames(src, window, 0, 8)
+    src2 = _RgbaDecoderSource(libav.AVVideoDecoder(path), 64, 48)
+    got = render.render_frames(src2, window, 0, 8)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=2e-3)
