@@ -204,7 +204,7 @@ class Pulldown23RemovalFilter(VideoSource):
 def _dvrecon_emit(self, ctx):
     """Batched-render node: planes staged host-side (decode stays on the
     host), reconstruction traced on device (canvas_tpu.render)."""
-    from canvas_tpu.render import Node
+    from canvas_tpu.render import Node, tile_window
     from canvas_tpu.basetypes import box2i_intersect
     from canvas_tpu.ops import color as color_ops
 
@@ -251,7 +251,7 @@ def _dvrecon_emit(self, ctx):
         'up': chroma_ops._dv_up_matrix(),
         'm': chroma_ops.YCBCR_TO_RGB_REC709,
         'table': color_ops.build_half_lut(color_ops.rec709_to_linear_scene),
-    }, windows=[current] * B)
+    }, windows=tile_window(current, B))
 
     # Place image-coordinate output into the target window
     sy0 = current.min.y - image_box.min.y
@@ -263,7 +263,7 @@ def _dvrecon_emit(self, ctx):
     return Node('place',
                 static=(ctx.window.height, ctx.window.width,
                         sy0, sy1, sx0, sx1, dy0, dx0),
-                children=[recon], windows=[current] * B)
+                children=[recon], windows=tile_window(current, B))
 
 
 DVReconstructionFilter.emit = _dvrecon_emit
@@ -303,17 +303,17 @@ def _pulldown_emit(self, ctx):
     # Even absolute rows >= (window.min.y + 1) & ~1 come from frame b;
     # solid frames get an empty mask. Window metadata follows frame a
     # (the reference leaves the a-pull's current_window untouched).
-    starts = np.asarray(
-        [((w.min.y + 1) & ~1) if (m and not w.empty()) else 0
-         for w, m in zip(child_a.windows, mixed)], np.int32)
-    ends = np.asarray(
-        [w.max.y if (m and not w.empty()) else -1
-         for w, m in zip(child_a.windows, mixed)], np.int32)
+    from canvas_tpu.render import windows_to_array
+    aw = windows_to_array(child_a.windows)
+    a_empty = (aw[:, 2] < aw[:, 0]) | (aw[:, 3] < aw[:, 1])
+    active = mixed & ~a_empty
+    starts = np.where(active, (aw[:, 1] + 1) & ~1, 0).astype(np.int32)
+    ends = np.where(active, aw[:, 3], -1).astype(np.int32)
     return Node('field_interleave',
                 static=(ctx.window.min.y,),
                 params={'start_y': starts, 'end_y': ends},
                 children=[child_a, child_b],
-                windows=list(child_a.windows))
+                windows=aw)
 
 
 Pulldown23RemovalFilter.plan_cuts = _pulldown_plan_cuts

@@ -92,7 +92,7 @@ class _RgbaDecoderSource(VideoSource):
         f16) and linearize on device (u8 -> /255 -> f16 -> LUT)."""
         from canvas_tpu.basetypes import box2i_intersect
         from canvas_tpu.ops import color as color_ops
-        from canvas_tpu.render import Node
+        from canvas_tpu.render import Node, tile_window
         from canvas_tpu.sources import _emit_empty
 
         image_box = box2i(0, 0, self.width - 1, self.height - 1)
@@ -113,7 +113,7 @@ class _RgbaDecoderSource(VideoSource):
             'data': np.stack(frames_u8),
             'table': color_ops.build_half_lut(
                 color_ops.rec709_to_linear_scene),
-        }, windows=[current] * B)
+        }, windows=tile_window(current, B))
 
         sy0 = current.min.y - image_box.min.y
         sy1 = current.max.y - image_box.min.y
@@ -124,7 +124,7 @@ class _RgbaDecoderSource(VideoSource):
         return Node('place',
                     static=(ctx.window.height, ctx.window.width,
                             sy0, sy1, sx0, sx1, dy0, dx0),
-                    children=[node], windows=[current] * B)
+                    children=[node], windows=tile_window(current, B))
 
 
 class DVVideoCodec(plugins.Codec):

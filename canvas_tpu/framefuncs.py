@@ -292,11 +292,10 @@ def _lround_array(x):
 
 
 def get_box2i_array(func, frames):
-    """Vectorized get_box2i over a frame array -> list of box2i."""
+    """Vectorized get_box2i over a frame array -> (N, 4) int64 array
+    [x0, y0, x1, y1] (window-array form, see render.windows_to_array)."""
     vals = func.get_values_array(np.asarray(frames, dtype=np.float64))
-    r = _lround_array(vals)
-    return [box2i(int(r[i, 0]), int(r[i, 1]), int(r[i, 2]), int(r[i, 3]))
-            for i in range(len(r))]
+    return _lround_array(vals)[:, :4]
 
 
 def get_v2f_array(func, frames):

@@ -69,7 +69,7 @@ class Node:
     def signature(self):
         child_sigs = tuple(c.signature() for c in self.children)
         param_shapes = tuple(sorted(
-            (k, tuple(np.shape(v)), str(np.asarray(v).dtype))
+            (k, np.shape(v), np.asarray(v).dtype.num)
             for k, v in self.params.items()))
         return (self.op, self.static, param_shapes, child_sigs)
 
@@ -92,8 +92,12 @@ def _rel_box(window, full):
 
 
 def windows_to_array(windows):
-    """List of box2i -> (B, 4) int64 [x0, y0, x1, y1] (empty boxes keep
-    their max<min encoding). Vectorized window algebra for the planner."""
+    """Windows -> (B, 4) int64 [x0, y0, x1, y1] (empty boxes keep their
+    max<min encoding). Accepts an array (returned as-is) or a list of
+    box2i. Planner metadata is array-form throughout to avoid box-object
+    churn on the hot planning path."""
+    if isinstance(windows, np.ndarray):
+        return windows
     out = np.empty((len(windows), 4), np.int64)
     for i, w in enumerate(windows):
         mn, mx = w
@@ -102,6 +106,16 @@ def windows_to_array(windows):
         out[i, 2] = mx[0]
         out[i, 3] = mx[1]
     return out
+
+
+def tile_window(window, count):
+    """(B, 4) array repeating one box2i (or EMPTY when it's empty)."""
+    if window.empty():
+        row = np.asarray([0, 0, -1, -1], np.int64)
+    else:
+        row = np.asarray([window.min.x, window.min.y,
+                          window.max.x, window.max.y], np.int64)
+    return np.tile(row, (count, 1))
 
 
 def array_to_windows(arr):
@@ -118,17 +132,17 @@ def array_to_windows(arr):
 def rel_box_array(windows, full):
     """Windows (list of box2i or (B,4) array) -> (B, 4) int32
     [y0, y1, x0, x1] relative to *full*, clipped; empty -> (0,-1,0,-1)."""
-    arr = windows if isinstance(windows, np.ndarray) \
-        else windows_to_array(windows)
-    x0 = np.maximum(arr[:, 0], full.min.x) - full.min.x
-    y0 = np.maximum(arr[:, 1], full.min.y) - full.min.y
-    x1 = np.minimum(arr[:, 2], full.max.x) - full.min.x
-    y1 = np.minimum(arr[:, 3], full.max.y) - full.min.y
-    empty = (x1 < x0) | (y1 < y0)
-    out = np.stack([np.where(empty, 0, y0), np.where(empty, -1, y1),
-                    np.where(empty, 0, x0), np.where(empty, -1, x1)],
-                   axis=1)
-    return out.astype(np.int32)
+    arr = windows_to_array(windows)
+    lo = np.asarray([full.min.x, full.min.y], np.int64)
+    hi = np.asarray([full.max.x, full.max.y], np.int64)
+    org = np.asarray([full.min.x, full.min.y, full.min.x, full.min.y],
+                     np.int64)
+    clip = np.concatenate([np.maximum(arr[:, :2], lo),
+                           np.minimum(arr[:, 2:], hi)], axis=1) - org
+    empty = (clip[:, 2] < clip[:, 0]) | (clip[:, 3] < clip[:, 1])
+    out = clip[:, (1, 3, 0, 2)].astype(np.int32)
+    out[empty] = (0, -1, 0, -1)
+    return out
 
 
 class PlanContext:
@@ -166,18 +180,19 @@ class PlanContext:
                     static=(self.window.height, self.window.width),
                     params={'color': np.asarray(colors, np.float32),
                             'box': rel.reshape(B, 4)},
-                    windows=array_to_windows(clipped_arr))
+                    windows=clipped_arr)
 
     def stage(self, source):
         """Host-pull fallback: pull every frame now and ship the batch."""
         B = len(self.frames)
         datas = []
-        windows = []
+        windows = np.empty((B, 4), np.int64)
         with backend.force_backend('numpy'):
             for i in range(B):
                 frame = source.get_frame_f16(int(self.frames[i]), self.window)
                 datas.append(np.asarray(frame.data, np.float16))
-                windows.append(frame.current_window)
+                w = frame.current_window
+                windows[i] = (w.min.x, w.min.y, w.max.x, w.max.y)
         return Node('stage', static=(self.window.height, self.window.width),
                     params={'data': np.stack(datas)}, windows=windows)
 

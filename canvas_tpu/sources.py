@@ -546,10 +546,10 @@ class VideoWorkspace(_WorkspaceBase, VideoSource):
 
 def _emit_empty(ctx):
     from canvas_tpu.render import Node
-    from canvas_tpu.basetypes import EMPTY_BOX2I as _E
     B = len(ctx.frames)
     return Node('empty', static=(B, ctx.window.height, ctx.window.width),
-                windows=[_E] * B)
+                windows=np.tile(np.asarray([0, 0, -1, -1], np.int64),
+                                (B, 1)))
 
 
 def _solid_emit(self, ctx):
@@ -594,14 +594,36 @@ def _mix_plan_cuts(self, start, stop):
     return cuts
 
 
+def _window_union_clip(wa, wb, full):
+    """Vectorized per-frame window algebra: union of defined windows
+    (empty acts as identity), clipped to *full*; both-empty stays empty.
+    wa/wb: (B, 4) arrays."""
+    from canvas_tpu.render import windows_to_array
+    wa = windows_to_array(wa)
+    wb = windows_to_array(wb)
+    a_empty = (wa[:, 2] < wa[:, 0]) | (wa[:, 3] < wa[:, 1])
+    b_empty = (wb[:, 2] < wb[:, 0]) | (wb[:, 3] < wb[:, 1])
+    union = np.stack([np.minimum(wa[:, 0], wb[:, 0]),
+                      np.minimum(wa[:, 1], wb[:, 1]),
+                      np.maximum(wa[:, 2], wb[:, 2]),
+                      np.maximum(wa[:, 3], wb[:, 3])], axis=1)
+    merged = np.where(a_empty[:, None], wb,
+                      np.where(b_empty[:, None], wa, union))
+    clipped = np.stack([
+        np.maximum(merged[:, 0], full.min.x),
+        np.maximum(merged[:, 1], full.min.y),
+        np.minimum(merged[:, 2], full.max.x),
+        np.minimum(merged[:, 3], full.max.y)], axis=1)
+    return np.where((a_empty & b_empty)[:, None],
+                    np.asarray([0, 0, -1, -1], np.int64), clipped)
+
+
 def _mix_emit(self, ctx):
     from canvas_tpu.render import Node
     a = ctx.plan(self.src_a)
     b = ctx.plan(self.src_b)
     mix = framefuncs.get_f32_array(self.mix_b, ctx.frames)
-    windows = [box2i_intersect(_union_defined(aw, bw), ctx.window)
-               if not (aw.empty() and bw.empty()) else EMPTY_BOX2I
-               for aw, bw in zip(a.windows, b.windows)]
+    windows = _window_union_clip(a.windows, b.windows, ctx.window)
     return Node('mix', params={'mix_b': mix}, children=[a, b],
                 windows=windows)
 
@@ -624,7 +646,7 @@ def _gain_emit(self, ctx):
     box = rel_box_array(child.windows, ctx.window)
     return Node('gain_offset',
                 params={'gain': gain, 'offset': offset, 'box': box},
-                children=[child], windows=list(child.windows))
+                children=[child], windows=child.windows)
 
 
 VideoGainOffsetFilter.plan_cuts = _gain_plan_cuts
@@ -694,34 +716,19 @@ def _ws_emit(self, ctx):
         return children[0]
 
     # Window algebra mirrors VideoWorkspace._render_f32, vectorized:
-    # under empty -> clipped over; over empty -> under; else clipped union
-    from canvas_tpu.render import array_to_windows, windows_to_array
+    # under empty -> clipped over; over empty -> under (unclipped);
+    # else clipped union
+    from canvas_tpu.render import windows_to_array
     full = ctx.window
-    fullbox = np.asarray([full.min.x, full.min.y, full.max.x, full.max.y],
-                         np.int64)
     acc = windows_to_array(children[0].windows)
     for child in children[1:]:
         over = windows_to_array(child.windows)
         under_empty = (acc[:, 2] < acc[:, 0]) | (acc[:, 3] < acc[:, 1])
         over_empty = (over[:, 2] < over[:, 0]) | (over[:, 3] < over[:, 1])
-        union = np.stack([np.minimum(acc[:, 0], over[:, 0]),
-                          np.minimum(acc[:, 1], over[:, 1]),
-                          np.maximum(acc[:, 2], over[:, 2]),
-                          np.maximum(acc[:, 3], over[:, 3])], axis=1)
-        merged = np.where(under_empty[:, None], over,
-                          np.where(over_empty[:, None], acc, union))
-        # clip to the target window unless keeping `under` unchanged
-        clipped = np.stack([np.maximum(merged[:, 0], fullbox[0]),
-                            np.maximum(merged[:, 1], fullbox[1]),
-                            np.minimum(merged[:, 2], fullbox[2]),
-                            np.minimum(merged[:, 3], fullbox[3])], axis=1)
-        both_empty = under_empty & over_empty
+        merged = _window_union_clip(acc, over, full)
         keep_under = (~under_empty) & over_empty
-        acc = np.where(keep_under[:, None], acc,
-                       np.where(both_empty[:, None],
-                                np.asarray([0, 0, -1, -1], np.int64), clipped))
-    return Node('over_stack', children=children,
-                windows=array_to_windows(acc))
+        acc = np.where(keep_under[:, None], acc, merged)
+    return Node('over_stack', children=children, windows=acc)
 
 
 VideoWorkspace.plan_cuts = _ws_plan_cuts
@@ -736,7 +743,6 @@ def _scaler_plan_cuts(self, start, stop):
 
 def _scaler_emit(self, ctx):
     from canvas_tpu.render import Node
-    from canvas_tpu.basetypes import box2i_union
     if self.source is None:
         return _emit_empty(ctx)
 
@@ -744,43 +750,51 @@ def _scaler_emit(self, ctx):
     tp_arr = framefuncs.get_v2f_array(self.target_point, ctx.frames)
     sp_arr = framefuncs.get_v2f_array(self.source_point, ctx.frames)
     f_arr = framefuncs.get_v2f_array(self.scale_factors, ctx.frames)
-    tps = [v2f(*row) for row in tp_arr]
-    sps = [v2f(*row) for row in sp_arr]
-    fs = [v2f(*row) for row in f_arr]
     rects = framefuncs.get_box2i_array(self.source_rect, ctx.frames)
 
-    if any(f.x == 0.0 or f.y == 0.0 for f in fs):
-        if all(f.x == 0.0 or f.y == 0.0 for f in fs):
+    zero = (f_arr == 0.0).any(axis=1)
+    if zero.any():
+        if zero.all():
             return _emit_empty(ctx)
         return ctx.stage(self)      # mixed zero/nonzero inside a segment
 
-    if all(f.x == 1.0 and f.y == 1.0 and t.x == s.x and t.y == s.y
-           for f, t, s in zip(fs, tps, sps)):
+    if (f_arr == 1.0).all() and (tp_arr == sp_arr).all():
         return ctx.plan(self.source)
 
     # Union of per-frame fetch windows -> one static child window
+    # (vectorized interval algebra over the (B, 4) window arrays)
     full = ctx.window
-    fetch = None
-    for tp, sp, f, rect in zip(tps, sps, fs, rects):
-        b = box2i(
-            _trunc(sp.x - (tp.x - full.min.x) / f.x) - 1,
-            _trunc(sp.y - (tp.y - full.min.y) / f.y) - 1,
-            _trunc(sp.x + (full.max.x - tp.x) / f.x) + 1,
-            _trunc(sp.y + (full.max.y - tp.y) / f.y) + 1)
-        b = box2i_intersect(b, rect)
-        if not b.empty():
-            fetch = b if fetch is None else box2i_union(fetch, b)
-    if fetch is None:
+    fx_a, fy_a = f_arr[:, 0], f_arr[:, 1]
+    tx_a, ty_a = tp_arr[:, 0], tp_arr[:, 1]
+    sx_a, sy_a = sp_arr[:, 0], sp_arr[:, 1]
+    b0 = np.trunc(sx_a - (tx_a - full.min.x) / fx_a).astype(np.int64) - 1
+    b1 = np.trunc(sy_a - (ty_a - full.min.y) / fy_a).astype(np.int64) - 1
+    b2 = np.trunc(sx_a + (full.max.x - tx_a) / fx_a).astype(np.int64) + 1
+    b3 = np.trunc(sy_a + (full.max.y - ty_a) / fy_a).astype(np.int64) + 1
+    fb = np.stack([np.maximum(b0, rects[:, 0]),
+                   np.maximum(b1, rects[:, 1]),
+                   np.minimum(b2, rects[:, 2]),
+                   np.minimum(b3, rects[:, 3])], axis=1)
+    ok = (fb[:, 2] >= fb[:, 0]) & (fb[:, 3] >= fb[:, 1])
+    if not ok.any():
         return _emit_empty(ctx)
+    fb = fb[ok]
+    fetch = box2i(int(fb[:, 0].min()), int(fb[:, 1].min()),
+                  int(fb[:, 2].max()), int(fb[:, 3].max()))
 
     child = ctx.with_window(fetch).plan(self.source)
 
-    constant = all(t == tps[0] and s == sps[0] and f == fs[0]
-                   for t, s, f in zip(tps, sps, fs))
+    constant = ((tp_arr == tp_arr[0]).all() and (sp_arr == sp_arr[0]).all()
+                and (f_arr == f_arr[0]).all())
 
-    if constant and all(w == child.windows[0] for w in child.windows):
-        plan = scale_ops.scale_plan(full, tps[0], child.windows[0], sps[0],
-                                    fs[0])
+    from canvas_tpu.render import tile_window, windows_to_array
+    cwin = windows_to_array(child.windows)
+
+    if constant and (cwin == cwin[0]).all():
+        cw0 = box2i(int(cwin[0, 0]), int(cwin[0, 1]),
+                    int(cwin[0, 2]), int(cwin[0, 3]))
+        plan = scale_ops.scale_plan(full, v2f(*tp_arr[0]), cw0,
+                                    v2f(*sp_arr[0]), v2f(*f_arr[0]))
         if plan is None:
             return _emit_empty(ctx)
         Wy_cur, Wx_cur, out_window = plan
@@ -791,29 +805,22 @@ def _scaler_emit(self, ctx):
             out[:, a:a + W.shape[1]] = W
             return out
 
-        Wy = expand(Wy_cur, child.windows[0].min.y, child.windows[0].max.y,
-                    fetch.min.y, fetch.max.y)
-        Wx = expand(Wx_cur, child.windows[0].min.x, child.windows[0].max.x,
-                    fetch.min.x, fetch.max.x)
+        Wy = expand(Wy_cur, cw0.min.y, cw0.max.y, fetch.min.y, fetch.max.y)
+        Wx = expand(Wx_cur, cw0.min.x, cw0.max.x, fetch.min.x, fetch.max.x)
         out_window = box2i_intersect(out_window, full)
         return Node('scale', params={'wy': Wy, 'wx': Wx}, children=[child],
-                    windows=[out_window] * B)
+                    windows=tile_window(out_window, B))
 
     # Animated: taps are computed ON DEVICE from per-frame scalars
     # (render.py 'scale_taps_dyn'). Host work is just window metadata.
-    empty_mask = np.asarray([cw.empty() for cw in child.windows])
+    empty_mask = (cwin[:, 2] < cwin[:, 0]) | (cwin[:, 3] < cwin[:, 1])
     if empty_mask.all():
         return _emit_empty(ctx)
 
-    def bounds(sel):
-        los = np.asarray([getattr(cw.min, sel) if not cw.empty() else 1
-                          for cw in child.windows], np.float64)
-        his = np.asarray([getattr(cw.max, sel) if not cw.empty() else 0
-                          for cw in child.windows], np.float64)
-        return los, his
-
-    ylo, yhi = bounds('y')
-    xlo, xhi = bounds('x')
+    ylo = np.where(empty_mask, 1, cwin[:, 1]).astype(np.float64)
+    yhi = np.where(empty_mask, 0, cwin[:, 3]).astype(np.float64)
+    xlo = np.where(empty_mask, 1, cwin[:, 0]).astype(np.float64)
+    xhi = np.where(empty_mask, 0, cwin[:, 2]).astype(np.float64)
     fy, fx = f_arr[:, 1], f_arr[:, 0]
     tpy, tpx = tp_arr[:, 1], tp_arr[:, 0]
     spy, spx = sp_arr[:, 1], sp_arr[:, 0]
@@ -838,13 +845,9 @@ def _scaler_emit(self, ctx):
 
     y0, y1 = out_range(fy, tpy, spy, ylo, yhi, full.min.y, full.max.y)
     x0, x1 = out_range(fx, tpx, spx, xlo, xhi, full.min.x, full.max.x)
-    windows = []
-    for i in range(B):
-        if empty_mask[i] or y1[i] < y0[i] or x1[i] < x0[i]:
-            windows.append(EMPTY_BOX2I)
-        else:
-            windows.append(box2i(int(x0[i]), int(y0[i]),
-                                 int(x1[i]), int(y1[i])))
+    bad = empty_mask | (y1 < y0) | (x1 < x0)
+    windows = np.stack([x0, y0, x1, y1], axis=1)
+    windows[bad] = (0, 0, -1, -1)
 
     return Node(
         'scale_taps_dyn',
@@ -874,7 +877,7 @@ def _transfer_emit(self, ctx):
     from canvas_tpu.render import Node
     from canvas_tpu.ops import color as color_ops
     child = ctx.plan(self.source)
-    windows = list(child.windows)
+    windows = child.windows
 
     def lut_node(name, fn, inner):
         table = color_ops.build_half_lut(fn)
