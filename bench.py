@@ -86,19 +86,18 @@ def main():
     timed_frames = int(os.environ.get('CANVAS_BENCH_FRAMES', '96'))
 
     # Warmup / compile
-    out = planner.render(0, warm_frames, device_out=True)
-    if hasattr(out, 'block_until_ready'):
-        out.block_until_ready()
+    for (_s, _n, out) in planner.iter_batches(0, warm_frames, batch=batch):
+        if hasattr(out, 'block_until_ready'):
+            out.block_until_ready()
 
-    # Timed: steady-state batched rendering
+    # Timed: steady-state batched rendering (plan each structure segment
+    # once, stream fixed-size batches through the compiled program)
     t0 = time.perf_counter()
-    done = 0
     start = warm_frames
     last = None
-    while done < timed_frames:
-        last = planner.render(start + done, start + done + batch,
-                              device_out=True)
-        done += batch
+    for (_s, _n, last) in planner.iter_batches(start, start + timed_frames,
+                                               batch=batch):
+        pass
     if hasattr(last, 'block_until_ready'):
         last.block_until_ready()
     elapsed = time.perf_counter() - t0

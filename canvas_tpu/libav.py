@@ -526,18 +526,28 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
 
         batch = 16
 
-        def render_batch(b0, b1):
+        def to_u8(data):
+            u8 = color_ops.apply_gamma45_u8(np.asarray(data))  # (B,4,H,W)
+            return np.moveaxis(np.asarray(u8), 1, -1)          # (B,H,W,4)
+
+        def iter_render():
+            """Yield (b0, b1, u8_batch) in frame order. Batched path
+            streams through RenderPlanner.iter_batches (plan each
+            structure segment once, reuse one compiled program)."""
             if use_batch:
                 from canvas_tpu import render
-                data = render.render_frames(video_source, window,
-                                            start_frame + b0,
-                                            start_frame + b1)
+                planner = render.RenderPlanner(video_source, window)
+                for (s, n, data) in planner.iter_batches(
+                        start_frame, start_frame + n_frames, batch=batch,
+                        device_out=False):
+                    yield s - start_frame, s - start_frame + n, to_u8(data)
             else:
-                frames = [video_source.get_frame_f16(start_frame + i, window)
-                          for i in range(b0, b1)]
-                data = np.stack([np.asarray(f.data) for f in frames])
-            u8 = color_ops.apply_gamma45_u8(data)      # (B, 4, H, W)
-            return np.moveaxis(np.asarray(u8), 1, -1)  # (B, H, W, 4)
+                for b0 in range(0, n_frames, batch):
+                    b1 = min(b0 + batch, n_frames)
+                    frames = [video_source.get_frame_f16(
+                        start_frame + i, window) for i in range(b0, b1)]
+                    yield b0, b1, to_u8(np.stack(
+                        [np.asarray(f.data) for f in frames]))
 
         # Pipeline: a producer thread renders batch N+1 while this thread
         # encodes batch N (the encoder's C calls release the GIL). This
@@ -550,17 +560,15 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
         from canvas_tpu import backend
         backend.ensure_initialized()
 
-        ranges = [(b0, min(b0 + batch, n_frames))
-                  for b0 in range(0, n_frames, batch)]
         work = queue_mod.Queue(maxsize=2)
         stop_flag = threading.Event()
 
         def producer():
             try:
-                for b0, b1 in ranges:
+                for b0, b1, rgba in iter_render():
                     if stop_flag.is_set():
                         break
-                    work.put((b0, b1, render_batch(b0, b1), None))
+                    work.put((b0, b1, rgba, None))
             except Exception as ex:
                 work.put((None, None, None, ex))
             finally:

@@ -453,6 +453,24 @@ def _eval(node_sig, params_iter, jnp, jax):
     raise ValueError('unknown op: %r' % (op,))
 
 
+def _sliced_signature(node, N, B):
+    """Signature of *node* as it will look after its leading-N param axes
+    are sliced to B frames (RenderPlanner.iter_batches). The 'empty' op
+    carries its batch size in static (it has no params), so that entry is
+    rewritten too."""
+    child_sigs = tuple(_sliced_signature(c, N, B) for c in node.children)
+    shapes = []
+    for k, v in node.params.items():
+        shp = np.shape(v)
+        if len(shp) >= 1 and shp[0] == N:
+            shp = (B,) + shp[1:]
+        shapes.append((k, shp, np.asarray(v).dtype.num))
+    static = node.static
+    if node.op == 'empty' and static[0] == N:
+        static = (B,) + static[1:]
+    return (node.op, static, tuple(sorted(shapes)), child_sigs)
+
+
 # --- program cache -----------------------------------------------------------
 
 _program_cache = {}
@@ -490,6 +508,60 @@ class RenderPlanner:
             c for c in self.source.plan_cuts(start, stop) if start < c < stop))
         edges = [start] + cuts + [stop]
         return list(zip(edges[:-1], edges[1:]))
+
+    def iter_batches(self, start, stop, batch=16, device_out=True):
+        """Yield ``(frame_start, n_valid, out)`` for [start, stop) in
+        fixed-size batches, planning each structure segment ONCE.
+
+        Within a segment the graph structure (and therefore the compiled
+        program) is constant; only per-frame params change. Planning the
+        whole segment in one pass amortizes host planning cost across
+        every batch: param arrays with a leading segment-length axis are
+        sliced per batch, everything else is replicated — the same
+        convention ``render_sharded`` uses for its frame axis. The tail
+        batch repeats its last frame to keep the compiled shape and
+        reports ``n_valid < batch``.
+        """
+        jax, jnp = _jx()
+        for seg_start, seg_stop in self.segments(start, stop):
+            self._stage_cache = {}
+            N = seg_stop - seg_start
+            frames = np.arange(seg_start, seg_stop, dtype=np.int64)
+            ctx = PlanContext(self, frames, self.window)
+            node = ctx.plan(self.source)
+            sig = _sliced_signature(node, N, min(batch, N) if N < batch
+                                    else batch)
+            params = node.flat_params([])
+            fn = _get_program(sig)
+            pos = 0
+            while pos < N:
+                take = min(batch, N - pos)
+                if take == batch:
+                    def cut(v):
+                        if v.ndim >= 1 and v.shape[0] == N:
+                            return v[pos:pos + batch]
+                        return v
+                else:
+                    idx = np.concatenate([
+                        np.arange(pos, N),
+                        np.full(batch - take, N - 1, np.int64)])
+
+                    def cut(v):
+                        if v.ndim >= 1 and v.shape[0] == N:
+                            return v[idx]
+                        return v
+                if N < batch:
+                    # whole segment smaller than a batch: no padding,
+                    # compile at the segment size instead
+                    def cut(v):          # noqa: F811
+                        return v
+                out = fn([{k: cut(v) for k, v in p.items()}
+                          for p in params])
+                if not device_out:
+                    out = np.asarray(out)
+                yield seg_start + pos, take, out[:take] if take < batch \
+                    and N >= batch else out
+                pos += take
 
     def render(self, start, stop, device_out=False):
         """Render frames [start, stop); returns (B, 4, H, W) f16.

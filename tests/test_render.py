@@ -260,3 +260,31 @@ def test_rgba_decoder_source_batched(tmp_path):
     got = render.render_frames(src2, window, 0, 8)
     np.testing.assert_allclose(got.astype(np.float32),
                                want.astype(np.float32), atol=2e-3)
+
+
+def test_iter_batches_matches_render(any_backend):
+    """Plan-once/execute-many streaming path (RenderPlanner.iter_batches)
+    matches per-batch render(), including tail and multi-segment."""
+    from canvas_tpu.render import RenderPlanner
+    from canvas_tpu.sources import SolidColorVideoSource, VideoWorkspace
+    from canvas_tpu.framefuncs import LerpFunc
+
+    window = box2i(0, 0, 159, 119)
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource((0.2, 0.3, 0.4, 1.0)),
+           x=0, length=60, z=0)
+    ws.add(source=SolidColorVideoSource(
+        LerpFunc((1, 0, 0, 0.5), (0, 1, 0, 0.5), 60),
+        window=box2i(10, 10, 80, 80)), x=12, length=30, z=1)
+
+    planner = RenderPlanner(ws, window)
+    want = planner.render(0, 50)
+    chunks = list(planner.iter_batches(0, 50, batch=8, device_out=False))
+    got = np.concatenate([np.asarray(o) for (_s, _n, o) in chunks], axis=0)
+    np.testing.assert_array_equal(got, want)
+    # frame accounting covers the range exactly, in order
+    spans = [(s, n) for (s, n, _o) in chunks]
+    covered = []
+    for s, n in spans:
+        covered.extend(range(s, s + n))
+    assert covered == list(range(0, 50))
