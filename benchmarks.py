@@ -25,19 +25,35 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/canvas_tpu_jax_cache')
 import numpy as np
 
 
+def _probe():
+    """Execution-forcing reduction: on this rig's remote TPU transport
+    block_until_ready() does not wait for execution, so timing chains a
+    tiny device-side sum per batch and fetches ONE scalar at the end
+    (each host fetch costs a ~30 ms round trip)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def probe(x):
+        idx = tuple(slice(None, None, 97) for _ in range(x.ndim - 2))
+        return jnp.sum(x[(slice(None), slice(None)) + idx]
+                       .astype(jnp.float32))
+    return probe
+
+
 def timeit_batches(planner, batch, n_frames, start=0):
-    out = planner.render(start, start + batch, device_out=True)
-    if hasattr(out, 'block_until_ready'):
-        out.block_until_ready()
+    """Steady-state fps through the plan-once streaming path."""
+    probe = _probe()
+    for (_s, _n, out) in planner.iter_batches(start, start + batch,
+                                              batch=batch):
+        float(probe(out))
     t0 = time.perf_counter()
-    done = 0
-    last = None
-    while done < n_frames:
-        last = planner.render(start + done, start + done + batch,
-                              device_out=True)
-        done += batch
-    if hasattr(last, 'block_until_ready'):
-        last.block_until_ready()
+    acc = None
+    for (_s, _n, out) in planner.iter_batches(
+            start + batch, start + batch + n_frames, batch=batch):
+        p = probe(out)
+        acc = p if acc is None else acc + p
+    float(acc)
     return n_frames / (time.perf_counter() - t0)
 
 
@@ -104,16 +120,14 @@ def config4():
     fps = timeit_batches(planner, 16, 128)
 
     # p50 single-frame pull latency on the same graph (warm the
-    # B=1 program first so we measure steady state, not compilation)
-    out = planner.render(199, 200, device_out=True)
-    if hasattr(out, 'block_until_ready'):
-        out.block_until_ready()
+    # B=1 program first so we measure steady state, not compilation).
+    # Latency is what a user waits for one frame, so the full fetch of
+    # the rendered frame to host is part of the measurement.
+    out = planner.render(199, 200)
     lat = []
     for i in range(20):
         t0 = time.perf_counter()
-        out = planner.render(200 + i, 201 + i, device_out=True)
-        if hasattr(out, 'block_until_ready'):
-            out.block_until_ready()
+        out = planner.render(200 + i, 201 + i)
         lat.append(time.perf_counter() - t0)
     return fps, float(np.percentile(lat, 50) * 1e3)
 
@@ -130,16 +144,20 @@ def config5():
     window = box2i(0, 0, 1919, 1079)
     n = len(jax.devices())
     batch = 16 * n
+    probe = _probe()
     out = render.render_sharded(ws, window, 0, batch,
                                 device_out=True)      # warmup/compile
-    out.block_until_ready()
+    float(probe(out))
     t0 = time.perf_counter()
     total = 0
+    acc = None
     for start in range(batch, batch * 4, batch):
         out = render.render_sharded(ws, window, start, start + batch,
                                     device_out=True)
+        p = probe(out)
+        acc = p if acc is None else acc + p
         total += batch
-    out.block_until_ready()
+    float(acc)
     return total / (time.perf_counter() - t0)
 
 
@@ -168,11 +186,16 @@ def main():
         f.write('\nHeadline metric: see bench.py / BENCH_r*.json. '
                 'The reference publishes no numbers (BASELINE.md); its '
                 'implied target is ~30 fps realtime DV playback.\n\n'
-                'Note: this rig reaches the TPU through a network tunnel; '
-                'configs that stage host data per frame (config 3) are '
-                'bound by ~80 MB/s tunnel H2D, not by device compute '
-                '(device executes the same batch in <1 ms). On a local '
-                'PCIe host the staged path scales with ~10-30 GB/s.\n')
+                'Measurement: on this rig block_until_ready() returns '
+                'before remote execution finishes, so every timing chains '
+                'a device-side reduction per batch and fetches one scalar '
+                'at the end (see _probe) — numbers are forced-execution '
+                'honest.\n\n'
+                'Note: this rig reaches the TPU through a network tunnel '
+                '(~30 ms RTT per host fetch, ~80 MB/s H2D). Configs that '
+                'stage host data per batch (config 3) are transfer-bound, '
+                'and the single-frame p50 includes a full-frame D2H '
+                'fetch; on a locally attached TPU those terms collapse.\n')
     return 0
 
 

@@ -243,7 +243,8 @@ def _dvrecon_emit(self, ctx):
             ys.append(planes[0])
             cbs.append(planes[1])
             crs.append(planes[2])
-        stacked = (np.stack(ys), np.stack(cbs), np.stack(crs))
+        from canvas_tpu.render import stack_frames
+        stacked = (stack_frames(ys), stack_frames(cbs), stack_frames(crs))
         cache[key] = stacked
 
     recon = Node('dv_recon', params={

@@ -92,6 +92,7 @@ class _RgbaDecoderSource(VideoSource):
         f16) and linearize on device (u8 -> /255 -> f16 -> LUT)."""
         from canvas_tpu.basetypes import box2i_intersect
         from canvas_tpu.ops import color as color_ops
+        from canvas_tpu import render as render_mod
         from canvas_tpu.render import Node, tile_window
         from canvas_tpu.sources import _emit_empty
 
@@ -110,7 +111,7 @@ class _RgbaDecoderSource(VideoSource):
         B = len(ctx.frames)
 
         node = Node('u8_linearize', params={
-            'data': np.stack(frames_u8),
+            'data': render_mod.stack_frames(frames_u8),
             'table': color_ops.build_half_lut(
                 color_ops.rec709_to_linear_scene),
         }, windows=tile_window(current, B))

@@ -546,7 +546,8 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
                     b1 = min(b0 + batch, n_frames)
                     frames = [video_source.get_frame_f16(
                         start_frame + i, window) for i in range(b0, b1)]
-                    yield b0, b1, to_u8(np.stack(
+                    from canvas_tpu.render import stack_frames
+                    yield b0, b1, to_u8(stack_frames(
                         [np.asarray(f.data) for f in frames]))
 
         # Pipeline: a producer thread renders batch N+1 while this thread

@@ -108,6 +108,17 @@ def windows_to_array(windows):
     return out
 
 
+def stack_frames(arrays):
+    """np.stack(axis=0) via preallocate+assign: this host's numpy has a
+    pathologically slow concatenate for many medium arrays (~160x slower
+    than memcpy); the assignment loop runs at memory speed."""
+    a0 = np.asarray(arrays[0])
+    out = np.empty((len(arrays),) + a0.shape, a0.dtype)
+    for i, a in enumerate(arrays):
+        out[i] = a
+    return out
+
+
 def tile_window(window, count):
     """(B, 4) array repeating one box2i (or EMPTY when it's empty)."""
     if window.empty():
@@ -194,7 +205,7 @@ class PlanContext:
                 w = frame.current_window
                 windows[i] = (w.min.x, w.min.y, w.max.x, w.max.y)
         return Node('stage', static=(self.window.height, self.window.width),
-                    params={'data': np.stack(datas)}, windows=windows)
+                    params={'data': stack_frames(datas)}, windows=windows)
 
     def plan(self, source):
         """Plan *source*: its emit() if traceable, else staged."""
@@ -215,6 +226,31 @@ def _combine_over(jnp, under, over):
                     num / jnp.where(out_a[:, None] != 0.0,
                                     out_a[:, None], 1.0), 0.0)
     return jnp.concatenate([rgb, out_a[:, None]], axis=1)
+
+
+def _device_transfer(name, x16, jnp, jax):
+    """Transfer curve applied to an f16 array (all four channels, the
+    reference's LUT quirk), computed DIRECTLY on the VPU instead of a
+    65536-entry gather — gathers are ~100x slower than transcendentals on
+    TPU. Matches the half-LUT tables (ops/color.build_half_lut) to the
+    f16 rounding of f(float32(x)); output is f16-quantized like a table
+    hit, returned as f32."""
+    x = x16.astype(jnp.float32)
+    if name == 'rec709_to_linear_scene':
+        lo = x / 4.5
+        hi = jnp.power((x + 0.099) / 1.099, 1.0 / 0.45)
+        y = jnp.where(x < 4.5 * 0.018, lo, hi)
+    elif name == 'rec709_to_linear_display':
+        y = jnp.where(x < 0.0, 0.0, jnp.power(x, 2.5))
+    elif name == 'linear_to_rec709':
+        y = jnp.where(x < 0.018, x * 4.5,
+                      1.099 * jnp.power(x, 0.45) - 0.099)
+    elif name == 'linear_to_srgb':
+        y = jnp.where(x <= 0.0031308, x * 12.92,
+                      1.055 * jnp.power(x, 1.0 / 2.4) - 0.055)
+    else:
+        raise ValueError('unknown transfer: %r' % (name,))
+    return y.astype(jnp.float16).astype(jnp.float32)
 
 
 def _eval(node_sig, params_iter, jnp, jax):
@@ -272,11 +308,22 @@ def _eval(node_sig, params_iter, jnp, jax):
         return jnp.concatenate([rgb, out_a[:, None]], axis=1)
 
     if op == 'over_stack':
+        # Premultiplied-alpha fold: P_out = P_over + P_under*(1-a_over)
+        # is associative and divide-free per stage, with ONE un-premultiply
+        # at the end — versus the straight-alpha per-stage divide the pull
+        # path mirrors from the C kernel (video_mix.c over). Equal within
+        # f16 tolerance; ~2 FMAs per stage keeps the whole stack in one
+        # XLA fusion.
         layers = [_eval(cs, params_iter, jnp, jax) for cs in child_sigs]
-        out = layers[0]
+        first = layers[0]
+        P = first[:, :3] * first[:, 3:4]
+        a = first[:, 3:4]
         for layer in layers[1:]:
-            out = _combine_over(jnp, out, layer)
-        return out
+            la = layer[:, 3:4]
+            P = layer[:, :3] * la + P * (1.0 - la)
+            a = la + a * (1.0 - la)
+        rgb = jnp.where(a != 0.0, P / jnp.where(a != 0.0, a, 1.0), 0.0)
+        return jnp.concatenate([rgb, a], axis=1)
 
     if op == 'scale':
         child = _eval(child_sigs[0], params_iter, jnp, jax)
@@ -343,24 +390,23 @@ def _eval(node_sig, params_iter, jnp, jax):
         ix, wx = axis(params['fx'], params['tpx'], params['spx'],
                       params['xl'], params['xh'], t_lo_x, Tx, Kx, Sx)
 
-        def gather_rows(ch, idx):
-            return ch[:, idx, :]
+        # Densify the K taps into per-frame (T, S) resample matrices and
+        # contract on the MXU: batched matmuls are far faster on TPU than
+        # K strided gathers (the VPU-built one-hot scatter is cheap —
+        # B*T*K*S compares — and duplicate clipped indices accumulate
+        # exactly like the gather-add they replace).
+        def densify(idx, w, S):
+            s = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
+            terms = jnp.where(idx[:, :, :, None] == s,
+                              w[:, :, :, None], 0.0)
+            return jnp.sum(terms, axis=2)          # (B, T, S)
 
-        def gather_cols(ch, idx):
-            return ch[:, :, idx]
-
-        grows = jax.vmap(gather_rows)
-        gcols = jax.vmap(gather_cols)
-        out = None
-        for k in range(Ky):
-            term = grows(child, iy[:, :, k]) * wy[:, :, k][:, None, :, None]
-            out = term if out is None else out + term
-        child = out
-        out = None
-        for k in range(Kx):
-            term = gcols(child, ix[:, :, k]) * wx[:, :, k][:, None, None, :]
-            out = term if out is None else out + term
-        return out
+        Wy = densify(iy, wy, Sy)
+        Wx = densify(ix, wx, Sx)
+        mid = jnp.einsum('bts,bcsw->bctw', Wy, child,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum('bxw,bctw->bctx', Wx, mid,
+                          preferred_element_type=jnp.float32)
 
     if op == 'scale_taps':
         # Animated resample: K gathered taps per output sample per axis.
@@ -406,10 +452,8 @@ def _eval(node_sig, params_iter, jnp, jax):
 
     if op == 'transfer':
         child = _eval(child_sigs[0], params_iter, jnp, jax)
-        table = params['table']
-        bits = jax.lax.bitcast_convert_type(
-            child.astype(jnp.float16), jnp.uint16).astype(jnp.int32)
-        return jnp.take(table, bits, axis=0).astype(jnp.float32)
+        return _device_transfer(static[0], child.astype(jnp.float16),
+                                jnp, jax)
 
     if op == 'matrix':
         child = _eval(child_sigs[0], params_iter, jnp, jax)
@@ -420,13 +464,11 @@ def _eval(node_sig, params_iter, jnp, jax):
         return jnp.concatenate([rgb, child[:, 3:]], axis=1)
 
     if op == 'u8_linearize':
-        # Staged u8 RGBA -> f16 linear via the rec709 LUT (generic
-        # decoded video path; u8 staging halves host->device bytes)
+        # Staged u8 RGBA -> f16 linear rec709 decode (generic decoded
+        # video path; u8 staging halves host->device bytes)
         data = params['data'].astype(jnp.float32) / 255.0
         rgba16 = data.astype(jnp.float16)
-        bits = jax.lax.bitcast_convert_type(
-            rgba16, jnp.uint16).astype(jnp.int32)
-        return jnp.take(params['table'], bits, axis=0).astype(jnp.float32)
+        return _device_transfer('rec709_to_linear_scene', rgba16, jnp, jax)
 
     if op == 'dv_recon':
         # params: y (B,480,720) u8, cb/cr (B,480,180) u8; static: target
@@ -445,10 +487,7 @@ def _eval(node_sig, params_iter, jnp, jax):
                          preferred_element_type=jnp.float32)
         alpha = jnp.ones_like(y)[:, None]
         rgba16 = jnp.concatenate([rgb, alpha], axis=1).astype(jnp.float16)
-        table = params['table']
-        bits = jax.lax.bitcast_convert_type(
-            rgba16, jnp.uint16).astype(jnp.int32)
-        return jnp.take(table, bits, axis=0).astype(jnp.float32)
+        return _device_transfer('rec709_to_linear_scene', rgba16, jnp, jax)
 
     raise ValueError('unknown op: %r' % (op,))
 
