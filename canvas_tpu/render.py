@@ -80,6 +80,18 @@ class Node:
             c.flat_params(out)
         return out
 
+    def flat_ops(self, out):
+        """Node op names in the same depth-first order as flat_params."""
+        out.append(self.op)
+        for c in self.children:
+            c.flat_ops(out)
+        return out
+
+
+# Ops whose per-frame parameter axis is NOT the leading one.
+# 'solid_stack' params are (L, B, ...): layers lead, frames second.
+_BATCH_AXIS = {'solid_stack': 1}
+
 
 def _rel_box(window, full):
     """box2i -> (y0, y1, x0, x1) inclusive, relative to *full*; empty
@@ -274,6 +286,16 @@ def _eval(node_sig, params_iter, jnp, jax):
     if op == 'stage':
         return params['data'].astype(jnp.float32)
 
+    if op == 'solid_stack':
+        # Fused run of solid(/gain) layers: pointwise premultiplied fold
+        # over per-layer scalars (Pallas kernel on TPU; see
+        # ops/pallas_ops.py). Replaces L materialized layer tensors.
+        from canvas_tpu.ops import pallas_ops
+        L, H, W = static
+        return pallas_ops.solid_stack(
+            jnp, jax, params['color'], params['box'],
+            params['gain'], params['offset'], H, W)
+
     if op == 'empty':
         B, H, W = static
         return jnp.zeros((B, 4, H, W), jnp.float32)
@@ -312,18 +334,30 @@ def _eval(node_sig, params_iter, jnp, jax):
         # is associative and divide-free per stage, with ONE un-premultiply
         # at the end — versus the straight-alpha per-stage divide the pull
         # path mirrors from the C kernel (video_mix.c over). Equal within
-        # f16 tolerance; ~2 FMAs per stage keeps the whole stack in one
-        # XLA fusion.
-        layers = [_eval(cs, params_iter, jnp, jax) for cs in child_sigs]
-        first = layers[0]
-        P = first[:, :3] * first[:, 3:4]
-        a = first[:, 3:4]
-        for layer in layers[1:]:
+        # f16 tolerance. 'solid_stack' children fold straight into the
+        # premultiplied accumulator via the Pallas kernel (no layer
+        # tensor ever materializes for solid runs).
+        from canvas_tpu.ops import pallas_ops
+        P = A = None
+        for cs in child_sigs:
+            c_op = cs[0]
+            if c_op == 'solid_stack':
+                c_params = next(params_iter)
+                L, H, W = cs[1]
+                P, A = pallas_ops.solid_fold(
+                    jnp, jax, P, A, c_params['color'], c_params['box'],
+                    c_params['gain'], c_params['offset'], H, W)
+                continue
+            layer = _eval(cs, params_iter, jnp, jax)
             la = layer[:, 3:4]
-            P = layer[:, :3] * la + P * (1.0 - la)
-            a = la + a * (1.0 - la)
-        rgb = jnp.where(a != 0.0, P / jnp.where(a != 0.0, a, 1.0), 0.0)
-        return jnp.concatenate([rgb, a], axis=1)
+            if P is None:
+                P = layer[:, :3] * la
+                A = la
+            else:
+                P = layer[:, :3] * la + P * (1.0 - la)
+                A = la + A * (1.0 - la)
+        rgb = jnp.where(A != 0.0, P / jnp.where(A != 0.0, A, 1.0), 0.0)
+        return jnp.concatenate([rgb, A], axis=1)
 
     if op == 'scale':
         child = _eval(child_sigs[0], params_iter, jnp, jax)
@@ -493,16 +527,17 @@ def _eval(node_sig, params_iter, jnp, jax):
 
 
 def _sliced_signature(node, N, B):
-    """Signature of *node* as it will look after its leading-N param axes
-    are sliced to B frames (RenderPlanner.iter_batches). The 'empty' op
-    carries its batch size in static (it has no params), so that entry is
-    rewritten too."""
+    """Signature of *node* as it will look after its frame axes are
+    sliced from N to B frames (RenderPlanner.iter_batches). The frame
+    axis is per-op (_BATCH_AXIS); the 'empty' op carries its batch size
+    in static (it has no params), so that entry is rewritten too."""
     child_sigs = tuple(_sliced_signature(c, N, B) for c in node.children)
+    ax = _BATCH_AXIS.get(node.op, 0)
     shapes = []
     for k, v in node.params.items():
         shp = np.shape(v)
-        if len(shp) >= 1 and shp[0] == N:
-            shp = (B,) + shp[1:]
+        if len(shp) > ax and shp[ax] == N:
+            shp = shp[:ax] + (B,) + shp[ax + 1:]
         shapes.append((k, shp, np.asarray(v).dtype.num))
     static = node.static
     if node.op == 'empty' and static[0] == N:
@@ -571,31 +606,35 @@ class RenderPlanner:
             sig = _sliced_signature(node, N, min(batch, N) if N < batch
                                     else batch)
             params = node.flat_params([])
+            ops = node.flat_ops([])
             fn = _get_program(sig)
             pos = 0
             while pos < N:
                 take = min(batch, N - pos)
                 if take == batch:
-                    def cut(v):
-                        if v.ndim >= 1 and v.shape[0] == N:
-                            return v[pos:pos + batch]
+                    def cut(v, ax):
+                        if v.ndim > ax and v.shape[ax] == N:
+                            sl = (slice(None),) * ax
+                            return v[sl + (slice(pos, pos + batch),)]
                         return v
                 else:
                     idx = np.concatenate([
                         np.arange(pos, N),
                         np.full(batch - take, N - 1, np.int64)])
 
-                    def cut(v):
-                        if v.ndim >= 1 and v.shape[0] == N:
-                            return v[idx]
+                    def cut(v, ax):
+                        if v.ndim > ax and v.shape[ax] == N:
+                            return np.take(v, idx, axis=ax)
                         return v
                 if N < batch:
                     # whole segment smaller than a batch: no padding,
                     # compile at the segment size instead
-                    def cut(v):          # noqa: F811
+                    def cut(v, ax):      # noqa: F811
                         return v
-                out = fn([{k: cut(v) for k, v in p.items()}
-                          for p in params])
+                out = fn([
+                    {k: cut(v, _BATCH_AXIS.get(op, 0))
+                     for k, v in p.items()}
+                    for p, op in zip(params, ops)])
                 if not device_out:
                     out = np.asarray(out)
                 yield seg_start + pos, take, out[:take] if take < batch \
@@ -676,15 +715,18 @@ def render_sharded(source, window, start, stop, mesh=None, axis='frames',
     sig = node.signature()
     params = node.flat_params([])
 
-    batch_sharding = NamedSharding(mesh, P(axis))
     repl_sharding = NamedSharding(mesh, P())
 
-    def shard_param(v):
-        if v.ndim >= 1 and v.shape[0] == B:
-            return jax.device_put(v, batch_sharding)
+    def shard_param(v, ax):
+        if v.ndim > ax and v.shape[ax] == B:
+            spec = P(*((None,) * ax + (axis,)))
+            return jax.device_put(v, NamedSharding(mesh, spec))
         return jax.device_put(v, repl_sharding)
 
-    params = [{k: shard_param(v) for k, v in p.items()} for p in params]
+    ops = node.flat_ops([])
+    params = [{k: shard_param(v, _BATCH_AXIS.get(op, 0))
+               for k, v in p.items()}
+              for p, op in zip(params, ops)]
     fn = _get_program(sig)
     out = fn(params)
     if spatial_axis is not None:

@@ -619,11 +619,26 @@ def _window_union_clip(wa, wb, full):
 
 
 def _mix_emit(self, ctx):
-    from canvas_tpu.render import Node
+    from canvas_tpu.render import Node, windows_to_array
     a = ctx.plan(self.src_a)
     b = ctx.plan(self.src_b)
     mix = framefuncs.get_f32_array(self.mix_b, ctx.frames)
     windows = _window_union_clip(a.windows, b.windows, ctx.window)
+
+    # Peephole: a crossfade of two solids over IDENTICAL per-frame
+    # windows is itself a solid with the lerped color (the cross kernel
+    # is pointwise: a*(1-m) + b*m, zero outside both windows). This lets
+    # the layer join adjacent solid runs in the fused stack kernel.
+    if (a.op == 'solid' and b.op == 'solid'
+            and np.array_equal(windows_to_array(a.windows),
+                               windows_to_array(b.windows))):
+        m = mix[:, None]
+        color = a.params['color'] * (1.0 - m) + b.params['color'] * m
+        return Node('solid', static=a.static,
+                    params={'color': color.astype(np.float32),
+                            'box': a.params['box']},
+                    windows=a.windows)
+
     return Node('mix', params={'mix_b': mix}, children=[a, b],
                 windows=windows)
 
@@ -700,6 +715,72 @@ def _ws_plan_cuts(self, start, stop):
     return cuts
 
 
+
+def _solid_layer_params(node):
+    """If *node* is a solid (optionally wrapped in gain_offset-of-solid),
+    return (color (B,4), box (B,4) i32 rel, gain (B,), offset (B,),
+    windows); else None. These are the layers the fused solid_stack
+    kernel can composite pointwise."""
+    if node.op == 'solid':
+        B = node.params['color'].shape[0]
+        return (node.params['color'], node.params['box'],
+                np.ones(B, np.float32), np.zeros(B, np.float32),
+                node.windows)
+    if (node.op == 'gain_offset' and len(node.children) == 1
+            and node.children[0].op == 'solid'):
+        solid = node.children[0]
+        return (solid.params['color'], solid.params['box'],
+                node.params['gain'], node.params['offset'],
+                node.windows)
+    return None
+
+
+def _compress_solid_runs(children, ctx):
+    """Replace runs of >= 2 consecutive solid(/gain) layers with one
+    'solid_stack' node (ops/pallas_ops.py): the whole run becomes a
+    pointwise function of per-layer scalars, computed in one kernel
+    instead of L materialized layers."""
+    from canvas_tpu.render import Node
+    out = []
+    run = []
+
+    def flush():
+        if len(run) < 2:
+            out.extend(r[0] for r in run)
+            run.clear()
+            return
+        colors = np.stack([p[0] for (_n, p) in run])
+        boxes = np.stack([p[1] for (_n, p) in run]).astype(np.int32)
+        gains = np.stack([p[2] for (_n, p) in run])
+        offsets = np.stack([p[3] for (_n, p) in run])
+        # window metadata: fold the run's windows with over semantics
+        acc = run[0][1][4]
+        full = ctx.window
+        for (_n, p) in run[1:]:
+            over = p[4]
+            under_empty = (acc[:, 2] < acc[:, 0]) | (acc[:, 3] < acc[:, 1])
+            over_empty = (over[:, 2] < over[:, 0]) | (over[:, 3] < over[:, 1])
+            merged = _window_union_clip(acc, over, full)
+            keep_under = (~under_empty) & over_empty
+            acc = np.where(keep_under[:, None], acc, merged)
+        out.append(Node('solid_stack',
+                        static=(len(run), full.height, full.width),
+                        params={'color': colors, 'box': boxes,
+                                'gain': gains, 'offset': offsets},
+                        windows=acc))
+        run.clear()
+
+    for child in children:
+        p = _solid_layer_params(child)
+        if p is None:
+            flush()
+            out.append(child)
+        else:
+            run.append((child, p))
+    flush()
+    return out
+
+
 def _ws_emit(self, ctx):
     from canvas_tpu.render import Node
     f0 = int(ctx.frames[0])
@@ -711,6 +792,8 @@ def _ws_emit(self, ctx):
     for item in items:
         sub = ctx.with_frames(ctx.frames - item._x + item._offset)
         children.append(sub.plan(item._source))
+
+    children = _compress_solid_runs(children, ctx)
 
     if len(children) == 1:
         return children[0]
