@@ -46,13 +46,18 @@ def _fold_jnp(jnp, jax, P, A, color, box, gain, offset, H, W):
     return P, A
 
 
-def _kernel_factory(L, TH, TW, with_base):
+def _kernel_factory(L, TH, TW, with_base, finalize=False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     def kernel(color_ref, box_ref, gain_ref, offset_ref, *refs):
-        if with_base:
+        if finalize:
+            if with_base:
+                baseP_ref, baseA_ref, out_ref = refs
+            else:
+                (out_ref,) = refs
+        elif with_base:
             baseP_ref, baseA_ref, outP_ref, outA_ref = refs
         else:
             outP_ref, outA_ref = refs
@@ -81,9 +86,17 @@ def _kernel_factory(L, TH, TW, with_base):
                 rgb = jnp.where(m, color_ref[l, b, c] * g + o, 0.0)
                 accP[c] = rgb * a + accP[c] * keep
             accA = a + accA * keep
-        for c in range(3):
-            outP_ref[0, c] = accP[c]
-        outA_ref[0, 0] = accA
+        if finalize:
+            nonzero = accA != 0.0
+            safe = jnp.where(nonzero, accA, 1.0)
+            for c in range(3):
+                out_ref[0, c] = jnp.where(nonzero, accP[c] / safe,
+                                          0.0).astype(out_ref.dtype)
+            out_ref[0, 3] = accA.astype(out_ref.dtype)
+        else:
+            for c in range(3):
+                outP_ref[0, c] = accP[c]
+            outA_ref[0, 0] = accA
 
     return kernel
 
@@ -94,25 +107,36 @@ def _pick_tile(n, target, step):
     return t
 
 
-def solid_fold(jnp, jax, P, A, color, box, gain, offset, H, W):
+def solid_fold(jnp, jax, P, A, color, box, gain, offset, H, W,
+               finalize=False, out_dtype=None):
     """Fold L solid(+gain) layers over premultiplied base (P, A).
 
     color/box (L, B, 4), gain/offset (L, B); box is int32
     [y0, y1, x0, x1] inclusive, relative to the output window (empty
     boxes encode y1 < y0). P (B, 3, H, W) / A (B, 1, H, W) may be None
-    for an empty base. Returns the updated (P, A). Pallas kernel on TPU,
-    jnp broadcast fold elsewhere.
+    for an empty base. Returns the updated (P, A) — or, with
+    finalize=True, the un-premultiplied (B, 4, H, W) rgba (saving a
+    separate full-frame divide pass). Pallas kernel on TPU, jnp
+    broadcast fold elsewhere.
     """
     B = color.shape[1]
     if jax.default_backend() != 'tpu':
         if P is None:
             P = jnp.zeros((B, 3, H, W), jnp.float32)
             A = jnp.zeros((B, 1, H, W), jnp.float32)
-        return _fold_jnp(jnp, jax, P, A, color, box, gain, offset, H, W)
+        P, A = _fold_jnp(jnp, jax, P, A, color, box, gain, offset, H, W)
+        if not finalize:
+            return P, A
+        safe = jnp.where(A != 0.0, A, 1.0)
+        rgb = jnp.where(A != 0.0, P / safe, 0.0)
+        out = jnp.concatenate([rgb, A], axis=1)
+        return out.astype(out_dtype) if out_dtype is not None else out
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if out_dtype is None:
+        out_dtype = jnp.float32
     L = color.shape[0]
     TH = _pick_tile(H, 256, 8)
     TW = _pick_tile(W, 512, 128)
@@ -128,23 +152,29 @@ def solid_fold(jnp, jax, P, A, color, box, gain, offset, H, W):
                                      lambda b, h, w: (b, 0, h, w)))
         args += [P, A]
 
-    P2, A2 = pl.pallas_call(
-        _kernel_factory(L, TH, TW, with_base=P is not None),
+    if finalize:
+        out_specs = pl.BlockSpec((1, 4, TH, TW),
+                                 lambda b, h, w: (b, 0, h, w))
+        out_shape = jax.ShapeDtypeStruct((B, 4, H, W), out_dtype)
+    else:
+        out_specs = [pl.BlockSpec((1, 3, TH, TW),
+                                  lambda b, h, w: (b, 0, h, w)),
+                     pl.BlockSpec((1, 1, TH, TW),
+                                  lambda b, h, w: (b, 0, h, w))]
+        out_shape = [jax.ShapeDtypeStruct((B, 3, H, W), jnp.float32),
+                     jax.ShapeDtypeStruct((B, 1, H, W), jnp.float32)]
+
+    return pl.pallas_call(
+        _kernel_factory(L, TH, TW, with_base=P is not None,
+                        finalize=finalize),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((1, 3, TH, TW),
-                                lambda b, h, w: (b, 0, h, w)),
-                   pl.BlockSpec((1, 1, TH, TW),
-                                lambda b, h, w: (b, 0, h, w))],
-        out_shape=[jax.ShapeDtypeStruct((B, 3, H, W), jnp.float32),
-                   jax.ShapeDtypeStruct((B, 1, H, W), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
     )(*args)
-    return P2, A2
 
 
 def solid_stack(jnp, jax, color, box, gain, offset, H, W):
     """Standalone composite of L solid(+gain) layers -> (B, 4, H, W)."""
-    P, A = solid_fold(jnp, jax, None, None, color, box, gain, offset, H, W)
-    safe = jnp.where(A != 0.0, A, 1.0)
-    rgb = jnp.where(A != 0.0, P / safe, 0.0)
-    return jnp.concatenate([rgb, A], axis=1)
+    return solid_fold(jnp, jax, None, None, color, box, gain, offset,
+                      H, W, finalize=True)

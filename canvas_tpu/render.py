@@ -300,6 +300,13 @@ def _eval(node_sig, params_iter, jnp, jax):
         B, H, W = static
         return jnp.zeros((B, 4, H, W), jnp.float32)
 
+    if op == 'placed':
+        # Bare damage-region node (not under over_stack): evaluate the
+        # reduced child; callers treating this as a full frame only occur
+        # via over_stack, which handles placement itself, so this path
+        # should not be reached — keep it total anyway.
+        raise ValueError("'placed' node outside over_stack")
+
     if op == 'gain_offset':
         child = _eval(child_sigs[0], params_iter, jnp, jax)
         gain = params['gain'][:, None, None, None]
@@ -338,15 +345,45 @@ def _eval(node_sig, params_iter, jnp, jax):
         # premultiplied accumulator via the Pallas kernel (no layer
         # tensor ever materializes for solid runs).
         from canvas_tpu.ops import pallas_ops
+        H, W = static
         P = A = None
-        for cs in child_sigs:
+        for i, cs in enumerate(child_sigs):
             c_op = cs[0]
             if c_op == 'solid_stack':
                 c_params = next(params_iter)
-                L, H, W = cs[1]
+                L, _h, _w = cs[1]
+                if i == len(child_sigs) - 1:
+                    # last child: finalize inside the kernel (writes the
+                    # rgba output once, no separate divide pass).
+                    # (Mosaic on this toolchain cannot store f16, so the
+                    # root's astype(f16) stays a separate pass.)
+                    return pallas_ops.solid_fold(
+                        jnp, jax, P, A, c_params['color'],
+                        c_params['box'], c_params['gain'],
+                        c_params['offset'], H, W, finalize=True)
                 P, A = pallas_ops.solid_fold(
                     jnp, jax, P, A, c_params['color'], c_params['box'],
                     c_params['gain'], c_params['offset'], H, W)
+                continue
+            if c_op == 'placed':
+                # Damage-region child: rendered at its union box only;
+                # combine touches just that slice of the accumulator.
+                next(params_iter)                    # its empty params
+                dy0, dx0, h, w = cs[1]
+                layer = _eval(cs[3][0], params_iter, jnp, jax)
+                la = layer[:, 3:4]
+                if P is None:
+                    B = layer.shape[0]
+                    P = jnp.zeros((B, 3, H, W), jnp.float32)
+                    A = jnp.zeros((B, 1, H, W), jnp.float32)
+                subP = jax.lax.slice(P, (0, 0, dy0, dx0),
+                                     (P.shape[0], 3, dy0 + h, dx0 + w))
+                subA = jax.lax.slice(A, (0, 0, dy0, dx0),
+                                     (A.shape[0], 1, dy0 + h, dx0 + w))
+                nP = layer[:, :3] * la + subP * (1.0 - la)
+                nA = la + subA * (1.0 - la)
+                P = jax.lax.dynamic_update_slice(P, nP, (0, 0, dy0, dx0))
+                A = jax.lax.dynamic_update_slice(A, nA, (0, 0, dy0, dx0))
                 continue
             layer = _eval(cs, params_iter, jnp, jax)
             la = layer[:, 3:4]
@@ -438,8 +475,10 @@ def _eval(node_sig, params_iter, jnp, jax):
         Wy = densify(iy, wy, Sy)
         Wx = densify(ix, wx, Sx)
         mid = jnp.einsum('bts,bcsw->bctw', Wy, child,
+                         precision='highest',
                          preferred_element_type=jnp.float32)
         return jnp.einsum('bxw,bctw->bctx', Wx, mid,
+                          precision='highest',
                           preferred_element_type=jnp.float32)
 
     if op == 'scale_taps':

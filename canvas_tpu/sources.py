@@ -781,21 +781,63 @@ def _compress_solid_runs(children, ctx):
     return out
 
 
+def _subtree_stages(node):
+    """True if the subtree pulls host data during planning (re-planning
+    would re-pull it)."""
+    if node.op == 'stage':
+        return True
+    return any(_subtree_stages(c) for c in node.children)
+
+
 def _ws_emit(self, ctx):
-    from canvas_tpu.render import Node
+    from canvas_tpu.render import Node, windows_to_array
     f0 = int(ctx.frames[0])
     items = self._composite_items(f0, f0)
     if not items:
         return _emit_empty(ctx)
 
     children = []
+    full = ctx.window
     for item in items:
         sub = ctx.with_frames(ctx.frames - item._x + item._offset)
-        children.append(sub.plan(item._source))
+        child = sub.plan(item._source)
+
+        # Damage-region reduction: a layer whose per-frame content union
+        # covers well under the full frame is re-planned into just that
+        # box and composited with a static placement — the downstream
+        # math (scaler einsums, blends) shrinks to the covered area.
+        if (child.op not in ('solid', 'solid_stack', 'empty')
+                and not (child.op == 'gain_offset'
+                         and child.children[0].op == 'solid')
+                and not _subtree_stages(child)):
+            w = windows_to_array(child.windows)
+            nonempty = (w[:, 2] >= w[:, 0]) & (w[:, 3] >= w[:, 1])
+            if not nonempty.any():
+                continue                      # contributes nothing
+            wn = w[nonempty]
+            x0 = max(int(wn[:, 0].min()), full.min.x)
+            y0 = max(int(wn[:, 1].min()), full.min.y)
+            x1 = min(int(wn[:, 2].max()), full.max.x)
+            y1 = min(int(wn[:, 3].max()), full.max.y)
+            if x1 < x0 or y1 < y0:
+                continue
+            area = (y1 - y0 + 1) * (x1 - x0 + 1)
+            if area < 0.7 * full.height * full.width:
+                replanned = sub.with_window(
+                    box2i(x0, y0, x1, y1)).plan(item._source)
+                child = Node('placed',
+                             static=(y0 - full.min.y, x0 - full.min.x,
+                                     y1 - y0 + 1, x1 - x0 + 1),
+                             children=[replanned],
+                             windows=replanned.windows)
+        children.append(child)
+
+    if not children:
+        return _emit_empty(ctx)
 
     children = _compress_solid_runs(children, ctx)
 
-    if len(children) == 1:
+    if len(children) == 1 and children[0].op != 'placed':
         return children[0]
 
     # Window algebra mirrors VideoWorkspace._render_f32, vectorized:
@@ -811,7 +853,8 @@ def _ws_emit(self, ctx):
         merged = _window_union_clip(acc, over, full)
         keep_under = (~under_empty) & over_empty
         acc = np.where(keep_under[:, None], acc, merged)
-    return Node('over_stack', children=children, windows=acc)
+    return Node('over_stack', static=(full.height, full.width),
+                children=children, windows=acc)
 
 
 VideoWorkspace.plan_cuts = _ws_plan_cuts

@@ -288,3 +288,35 @@ def test_iter_batches_matches_render(any_backend):
     for s, n in spans:
         covered.extend(range(s, s + n))
     assert covered == list(range(0, 50))
+
+
+def test_damage_region_layers(any_backend):
+    """Layers covering a small part of the frame are planned at their
+    union box and composited by placement ('placed' nodes); results
+    match the full-frame pull path exactly."""
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.sources import (SolidColorVideoSource, VideoScaler,
+                                    VideoWorkspace)
+
+    window = box2i(0, 0, 319, 239)
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource((0.1, 0.1, 0.2, 1.0)),
+           x=0, length=64, z=0)
+    base = SolidColorVideoSource((0.9, 0.4, 0.1, 0.8),
+                                 window=box2i(0, 0, 39, 29))
+    sc = VideoScaler(base,
+                     target_point=LerpFunc((10, 10), (60, 50), 64),
+                     source_point=(0.0, 0.0),
+                     scale_factors=LerpFunc((1.0, 1.0), (1.5, 1.5), 64),
+                     source_rect=box2i(0, 0, 39, 29))
+    ws.add(source=sc, x=0, length=64, z=1)
+    # an all-empty layer must simply drop out
+    ws.add(source=SolidColorVideoSource((1, 0, 0, 1),
+                                        window=box2i(-500, -500, -400, -400)),
+           x=0, length=64, z=2)
+    assert_matches_pull(ws, window=window, start=0, stop=6)
+
+    # single reduced layer over nothing
+    ws2 = VideoWorkspace()
+    ws2.add(source=sc, x=0, length=64, z=0)
+    assert_matches_pull(ws2, window=window, start=0, stop=4)
