@@ -299,3 +299,216 @@ def test_to_item_round_trip():
     assert item.length == sequence.length
     assert [i.transition_length for i in item] == \
         [i.transition_length for i in sequence]
+
+
+# --- remaining reference walks (SequenceCommands.py:414-710) ---------------
+
+def _add_double_to_middle(offset, seq3_trans=-10):
+    sequence = model.Sequence(x=10, y=10.0, items=[
+        model.SequenceItem(source=model.AssetStreamRef('seq1', 0),
+                           offset=1, length=10),
+        model.SequenceItem(source=model.AssetStreamRef('seq3', 0),
+                           transition_length=seq3_trans, offset=1,
+                           length=10)])
+    items = [
+        model.SequenceItem(source=model.AssetStreamRef('seq2a', 0),
+                           offset=1, length=10),
+        model.SequenceItem(source=model.AssetStreamRef('seq2b', 0),
+                           transition_length=5, offset=1, length=10)]
+    mover = model.SequenceOverlapItemsMover(items)
+    command = model.AddOverlapItemsToSequenceCommand(sequence, mover,
+                                                     20 + offset)
+    command.redo()
+
+    assert len(sequence) == 4
+    assert sequence.x == 10
+    assert sequence[1].transition_length == -offset
+    assert sequence[1].x == 10 + offset
+    assert sequence[2].transition_length == 5
+    assert sequence[2].x == 10 + offset + 5
+    assert sequence[3].transition_length == 15 + offset + seq3_trans
+    assert sequence[3].x == 10 - seq3_trans
+    assert [i.source.asset_path for i in sequence] == \
+        ['seq1', 'seq2a', 'seq2b', 'seq3']
+
+    command.undo()
+    assert len(sequence) == 2
+    assert (sequence.x, sequence[0].x, sequence[0].transition_length) == \
+        (10, 0, 0)
+    assert (sequence[1].x, sequence[1].transition_length) == \
+        (10 - seq3_trans, seq3_trans)
+
+
+def test_add_double_to_middle():
+    _add_double_to_middle(0)
+    _add_double_to_middle(-5)
+    with pytest.raises(model.NoRoomError):
+        _add_double_to_middle(-6)    # transition runs into seq1
+    with pytest.raises(model.NoRoomError):
+        _add_double_to_middle(1)     # transition runs into seq3
+
+
+def _move_single_at_middle(offset, seq2_trans=0, seq5_trans=0):
+    sequence = model.Sequence(x=10, y=10.0, items=[
+        model.SequenceItem(source=model.AssetStreamRef('seq%d' % i, 0),
+                           offset=1, length=10,
+                           transition_length=(
+                               seq2_trans if i == 2 else
+                               seq5_trans if i == 5 else 0))
+        for i in range(1, 6)])
+    mover = model.SequenceOverlapItemsMover([sequence[2]])
+    command = model.MoveSequenceOverlapItemsInPlaceCommand(mover, offset)
+    try:
+        command.redo()
+        assert (len(sequence), sequence.x) == (5, 10)
+        assert sequence[1].transition_length == seq2_trans
+        assert sequence[1].x == 10 - seq2_trans
+        assert sequence[2].transition_length == -offset
+        assert sequence[2].x == 20 + offset - seq2_trans
+        assert sequence[3].transition_length == offset
+        assert sequence[3].x == 30 - seq2_trans
+        assert sequence[4].transition_length == seq5_trans
+        assert sequence[4].x == 40 - seq2_trans - seq5_trans
+        command.undo()
+    finally:
+        assert (len(sequence), sequence.x) == (5, 10)
+        assert sequence[2].transition_length == 0
+        assert sequence[2].x == 20 - seq2_trans
+        assert sequence[3].transition_length == 0
+        assert sequence[3].x == 30 - seq2_trans
+
+
+def test_move_single_at_middle_walk():
+    for args in [(0,), (-5,), (-5, 5, 5), (-10,), (5,), (5, 5, 5), (10,)]:
+        _move_single_at_middle(*args)
+    with pytest.raises(model.NoRoomError):
+        _move_single_at_middle(-11)          # past the beginning of seq2
+    with pytest.raises(model.NoRoomError):
+        _move_single_at_middle(-10, seq2_trans=1)   # into seq1 transition
+    with pytest.raises(model.NoRoomError):
+        _move_single_at_middle(11)           # past the end of seq4
+    with pytest.raises(model.NoRoomError):
+        _move_single_at_middle(10, seq5_trans=1)    # into seq5 transition
+
+
+def _move_single_at_start(offset, seq2_trans=0, seq3_trans=0):
+    sequence = model.Sequence(x=10, y=10.0, items=[
+        model.SequenceItem(source=model.AssetStreamRef('seq1', 0),
+                           offset=1, length=10),
+        model.SequenceItem(source=model.AssetStreamRef('seq2', 0),
+                           transition_length=seq2_trans, offset=1,
+                           length=10),
+        model.SequenceItem(source=model.AssetStreamRef('seq3', 0),
+                           transition_length=seq3_trans, offset=1,
+                           length=10)])
+    mover = model.SequenceOverlapItemsMover([sequence[0]])
+    command = model.MoveSequenceOverlapItemsInPlaceCommand(mover, offset)
+    try:
+        command.redo()
+        assert (len(sequence), sequence.x) == (3, 10 + offset)
+        assert sequence[1].transition_length == seq2_trans + offset
+        assert sequence[1].x == 10 - seq2_trans - offset
+        assert sequence[2].transition_length == seq3_trans
+        assert sequence[2].x == 20 - seq2_trans - seq3_trans - offset
+        command.undo()
+    finally:
+        assert (len(sequence), sequence.x) == (3, 10)
+        assert sequence[1].transition_length == seq2_trans
+        assert sequence[1].x == 10 - seq2_trans
+
+
+def test_move_single_at_start_walk():
+    for offset in (0, 5, 10, -5, -10, -15):
+        _move_single_at_start(offset)
+    with pytest.raises(model.NoRoomError):
+        _move_single_at_start(11)            # past the end of seq2
+    _move_single_at_start(5, seq3_trans=5)
+    with pytest.raises(model.NoRoomError):
+        _move_single_at_start(6, seq3_trans=5)   # bumps into seq3 transition
+
+
+def test_combine_commands():
+    """mergeWith composes two in-place moves into one undo step."""
+    sequence = model.Sequence(x=10, y=10.0, items=[
+        model.SequenceItem(source=model.AssetStreamRef('seq1', 0),
+                           offset=1, length=10),
+        model.SequenceItem(source=model.AssetStreamRef('seq2', 0),
+                           offset=1, length=10),
+        model.SequenceItem(source=model.AssetStreamRef('seq3', 0),
+                           offset=1, length=10)])
+    mover = model.SequenceOverlapItemsMover([sequence[0]])
+
+    command1 = model.MoveSequenceOverlapItemsInPlaceCommand(mover, 1)
+    command1.redo()
+    assert sequence.x == 11
+    assert sequence[1].transition_length == 1
+
+    command2 = model.MoveSequenceOverlapItemsInPlaceCommand(mover, -2)
+    command2.redo()
+    assert sequence.x == 9
+    assert sequence[1].transition_length == -1
+
+    command1.mergeWith(command2)
+    command1.undo()
+    assert sequence.x == 10
+    assert sequence[1].transition_length == 0
+    assert sequence[1].x == 10
+
+    command1.redo()
+    assert sequence.x == 9
+    assert sequence[1].transition_length == -1
+    assert sequence[1].x == 11
+
+
+@pytest.mark.parametrize('seq2_trans,seq3_trans',
+                         [(0, 0), (-5, -6), (5, -6), (5, 6)])
+def test_items_mover_to_item(seq2_trans, seq3_trans):
+    items = [
+        model.SequenceItem(source=model.AssetStreamRef('seq1', 0),
+                           offset=1, length=6),
+        model.SequenceItem(source=model.AssetStreamRef('seq2', 0),
+                           transition_length=seq2_trans, offset=2,
+                           length=19),
+        model.SequenceItem(source=model.AssetStreamRef('seq3', 0),
+                           transition_length=seq3_trans, offset=5,
+                           length=10)]
+    mover = model.SequenceItemsMover(items)
+    seq = mover.to_item(height=4.5)
+    assert seq.height == 4.5
+    assert len(seq) == 3
+    assert [i.source.asset_path for i in seq] == ['seq1', 'seq2', 'seq3']
+    assert [i.offset for i in seq] == [1, 2, 5]
+    assert [i.transition_length for i in seq] == [0, seq2_trans, seq3_trans]
+    assert [i.length for i in seq] == [6, 19, 10]
+
+
+def test_slide_two_around():
+    for offsets, die_on in ([(0, -1, -2, -6, 15)], None), \
+                           ([(0, -1, -2, -6, 15, 30)], 5):
+        offsets = offsets[0]
+        sequence = model.Sequence(x=10, y=10.0, items=[
+            model.SequenceItem(source=model.AssetStreamRef('seq1', 0),
+                               offset=1, length=10),
+            model.SequenceItem(source=model.AssetStreamRef('seq2a', 0),
+                               offset=1, length=10),
+            model.SequenceItem(source=model.AssetStreamRef('seq2b', 0),
+                               offset=1, length=10),
+            model.SequenceItem(source=model.AssetStreamRef('seq3', 0),
+                               offset=1, length=10)])
+        mover = model.SequenceItemsMover([sequence[1], sequence[2]])
+        current = 0
+        for i, offset in enumerate(offsets):
+            command = model.MoveSequenceItemsInPlaceCommand(mover, offset)
+            if die_on == i:
+                with pytest.raises(model.NoRoomError):
+                    command.redo()
+            else:
+                command.redo()
+                current += offset
+            assert len(sequence) == 4
+            assert [it.source.asset_path for it in sequence] == \
+                ['seq1', 'seq2a', 'seq2b', 'seq3']
+            assert sequence[0].x == 0
+            assert sequence[1].x == 10 + current
+            assert sequence[2].x == 20 + current
+            assert sequence[3].x == 30
