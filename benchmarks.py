@@ -42,19 +42,22 @@ def _probe():
 
 
 def timeit_batches(planner, batch, n_frames, start=0):
-    """Steady-state fps through the plan-once streaming path."""
+    """Steady-state fps through the plan-once streaming path: one warm
+    pass over the SAME range (pays compiles), then the timed pass."""
     probe = _probe()
-    for (_s, _n, out) in planner.iter_batches(start, start + batch,
-                                              batch=batch):
-        float(probe(out))
-    t0 = time.perf_counter()
-    acc = None
-    for (_s, _n, out) in planner.iter_batches(
-            start + batch, start + batch + n_frames, batch=batch):
-        p = probe(out)
-        acc = p if acc is None else acc + p
-    float(acc)
-    return n_frames / (time.perf_counter() - t0)
+
+    def run_range():
+        t0 = time.perf_counter()
+        acc = None
+        for (_s, _n, out) in planner.iter_batches(
+                start, start + n_frames, batch=batch):
+            p = probe(out)
+            acc = p if acc is None else acc + p
+        float(acc)
+        return n_frames / (time.perf_counter() - t0)
+
+    run_range()
+    return run_range()
 
 
 def config1():
@@ -145,20 +148,22 @@ def config5():
     n = len(jax.devices())
     batch = 16 * n
     probe = _probe()
-    out = render.render_sharded(ws, window, 0, batch,
-                                device_out=True)      # warmup/compile
-    float(probe(out))
-    t0 = time.perf_counter()
-    total = 0
-    acc = None
-    for start in range(batch, batch * 4, batch):
-        out = render.render_sharded(ws, window, start, start + batch,
-                                    device_out=True)
-        p = probe(out)
-        acc = p if acc is None else acc + p
-        total += batch
-    float(acc)
-    return total / (time.perf_counter() - t0)
+
+    def run_range():
+        t0 = time.perf_counter()
+        total = 0
+        acc = None
+        for start in range(0, batch * 4, batch):
+            out = render.render_sharded(ws, window, start, start + batch,
+                                        device_out=True)
+            p = probe(out)
+            acc = p if acc is None else acc + p
+            total += batch
+        float(acc)
+        return total / (time.perf_counter() - t0)
+
+    run_range()            # pays compiles
+    return run_range()
 
 
 def main():

@@ -368,22 +368,29 @@ def _eval(node_sig, params_iter, jnp, jax):
             if c_op == 'placed':
                 # Damage-region child: rendered at its union box only;
                 # combine touches just that slice of the accumulator.
-                next(params_iter)                    # its empty params
-                dy0, dx0, h, w = cs[1]
+                # Offsets are dynamic params so sliding damage windows
+                # keep one compiled program.
+                pl_params = next(params_iter)
+                dy0 = pl_params['dy0']
+                dx0 = pl_params['dx0']
+                h, w = cs[1]
                 layer = _eval(cs[3][0], params_iter, jnp, jax)
                 la = layer[:, 3:4]
                 if P is None:
                     B = layer.shape[0]
                     P = jnp.zeros((B, 3, H, W), jnp.float32)
                     A = jnp.zeros((B, 1, H, W), jnp.float32)
-                subP = jax.lax.slice(P, (0, 0, dy0, dx0),
-                                     (P.shape[0], 3, dy0 + h, dx0 + w))
-                subA = jax.lax.slice(A, (0, 0, dy0, dx0),
-                                     (A.shape[0], 1, dy0 + h, dx0 + w))
+                zero = jnp.int32(0)
+                subP = jax.lax.dynamic_slice(P, (zero, zero, dy0, dx0),
+                                             (P.shape[0], 3, h, w))
+                subA = jax.lax.dynamic_slice(A, (zero, zero, dy0, dx0),
+                                             (A.shape[0], 1, h, w))
                 nP = layer[:, :3] * la + subP * (1.0 - la)
                 nA = la + subA * (1.0 - la)
-                P = jax.lax.dynamic_update_slice(P, nP, (0, 0, dy0, dx0))
-                A = jax.lax.dynamic_update_slice(A, nA, (0, 0, dy0, dx0))
+                P = jax.lax.dynamic_update_slice(
+                    P, nP, (zero, zero, dy0, dx0))
+                A = jax.lax.dynamic_update_slice(
+                    A, nA, (zero, zero, dy0, dx0))
                 continue
             layer = _eval(cs, params_iter, jnp, jax)
             la = layer[:, 3:4]
@@ -434,7 +441,9 @@ def _eval(node_sig, params_iter, jnp, jax):
         # inside the fused program — planning cost and H2D traffic drop
         # to almost nothing.
         child = _eval(child_sigs[0], params_iter, jnp, jax)
-        (t_lo_y, t_lo_x, Ky, Kx, Ty, Tx) = static
+        (Ky, Kx, Ty, Tx) = static
+        t_lo_y = params['tly']
+        t_lo_x = params['tlx']
 
         def axis(fv, tp, sp, lo, hi, t_lo, T, K, S):
             t = jax.lax.broadcasted_iota(jnp.float32, (1, T), 1) + t_lo
@@ -733,6 +742,13 @@ def render_sharded(source, window, start, stop, mesh=None, axis='frames',
     if B % n != 0:
         raise ValueError('frame count %d not divisible by %d shards' % (B, n))
 
+    if n == 1 and spatial_axis is None:
+        # Degenerate mesh: nothing to shard — use the plain streaming
+        # executor (the sharded dispatch path costs real overhead on
+        # remote transports for zero parallelism).
+        return RenderPlanner(source, window).render(start, stop,
+                                                    device_out=device_out)
+
     # Plan on host (cheap), then shard every leading-B param array.
     planner = RenderPlanner(source, window)
     segs = planner.segments(start, stop)
@@ -756,17 +772,32 @@ def render_sharded(source, window, start, stop, mesh=None, axis='frames',
 
     repl_sharding = NamedSharding(mesh, P())
 
-    def shard_param(v, ax):
+    def sharding_for(v, ax):
         if v.ndim > ax and v.shape[ax] == B:
             spec = P(*((None,) * ax + (axis,)))
-            return jax.device_put(v, NamedSharding(mesh, spec))
-        return jax.device_put(v, repl_sharding)
+            return NamedSharding(mesh, spec)
+        return repl_sharding
 
+    # Compile with in_shardings so the executable ingests host arrays
+    # directly — one transfer transaction instead of a device_put round
+    # trip per parameter (which dominates on remote links).
     ops = node.flat_ops([])
-    params = [{k: shard_param(v, _BATCH_AXIS.get(op, 0))
-               for k, v in p.items()}
-              for p, op in zip(params, ops)]
-    fn = _get_program(sig)
+    shardings = [{k: sharding_for(v, _BATCH_AXIS.get(op, 0))
+                  for k, v in p.items()}
+                 for p, op in zip(params, ops)]
+
+    def run(params_list):
+        it = iter(params_list)
+        out = _eval(sig, it, jnp, jax)
+        return out.astype(jnp.float16)
+
+    key = (sig, 'sharded', mesh, axis)
+    with _program_lock:
+        fn = _program_cache.get(key)
+    if fn is None:
+        fn = jax.jit(run, in_shardings=(shardings,))
+        with _program_lock:
+            _program_cache[key] = fn
     out = fn(params)
     if spatial_axis is not None:
         # Reshard rows across a second mesh axis (the 4K single-frame

@@ -821,13 +821,28 @@ def _ws_emit(self, ctx):
             y1 = min(int(wn[:, 3].max()), full.max.y)
             if x1 < x0 or y1 < y0:
                 continue
-            area = (y1 - y0 + 1) * (x1 - x0 + 1)
+            # Quantize the box SIZE up to a 64px multiple (origin stays
+            # exact and rides as a dynamic param): every frame range of
+            # the same animated motion then produces the same program
+            # geometry, so sliding damage windows reuse compiled
+            # programs instead of recompiling per segment.
+            Q = 64
+            w_box = -((x1 - x0 + 1) // -Q) * Q
+            h_box = -((y1 - y0 + 1) // -Q) * Q
+            w_box = min(w_box, full.width)
+            h_box = min(h_box, full.height)
+            x0 = min(x0, full.max.x - w_box + 1)
+            y0 = min(y0, full.max.y - h_box + 1)
+            x1 = x0 + w_box - 1
+            y1 = y0 + h_box - 1
+            area = h_box * w_box
             if area < 0.7 * full.height * full.width:
                 replanned = sub.with_window(
                     box2i(x0, y0, x1, y1)).plan(item._source)
                 child = Node('placed',
-                             static=(y0 - full.min.y, x0 - full.min.x,
-                                     y1 - y0 + 1, x1 - x0 + 1),
+                             static=(h_box, w_box),
+                             params={'dy0': np.int32(y0 - full.min.y),
+                                     'dx0': np.int32(x0 - full.min.x)},
                              children=[replanned],
                              windows=replanned.windows)
         children.append(child)
@@ -905,8 +920,16 @@ def _scaler_emit(self, ctx):
     if not ok.any():
         return _emit_empty(ctx)
     fb = fb[ok]
-    fetch = box2i(int(fb[:, 0].min()), int(fb[:, 1].min()),
-                  int(fb[:, 2].max()), int(fb[:, 3].max()))
+    # Quantize the fetch SIZE up to a 64px multiple (origin exact):
+    # animated parameters then reuse one compiled program while the
+    # fetch region drifts (out-of-window taps carry zero weight, so the
+    # extra border never changes values).
+    Q = 64
+    fx0 = int(fb[:, 0].min())
+    fy0 = int(fb[:, 1].min())
+    fw = -((int(fb[:, 2].max()) - fx0 + 1) // -Q) * Q
+    fh = -((int(fb[:, 3].max()) - fy0 + 1) // -Q) * Q
+    fetch = box2i(fx0, fy0, fx0 + fw - 1, fy0 + fh - 1)
 
     child = ctx.with_window(fetch).plan(self.source)
 
@@ -977,8 +1000,9 @@ def _scaler_emit(self, ctx):
 
     return Node(
         'scale_taps_dyn',
-        static=(full.min.y, full.min.x, Ky, Kx, full.height, full.width),
+        static=(Ky, Kx, full.height, full.width),
         params={
+            'tly': np.float32(full.min.y), 'tlx': np.float32(full.min.x),
             'fy': fy.astype(np.float32), 'fx': fx.astype(np.float32),
             'tpy': tpy.astype(np.float32), 'tpx': tpx.astype(np.float32),
             'spy': (spy - fetch.min.y).astype(np.float32),
