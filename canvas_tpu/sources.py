@@ -135,7 +135,18 @@ class VideoMixFilter(VideoSource):
         self.mix_b = framefuncs.as_framefunc(mix_b)
 
     def _render_f32(self, frame_index, frame):
-        mix_b = framefuncs.get_f32(self.mix_b, frame_index)
+        mix_b = min(max(framefuncs.get_f32(self.mix_b, frame_index), 0.0),
+                    1.0)
+
+        # Endpoint short-circuits (video_mix.c:50-56): at 0 or 1 only one
+        # source is pulled, and the OTHER source's window never affects
+        # the output (a gap under a dormant crossfade stays empty).
+        if mix_b == 0.0:
+            self.src_a.render_f32(frame_index, frame)
+            return
+        if mix_b == 1.0:
+            self.src_b.render_f32(frame_index, frame)
+            return
 
         frame_a = RgbaFrameF32(frame.full_window)
         frame_b = RgbaFrameF32(frame.full_window)
@@ -622,8 +633,15 @@ def _mix_emit(self, ctx):
     from canvas_tpu.render import Node, windows_to_array
     a = ctx.plan(self.src_a)
     b = ctx.plan(self.src_b)
-    mix = framefuncs.get_f32_array(self.mix_b, ctx.frames)
-    windows = _window_union_clip(a.windows, b.windows, ctx.window)
+    mix = np.clip(framefuncs.get_f32_array(self.mix_b, ctx.frames),
+                  0.0, 1.0)
+    # Window metadata honors the endpoint short-circuits
+    # (video_mix.c:50-56): at mix 0/1 only one source's window counts.
+    wa = windows_to_array(a.windows)
+    wb = windows_to_array(b.windows)
+    union = _window_union_clip(wa, wb, ctx.window)
+    windows = np.where((mix <= 0.0)[:, None], wa,
+                       np.where((mix >= 1.0)[:, None], wb, union))
 
     # Peephole: a crossfade of two solids over IDENTICAL per-frame
     # windows is itself a solid with the lerped color (the cross kernel

@@ -470,3 +470,199 @@ def test_sequence_manager_dirty_ranges():
     track.reset()
 
     check1(manager)
+
+
+# --- remaining SequenceVideoManager walks (tests/canvas/sequence.py) -------
+
+def check2(source):
+    """Five frames red, crossfade to green, then IMMEDIATELY crossfade
+    to blue (sequence.py:281-318)."""
+    colors = [getcolor(source, i) for i in range(0, 25)]
+    for i in range(0, 5):
+        assert colors[i].r == pytest.approx(float(i + 1), abs=1e-5), i
+        assert colors[i].g == pytest.approx(0.0, abs=1e-5), i
+    for i in range(5, 10):
+        assert colors[i].r == pytest.approx(
+            float(i + 1) * (1.0 - float(i - 5) / 5.0), abs=1e-4), i
+        assert colors[i].g == pytest.approx(
+            float(i - 5 + 1) * float(i - 5) / 5.0, abs=1e-4), i
+        assert colors[i].b == pytest.approx(0.0, abs=1e-5), i
+    for i in range(10, 15):
+        assert colors[i].r == pytest.approx(0.0, abs=1e-5), i
+        assert colors[i].g == pytest.approx(
+            float(i - 5 + 1) * (1.0 - float(i - 10) / 5.0), abs=1e-4), i
+        assert colors[i].b == pytest.approx(
+            float(i - 10 + 1) * float(i - 10) / 5.0, abs=1e-4), i
+    for i in range(15, 20):
+        assert colors[i].g == pytest.approx(0.0, abs=1e-5), i
+        assert colors[i].b == pytest.approx(float(i - 10 + 1), abs=1e-5), i
+    for i in range(20, 25):
+        assert colors[i] is None, i
+
+
+def _seq(*triples):
+    return model.Sequence(type='video', items=[
+        model.SequenceItem(source=model.AssetStreamRef(name, 'video'),
+                           offset=off, length=ln, transition_length=tl)
+        for (name, off, ln, tl) in triples])
+
+
+def test_check2_start():
+    seq = _seq(('red', 1, 10, 0), ('green', 1, 10, 5), ('blue', 1, 10, 5))
+    manager = SequenceVideoManager(seq, make_asset_list(), vidformat)
+    assert not manager.alerts
+    check2(manager)
+
+
+def test_check2_add_transitions():
+    seq = _seq(('red', 1, 10, 0), ('green', 1, 10, 0), ('blue', 1, 10, 0))
+    manager = SequenceVideoManager(seq, make_asset_list(), vidformat)
+    seq[1].update(transition_length=5)
+    seq[2].update(transition_length=5)
+    check2(manager)
+
+
+def test_check2_insert_green():
+    seq = _seq(('red', 1, 10, 0), ('blue', 1, 10, 5))
+    manager = SequenceVideoManager(seq, make_asset_list(), vidformat)
+    seq.insert(1, model.SequenceItem(
+        source=model.AssetStreamRef('green', 'video'), offset=1, length=10,
+        transition_length=5))
+    check2(manager)
+
+
+@pytest.mark.parametrize('t1,t2', [(7, 3), (3, 7)])
+def test_check2_adjust_transitions(t1, t2):
+    seq = _seq(('red', 1, 10, 0), ('green', 1, 10, t1), ('blue', 1, 10, t2))
+    manager = SequenceVideoManager(seq, make_asset_list(), vidformat)
+    seq[1].update(transition_length=5)
+    seq[2].update(transition_length=5)
+    check2(manager)
+
+
+def check3(source):
+    """Ten frames red, five EMPTY (gap), five green, crossfade to blue
+    (sequence.py:382-428)."""
+    colors = [getcolor(source, i) for i in range(0, 35)]
+    for i in range(0, 10):
+        assert colors[i].r == pytest.approx(float(i + 1), abs=1e-5), i
+    for i in range(10, 15):
+        assert colors[i] is None, i
+    for i in range(15, 20):
+        assert colors[i].g == pytest.approx(float(i - 15 + 1), abs=1e-5), i
+        assert colors[i].r == pytest.approx(0.0, abs=1e-5), i
+    for i in range(20, 25):
+        assert colors[i].g == pytest.approx(
+            float(i - 15 + 1) * (1.0 - float(i - 20) / 5.0), abs=1e-4), i
+        assert colors[i].b == pytest.approx(
+            float(i - 20 + 1) * float(i - 20) / 5.0, abs=1e-4), i
+    for i in range(25, 30):
+        assert colors[i].b == pytest.approx(float(i - 20 + 1), abs=1e-5), i
+    for i in range(30, 35):
+        assert colors[i] is None, i
+
+
+def test_check3_gap_via_negative_transition():
+    seq = _seq(('red', 1, 10, 0), ('green', 1, 10, 0), ('blue', 1, 10, 0))
+    manager = SequenceVideoManager(seq, make_asset_list(), vidformat)
+    assert not manager.alerts
+    seq[1].update(transition_length=-5)
+    seq[2].update(transition_length=5)
+    check3(manager)
+
+
+def test_dirty_ranges_adjlen2():
+    """sequence.py test_1_adjlen2 exact dirty ranges, different order."""
+    seq = _seq(('red', 1, 17, 0), ('green', 1, 5, 0), ('blue', 1, 22, 5))
+    manager = SequenceVideoManager(seq, make_asset_list(), vidformat)
+    track = UpdateTracker(manager)
+
+    seq[2].update(length=10)
+    assert (track.min_frame, track.max_frame) == (27, 17 + 5 + 22 - 5 - 1)
+    track.reset()
+    seq[0].update(length=10)
+    assert (track.min_frame, track.max_frame) == (10, 17 + 5 + 10 - 5 - 1)
+    track.reset()
+    seq[1].update(length=10)
+    assert (track.min_frame, track.max_frame) == (10, 10 + 10 + 10 - 5 - 1)
+    check1(manager)
+
+
+def test_dirty_ranges_adjust_transition_length():
+    """sequence.py test_1_adjtranslength."""
+    seq = _seq(('red', 1, 10, 0), ('green', 1, 10, 3), ('blue', 1, 10, 7))
+    manager = SequenceVideoManager(seq, make_asset_list(), vidformat)
+    track = UpdateTracker(manager)
+
+    seq[1].update(transition_length=0)
+    assert (track.min_frame, track.max_frame) == (7, 10 + 10 + 10 - 7 - 1)
+    track.reset()
+    seq[2].update(transition_length=5)
+    assert (track.min_frame, track.max_frame) == (13, 10 + 10 + 10 - 5 - 1)
+    check1(manager)
+
+
+def test_dirty_ranges_add_one_at_a_time():
+    """sequence.py test_1_add."""
+    seq = _seq(('green', 1, 10, 0))
+    manager = SequenceVideoManager(seq, make_asset_list(), vidformat)
+    track = UpdateTracker(manager)
+
+    seq.append(model.SequenceItem(
+        source=model.AssetStreamRef('blue', 'video'), offset=1, length=10,
+        transition_length=5))
+    assert (track.min_frame, track.max_frame) == (5, 14)
+    track.reset()
+    seq.insert(0, model.SequenceItem(
+        source=model.AssetStreamRef('red', 'video'), offset=1, length=10))
+    assert (track.min_frame, track.max_frame) == (0, 10 + 10 + 10 - 5 - 1)
+    check1(manager)
+
+
+def test_dirty_ranges_add_multiple():
+    """sequence.py test_1_addmultiple."""
+    seq = _seq(('red', 1, 10, 0))
+    manager = SequenceVideoManager(seq, make_asset_list(), vidformat)
+    track = UpdateTracker(manager)
+
+    seq.extend([
+        model.SequenceItem(source=model.AssetStreamRef('green', 'video'),
+                           offset=1, length=10),
+        model.SequenceItem(source=model.AssetStreamRef('blue', 'video'),
+                           offset=1, length=10, transition_length=5)])
+    assert (track.min_frame, track.max_frame) == (10, 10 + 10 + 10 - 5 - 1)
+    check1(manager)
+
+
+def test_dirty_ranges_remove_one_at_a_time():
+    """sequence.py test_1_remove."""
+    seq = _seq(('red', 1, 10, 0), ('blue', 25, 14, 2), ('green', 1, 10, 0),
+               ('blue', 9, 7, 0), ('blue', 1, 10, 5))
+    manager = SequenceVideoManager(seq, make_asset_list(), vidformat)
+    track = UpdateTracker(manager)
+
+    del seq[1]
+    assert track.min_frame == 8
+    assert track.max_frame == 10 + 14 + 10 + 7 + 10 - 5 - 2 - 1
+    track.reset()
+    del seq[2]
+    assert track.min_frame == 15
+    assert track.max_frame == 10 + 10 + 7 + 10 - 5 - 1
+    check1(manager)
+
+
+def test_dirty_ranges_remove_ends():
+    """sequence.py test_1_removeends (slice deletion + end deletion)."""
+    seq = _seq(('green', 9, 114, 0), ('red', 23, 8, 5), ('red', 1, 10, 0),
+               ('green', 1, 10, 0), ('blue', 1, 10, 5), ('blue', 9, 7, 0))
+    manager = SequenceVideoManager(seq, make_asset_list(), vidformat)
+    track = UpdateTracker(manager)
+
+    seq[0:2] = []
+    assert track.min_frame == 0
+    assert track.max_frame == 114 + 8 + 10 + 10 + 10 + 7 - 5 - 5 - 1
+    track.reset()
+    del seq[3]
+    assert track.min_frame == 10 + 10 + 10 - 5
+    assert track.max_frame == 10 + 10 + 10 + 7 - 5 - 1
+    check1(manager)
