@@ -533,14 +533,20 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
         def iter_render():
             """Yield (b0, b1, u8_batch) in frame order. Batched path
             streams through RenderPlanner.iter_batches (plan each
-            structure segment once, reuse one compiled program)."""
+            structure segment once, reuse one compiled program); the
+            8-bit display conversion runs on device so only u8 crosses
+            the host link."""
             if use_batch:
-                from canvas_tpu import render
+                from canvas_tpu import backend, render
                 planner = render.RenderPlanner(video_source, window)
                 for (s, n, data) in planner.iter_batches(
                         start_frame, start_frame + n_frames, batch=batch,
-                        device_out=False):
-                    yield s - start_frame, s - start_frame + n, to_u8(data)
+                        device_out=True):
+                    if backend.is_jax_array(data):
+                        u8 = np.asarray(color_ops.rgba_u8_device(data))
+                    else:
+                        u8 = to_u8(data)
+                    yield s - start_frame, s - start_frame + n, u8
             else:
                 for b0 in range(0, n_frames, batch):
                     b1 = min(b0 + batch, n_frames)

@@ -227,6 +227,33 @@ def apply_gamma45_u8(arr):
                           gamma45_ramp_u8())
 
 
+def bgra_u8_device(data):
+    """(B, 4, H, W) rgba f16 device array -> (B, H, W, 4) BGRA u8 device
+    array: the playback display conversion computed ON DEVICE, so only
+    half the bytes cross the host link. Uses the direct gamma formula
+    (trunc-to-u8 like the C ramp cast, gammatab.c:8-10) instead of the
+    64K LUT gather — gathers are ~100x slower than a pow on TPU; the
+    ramp table itself remains the contract for to_argb_string."""
+    jnp = backend.jnp
+    x = data.astype(jnp.float32)
+    y = jnp.power(x, 0.45) * 255.0
+    y = jnp.clip(jnp.nan_to_num(y, nan=0.0), 0.0, 255.0)
+    u8 = jnp.floor(y).astype(jnp.uint8)
+    bgra = u8[:, (2, 1, 0, 3)]
+    return jnp.transpose(bgra, (0, 2, 3, 1))
+
+
+def rgba_u8_device(data):
+    """(B, 4, H, W) rgba f16 device array -> (B, H, W, 4) RGBA u8 device
+    array (export-path variant of bgra_u8_device)."""
+    jnp = backend.jnp
+    x = data.astype(jnp.float32)
+    y = jnp.power(x, 0.45) * 255.0
+    y = jnp.clip(jnp.nan_to_num(y, nan=0.0), 0.0, 255.0)
+    u8 = jnp.floor(y).astype(jnp.uint8)
+    return jnp.transpose(u8, (0, 2, 3, 1))
+
+
 # --- color matrices ----------------------------------------------------------
 
 # Rows are output components, columns input components (color.c:35-43 is

@@ -97,12 +97,19 @@ class VideoPlaybackEngine:
         return process.get_time_frame(self.frame_rate, time_ns)
 
     def _render_batch(self, start, stop):
-        from canvas_tpu import render
+        from canvas_tpu import backend, render
         from canvas_tpu.ops import color as color_ops
-        data = render.render_frames(self.source, self.window, start, stop)
-        u8 = color_ops.apply_gamma45_u8(data)       # (B, 4, H, W) u8
-        # BGRA interleave for display
-        bgra = np.stack([u8[:, 2], u8[:, 1], u8[:, 0], u8[:, 3]], axis=-1)
+        data = render.render_frames(self.source, self.window, start, stop,
+                                    device_out=True)
+        if backend.is_jax_array(data):
+            # Display conversion on device: only u8 BGRA crosses the
+            # host link (half the f16 bytes)
+            bgra = np.asarray(color_ops.bgra_u8_device(data))
+        else:
+            u8 = color_ops.apply_gamma45_u8(np.asarray(data))
+            bgra = np.empty(u8.shape[0:1] + u8.shape[2:] + (4,), np.uint8)
+            for c_dst, c_src in enumerate((2, 1, 0, 3)):
+                bgra[..., c_dst] = u8[:, c_src]
         with self._lock:
             for i, idx in enumerate(range(start, stop)):
                 self._cache[idx] = bgra[i]
