@@ -67,13 +67,17 @@ class DVReconstructionFilter(VideoSource):
     (src/process/DVReconstructionFilter.c:54-96 + video_reconstruct_dv,
     src/cprocess/video_reconstruct.c:50-137)."""
 
-    def __init__(self, source):
+    def __init__(self, source, quality=0):
         if not isinstance(source, CodedImageSource):
             raise TypeError('source must be a CodedImageSource')
         self.source = source
+        #: Quality hint forwarded to the coded source's get_frame
+        #: (framework.h:510-513: 1 fastest .. 10 normal best, 0 = 10).
+        self.quality = int(quality)
 
     def _render_f16(self, frame_index, frame):
-        image = self.source.get_frame(frame_index) if self.source else None
+        image = (self.source.get_frame(frame_index, self.quality)
+                 if self.source else None)
         if image is None:
             frame.current_window = EMPTY_BOX2I
             return
@@ -234,7 +238,7 @@ def _dvrecon_emit(self, ctx):
             fkey = frame_cache_prefix + (int(f),)
             planes = cache.get(fkey)
             if planes is None:
-                image = self.source.get_frame(int(f))
+                image = self.source.get_frame(int(f), self.quality)
                 if image is None:
                     return None     # host-stage the whole node instead
                 planes = (np.asarray(image[0]), np.asarray(image[1]),

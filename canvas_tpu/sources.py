@@ -807,6 +807,24 @@ def _subtree_stages(node):
     return any(_subtree_stages(c) for c in node.children)
 
 
+
+def _statically_opaque_full(node, full):
+    """True if *node* provably renders an OPAQUE frame covering the whole
+    target window for every frame in the batch — the planner-time form
+    of the reference's "opaque" media hint
+    (docs/sphinx/feature-proposal/hints.rst): layers beneath such a
+    layer contribute nothing and are dropped from the program."""
+    from canvas_tpu.render import windows_to_array
+    if node.op == 'gain_offset' and node.children[0].op == 'solid':
+        node = node.children[0]          # gain/offset leaves alpha alone
+    if node.op == 'solid':
+        w = windows_to_array(node.windows)
+        covers = ((w[:, 0] <= full.min.x) & (w[:, 1] <= full.min.y) &
+                  (w[:, 2] >= full.max.x) & (w[:, 3] >= full.max.y)).all()
+        return bool(covers and
+                    (node.params['color'][:, 3] >= 1.0).all())
+    return False
+
 def _ws_emit(self, ctx):
     from canvas_tpu.render import Node, windows_to_array
     f0 = int(ctx.frames[0])
@@ -867,6 +885,13 @@ def _ws_emit(self, ctx):
 
     if not children:
         return _emit_empty(ctx)
+
+    # Opaque-hint pruning: everything below the topmost provably-opaque
+    # full-frame layer is invisible — drop it from the program.
+    for i in range(len(children) - 1, 0, -1):
+        if _statically_opaque_full(children[i], full):
+            children = children[i:]
+            break
 
     children = _compress_solid_runs(children, ctx)
 

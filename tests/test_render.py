@@ -320,3 +320,61 @@ def test_damage_region_layers(any_backend):
     ws2 = VideoWorkspace()
     ws2.add(source=sc, x=0, length=64, z=0)
     assert_matches_pull(ws2, window=window, start=0, stop=4)
+
+
+def test_opaque_hint_prunes_hidden_layers(any_backend):
+    """Layers below a provably-opaque full-frame layer drop out of the
+    batched program (the planner-time form of the reference's opaque
+    media hint, docs/sphinx/feature-proposal/hints.rst)."""
+    from canvas_tpu.render import PlanContext, RenderPlanner
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.sources import (SolidColorVideoSource, VideoScaler,
+                                    VideoWorkspace)
+
+    window = box2i(0, 0, 159, 119)
+    ws = VideoWorkspace()
+    # Expensive hidden layer (scaler) under an opaque full-frame card
+    hidden = VideoScaler(
+        SolidColorVideoSource((1, 0, 0, 1), window=box2i(0, 0, 39, 29)),
+        target_point=LerpFunc((10, 10), (60, 50), 32),
+        source_point=(0.0, 0.0),
+        scale_factors=LerpFunc((1.0, 1.0), (1.5, 1.5), 32),
+        source_rect=box2i(0, 0, 39, 29))
+    ws.add(source=hidden, x=0, length=32, z=0)
+    ws.add(source=SolidColorVideoSource((0.2, 0.4, 0.6, 1.0)),
+           x=0, length=32, z=1)
+    # Partially transparent card on top stays
+    ws.add(source=SolidColorVideoSource((1, 1, 1, 0.5),
+                                        window=box2i(10, 10, 60, 60)),
+           x=0, length=32, z=2)
+
+    planner = RenderPlanner(ws, window)
+    planner._stage_cache = {}
+    ctx = PlanContext(planner, np.arange(0, 4, dtype=np.int64),
+                      planner.window)
+    node = ctx.plan(ws)
+
+    def ops_in(n, acc):
+        acc.add(n.op)
+        for c in n.children:
+            ops_in(c, acc)
+        return acc
+
+    ops = ops_in(node, set())
+    assert 'scale_taps_dyn' not in ops and 'scale' not in ops, ops
+
+    # and the output still matches the pull path
+    assert_matches_pull(ws, window=window, start=0, stop=4)
+
+
+def test_opaque_hint_not_pruned_when_translucent(any_backend):
+    from canvas_tpu.render import PlanContext, RenderPlanner
+    from canvas_tpu.sources import SolidColorVideoSource, VideoWorkspace
+
+    window = box2i(0, 0, 63, 63)
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource((1, 0, 0, 1),
+                                        window=box2i(0, 0, 31, 31)),
+           x=0, length=8, z=0)
+    ws.add(source=SolidColorVideoSource((0, 0, 1, 0.5)), x=0, length=8, z=1)
+    assert_matches_pull(ws, window=window, start=0, stop=4)
