@@ -599,6 +599,45 @@ _program_cache = {}
 _program_lock = threading.Lock()
 
 
+def _get_sharded_program(signature, node, mesh, axis, N):
+    """Compiled program whose frame-axis params shard over *axis* of
+    *mesh* (in_shardings ingest host arrays directly). A param is
+    frame-sharded iff its per-op frame axis had segment length *N*
+    before slicing — mirroring iter_batches' slicing rule."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    key = (signature, 'sharded', mesh, axis)
+    with _program_lock:
+        fn = _program_cache.get(key)
+    if fn is not None:
+        return fn
+    jax, jnp = _jx()
+
+    repl = NamedSharding(mesh, P())
+    ops = node.flat_ops([])
+    shardings = []
+    for p, op in zip(node.flat_params([]), ops):
+        ax = _BATCH_AXIS.get(op, 0)
+        entry = {}
+        for k, v in p.items():
+            shp = np.shape(v)
+            if len(shp) > ax and shp[ax] == N:
+                entry[k] = NamedSharding(
+                    mesh, P(*((None,) * ax + (axis,))))
+            else:
+                entry[k] = repl
+        shardings.append(entry)
+
+    def run(params_list):
+        it = iter(params_list)
+        out = _eval(signature, it, jnp, jax)
+        return out.astype(jnp.float16)
+
+    fn = jax.jit(run, in_shardings=(shardings,))
+    with _program_lock:
+        _program_cache[key] = fn
+    return fn
+
+
 def _get_program(signature):
     with _program_lock:
         fn = _program_cache.get(signature)
@@ -631,31 +670,42 @@ class RenderPlanner:
         edges = [start] + cuts + [stop]
         return list(zip(edges[:-1], edges[1:]))
 
-    def iter_batches(self, start, stop, batch=16, device_out=True):
+    def iter_batches(self, start, stop, batch=16, device_out=True,
+                     mesh=None, axis='frames'):
         """Yield ``(frame_start, n_valid, out)`` for [start, stop) in
         fixed-size batches, planning each structure segment ONCE.
 
         Within a segment the graph structure (and therefore the compiled
         program) is constant; only per-frame params change. Planning the
         whole segment in one pass amortizes host planning cost across
-        every batch: param arrays with a leading segment-length axis are
-        sliced per batch, everything else is replicated — the same
-        convention ``render_sharded`` uses for its frame axis. The tail
-        batch repeats its last frame to keep the compiled shape and
-        reports ``n_valid < batch``.
+        every batch: param arrays with a frame axis are sliced per
+        batch, everything else is replicated. The tail batch repeats its
+        last frame to keep the compiled shape and reports
+        ``n_valid < batch``.
+
+        With *mesh*, each batch's frame axis is sharded over the named
+        mesh *axis* (in_shardings on the compiled program — frame-
+        parallel streaming across chips); *batch* must divide by the
+        axis size.
         """
         jax, jnp = _jx()
+        if mesh is not None and batch % mesh.shape[axis] != 0:
+            raise ValueError('batch %d not divisible by %d shards'
+                             % (batch, mesh.shape[axis]))
         for seg_start, seg_stop in self.segments(start, stop):
             self._stage_cache = {}
             N = seg_stop - seg_start
             frames = np.arange(seg_start, seg_stop, dtype=np.int64)
             ctx = PlanContext(self, frames, self.window)
             node = ctx.plan(self.source)
-            sig = _sliced_signature(node, N, min(batch, N) if N < batch
-                                    else batch)
+            B_eff = min(batch, N) if N < batch else batch
+            sig = _sliced_signature(node, N, B_eff)
             params = node.flat_params([])
             ops = node.flat_ops([])
-            fn = _get_program(sig)
+            if mesh is None:
+                fn = _get_program(sig)
+            else:
+                fn = _get_sharded_program(sig, node, mesh, axis, N)
             pos = 0
             while pos < N:
                 take = min(batch, N - pos)

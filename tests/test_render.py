@@ -378,3 +378,37 @@ def test_opaque_hint_not_pruned_when_translucent(any_backend):
            x=0, length=8, z=0)
     ws.add(source=SolidColorVideoSource((0, 0, 1, 0.5)), x=0, length=8, z=1)
     assert_matches_pull(ws, window=window, start=0, stop=4)
+
+
+def test_iter_batches_sharded_matches(jax_backend):
+    """Frame-sharded streaming (mesh over the 8 virtual devices) equals
+    the unsharded path."""
+    import jax
+    from jax.sharding import Mesh
+    from canvas_tpu.render import RenderPlanner
+    from canvas_tpu.sources import SolidColorVideoSource, VideoWorkspace
+    from canvas_tpu.framefuncs import LerpFunc
+
+    if len(jax.devices()) < 2:
+        pytest.skip('needs multiple devices')
+    mesh = Mesh(np.asarray(jax.devices()), ('frames',))
+
+    window = box2i(0, 0, 127, 95)
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource((0.1, 0.2, 0.3, 1.0)),
+           x=0, length=64, z=0)
+    ws.add(source=SolidColorVideoSource(
+        LerpFunc((1, 0, 0, 0.5), (0, 1, 0, 0.5), 64),
+        window=box2i(8, 8, 63, 63)), x=0, length=64, z=1)
+
+    planner = RenderPlanner(ws, window)
+    want = planner.render(0, 32)
+    chunks = list(planner.iter_batches(0, 32, batch=16, device_out=False,
+                                       mesh=mesh))
+    got = np.concatenate([np.asarray(o) for (_s, _n, o) in chunks], axis=0)
+    np.testing.assert_array_equal(got, want)
+
+    # output really is sharded over the frame axis
+    (_s, _n, out) = next(iter(planner.iter_batches(0, 16, batch=16,
+                                                   mesh=mesh)))
+    assert 'frames' in str(out.sharding)
