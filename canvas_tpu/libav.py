@@ -497,7 +497,7 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
                 frame_size=(720, 480), frame_rate=None, sample_rate=48000,
                 channels=2, video_codec='mpeg4', audio_codec=None,
                 bit_rate=4_000_000, format='', window=None, use_batch=True,
-                progress_callback=None):
+                progress_callback=None, mesh=None):
     """One-call export (src/libav/writeVideo.c:41-120): pull video frames,
     gamma-ramp to 8-bit, encode and mux with optional audio.
 
@@ -505,6 +505,8 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
     in batches through the compiled device path when the graph supports it.
     *progress_callback(frames_done)* is called per batch; returning False
     aborts the export (the file is finalized with what was written).
+    *mesh*: a jax.sharding.Mesh with a 'frames' axis shards each render
+    batch frame-parallel across chips (encode stays a host gather).
     """
     from fractions import Fraction
 
@@ -541,7 +543,7 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
                 planner = render.RenderPlanner(video_source, window)
                 for (s, n, data) in planner.iter_batches(
                         start_frame, start_frame + n_frames, batch=batch,
-                        device_out=True):
+                        device_out=True, mesh=mesh):
                     if backend.is_jax_array(data):
                         u8 = np.asarray(color_ops.rgba_u8_device(data))
                     else:
