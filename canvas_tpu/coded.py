@@ -19,7 +19,7 @@ from canvas_tpu.frames import RgbaFrameF16, VideoSource
 from canvas_tpu.ops import chroma as chroma_ops
 from canvas_tpu.ops import window as window_ops
 
-__all__ = ['CodedImage', 'CodedImageSource', 'DVReconstructionFilter',
+__all__ = ['CodecPacketSource', 'CodedImage', 'CodedImageSource', 'DVReconstructionFilter',
            'DVSubsampleFilter', 'MPEG2SubsampleFilter',
            'Pulldown23RemovalFilter']
 
@@ -47,6 +47,24 @@ class CodedImage:
     @property
     def line_counts(self):
         return [p.shape[0] for p in self.planes]
+
+
+class CodecPacketSource:
+    """Abstract packet-stream face (src/process/CodecPacketSource.c:164):
+    ``get_next_packet()``, ``seek(frame)``, ``get_header()``. Python
+    implementations just subclass (the reference's BASETYPE flag);
+    libav.AVDemuxer and the encoder packet sources implement it.
+    """
+
+    def get_header(self):
+        """Global stream header bytes, or None."""
+        return None
+
+    def get_next_packet(self):
+        raise NotImplementedError
+
+    def seek(self, frame):
+        raise NotImplementedError
 
 
 class CodedImageSource:

@@ -29,7 +29,7 @@ import threading
 import numpy as np
 
 from canvas_tpu.basetypes import box2i
-from canvas_tpu.coded import CodedImage, CodedImageSource
+from canvas_tpu.coded import CodecPacketSource, CodedImage, CodedImageSource
 
 __all__ = ['available', 'AVContainer', 'AVStreamInfo', 'AVDemuxer',
            'CodecPacket', 'AVVideoDecoder', 'AVAudioDecoder', 'AVMuxer',
@@ -232,7 +232,7 @@ class CodecPacket:
         self.stream = stream
 
 
-class AVDemuxer:
+class AVDemuxer(CodecPacketSource):
     """Codec packet source for one stream of a file
     (src/libav/AVDemuxer.c:60-222): get_next_packet() and seek(ts)."""
 

@@ -22,7 +22,8 @@ from canvas_tpu.sources import (  # noqa: F401
     VideoColorTransferFilter, VideoSequence, VideoWorkspace,
     WorkspaceItem)
 from canvas_tpu.coded import (  # noqa: F401
-    CodedImage, CodedImageSource, DVReconstructionFilter, DVSubsampleFilter,
+    CodecPacketSource, CodedImage, CodedImageSource,
+    DVReconstructionFilter, DVSubsampleFilter,
     MPEG2SubsampleFilter, Pulldown23RemovalFilter)
 from canvas_tpu.audio import (  # noqa: F401
     AudioFrame, AudioSource, AudioPassThroughFilter, AudioSequence,
