@@ -207,6 +207,9 @@ class PlanContext:
 
     def stage(self, source):
         """Host-pull fallback: pull every frame now and ship the batch."""
+        from canvas_tpu import profiling
+        self._stage_timer = profiling.Timer('render.stage')
+        self._stage_timer.__enter__()
         B = len(self.frames)
         datas = []
         windows = np.empty((B, 4), np.int64)
@@ -216,8 +219,11 @@ class PlanContext:
                 datas.append(np.asarray(frame.data, np.float16))
                 w = frame.current_window
                 windows[i] = (w.min.x, w.min.y, w.max.x, w.max.y)
-        return Node('stage', static=(self.window.height, self.window.width),
+        node = Node('stage',
+                    static=(self.window.height, self.window.width),
                     params={'data': stack_frames(datas)}, windows=windows)
+        self._stage_timer.__exit__(None, None, None)
+        return node
 
     def plan(self, source):
         """Plan *source*: its emit() if traceable, else staged."""
@@ -688,6 +694,7 @@ class RenderPlanner:
         parallel streaming across chips); *batch* must divide by the
         axis size.
         """
+        from canvas_tpu import profiling
         jax, jnp = _jx()
         if mesh is not None and batch % mesh.shape[axis] != 0:
             raise ValueError('batch %d not divisible by %d shards'
@@ -697,7 +704,8 @@ class RenderPlanner:
             N = seg_stop - seg_start
             frames = np.arange(seg_start, seg_stop, dtype=np.int64)
             ctx = PlanContext(self, frames, self.window)
-            node = ctx.plan(self.source)
+            with profiling.Timer('render.plan'):
+                node = ctx.plan(self.source)
             B_eff = min(batch, N) if N < batch else batch
             sig = _sliced_signature(node, N, B_eff)
             params = node.flat_params([])
@@ -729,10 +737,11 @@ class RenderPlanner:
                     # compile at the segment size instead
                     def cut(v, ax):      # noqa: F811
                         return v
-                out = fn([
-                    {k: cut(v, _BATCH_AXIS.get(op, 0))
-                     for k, v in p.items()}
-                    for p, op in zip(params, ops)])
+                with profiling.Timer('render.dispatch'):
+                    out = fn([
+                        {k: cut(v, _BATCH_AXIS.get(op, 0))
+                         for k, v in p.items()}
+                        for p, op in zip(params, ops)])
                 if not device_out:
                     out = np.asarray(out)
                 yield seg_start + pos, take, out[:take] if take < batch \
