@@ -57,6 +57,7 @@ class VideoPullQueue:
         else:
             self._dispatch_queue = None
         self._dispatch = dispatch
+        self._planners = {}
         self._closed = False
 
     def _dispatch_loop(self):
@@ -80,7 +81,7 @@ class VideoPullQueue:
     def _work(self, item):
         if item.cancelled:
             return
-        frame = item.source.get_frame_f16(item.frame_index, item.window)
+        frame = self._render(item)
         if item.cancelled:
             return
 
@@ -89,6 +90,41 @@ class VideoPullQueue:
                 item.callback(item.frame_index, frame, item.data)
 
         self._dispatch(deliver)
+
+    def _render(self, item):
+        """One frame via the batched planner when the source supports
+        planning (a B=1 program reuses the compiled-program cache across
+        pulls — one device dispatch instead of the eager per-op pull
+        path, which pays a host round trip per op on remote devices);
+        eager fallback otherwise."""
+        from canvas_tpu import backend
+        source, window = item.source, item.window
+        if backend.get_backend() == 'jax' and hasattr(source, 'plan_cuts'):
+            try:
+                from canvas_tpu import render
+                from canvas_tpu.frames import RgbaFrameF16
+                key = (id(source), window)
+                planner = self._planners.get(key)
+                if planner is None:
+                    if len(self._planners) > 32:
+                        self._planners.clear()
+                    planner = render.RenderPlanner(source, window)
+                    self._planners[key] = planner
+                data, wins = planner.render(item.frame_index,
+                                            item.frame_index + 1,
+                                            with_windows=True)
+                from canvas_tpu.basetypes import EMPTY_BOX2I, box2i
+                frame = RgbaFrameF16(window)
+                x0, y0, x1, y1 = (int(v) for v in wins[0])
+                if x1 < x0 or y1 < y0:
+                    frame.current_window = EMPTY_BOX2I
+                else:
+                    frame.data = data[0]
+                    frame.current_window = box2i(x0, y0, x1, y1)
+                return frame
+            except Exception:
+                pass               # planning unsupported -> eager pull
+        return source.get_frame_f16(item.frame_index, window)
 
     def join(self, timeout=None):
         """Drain workers (test helper; the C version has no join)."""

@@ -748,16 +748,20 @@ class RenderPlanner:
                     and N >= batch else out
                 pos += take
 
-    def render(self, start, stop, device_out=False):
+    def render(self, start, stop, device_out=False, with_windows=False):
         """Render frames [start, stop); returns (B, 4, H, W) f16.
 
         device_out=True returns the device array (no host copy).
+        with_windows=True returns ``(data, windows)`` where windows is
+        the per-frame current_window metadata as a (B, 4) int64 array
+        [x0, y0, x1, y1] (empty encoded max < min).
         """
         jax, jnp = _jx()
         # Staging cache lives for one render call: dedups host pulls that
         # occur in multiple children of the same plan (e.g. pulldown)
         self._stage_cache = {}
         outs = []
+        windows = []
         for seg_start, seg_stop in self.segments(start, stop):
             frames = np.arange(seg_start, seg_stop, dtype=np.int64)
             ctx = PlanContext(self, frames, self.window)
@@ -766,13 +770,17 @@ class RenderPlanner:
             fn = _get_program(sig)
             params = node.flat_params([])
             outs.append(fn(params))
+            if with_windows:
+                windows.append(windows_to_array(node.windows))
         if len(outs) == 1:
             out = outs[0]
         else:
             out = jnp.concatenate(outs, axis=0)
-        if device_out:
-            return out
-        return np.asarray(out)
+        if not device_out:
+            out = np.asarray(out)
+        if with_windows:
+            return out, np.concatenate(windows, axis=0)
+        return out
 
 
 def render_frames(source, window, start, stop, **kw):
