@@ -166,6 +166,37 @@ def config5():
     return run_range()
 
 
+def config6():
+    """4K (2160p) 10-layer export-shaped path: streaming render +
+    device u8 conversion (what write_video fetches per batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from canvas_tpu import render
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.ops import color as color_ops
+
+    ws = bench.build_timeline()
+    planner = render.RenderPlanner(ws, box2i(0, 0, 3839, 2159))
+    probe = _probe()
+
+    def run_range():
+        t0 = time.perf_counter()
+        acc = None
+        n = 0
+        for (_s, _n, out) in planner.iter_batches(0, 64, batch=8):
+            u8 = color_ops.rgba_u8_device(out)
+            p = probe(u8)
+            acc = p if acc is None else acc + p
+            n += _n
+        float(acc)
+        return n / (time.perf_counter() - t0)
+
+    run_range()
+    return run_range()
+
+
 def main():
     import jax
 
@@ -178,6 +209,7 @@ def main():
     results['config4_single_frame_p50_ms'] = round(p50, 2)
     results['config5_sharded_fps_%d_devices' % len(jax.devices())] = \
         round(config5(), 1)
+    results['config6_4k_10layer_export_path_fps'] = round(config6(), 1)
 
     print(json.dumps(results, indent=1))
 
