@@ -670,7 +670,7 @@ def _gain_plan_cuts(self, start, stop):
 
 
 def _gain_emit(self, ctx):
-    from canvas_tpu.render import Node, _rel_box
+    from canvas_tpu.render import Node
     child = ctx.plan(self.source)
     B = len(ctx.frames)
     gain = framefuncs.get_f32_array(self.gain, ctx.frames)
