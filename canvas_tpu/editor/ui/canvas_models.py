@@ -13,7 +13,8 @@ import fractions
 from canvas_tpu.signal import Signal
 from canvas_tpu.editor.model.manip import ItemManipulator
 
-__all__ = ['CanvasItemView', 'CanvasSceneModel', 'DragController']
+__all__ = ['CanvasItemView', 'CanvasSceneModel', 'DragController',
+           'ViewTransformModel', 'SnapMarker', 'z_order_commands']
 
 
 class CanvasItemView:
@@ -171,3 +172,93 @@ class DragController:
         if self.manipulator:
             self.manipulator.reset()
             self.manipulator = None
+
+
+class ViewTransformModel:
+    """Zoom/scroll math of the timeline view (ui/canvas/view.py:51-224):
+    maps scene units (x seconds, y lanes) to pixels, wheel-zoom steps
+    anchored at a point, playhead tracking, and the snap-marker overlay
+    list. A paint layer applies the transform; the math lives here so
+    headless tests cover it."""
+
+    ZOOM_STEP = 2.0 ** 0.5
+
+    def __init__(self, pixels_per_second=64.0, pixels_per_lane=24.0):
+        self.pixels_per_second = float(pixels_per_second)
+        self.pixels_per_lane = float(pixels_per_lane)
+        self.scroll_x = 0.0            # seconds at the left edge
+        self.scroll_y = 0.0            # lanes at the top edge
+        self.markers = []              # foreground markers (snap bars...)
+        self.changed = Signal()
+
+    # -- mapping ----------------------------------------------------------
+
+    def scene_to_view(self, x_seconds, y):
+        return ((x_seconds - self.scroll_x) * self.pixels_per_second,
+                (y - self.scroll_y) * self.pixels_per_lane)
+
+    def view_to_scene(self, px, py):
+        return (px / self.pixels_per_second + self.scroll_x,
+                py / self.pixels_per_lane + self.scroll_y)
+
+    # -- zoom/scroll -------------------------------------------------------
+
+    def zoom(self, steps, anchor_px=0.0):
+        """Wheel zoom: scale time around the pointer (view.py:172-187)."""
+        anchor_seconds = self.view_to_scene(anchor_px, 0.0)[0]
+        self.pixels_per_second *= self.ZOOM_STEP ** steps
+        # keep the anchor under the pointer
+        self.scroll_x = anchor_seconds - anchor_px / self.pixels_per_second
+        self.changed()
+
+    def scroll_by(self, dpx, dpy):
+        self.scroll_x += dpx / self.pixels_per_second
+        self.scroll_y += dpy / self.pixels_per_lane
+        self.changed()
+
+    def follow_playhead(self, frame, rate, view_width_px, margin=0.1):
+        """Keep the playhead visible: scroll when it leaves the central
+        band (the view's clock-follow behavior, view.py:114-158)."""
+        t = frame / float(rate)
+        left = self.scroll_x
+        width = view_width_px / self.pixels_per_second
+        if t < left or t > left + width * (1.0 - margin):
+            self.scroll_x = t - width / 2.0
+            self.changed()
+
+    # -- markers -----------------------------------------------------------
+
+    def add_marker(self, marker):
+        self.markers.append(marker)
+        self.changed()
+
+    def clear_markers(self):
+        if self.markers:
+            self.markers = []
+            self.changed()
+
+
+class SnapMarker:
+    """Foreground snap indicator (ui/canvas/markers.py
+    HorizontalSnapMarker/VerticalSnapMarker): axis 'x' in seconds or
+    'y' in lanes."""
+
+    def __init__(self, axis, position):
+        self.axis = axis
+        self.position = position
+
+
+def z_order_commands(items, direction):
+    """Commands for bring-forward/send-back over a selection
+    (view.py:279-318): one command per item, compounded when several
+    are selected. Returns the single command to push."""
+    from canvas_tpu.editor import model as model_mod
+    if not items:
+        return None
+    cls = (model_mod.BringItemForwardCommand if direction == 'forward'
+           else model_mod.SendItemBackCommand)
+    if len(items) == 1:
+        return cls(items[0])
+    name = ('Bring items forward' if direction == 'forward'
+            else 'Send items back')
+    return model_mod.CompoundCommand(name, [cls(i) for i in items])

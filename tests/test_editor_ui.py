@@ -199,3 +199,51 @@ def test_add_asset_to_space():
     assert len(editor.space) == 0
     editor.undo_stack.redo()
     assert len(editor.space) == 1
+
+
+def test_view_transform_zoom_anchor():
+    """Wheel zoom keeps the anchor point stationary (view.py:172-187)."""
+    from canvas_tpu.editor.ui.canvas_models import ViewTransformModel
+    v = ViewTransformModel(pixels_per_second=64.0)
+    v.scroll_x = 2.0
+    anchor_px = 200.0
+    before = v.view_to_scene(anchor_px, 0.0)[0]
+    v.zoom(2, anchor_px=anchor_px)
+    after = v.view_to_scene(anchor_px, 0.0)[0]
+    assert after == pytest.approx(before)
+    assert v.pixels_per_second == pytest.approx(64.0 * 2.0)
+
+    v.zoom(-2, anchor_px=anchor_px)
+    assert v.view_to_scene(anchor_px, 0.0)[0] == pytest.approx(before)
+    assert v.pixels_per_second == pytest.approx(64.0)
+
+
+def test_view_transform_follow_playhead():
+    from canvas_tpu.editor.ui.canvas_models import ViewTransformModel
+    v = ViewTransformModel(pixels_per_second=100.0)
+    v.follow_playhead(0, 25, view_width_px=500)       # t=0 visible
+    assert v.scroll_x == 0.0
+    v.follow_playhead(1000, 25, view_width_px=500)    # t=40s: recenters
+    assert v.scroll_x == pytest.approx(40.0 - 2.5)
+
+
+def test_z_order_commands():
+    from canvas_tpu.editor.ui.canvas_models import z_order_commands
+    from canvas_tpu.editor import model
+    space = model.Space('s', plugins.VideoFormat(frame_rate=1),
+                        plugins.AudioFormat(sample_rate=1))
+    a = model.Clip(type='video', x=0, y=0.0, length=5, height=1.0,
+                   source=model.AssetStreamRef('red', 'video'), offset=0)
+    b = model.Clip(type='video', x=2, y=0.0, length=5, height=1.0,
+                   source=model.AssetStreamRef('green', 'video'), offset=0)
+    space[0:0] = [a, b]
+    za, zb = a.z, b.z
+
+    cmd = z_order_commands([b], 'forward')
+    cmd.redo()
+    assert b.z < a.z or (b.z, a.z) != (zb, za)
+    cmd.undo()
+    assert (a.z, b.z) == (za, zb)
+
+    both = z_order_commands([a, b], 'backward')
+    assert both is not None
