@@ -166,3 +166,46 @@ def test_decoder_connector_missing_codec_alert(media_file):
     # a frame pull degrades to empty rather than crashing
     frame = connector.get_frame_f16(0, box2i(0, 0, 15, 15))
     assert frame.current_window.empty()
+
+
+def test_editor_app_full_workflow(media_file, tmp_path):
+    """The qttest.py workflow headless (scripts/demo_project.py as a CI
+    guard): import -> timeline -> undoable edit -> YAML round trip ->
+    recompile -> pixel check."""
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.editor import model
+    from canvas_tpu.editor.ui.app import EditorApp
+
+    PluginManager.load_all()
+    for p in PluginManager.find_plugins(enabled_only=False):
+        PluginManager.set_plugin_enabled(p, True)
+
+    app = EditorApp()
+    asset = app.import_file('clip', media_file)
+    assert asset is not None
+
+    editor = app.new_space('main')
+    items = app.add_asset_to_space(editor, 'clip', x=0, length=10)
+    vclip = next(i for i in items if i.type() == 'video')
+    cmd = model.MoveItemCommand(vclip, x=4, y=vclip.y)
+    editor.undo_stack.push(cmd)
+    editor.undo_stack.undo()
+    assert vclip.x == 0
+    editor.undo_stack.redo()
+    assert vclip.x == 4
+
+    project_path = str(tmp_path / 'proj.yaml')
+    app.save_file(project_path)
+
+    app2 = EditorApp()
+    app2.open_file(project_path)
+    editor2 = app2.open_space('main')
+    stream = editor2.video_stream
+
+    # before the clip: empty; at frame 5 the blue-ish media shows
+    f_before = stream.get_frame_f16(0, box2i(0, 0, 63, 47))
+    assert f_before.current_window.empty()
+    f_in = stream.get_frame_f16(5, box2i(0, 0, 63, 47))
+    assert not f_in.current_window.empty()
+    px = f_in.pixel(32, 24)
+    assert px.b > px.r        # media frame is blue-dominant
