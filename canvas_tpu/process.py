@@ -75,19 +75,38 @@ def _rate(frame_rate):
     return int(n), int(d)
 
 
-def time_get_frame(source, min_frame, max_frame, data_window=None):
+def time_get_frame(source, min_frame, max_frame, data_window=None,
+                   force_eager=False):
     """Pull frames [min_frame, max_frame] and return elapsed nanoseconds —
-    the reference's built-in micro-benchmark (src/process/main.c:120-167)."""
+    the reference's built-in micro-benchmark (src/process/main.c:120-167).
+
+    Measures this engine's production frame-range path: the batched
+    planner when the source supports planning (one compiled program per
+    structure segment, results fetched to host), else the eager
+    per-frame pull. force_eager=True times the eager path regardless.
+    """
     import time as _time
+
+    import numpy as np
+
     from canvas_tpu import backend
 
     if data_window is None:
         data_window = box2i(0, 0, 719, 479)
 
+    if (not force_eager and backend.get_backend() == 'jax'
+            and hasattr(source, 'plan_cuts')):
+        from canvas_tpu import render
+        planner = render.RenderPlanner(source, data_window)
+        start = _time.monotonic_ns()
+        for (_s, _n, out) in planner.iter_batches(
+                int(min_frame), int(max_frame) + 1, device_out=False):
+            pass                      # host fetch forces completion
+        return _time.monotonic_ns() - start
+
     start = _time.monotonic_ns()
     for i in range(int(min_frame), int(max_frame) + 1):
         frame = source.get_frame_f16(i, data_window)
-        # force completion of async device work
         if backend.is_jax_array(frame.data):
-            frame.data.block_until_ready()
+            np.asarray(frame.data)    # host fetch forces completion
     return _time.monotonic_ns() - start
