@@ -669,12 +669,26 @@ class RenderPlanner:
         self.source = source
         self.window = box2i(window)
 
+    #: Planning-span cap: structure segments longer than this split into
+    #: chunks. Bounds host staging memory (a staged 4K source plans
+    #: ~33 MB/frame before the first dispatch) and time-to-first-frame
+    #: for long exports; re-planning costs ~ms and compiled programs are
+    #: shared across chunks with the same geometry.
+    max_plan_frames = 256
+
     def segments(self, start, stop):
-        """Split [start, stop) at graph-structure boundaries."""
+        """Split [start, stop) at graph-structure boundaries (and the
+        planning-span cap)."""
         cuts = sorted(set(
             c for c in self.source.plan_cuts(start, stop) if start < c < stop))
         edges = [start] + cuts + [stop]
-        return list(zip(edges[:-1], edges[1:]))
+        out = []
+        for lo, hi in zip(edges[:-1], edges[1:]):
+            while hi - lo > self.max_plan_frames:
+                out.append((lo, lo + self.max_plan_frames))
+                lo += self.max_plan_frames
+            out.append((lo, hi))
+        return out
 
     def iter_batches(self, start, stop, batch=16, device_out=True,
                      mesh=None, axis='frames'):
