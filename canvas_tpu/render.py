@@ -708,12 +708,20 @@ class RenderPlanner:
         parallel streaming across chips); *batch* must divide by the
         axis size.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         from canvas_tpu import profiling
         jax, jnp = _jx()
         if mesh is not None and batch % mesh.shape[axis] != 0:
             raise ValueError('batch %d not divisible by %d shards'
                              % (batch, mesh.shape[axis]))
-        for seg_start, seg_stop in self.segments(start, stop):
+
+        def prepare(seg):
+            """Plan one segment (host work: framefunc eval + staging
+            pulls). Runs one segment ahead on a worker thread so host
+            decode/staging overlaps device execution of the previous
+            segment (backend state is thread-local)."""
+            seg_start, seg_stop = seg
             self._stage_cache = {}
             N = seg_stop - seg_start
             frames = np.arange(seg_start, seg_stop, dtype=np.int64)
@@ -722,45 +730,57 @@ class RenderPlanner:
                 node = ctx.plan(self.source)
             B_eff = min(batch, N) if N < batch else batch
             sig = _sliced_signature(node, N, B_eff)
-            params = node.flat_params([])
-            ops = node.flat_ops([])
-            if mesh is None:
-                fn = _get_program(sig)
-            else:
-                fn = _get_sharded_program(sig, node, mesh, axis, N)
-            pos = 0
-            while pos < N:
-                take = min(batch, N - pos)
-                if take == batch:
-                    def cut(v, ax):
-                        if v.ndim > ax and v.shape[ax] == N:
-                            sl = (slice(None),) * ax
-                            return v[sl + (slice(pos, pos + batch),)]
-                        return v
-                else:
-                    idx = np.concatenate([
-                        np.arange(pos, N),
-                        np.full(batch - take, N - 1, np.int64)])
+            return (seg_start, N, sig, node,
+                    node.flat_params([]), node.flat_ops([]))
 
-                    def cut(v, ax):
-                        if v.ndim > ax and v.shape[ax] == N:
-                            return np.take(v, idx, axis=ax)
-                        return v
-                if N < batch:
-                    # whole segment smaller than a batch: no padding,
-                    # compile at the segment size instead
-                    def cut(v, ax):      # noqa: F811
-                        return v
-                with profiling.Timer('render.dispatch'):
-                    out = fn([
-                        {k: cut(v, _BATCH_AXIS.get(op, 0))
-                         for k, v in p.items()}
-                        for p, op in zip(params, ops)])
-                if not device_out:
-                    out = np.asarray(out)
-                yield seg_start + pos, take, out[:take] if take < batch \
-                    and N >= batch else out
-                pos += take
+        segs = self.segments(start, stop)
+        pool = ThreadPoolExecutor(max_workers=1,
+                                  thread_name_prefix='canvas-plan')
+        try:
+            fut = pool.submit(prepare, segs[0]) if segs else None
+            for i in range(len(segs)):
+                seg_start, N, sig, node, params, ops = fut.result()
+                if i + 1 < len(segs):
+                    fut = pool.submit(prepare, segs[i + 1])
+                if mesh is None:
+                    fn = _get_program(sig)
+                else:
+                    fn = _get_sharded_program(sig, node, mesh, axis, N)
+                pos = 0
+                while pos < N:
+                    take = min(batch, N - pos)
+                    if take == batch:
+                        def cut(v, ax):
+                            if v.ndim > ax and v.shape[ax] == N:
+                                sl = (slice(None),) * ax
+                                return v[sl + (slice(pos, pos + batch),)]
+                            return v
+                    else:
+                        idx = np.concatenate([
+                            np.arange(pos, N),
+                            np.full(batch - take, N - 1, np.int64)])
+
+                        def cut(v, ax):
+                            if v.ndim > ax and v.shape[ax] == N:
+                                return np.take(v, idx, axis=ax)
+                            return v
+                    if N < batch:
+                        # whole segment smaller than a batch: no
+                        # padding, compile at the segment size instead
+                        def cut(v, ax):      # noqa: F811
+                            return v
+                    with profiling.Timer('render.dispatch'):
+                        out = fn([
+                            {k: cut(v, _BATCH_AXIS.get(op, 0))
+                             for k, v in p.items()}
+                            for p, op in zip(params, ops)])
+                    if not device_out:
+                        out = np.asarray(out)
+                    yield seg_start + pos, take, out[:take] \
+                        if take < batch and N >= batch else out
+                    pos += take
+        finally:
+            pool.shutdown(wait=False)
 
     def render(self, start, stop, device_out=False, with_windows=False):
         """Render frames [start, stop); returns (B, 4, H, W) f16.
