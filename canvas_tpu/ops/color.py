@@ -50,8 +50,8 @@ __all__ = [
 def rec709_to_linear_scene(x):
     x = np.asarray(x, dtype=np.float32)
     transition = np.float32(4.5) * np.float32(0.018)
-    lo = x / np.float32(4.5)
-    with np.errstate(invalid='ignore'):
+    with np.errstate(invalid='ignore', divide='ignore', over='ignore'):
+        lo = x / np.float32(4.5)
         hi = np.power((x + np.float32(0.099)) / np.float32(1.099),
                       np.float32(1.0) / np.float32(0.45))
     return np.where(x < transition, lo, hi).astype(np.float32)
@@ -111,8 +111,11 @@ def build_half_lut(fn, out_dtype=np.float16):
     """65536-entry table: out[bits] = out_dtype(fn(float(half_from_bits))).
 
     Exactly the table-construction loop the reference uses for every
-    transfer curve (gammatab.c:85-105 etc.)."""
-    return np.asarray(fn(_all_half_values())).astype(out_dtype)
+    transfer curve (gammatab.c:85-105 etc.). Inf/NaN half inputs flow
+    through the same arithmetic as the C tables; their conversions are
+    intentionally unchecked."""
+    with np.errstate(invalid='ignore', over='ignore', divide='ignore'):
+        return np.asarray(fn(_all_half_values())).astype(out_dtype)
 
 
 def apply_half_lut(arr, table):
