@@ -545,7 +545,9 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
                         start_frame, start_frame + n_frames, batch=batch,
                         device_out=True, mesh=mesh):
                     if backend.is_jax_array(data):
-                        u8 = np.asarray(color_ops.rgba_u8_device(data))
+                        flat = np.asarray(color_ops.rgba_u8_device(data))
+                        u8 = flat.reshape(flat.shape[0], flat.shape[1],
+                                          -1, 4)
                     else:
                         u8 = to_u8(data)
                     yield s - start_frame, s - start_frame + n, u8

@@ -104,7 +104,8 @@ class VideoPlaybackEngine:
         if backend.is_jax_array(data):
             # Display conversion on device: only u8 BGRA crosses the
             # host link (half the f16 bytes)
-            bgra = np.asarray(color_ops.bgra_u8_device(data))
+            flat = np.asarray(color_ops.bgra_u8_device(data))
+            bgra = flat.reshape(flat.shape[0], flat.shape[1], -1, 4)
         else:
             u8 = color_ops.apply_gamma45_u8(np.asarray(data))
             bgra = np.empty(u8.shape[0:1] + u8.shape[2:] + (4,), np.uint8)
