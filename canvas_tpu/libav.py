@@ -723,9 +723,10 @@ class AVVideoEncoder(_EncoderBase):
         self._flushed = False
         self._batch = 8
         self._pending = []
+        self._batches = None
 
     def _send_more(self):
-        from canvas_tpu import render
+        from canvas_tpu import backend, render
         from canvas_tpu.ops import color as color_ops
         lib = _load()
         if self._next_to_send > self.end_frame:
@@ -733,21 +734,36 @@ class AVVideoEncoder(_EncoderBase):
                 lib.cav_encoder_flush(self._handle)
                 self._flushed = True
             return False
-        stop = min(self._next_to_send + self._batch, self.end_frame + 1)
-        data = render.render_frames(self.source, self.window,
-                                    self._next_to_send, stop)
-        u8 = color_ops.apply_gamma45_u8(data)
-        rgba = np.ascontiguousarray(np.moveaxis(np.asarray(u8), 1, -1))
-        for i in range(rgba.shape[0]):
+        if self._batches is None:
+            planner = render.RenderPlanner(self.source, self.window)
+            self._batches = planner.iter_batches(
+                self.start_frame, self.end_frame + 1, batch=self._batch,
+                device_out=True)
+        try:
+            (_s, n, data) = next(self._batches)
+        except StopIteration:
+            self._next_to_send = self.end_frame + 1
+            return self._send_more()
+        if backend.is_jax_array(data):
+            # device gamma + interleave; flat layout fetches at link
+            # speed, host reshape is free
+            flat = np.asarray(color_ops.rgba_u8_device(data))
+            rgba = flat.reshape(flat.shape[0], flat.shape[1], -1, 4)
+        else:
+            u8 = color_ops.apply_gamma45_u8(np.asarray(data))
+            rgba = np.ascontiguousarray(np.moveaxis(u8, 1, -1))
+        for i in range(n):
             # Drain between sends: avcodec_send_frame EAGAINs when its
             # output queue fills
             self._drain()
             rc = lib.cav_encoder_send_video(
                 self._handle,
-                rgba[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+                np.ascontiguousarray(rgba[i]).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8)))
             if rc < 0 and rc != -11:    # -EAGAIN
                 raise IOError('send_video failed: %d' % rc)
-        self._next_to_send = stop
+        self._next_to_send = min(self._next_to_send + n,
+                                 self.end_frame + 1)
         return True
 
     def _drain(self):
