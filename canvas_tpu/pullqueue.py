@@ -123,7 +123,10 @@ class VideoPullQueue:
                     frame.current_window = box2i(x0, y0, x1, y1)
                 return frame
             except Exception:
-                pass               # planning unsupported -> eager pull
+                from canvas_tpu.logging import getLogger
+                getLogger(__name__).debug(
+                    'planned pull failed; falling back to eager',
+                    exc_info=True)
         return source.get_frame_f16(item.frame_index, window)
 
     def join(self, timeout=None):

@@ -707,6 +707,11 @@ class RenderPlanner:
         mesh *axis* (in_shardings on the compiled program — frame-
         parallel streaming across chips); *batch* must divide by the
         axis size.
+
+        One live iterator per planner: segment planning runs one step
+        ahead on a worker thread and shares the planner's staging
+        cache, so interleaving two generators from the same
+        RenderPlanner is not supported (use separate planners).
         """
         from concurrent.futures import ThreadPoolExecutor
 
