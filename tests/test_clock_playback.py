@@ -4,6 +4,7 @@ Clock tests port the reference suite
 (/root/reference/tests/process/SystemPresentationClock.py).
 """
 
+import os
 import time
 from fractions import Fraction
 
@@ -111,7 +112,9 @@ def test_playback_engine_presents_frames():
         lambda idx, bgra: presented.append((idx, bgra.shape)))
     try:
         clock.play(1)
-        deadline = time.time() + 10
+        # on a remote device the first batch includes a slow compile
+        budget = 60 if os.environ.get('CANVAS_TEST_TPU') else 10
+        deadline = time.time() + budget
         while len(presented) < 3 and time.time() < deadline:
             time.sleep(0.02)
         clock.stop()
