@@ -25,7 +25,7 @@ broadcast ops.
 
 import numpy as np
 
-__all__ = ['solid_stack', 'solid_fold']
+__all__ = ['solid_stack', 'solid_fold', 'region_over']
 
 
 def _fold_jnp(jnp, jax, P, A, color, box, gain, offset, H, W):
@@ -178,3 +178,70 @@ def solid_stack(jnp, jax, color, box, gain, offset, H, W):
     """Standalone composite of L solid(+gain) layers -> (B, 4, H, W)."""
     return solid_fold(jnp, jax, None, None, color, box, gain, offset,
                       H, W, finalize=True)
+
+
+def region_over(jnp, jax, P, A, layer, dy0, dx0):
+    """Composite a damage-region *layer* (B, 4, h, w) over the
+    premultiplied accumulator (P, A) at block-aligned offsets
+    (dy0 % 64 == 0, dx0 % 128 == 0; arrays int32 scalars).
+
+    On TPU this is a Pallas kernel with input/output aliasing and
+    scalar-prefetched offsets: only the region's (64, 128) blocks of the
+    full-frame accumulator are read and written — the XLA
+    dynamic_update_slice formulation copies the whole accumulator per
+    layer. Edge blocks that overhang the frame clip on store. Falls back
+    to slice/update elsewhere.
+    """
+    B, _c, h, w = layer.shape
+    if jax.default_backend() != 'tpu':
+        zero = jnp.int32(0)
+        subP = jax.lax.dynamic_slice(P, (zero, zero, dy0, dx0),
+                                     (B, 3, h, w))
+        subA = jax.lax.dynamic_slice(A, (zero, zero, dy0, dx0),
+                                     (B, 1, h, w))
+        la = layer[:, 3:4]
+        nP = layer[:, :3] * la + subP * (1.0 - la)
+        nA = la + subA * (1.0 - la)
+        P = jax.lax.dynamic_update_slice(P, nP, (zero, zero, dy0, dx0))
+        A = jax.lax.dynamic_update_slice(A, nA, (zero, zero, dy0, dx0))
+        return P, A
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    TH, TW = 64, 128
+
+    def kernel(offs_ref, layer_ref, P_ref, A_ref, outP_ref, outA_ref):
+        la = layer_ref[0, 3]
+        keep = 1.0 - la
+        for c in range(3):
+            outP_ref[0, c] = layer_ref[0, c] * la + P_ref[0, c] * keep
+        outA_ref[0, 0] = la + A_ref[0, 0] * keep
+
+    offs = jnp.stack([dy0 // TH, dx0 // TW]).astype(jnp.int32)
+    grid = (B, h // TH, w // TW)
+
+    def at_region(b, i, j, offs_ref):
+        return (b, 0, offs_ref[0] + i, offs_ref[1] + j)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4, TH, TW),
+                         lambda b, i, j, o: (b, 0, i, j)),
+            pl.BlockSpec((1, 3, TH, TW), at_region),
+            pl.BlockSpec((1, 1, TH, TW), at_region),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, TH, TW), at_region),
+            pl.BlockSpec((1, 1, TH, TW), at_region),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(P.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(A.shape, jnp.float32)],
+        input_output_aliases={2: 0, 3: 1},
+    )(offs, layer, P, A)

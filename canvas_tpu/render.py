@@ -373,30 +373,21 @@ def _eval(node_sig, params_iter, jnp, jax):
                 continue
             if c_op == 'placed':
                 # Damage-region child: rendered at its union box only;
-                # combine touches just that slice of the accumulator.
-                # Offsets are dynamic params so sliding damage windows
-                # keep one compiled program.
+                # the combine touches just the region's blocks of the
+                # accumulator (Pallas region_over with aliasing and
+                # scalar-prefetched offsets). Offsets are dynamic
+                # params so sliding damage windows keep one compiled
+                # program.
                 pl_params = next(params_iter)
                 dy0 = pl_params['dy0']
                 dx0 = pl_params['dx0']
-                h, w = cs[1]
                 layer = _eval(cs[3][0], params_iter, jnp, jax)
-                la = layer[:, 3:4]
                 if P is None:
                     B = layer.shape[0]
                     P = jnp.zeros((B, 3, H, W), jnp.float32)
                     A = jnp.zeros((B, 1, H, W), jnp.float32)
-                zero = jnp.int32(0)
-                subP = jax.lax.dynamic_slice(P, (zero, zero, dy0, dx0),
-                                             (P.shape[0], 3, h, w))
-                subA = jax.lax.dynamic_slice(A, (zero, zero, dy0, dx0),
-                                             (A.shape[0], 1, h, w))
-                nP = layer[:, :3] * la + subP * (1.0 - la)
-                nA = la + subA * (1.0 - la)
-                P = jax.lax.dynamic_update_slice(
-                    P, nP, (zero, zero, dy0, dx0))
-                A = jax.lax.dynamic_update_slice(
-                    A, nA, (zero, zero, dy0, dx0))
+                P, A = pallas_ops.region_over(jnp, jax, P, A, layer,
+                                              dy0, dx0)
                 continue
             layer = _eval(cs, params_iter, jnp, jax)
             la = layer[:, 3:4]

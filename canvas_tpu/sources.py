@@ -857,18 +857,18 @@ def _ws_emit(self, ctx):
             y1 = min(int(wn[:, 3].max()), full.max.y)
             if x1 < x0 or y1 < y0:
                 continue
-            # Quantize the box SIZE up to a 64px multiple (origin stays
-            # exact and rides as a dynamic param): every frame range of
-            # the same animated motion then produces the same program
-            # geometry, so sliding damage windows reuse compiled
-            # programs instead of recompiling per segment.
-            Q = 64
-            w_box = -((x1 - x0 + 1) // -Q) * Q
-            h_box = -((y1 - y0 + 1) // -Q) * Q
-            w_box = min(w_box, full.width)
-            h_box = min(h_box, full.height)
-            x0 = min(x0, full.max.x - w_box + 1)
-            y0 = min(y0, full.max.y - h_box + 1)
+            # Quantize the box to the device tile grid (rows 64, cols
+            # 128): origin aligns DOWN, size rounds UP. Origins ride as
+            # dynamic params, so every frame range of the same motion
+            # produces identical program geometry (compiled-program
+            # reuse), and tile alignment lets the region composite run
+            # as a Pallas kernel that touches only the region's blocks.
+            # The box may overhang the frame edge; edge blocks clip.
+            QR, QC = 64, 128
+            x0 = full.min.x + ((x0 - full.min.x) // QC) * QC
+            y0 = full.min.y + ((y0 - full.min.y) // QR) * QR
+            w_box = -((x1 - x0 + 1) // -QC) * QC
+            h_box = -((y1 - y0 + 1) // -QR) * QR
             x1 = x0 + w_box - 1
             y1 = y0 + h_box - 1
             area = h_box * w_box
