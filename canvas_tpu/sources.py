@@ -644,14 +644,23 @@ def _mix_emit(self, ctx):
                        np.where((mix >= 1.0)[:, None], wb, union))
 
     # Peephole: a crossfade of two solids over IDENTICAL per-frame
-    # windows is itself a solid with the lerped color (the cross kernel
-    # is pointwise: a*(1-m) + b*m, zero outside both windows). This lets
+    # windows is itself a solid whose color is the cross kernel's
+    # associative alpha blend of the two constants (video_mix.c
+    # cross: alpha-weighted rgb, NOT a channelwise lerp). This lets
     # the layer join adjacent solid runs in the fused stack kernel.
     if (a.op == 'solid' and b.op == 'solid'
             and np.array_equal(windows_to_array(a.windows),
                                windows_to_array(b.windows))):
         m = mix[:, None]
-        color = a.params['color'] * (1.0 - m) + b.params['color'] * m
+        ca = a.params['color']
+        cb = b.params['color']
+        aa = ca[:, 3:4] * (1.0 - m)
+        ab = cb[:, 3:4] * m
+        alpha = aa + ab
+        safe = np.where(alpha != 0.0, alpha, 1.0)
+        rgb = np.where(alpha != 0.0,
+                       (ca[:, :3] * aa + cb[:, :3] * ab) / safe, 0.0)
+        color = np.concatenate([rgb, alpha], axis=1)
         return Node('solid', static=a.static,
                     params={'color': color.astype(np.float32),
                             'box': a.params['box']},
@@ -872,7 +881,8 @@ def _ws_emit(self, ctx):
             x1 = x0 + w_box - 1
             y1 = y0 + h_box - 1
             area = h_box * w_box
-            if area < 0.7 * full.height * full.width:
+            fits = (x1 <= full.max.x and y1 <= full.max.y)
+            if fits and area < 0.7 * full.height * full.width:
                 replanned = sub.with_window(
                     box2i(x0, y0, x1, y1)).plan(item._source)
                 child = Node('placed',

@@ -1,0 +1,111 @@
+"""Differential fuzz: random filter graphs, batched planner vs pull path.
+
+The planner (canvas_tpu/render.py) must agree with the eager pull path
+for any graph the editor can build. Random workspaces exercise solid
+runs (Pallas stack), damage regions, scalers, mixes, sequences, gaps,
+empty layers, and opaque pruning together, across segment boundaries.
+"""
+
+import numpy as np
+import pytest
+
+from canvas_tpu import render
+from canvas_tpu.basetypes import box2i
+from canvas_tpu.framefuncs import LerpFunc, LinearFrameFunc
+from canvas_tpu.sources import (EmptyVideoSource, SolidColorVideoSource,
+                                VideoGainOffsetFilter, VideoMixFilter,
+                                VideoScaler, VideoSequence, VideoWorkspace)
+
+WINDOW = box2i(0, 0, 191, 143)
+LENGTH = 64
+
+
+def random_color(rng):
+    c = rng.rand(4)
+    c[3] = rng.choice([1.0, rng.rand()])
+    return tuple(float(v) for v in c)
+
+
+def random_window(rng):
+    if rng.rand() < 0.15:
+        return None                              # infinite
+    x0 = rng.randint(-40, 160)
+    y0 = rng.randint(-40, 120)
+    return box2i(x0, y0, x0 + rng.randint(8, 180), y0 + rng.randint(8, 140))
+
+
+def random_leaf(rng):
+    kind = rng.rand()
+    if kind < 0.1:
+        return EmptyVideoSource()
+    color = (random_color(rng) if rng.rand() < 0.5 else
+             LerpFunc(random_color(rng), random_color(rng), LENGTH))
+    return SolidColorVideoSource(color, window=random_window(rng))
+
+
+def random_source(rng, depth=0):
+    r = rng.rand()
+    if depth >= 2 or r < 0.35:
+        return random_leaf(rng)
+    if r < 0.55:
+        return VideoGainOffsetFilter(
+            random_source(rng, depth + 1),
+            gain=LinearFrameFunc(float(rng.rand()) / LENGTH,
+                                 float(rng.rand())),
+            offset=0.0)
+    if r < 0.75:
+        return VideoMixFilter(random_source(rng, depth + 1),
+                              random_source(rng, depth + 1),
+                              LerpFunc((0.0,), (1.0,), LENGTH))
+    if r < 0.9:
+        w = rng.randint(16, 64)
+        h = rng.randint(16, 64)
+        base = SolidColorVideoSource(random_color(rng),
+                                     window=box2i(0, 0, w - 1, h - 1))
+        return VideoScaler(
+            base,
+            target_point=LerpFunc(
+                (int(rng.randint(0, 120)), int(rng.randint(0, 90))),
+                (int(rng.randint(0, 120)), int(rng.randint(0, 90))),
+                LENGTH),
+            source_point=(0.0, 0.0),
+            scale_factors=LerpFunc(
+                (float(0.5 + rng.rand()), float(0.5 + rng.rand())),
+                (float(0.5 + rng.rand()), float(0.5 + rng.rand())),
+                LENGTH),
+            source_rect=box2i(0, 0, w - 1, h - 1))
+    seq = VideoSequence()
+    for _ in range(rng.randint(1, 4)):
+        seq.append((random_leaf(rng), int(rng.randint(0, 5)),
+                    int(rng.randint(4, 20))))
+    return seq
+
+
+def random_workspace(rng):
+    ws = VideoWorkspace()
+    for z in range(rng.randint(1, 7)):
+        ws.add(source=random_source(rng),
+               x=int(rng.randint(-8, 20)),
+               length=int(rng.randint(10, LENGTH)),
+               offset=int(rng.randint(0, 6)),
+               z=z)
+    return ws
+
+
+@pytest.mark.parametrize('seed', range(12))
+def test_random_graph_batched_matches_pull(seed, any_backend):
+    rng = np.random.RandomState(seed)
+    ws = random_workspace(rng)
+
+    start = int(rng.randint(0, 8))
+    stop = start + int(rng.randint(4, 24))
+    got = render.render_frames(ws, WINDOW, start, stop)
+    for i in range(start, stop):
+        want = ws.get_frame_f16(i, WINDOW)
+        if want.current_window.empty():
+            expect = np.zeros((4, WINDOW.height, WINDOW.width), np.float16)
+        else:
+            expect = np.asarray(want.data, np.float16)
+        np.testing.assert_allclose(
+            got[i - start].astype(np.float32), expect.astype(np.float32),
+            atol=4e-3, err_msg='seed %d frame %d' % (seed, i))
