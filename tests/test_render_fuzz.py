@@ -74,11 +74,18 @@ def random_source(rng, depth=0):
                 (float(0.5 + rng.rand()), float(0.5 + rng.rand())),
                 LENGTH),
             source_rect=box2i(0, 0, w - 1, h - 1))
-    seq = VideoSequence()
-    for _ in range(rng.randint(1, 4)):
-        seq.append((random_leaf(rng), int(rng.randint(0, 5)),
-                    int(rng.randint(4, 20))))
-    return seq
+    if r < 0.95:
+        seq = VideoSequence()
+        for _ in range(rng.randint(1, 4)):
+            seq.append((random_leaf(rng), int(rng.randint(0, 5)),
+                        int(rng.randint(4, 20))))
+        return seq
+    # nested workspace (the editor's space-as-asset pattern)
+    inner = VideoWorkspace()
+    for z in range(rng.randint(1, 3)):
+        inner.add(source=random_leaf(rng), x=int(rng.randint(-4, 10)),
+                  length=int(rng.randint(8, 40)), z=z)
+    return inner
 
 
 def random_workspace(rng):
