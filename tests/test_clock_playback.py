@@ -149,3 +149,24 @@ def test_playback_seek_invalidates():
         assert 50 in presented
     finally:
         engine.stop()
+
+
+def test_engine_and_queue_lifecycle_no_thread_leak():
+    import threading
+    from canvas_tpu.pullqueue import VideoPullQueue
+    from canvas_tpu.playback import VideoPlaybackEngine
+    from canvas_tpu.clock import SystemPresentationClock
+    from canvas_tpu.sources import SolidColorVideoSource
+
+    base = threading.active_count()
+    src = SolidColorVideoSource((0.5, 0.5, 0.5, 1.0))
+    for _ in range(5):
+        clock = SystemPresentationClock()
+        eng = VideoPlaybackEngine(src, clock, Fraction(30, 1),
+                                  box2i(0, 0, 15, 15), lambda *a: None)
+        q = VideoPullQueue()
+        q.enqueue(src, 0, box2i(0, 0, 15, 15), lambda *a: None)
+        q.close()
+        eng.stop()
+    time.sleep(0.5)
+    assert threading.active_count() - base <= 2

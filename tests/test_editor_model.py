@@ -666,3 +666,30 @@ def test_dirty_ranges_remove_ends():
     assert track.min_frame == 10 + 10 + 10 - 5
     assert track.max_frame == 10 + 10 + 10 + 7 - 5 - 1
     check1(manager)
+
+
+def test_space_manager_scales_to_many_clips():
+    """Timeline-length independence (SURVEY §5): a 300-clip space
+    compiles fast, pulls are O(active layers), and edits propagate
+    without rebuilding the world."""
+    import time
+
+    slist = make_asset_list()
+    audio_format = plugins.AudioFormat(sample_rate=48000)
+    space = model.Space('big', vidformat, audio_format)
+    items = [model.Clip(type='video', x=i * 3, y=float(i % 7), length=10,
+                        height=1.0, offset=0,
+                        source=model.AssetStreamRef(
+                            ('red', 'green', 'blue')[i % 3], 'video'))
+             for i in range(300)]
+    space[0:0] = items
+
+    t0 = time.perf_counter()
+    mgr = SpaceVideoManager(space, slist)
+    assert time.perf_counter() - t0 < 5.0
+    f = mgr.get_frame_f16(450, box2i(0, 0, 15, 15))
+    assert not f.current_window.empty()
+
+    t0 = time.perf_counter()
+    items[150].update(x=500)
+    assert time.perf_counter() - t0 < 0.5
