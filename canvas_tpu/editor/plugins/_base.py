@@ -364,6 +364,11 @@ class PluginManager:
         cls.reset_codecs()
 
     @classmethod
+    def get_decoder_priority(cls, codec):
+        return get_settings().get(DECODERS_PREFIX + codec.urn + '/priority',
+                                  codec.default_priority)
+
+    @classmethod
     def set_decoder_priority(cls, codec, priority):
         get_settings().set(DECODERS_PREFIX + codec.urn + '/priority',
                            int(priority))

@@ -247,3 +247,39 @@ def test_z_order_commands():
 
     both = z_order_commands([a, b], 'backward')
     assert both is not None
+
+
+def test_settings_models(tmp_path):
+    """Headless plugin/decoder editor models mirror the reference's
+    settings dialogs (plugineditor.py, codeceditor.py)."""
+    from canvas_tpu.editor.plugins import PluginManager
+    from canvas_tpu.editor.settings import set_settings_path
+    from canvas_tpu.editor.ui.settings_models import (DecoderEditorModel,
+                                                      PluginEditorModel)
+
+    set_settings_path(str(tmp_path / 'settings.json'))
+    PluginManager._reset_for_tests()
+    try:
+        pm = PluginEditorModel()
+        rows = pm.rows()
+        assert rows and all(len(r) == 4 for r in rows)
+        plugin = rows[0][0]
+        pm.set_enabled(plugin, True)
+        assert any(r[0] is plugin and r[3] for r in pm.rows())
+
+        # enable the codec plugin so decoders appear
+        for (p, name, _d, _e) in pm.rows():
+            pm.set_enabled(p, True)
+        dm = DecoderEditorModel()
+        drows = dm.rows()
+        assert len(drows) >= 2
+        first, second = drows[0][0], drows[1][0]
+        dm.move_up(second)        # swap the top two
+        assert dm.rows()[0][0] is second
+        dm.move_down(second)
+        assert dm.rows()[0][0] is first
+
+        dm.set_enabled(first, False)
+        assert not [r for r in dm.rows() if r[0] is first][0][3]
+    finally:
+        PluginManager._reset_for_tests()
