@@ -426,7 +426,17 @@ def mix_add_pull_direct(ghost, source, offset):
     ghost.full_max_sample += offset
     ghost.current_min_sample = ghost.full_min_sample
     ghost.current_max_sample = ghost.full_max_sample
+    view = ghost.data
     source._render(ghost)
+    if ghost.data is not view:
+        # the source ASSIGNED frame.data, severing the parent view;
+        # copy its samples back through the view (same fix as
+        # mix_add_pull)
+        data = np.asarray(ghost.data, np.float32)
+        view[:, :data.shape[1]] = data[:view.shape[0]]
+        if data.shape[1] < view.shape[1]:
+            view[:, data.shape[1]:] = 0.0
+        ghost.data = view
     # zero anything the source didn't provide
     if ghost.empty:
         ghost.data[:] = 0.0
