@@ -116,3 +116,37 @@ def test_random_graph_batched_matches_pull(seed, any_backend):
         np.testing.assert_allclose(
             got[i - start].astype(np.float32), expect.astype(np.float32),
             atol=4e-3, err_msg='seed %d frame %d' % (seed, i))
+
+
+def test_coded_layer_in_workspace_matches_pull(any_backend):
+    """A staged coded-source chain (DV reconstruct + pulldown removal)
+    composited with solid layers: batched planner vs pull."""
+    from canvas_tpu.coded import (CodedImage, CodedImageSource,
+                                  DVReconstructionFilter,
+                                  Pulldown23RemovalFilter)
+
+    rng = np.random.RandomState(7)
+    planes = [(rng.randint(16, 236, (480, 720)).astype(np.uint8),
+               rng.randint(16, 241, (480, 180)).astype(np.uint8),
+               rng.randint(16, 241, (480, 180)).astype(np.uint8))
+              for _ in range(12)]
+
+    class Src(CodedImageSource):
+        def get_frame(self, i, quality=0):
+            return CodedImage(list(planes[i % len(planes)]))
+
+    window = box2i(0, -1, 719, 478)
+    ws = VideoWorkspace()
+    ws.add(source=Pulldown23RemovalFilter(DVReconstructionFilter(Src()), 2),
+           x=0, length=8, z=0)
+    ws.add(source=SolidColorVideoSource((1, 0, 0, 0.4),
+                                        window=box2i(100, 100, 400, 300)),
+           x=0, length=8, z=1)
+
+    got = render.render_frames(ws, window, 0, 6)
+    for i in range(6):
+        want = ws.get_frame_f16(i, window)
+        expect = np.asarray(want.data, np.float16)
+        d = np.abs(got[i].astype(np.float32) - expect.astype(np.float32))
+        # direct-math transfer vs LUT: within one f16 ulp
+        assert d.max() <= 2e-3, (i, d.max())
