@@ -148,5 +148,7 @@ def test_coded_layer_in_workspace_matches_pull(any_backend):
         want = ws.get_frame_f16(i, window)
         expect = np.asarray(want.data, np.float16)
         d = np.abs(got[i].astype(np.float32) - expect.astype(np.float32))
-        # direct-math transfer vs LUT: within one f16 ulp
-        assert d.max() <= 2e-3, (i, d.max())
+        # direct-math transfer vs LUT compounds with the blend: a couple
+        # of f16 ulps at DV superwhite magnitudes (>1.0)
+        assert d.max() <= 8e-3, (i, d.max())
+        assert (d > 1e-3).mean() < 0.02, (i, (d > 1e-3).mean())
