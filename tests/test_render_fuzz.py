@@ -152,3 +152,46 @@ def test_coded_layer_in_workspace_matches_pull(any_backend):
         # of f16 ulps at DV superwhite magnitudes (>1.0)
         assert d.max() <= 8e-3, (i, d.max())
         assert (d > 1e-3).mean() < 0.02, (i, (d > 1e-3).mean())
+
+
+def test_edit_churn_reuses_programs(any_backend):
+    """Scrub-style editing: 120 random edit/render cycles stay correct
+    and reuse a SMALL set of compiled programs (the structure-keyed
+    cache working as designed for interactive editing)."""
+    import canvas_tpu.render as R
+    from canvas_tpu.render import RenderPlanner
+
+    rng = np.random.RandomState(0)
+    ws = VideoWorkspace()
+    items = []
+    for z in range(6):
+        it = ws.add(source=SolidColorVideoSource(
+            LerpFunc(tuple(rng.rand(4)), tuple(rng.rand(4)), 64),
+            window=box2i(int(rng.randint(0, 50)), int(rng.randint(0, 50)),
+                         int(rng.randint(60, 150)),
+                         int(rng.randint(60, 140)))),
+            x=int(rng.randint(0, 10)), length=int(rng.randint(20, 60)), z=z)
+        items.append(it)
+
+    window = box2i(0, 0, 159, 119)
+    planner = RenderPlanner(ws, window)
+    cache_before = len(R._program_cache)
+    for step in range(120):
+        it = items[rng.randint(len(items))]
+        kind = rng.rand()
+        if kind < 0.4:
+            it.update(x=int(rng.randint(0, 20)))
+        elif kind < 0.8:
+            it.update(length=int(rng.randint(10, 60)))
+        else:
+            it.update(z=int(rng.randint(0, 6)))
+        lo = int(rng.randint(0, 30))
+        out = planner.render(lo, lo + 4)
+        want = ws.get_frame_f16(lo + 1, window)
+        expect = (np.zeros((4, 120, 160), np.float16)
+                  if want.current_window.empty()
+                  else np.asarray(want.data, np.float16))
+        d = np.abs(out[1].astype(np.float32)
+                   - expect.astype(np.float32)).max()
+        assert d <= 4e-3, (step, d)
+    assert len(R._program_cache) - cache_before < 60
