@@ -412,3 +412,28 @@ def test_iter_batches_sharded_matches(jax_backend):
     (_s, _n, out) = next(iter(planner.iter_batches(0, 16, batch=16,
                                                    mesh=mesh)))
     assert 'frames' in str(out.sharding)
+
+
+def test_render_sharded_spatial_axis(jax_backend):
+    """frames x space mesh: output rows reshard across the space axis
+    (the 4K single-frame split; XLA inserts the collective)."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip('needs 4+ devices')
+    devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, ('frames', 'space'))
+
+    from canvas_tpu.sources import SolidColorVideoSource, VideoWorkspace
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource((0.2, 0.4, 0.6, 1.0)),
+           x=0, length=32, z=0)
+    window = box2i(0, 0, 127, 63)
+
+    out = render.render_sharded(ws, window, 0, 4, mesh=mesh, axis='frames',
+                                device_out=True, spatial_axis='space')
+    assert 'space' in str(out.sharding)
+    got = np.asarray(out)
+    want = render.render_frames(ws, window, 0, 4)
+    np.testing.assert_array_equal(got, want)
