@@ -15,7 +15,8 @@ from canvas_tpu.framefuncs import LerpFunc, LinearFrameFunc
 from canvas_tpu.sources import (EmptyVideoSource, SolidColorVideoSource,
                                 VideoColorTransferFilter,
                                 VideoGainOffsetFilter, VideoMixFilter,
-                                VideoScaler, VideoSequence, VideoWorkspace)
+                                VideoPassThroughFilter, VideoScaler,
+                                VideoSequence, VideoWorkspace)
 
 WINDOW = box2i(0, 0, 191, 143)
 LENGTH = 64
@@ -48,6 +49,14 @@ def random_source(rng, depth=0):
     r = rng.rand()
     if depth >= 2 or r < 0.35:
         return random_leaf(rng)
+    if r < 0.45:
+        return VideoPassThroughFilter(
+            random_source(rng, depth + 1),
+            offset=int(rng.randint(-10, 10)),
+            start_frame=(int(rng.randint(0, 10))
+                         if rng.rand() < 0.5 else None),
+            end_frame=(int(rng.randint(20, 60))
+                       if rng.rand() < 0.5 else None))
     if r < 0.5:
         return VideoGainOffsetFilter(
             random_source(rng, depth + 1),
