@@ -228,7 +228,6 @@ def _dvrecon_emit(self, ctx):
     host), reconstruction traced on device (canvas_tpu.render)."""
     from canvas_tpu.render import Node, tile_window
     from canvas_tpu.basetypes import box2i_intersect
-    from canvas_tpu.ops import color as color_ops
 
     ox, oy = chroma_ops.DV_PIC_OFFSET
     image_box = box2i(ox, oy, chroma_ops.DV_FULL_WIDTH + ox - 1,
@@ -273,7 +272,6 @@ def _dvrecon_emit(self, ctx):
         'y': stacked[0], 'cb': stacked[1], 'cr': stacked[2],
         'up': chroma_ops._dv_up_matrix(),
         'm': chroma_ops.YCBCR_TO_RGB_REC709,
-        'table': color_ops.build_half_lut(color_ops.rec709_to_linear_scene),
     }, windows=tile_window(current, B))
 
     # Place image-coordinate output into the target window
@@ -323,18 +321,23 @@ def _pulldown_emit(self, ctx):
         return child_a
     child_b = ctx.with_frames(frames_b).plan(self.source)
 
-    # Even absolute rows >= (window.min.y + 1) & ~1 come from frame b;
-    # solid frames get an empty mask. Window metadata follows frame a
-    # (the reference leaves the a-pull's current_window untouched).
+    # Even absolute rows >= (window.min.y + 1) & ~1, columns clipped to
+    # frame a's window (the eager path clips b's temp frame to a's
+    # current_window in both axes), come from frame b; solid frames get
+    # an empty mask. Window metadata follows frame a (the reference
+    # leaves the a-pull's current_window untouched).
     from canvas_tpu.render import windows_to_array
     aw = windows_to_array(child_a.windows)
     a_empty = (aw[:, 2] < aw[:, 0]) | (aw[:, 3] < aw[:, 1])
     active = mixed & ~a_empty
     starts = np.where(active, (aw[:, 1] + 1) & ~1, 0).astype(np.int32)
     ends = np.where(active, aw[:, 3], -1).astype(np.int32)
+    x0s = np.where(active, aw[:, 0], 0).astype(np.int32)
+    x1s = np.where(active, aw[:, 2], -1).astype(np.int32)
     return Node('field_interleave',
-                static=(ctx.window.min.y,),
-                params={'start_y': starts, 'end_y': ends},
+                static=(ctx.window.min.y, ctx.window.min.x),
+                params={'start_y': starts, 'end_y': ends,
+                        'x0': x0s, 'x1': x1s},
                 children=[child_a, child_b],
                 windows=aw)
 

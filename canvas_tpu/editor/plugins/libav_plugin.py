@@ -91,7 +91,6 @@ class _RgbaDecoderSource(VideoSource):
         """Batched node: stage the decoder's u8 RGBA (half the bytes of
         f16) and linearize on device (u8 -> /255 -> f16 -> LUT)."""
         from canvas_tpu.basetypes import box2i_intersect
-        from canvas_tpu.ops import color as color_ops
         from canvas_tpu import render as render_mod
         from canvas_tpu.render import Node, tile_window
         from canvas_tpu.sources import _emit_empty
@@ -112,8 +111,6 @@ class _RgbaDecoderSource(VideoSource):
 
         node = Node('u8_linearize', params={
             'data': render_mod.stack_frames(frames_u8),
-            'table': color_ops.build_half_lut(
-                color_ops.rec709_to_linear_scene),
         }, windows=tile_window(current, B))
 
         sy0 = current.min.y - image_box.min.y

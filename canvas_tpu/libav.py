@@ -114,7 +114,10 @@ def _load():
         lib.cav_video_decode_planar.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int)]
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int64, ctypes.c_int64]
+        lib.cav_video_decoder_info.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(_CavStreamInfo)]
 
         lib.cav_audio_decoder_open.restype = ctypes.c_void_p
         lib.cav_audio_decoder_open.argtypes = [
@@ -299,22 +302,36 @@ class AVVideoDecoder(CodedImageSource):
         if not self._handle:
             raise IOError(err.value.decode())
         self._lock = threading.Lock()
+        # Reusable plane buffers sized from the probed stream dimensions
+        # (reallocated if a frame turns out larger — dimensions can
+        # change mid-stream, and the native layer bounds-checks against
+        # the capacities we pass rather than trusting the file).
+        info = _CavStreamInfo()
+        lib.cav_video_decoder_info(self._handle, ctypes.byref(info))
+        self._alloc_planes(max(info.width * info.height, 1024))
+
+    def _alloc_planes(self, y_bytes):
+        self._y = np.empty((int(y_bytes),), np.uint8)
+        self._cb = np.empty((int(y_bytes),), np.uint8)
+        self._cr = np.empty((int(y_bytes),), np.uint8)
 
     def get_frame(self, frame_index, quality=0):
         """Planar YCbCr CodedImage for *frame_index*, or None at EOF."""
         lib = _load()
-        # Max plane sizes: luma W*H; chroma <= luma
-        y = np.empty((4096 * 2176,), np.uint8)
-        cb = np.empty((4096 * 2176,), np.uint8)
-        cr = np.empty((4096 * 2176,), np.uint8)
         dims = (ctypes.c_int * 6)()
         with self._lock:
-            rc = lib.cav_video_decode_planar(
-                self._handle, int(frame_index),
-                y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                cr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                dims)
+            for _attempt in range(2):
+                rc = lib.cav_video_decode_planar(
+                    self._handle, int(frame_index),
+                    self._y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    self._cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    self._cr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    dims, self._y.size, self._cb.size)
+                if rc != -1001:
+                    break
+                # Frame larger than our buffers: grow to the reported
+                # dims and retry (the frame was consumed; re-decode).
+                self._alloc_planes(dims[0] * dims[1])
         if rc == 0:
             return None
         if rc == -1000:
@@ -323,9 +340,9 @@ class AVVideoDecoder(CodedImageSource):
             raise IOError('decode failed: %d' % rc)
         yw, yh, cw, ch = dims[0], dims[1], dims[2], dims[3]
         return CodedImage([
-            y[:yw * yh].reshape(yh, yw).copy(),
-            cb[:cw * ch].reshape(ch, cw).copy(),
-            cr[:cw * ch].reshape(ch, cw).copy()])
+            self._y[:yw * yh].reshape(yh, yw).copy(),
+            self._cb[:cw * ch].reshape(ch, cw).copy(),
+            self._cr[:cw * ch].reshape(ch, cw).copy()])
 
     def get_frame_rgba(self, frame_index, width, height):
         """Decoded frame converted to (H, W, 4) RGBA u8 (swscale)."""
@@ -753,15 +770,20 @@ class AVVideoEncoder(_EncoderBase):
             u8 = color_ops.apply_gamma45_u8(np.asarray(data))
             rgba = np.ascontiguousarray(np.moveaxis(u8, 1, -1))
         for i in range(n):
-            # Drain between sends: avcodec_send_frame EAGAINs when its
-            # output queue fills
-            self._drain()
-            rc = lib.cav_encoder_send_video(
-                self._handle,
-                np.ascontiguousarray(rgba[i]).ctypes.data_as(
-                    ctypes.POINTER(ctypes.c_uint8)))
-            if rc < 0 and rc != -11:    # -EAGAIN
-                raise IOError('send_video failed: %d' % rc)
+            frame_u8 = np.ascontiguousarray(rgba[i])
+            while True:
+                # Drain between sends: avcodec_send_frame EAGAINs when
+                # its output queue fills; on EAGAIN the frame was NOT
+                # consumed — drain and resend the SAME frame.
+                self._drain()
+                rc = lib.cav_encoder_send_video(
+                    self._handle,
+                    frame_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+                if rc == -11:           # -EAGAIN
+                    continue
+                if rc < 0:
+                    raise IOError('send_video failed: %d' % rc)
+                break
         self._next_to_send = min(self._next_to_send + n,
                                  self.end_frame + 1)
         return True
@@ -819,13 +841,20 @@ class AVAudioEncoder(_EncoderBase):
         hi = min(self._next_to_send + self._chunk - 1, self.end_sample)
         frame = self.source.get_frame(self._next_to_send, hi, self.channels)
         data = np.ascontiguousarray(np.asarray(frame.data, np.float32))
-        self._drain()
-        rc = lib.cav_encoder_send_audio(
-            self._handle,
-            data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            data.shape[0])
-        if rc < 0 and rc != -11:
-            raise IOError('send_audio failed: %d' % rc)
+        # cav_encoder_send_audio returns the number of samples consumed;
+        # when the codec's output queue backs up (EAGAIN) the tail is
+        # unconsumed — drain packets and resend it rather than dropping
+        # samples from the encode.
+        sent = 0
+        while sent < data.shape[0]:
+            self._drain()
+            rc = lib.cav_encoder_send_audio(
+                self._handle,
+                data[sent:].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                data.shape[0] - sent)
+            if rc < 0:
+                raise IOError('send_audio failed: %d' % rc)
+            sent += rc
         self._next_to_send = hi + 1
         return True
 
@@ -889,18 +918,22 @@ class AVPlanarVideoEncoder(_EncoderBase):
         if image is None:
             self._next_to_send = self.end_frame + 1
             return self._send_more()
-        self._drain()
         planes = [np.ascontiguousarray(p, np.uint8) for p in image]
-        rc = lib.cav_encoder_send_planar(
-            self._handle,
-            planes[0].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            planes[0].shape[1],
-            planes[1].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            planes[1].shape[1],
-            planes[2].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            planes[2].shape[1])
-        if rc < 0 and rc != -11:
-            raise IOError('send_planar failed: %d' % rc)
+        while True:
+            self._drain()
+            rc = lib.cav_encoder_send_planar(
+                self._handle,
+                planes[0].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                planes[0].shape[1],
+                planes[1].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                planes[1].shape[1],
+                planes[2].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                planes[2].shape[1])
+            if rc == -11:       # -EAGAIN: frame not consumed, resend
+                continue
+            if rc < 0:
+                raise IOError('send_planar failed: %d' % rc)
+            break
         self._next_to_send += 1
         return True
 

@@ -92,6 +92,39 @@ class Node:
 # 'solid_stack' params are (L, B, ...): layers lead, frames second.
 _BATCH_AXIS = {'solid_stack': 1}
 
+# Explicit per-op declaration of which params carry the frame (batch)
+# axis. Slicing/sharding consults THIS — never shape coincidence — so a
+# replicated param whose dim happens to equal the segment length (a
+# (3, 3) color matrix over a 3-frame segment, a (Ty, S) scale matrix
+# when Ty == N) is never sliced per-frame. Every op evaluated by _eval
+# must have an entry; emitters adding a new op extend this table.
+_FRAME_PARAMS = {
+    'solid': frozenset(('color', 'box')),
+    'stage': frozenset(('data',)),
+    'solid_stack': frozenset(('color', 'box', 'gain', 'offset')),
+    'empty': frozenset(),
+    'placed': frozenset(),
+    'gain_offset': frozenset(('gain', 'offset', 'box')),
+    'mix': frozenset(('mix_b',)),
+    'over_stack': frozenset(),
+    'scale': frozenset(),               # wy/wx shared across the segment
+    'scale_taps_dyn': frozenset(('fy', 'fx', 'tpy', 'tpx', 'spy', 'spx',
+                                 'yl', 'yh', 'xl', 'xh')),
+    'place': frozenset(),
+    'transfer': frozenset(),
+    'matrix': frozenset(),
+    'u8_linearize': frozenset(('data',)),
+    'dv_recon': frozenset(('y', 'cb', 'cr')),
+    'field_interleave': frozenset(('start_y', 'end_y', 'x0', 'x1')),
+}
+
+
+def _frame_params(op):
+    try:
+        return _FRAME_PARAMS[op]
+    except KeyError:
+        raise ValueError('op %r has no _FRAME_PARAMS declaration' % (op,))
+
 
 def _rel_box(window, full):
     """box2i -> (y0, y1, x0, x1) inclusive, relative to *full*; empty
@@ -418,16 +451,22 @@ def _eval(node_sig, params_iter, jnp, jax):
 
     if op == 'field_interleave':
         # 2:3 pulldown mixed frame: even absolute rows in
-        # [start_y, end_y] come from child b, the rest from child a
+        # [start_y, end_y] AND columns in [x0, x1] (frame a's window —
+        # the eager path clips b's temp frame to a's current_window)
+        # come from child b, the rest from child a
         # (Pulldown23RemovalFilter.c:81-104).
         a = _eval(child_sigs[0], params_iter, jnp, jax)
         b = _eval(child_sigs[1], params_iter, jnp, jax)
-        (min_y,) = static
-        H = a.shape[2]
+        (min_y, min_x) = static
+        H, W = a.shape[2], a.shape[3]
         rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H, 1), 2) + min_y
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, W), 3) + min_x
         start = params['start_y'][:, None, None, None]
         end = params['end_y'][:, None, None, None]
-        mask = (rows >= start) & (rows <= end) & (rows % 2 == 0)
+        x0 = params['x0'][:, None, None, None]
+        x1 = params['x1'][:, None, None, None]
+        mask = ((rows >= start) & (rows <= end) & (rows % 2 == 0) &
+                (cols >= x0) & (cols <= x1))
         return jnp.where(mask, b, a)
 
     if op == 'scale_taps_dyn':
@@ -487,35 +526,6 @@ def _eval(node_sig, params_iter, jnp, jax):
                           precision='highest',
                           preferred_element_type=jnp.float32)
 
-    if op == 'scale_taps':
-        # Animated resample: K gathered taps per output sample per axis.
-        # Cheaper than per-frame resample matrices when parameters animate
-        # (bench config 4: per-layer affine motion) — K is small (<= ~5
-        # for typical motion scales), so this is VPU/bandwidth work with
-        # tiny per-frame params instead of (B, T, S) matrices.
-        child = _eval(child_sigs[0], params_iter, jnp, jax)
-        iy, wy = params['iy'], params['wy']    # (B, Ty, Ky)
-        ix, wx = params['ix'], params['wx']    # (B, Tx, Kx)
-
-        def gather_rows(ch, idx):
-            return ch[:, idx, :]
-
-        def gather_cols(ch, idx):
-            return ch[:, :, idx]
-
-        grows = jax.vmap(gather_rows)
-        gcols = jax.vmap(gather_cols)
-        out = None
-        for k in range(iy.shape[2]):
-            term = grows(child, iy[:, :, k]) * wy[:, :, k][:, None, :, None]
-            out = term if out is None else out + term
-        child = out
-        out = None
-        for k in range(ix.shape[2]):
-            term = gcols(child, ix[:, :, k]) * wx[:, :, k][:, None, None, :]
-            out = term if out is None else out + term
-        return out
-
     if op == 'place':
         # Static re-window: child rendered at src window, copy into dst.
         child = _eval(child_sigs[0], params_iter, jnp, jax)
@@ -573,19 +583,29 @@ def _eval(node_sig, params_iter, jnp, jax):
 
 def _sliced_signature(node, N, B):
     """Signature of *node* as it will look after its frame axes are
-    sliced from N to B frames (RenderPlanner.iter_batches). The frame
-    axis is per-op (_BATCH_AXIS); the 'empty' op carries its batch size
-    in static (it has no params), so that entry is rewritten too."""
+    sliced from N to B frames (RenderPlanner.iter_batches). Which params
+    carry a frame axis is declared per op (_FRAME_PARAMS); the frame
+    axis position is per-op too (_BATCH_AXIS). The 'empty' op carries
+    its batch size in static (it has no params), so that entry is
+    rewritten as well."""
     child_sigs = tuple(_sliced_signature(c, N, B) for c in node.children)
     ax = _BATCH_AXIS.get(node.op, 0)
+    fp = _frame_params(node.op)
     shapes = []
     for k, v in node.params.items():
         shp = np.shape(v)
-        if len(shp) > ax and shp[ax] == N:
+        if k in fp:
+            if len(shp) <= ax or shp[ax] != N:
+                raise ValueError(
+                    'op %r frame param %r has shape %r; expected axis %d '
+                    'of length %d' % (node.op, k, shp, ax, N))
             shp = shp[:ax] + (B,) + shp[ax + 1:]
         shapes.append((k, shp, np.asarray(v).dtype.num))
     static = node.static
-    if node.op == 'empty' and static[0] == N:
+    if node.op == 'empty':
+        if static[0] != N:
+            raise ValueError("'empty' static batch %r != segment length %d"
+                             % (static[0], N))
         static = (B,) + static[1:]
     return (node.op, static, tuple(sorted(shapes)), child_sigs)
 
@@ -599,8 +619,8 @@ _program_lock = threading.Lock()
 def _get_sharded_program(signature, node, mesh, axis, N):
     """Compiled program whose frame-axis params shard over *axis* of
     *mesh* (in_shardings ingest host arrays directly). A param is
-    frame-sharded iff its per-op frame axis had segment length *N*
-    before slicing — mirroring iter_batches' slicing rule."""
+    frame-sharded iff its op declares it per-frame (_FRAME_PARAMS) —
+    mirroring iter_batches' slicing rule."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     key = (signature, 'sharded', mesh, axis)
     with _program_lock:
@@ -614,10 +634,10 @@ def _get_sharded_program(signature, node, mesh, axis, N):
     shardings = []
     for p, op in zip(node.flat_params([]), ops):
         ax = _BATCH_AXIS.get(op, 0)
+        fp = _frame_params(op)
         entry = {}
         for k, v in p.items():
-            shp = np.shape(v)
-            if len(shp) > ax and shp[ax] == N:
+            if k in fp:
                 entry[k] = NamedSharding(
                     mesh, P(*((None,) * ax + (axis,))))
             else:
@@ -747,19 +767,15 @@ class RenderPlanner:
                     take = min(batch, N - pos)
                     if take == batch:
                         def cut(v, ax):
-                            if v.ndim > ax and v.shape[ax] == N:
-                                sl = (slice(None),) * ax
-                                return v[sl + (slice(pos, pos + batch),)]
-                            return v
+                            sl = (slice(None),) * ax
+                            return v[sl + (slice(pos, pos + batch),)]
                     else:
                         idx = np.concatenate([
                             np.arange(pos, N),
                             np.full(batch - take, N - 1, np.int64)])
 
                         def cut(v, ax):
-                            if v.ndim > ax and v.shape[ax] == N:
-                                return np.take(v, idx, axis=ax)
-                            return v
+                            return np.take(v, idx, axis=ax)
                     if N < batch:
                         # whole segment smaller than a batch: no
                         # padding, compile at the segment size instead
@@ -767,7 +783,8 @@ class RenderPlanner:
                             return v
                     with profiling.Timer('render.dispatch'):
                         out = fn([
-                            {k: cut(v, _BATCH_AXIS.get(op, 0))
+                            {k: (cut(v, _BATCH_AXIS.get(op, 0))
+                                 if k in _frame_params(op) else v)
                              for k, v in p.items()}
                             for p, op in zip(params, ops)])
                     if not device_out:
@@ -869,8 +886,8 @@ def render_sharded(source, window, start, stop, mesh=None, axis='frames',
 
     repl_sharding = NamedSharding(mesh, P())
 
-    def sharding_for(v, ax):
-        if v.ndim > ax and v.shape[ax] == B:
+    def sharding_for(op, k, ax):
+        if k in _frame_params(op):
             spec = P(*((None,) * ax + (axis,)))
             return NamedSharding(mesh, spec)
         return repl_sharding
@@ -879,7 +896,7 @@ def render_sharded(source, window, start, stop, mesh=None, axis='frames',
     # directly — one transfer transaction instead of a device_put round
     # trip per parameter (which dominates on remote links).
     ops = node.flat_ops([])
-    shardings = [{k: sharding_for(v, _BATCH_AXIS.get(op, 0))
+    shardings = [{k: sharding_for(op, k, _BATCH_AXIS.get(op, 0))
                   for k, v in p.items()}
                  for p, op in zip(params, ops)]
 

@@ -1078,13 +1078,15 @@ def _transfer_plan_cuts(self, start, stop):
 
 def _transfer_emit(self, ctx):
     from canvas_tpu.render import Node
-    from canvas_tpu.ops import color as color_ops
     child = ctx.plan(self.source)
     windows = child.windows
 
-    def lut_node(name, fn, inner):
-        table = color_ops.build_half_lut(fn)
-        return Node('transfer', static=(name,), params={'table': table},
+    def lut_node(name, inner):
+        # No 'table' param: the batched path computes the curve directly
+        # on the VPU (render._device_transfer); the op name in static
+        # selects the formula. (Eager path keeps the 64K LUTs for the
+        # bit-exact contract.)
+        return Node('transfer', static=(name,),
                     children=[inner], windows=windows)
 
     def matrix_node(m, inner):
@@ -1094,13 +1096,12 @@ def _transfer_emit(self, ctx):
     name = self.transform
     ops = self._ops
     if name == 'rgb_to_xyz_sdtv':
-        node = lut_node('rec709_to_linear_scene',
-                        ops.rec709_to_linear_scene, child)
+        node = lut_node('rec709_to_linear_scene', child)
         return matrix_node(ops.RGB_TO_XYZ_SDTV, node)
     if name == 'xyz_to_srgb':
         node = matrix_node(ops.XYZ_TO_SRGB, child)
-        return lut_node('linear_to_srgb', ops.linear_to_srgb, node)
-    return lut_node(name, getattr(ops, name), child)
+        return lut_node('linear_to_srgb', node)
+    return lut_node(name, child)
 
 
 VideoColorTransferFilter.plan_cuts = _transfer_plan_cuts

@@ -358,12 +358,18 @@ CAV_EXPORT int cav_video_decode_rgba(CavVideoDec *d, int64_t frame_index,
 
 // Decode frame by index into caller-provided planar YCbCr buffers.
 // Supports planar 8-bit source formats (yuv411p/420p/422p...); fills the
-// three planes at their native subsampled sizes. Returns plane dims via
-// dims[6] = {yw,yh,cw,ch,cw,ch}. 1 ok, 0 eof, <0 error, -1000 if the
-// decoded format is not planar 8-bit YCbCr.
+// three planes at their native subsampled sizes. y_cap / c_cap are the
+// byte capacities of the luma and each chroma buffer; frames larger than
+// the capacities (dimensions can change mid-stream, and media files are
+// untrusted input) return -1001 instead of overflowing. Returns plane
+// dims via dims[6] = {yw,yh,cw,ch,cw,ch}. 1 ok, 0 eof, <0 error, -1000
+// if the decoded format is not planar 8-bit YCbCr, -1001 if a plane
+// exceeds its buffer capacity (dims still filled so the caller can
+// reallocate and retry).
 CAV_EXPORT int cav_video_decode_planar(CavVideoDec *d, int64_t frame_index,
                                        uint8_t *y, uint8_t *cb, uint8_t *cr,
-                                       int *dims) {
+                                       int *dims, int64_t y_cap,
+                                       int64_t c_cap) {
     if (frame_index < d->next_frame || frame_index > d->next_frame + 64) {
         int64_t target_pts = frame_to_pts(d, frame_index);
         int rc = av_seek_frame(d->fmt, d->stream, target_pts,
@@ -395,6 +401,10 @@ CAV_EXPORT int cav_video_decode_planar(CavVideoDec *d, int64_t frame_index,
     dims[0] = yw; dims[1] = yh;
     dims[2] = cw; dims[3] = ch;
     dims[4] = cw; dims[5] = ch;
+    if ((int64_t)yw * yh > y_cap || (int64_t)cw * ch > c_cap) {
+        av_frame_unref(d->frame);
+        return -1001;
+    }
     for (int r = 0; r < yh; r++)
         memcpy(y + r * yw, d->frame->data[0] + r * d->frame->linesize[0], yw);
     for (int r = 0; r < ch; r++) {
@@ -938,7 +948,11 @@ CAV_EXPORT int cav_encoder_send_video(CavEncoder *e, const uint8_t *rgba) {
     return avcodec_send_frame(e->codec, e->frame);
 }
 
-// Push interleaved float samples (audio).
+// Push interleaved float samples (audio). Returns the number of samples
+// actually consumed (>= 0) or a negative error. When the codec's output
+// queue fills (EAGAIN), the unconsumed tail is NOT encoded — the caller
+// must drain packets (cav_encoder_packet) and resend from samples +
+// return value; silently dropping the chunk would corrupt the stream.
 CAV_EXPORT int cav_encoder_send_audio(CavEncoder *e, const float *samples,
                                       int n_samples) {
     int done = 0;
@@ -954,13 +968,14 @@ CAV_EXPORT int cav_encoder_send_audio(CavEncoder *e, const float *samples,
         int saved = e->frame->nb_samples;
         e->frame->nb_samples = conv;
         e->frame->pts = e->next_pts;
-        e->next_pts += conv;
         int rc = avcodec_send_frame(e->codec, e->frame);
         e->frame->nb_samples = saved;
-        if (rc < 0 && rc != AVERROR(EAGAIN)) return rc;
+        if (rc == AVERROR(EAGAIN)) return done;  // retry tail after drain
+        if (rc < 0) return rc;
+        e->next_pts += conv;
         done += chunk;
     }
-    return 0;
+    return done;
 }
 
 CAV_EXPORT int cav_encoder_flush(CavEncoder *e) {

@@ -244,3 +244,31 @@ def test_mpeg2_subsample_jax_matches_numpy():
         diff = np.abs(a.astype(int) - b.astype(int))
         assert diff.max() <= 1
         assert (diff > 0).mean() < 0.02
+
+
+def test_pulldown_mixed_frame_window_clip():
+    """Batched pulldown must clip frame b's pixels to frame a's window in
+    BOTH axes (round-1 advisor finding: only rows were masked, so b's
+    pixels leaked outside the declared window horizontally), matching the
+    eager path which renders b into a temp clipped to a's
+    current_window."""
+    from canvas_tpu import render
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.sources import SolidColorVideoSource
+
+    # Window widens with frame index: at the mixed pair (a=2, b=3), b's
+    # window extends horizontally beyond a's.
+    src = SolidColorVideoSource(
+        LerpFunc((1.0, 0.2, 0.1, 1.0), (0.1, 0.2, 1.0, 1.0), 4),
+        window=LerpFunc((10, 4, 20, 27), (0, 0, 30, 31), 4))
+    filt = Pulldown23RemovalFilter(src, 0)
+    window = box2i(0, 0, 31, 31)
+
+    want = []
+    for i in range(4):
+        frame = filt.get_frame_f16(i, window)
+        want.append(np.asarray(frame.data, np.float16))
+    want = np.stack(want)
+    got = render.render_frames(filt, window, 0, 4)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=2e-3)

@@ -159,3 +159,20 @@ def test_h264_available():
         except IOError as e:
             pytest.skip('libx264 not available: %s' % e)
         assert os.path.getsize(path) > 0
+
+def test_video_decode_planar_capacity_retry(sample_file):
+    """Undersized plane buffers must not overflow (round-1 advisor
+    finding): the native layer bounds-checks against the capacities and
+    the Python side grows + retries."""
+    dec = libav.AVVideoDecoder(sample_file)
+    dec._alloc_planes(16)     # far too small for 64x48 luma
+    image = dec.get_frame(0)
+    assert image is not None
+    assert image[0].shape == (48, 64)
+    assert dec._y.size >= 64 * 48
+    # and the decoded content matches a normally-sized decode
+    dec2 = libav.AVVideoDecoder(sample_file)
+    image2 = dec2.get_frame(0)
+    np.testing.assert_array_equal(image[0], image2[0])
+    dec.close()
+    dec2.close()

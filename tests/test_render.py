@@ -437,3 +437,45 @@ def test_render_sharded_spatial_axis(jax_backend):
     got = np.asarray(out)
     want = render.render_frames(ws, window, 0, 4)
     np.testing.assert_array_equal(got, want)
+
+
+def test_replicated_param_dim_coincidence():
+    """A replicated param whose dim happens to equal the segment length
+    must NOT be sliced per-frame (round-1 advisor finding: the frame
+    axis was inferred from a shape coincidence). Here the 'scale' op's
+    (Ty, Sy) weight matrix has Ty == 24 == the segment length; batching
+    at 8 must still yield 24-row frames."""
+    window = box2i(0, 0, 31, 23)        # height 24
+    solid = SolidColorVideoSource((0.8, 0.2, 0.1, 1.0),
+                                  window=box2i(0, 0, 15, 15))
+    sc = VideoScaler(solid, (0.0, 0.0), (0.0, 0.0), (1.5, 1.5),
+                     box2i(0, 0, 15, 15))
+    planner = render.RenderPlanner(sc, window)
+    want, _ = pull_frames(sc, window, 0, 24)
+    outs = [np.asarray(out)[:n]
+            for (_s, n, out) in planner.iter_batches(0, 24, batch=8,
+                                                     device_out=False)]
+    got = np.concatenate(outs, axis=0)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=2e-3)
+
+
+def test_replicated_matrix_3frame_segment():
+    """(3, 3) color matrix over a 3-frame segment stays replicated
+    (same advisor finding, matrix flavor; the padded tail batch would
+    have gathered rows of the matrix)."""
+    src = VideoColorTransferFilter(
+        SolidColorVideoSource(LerpFunc((0.5, 0.25, 0.125, 1.0),
+                                       (0.1, 0.9, 0.4, 1.0), 3)),
+        'rgb_to_xyz_sdtv')
+    window = box2i(0, 0, 15, 15)
+    planner = render.RenderPlanner(src, window)
+    want, _ = pull_frames(src, window, 0, 3)
+    outs = [np.asarray(out)[:n]
+            for (_s, n, out) in planner.iter_batches(0, 3, batch=2,
+                                                     device_out=False)]
+    got = np.concatenate(outs, axis=0)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=2e-3)
