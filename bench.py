@@ -115,16 +115,27 @@ def main():
         float(acc)   # single forced fetch: everything above must have run
         fps = max(fps, timed_frames / (time.perf_counter() - t0))
 
-    # Baseline proxy: frame-by-frame NumPy pull (single-thread scalar
-    # kernels, standing in for the reference's C cprocess path);
-    # median-of-5 per-frame time for stability.
-    times = []
-    with backend.force_backend('numpy'):
-        for i in range(5):
-            t0 = time.perf_counter()
-            ws.get_frame_f16(500 + i, window)
-            times.append(time.perf_counter() - t0)
-    base_fps = 1.0 / float(np.median(times))
+    # Baseline: the MEASURED reference C cprocess engine on this host
+    # (cbaseline/ compiles /root/reference/src/cprocess in place and
+    # times the same 10-layer timeline shape single-core; engine10_fps
+    # in cbaseline/results.json). Falls back to a frame-by-frame NumPy
+    # pull if the C harness hasn't been built/run here.
+    base_fps = None
+    results_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                'cbaseline', 'results.json')
+    try:
+        with open(results_path) as f:
+            base_fps = float(json.load(f)['engine10_fps'])
+    except (OSError, KeyError, ValueError):
+        pass
+    if not base_fps:
+        times = []
+        with backend.force_backend('numpy'):
+            for i in range(5):
+                t0 = time.perf_counter()
+                ws.get_frame_f16(500 + i, window)
+                times.append(time.perf_counter() - t0)
+        base_fps = 1.0 / float(np.median(times))
 
     print(json.dumps({
         'metric': '1080p_10layer_composite_fps_per_chip',
