@@ -223,6 +223,71 @@ class Pulldown23RemovalFilter(VideoSource):
         return new_length + partial
 
 
+def _device_plane_stack(ctx, source, quality, cache, hint_ids=()):
+    """Segment-level device staging of coded planes.
+
+    Returns ``((py, pcb, pcr), row_of)`` where the stacks are
+    device-resident (U, H, W) u8 arrays covering every frame this
+    segment needs from *source* (the planner's ``_frame_hints`` lets a
+    parent — pulldown — declare the union of its children's frames up
+    front so the stack is built once), and ``row_of`` maps frame index
+    -> stack row. Returns None if any coded pull fails (callers fall
+    back to host staging of the whole node).
+    """
+    key = ('dvplanes', id(source))
+    needed = [int(f) for f in ctx.frames]
+    entry = cache.get(key)
+    if entry is not None and all(f in entry['rows'] for f in needed):
+        return entry['stacks'], entry['rows']
+
+    all_hints = getattr(ctx.planner, '_frame_hints', {})
+    hinted = set()
+    for hid in tuple(hint_ids) + (id(source),):
+        hinted.update(int(h) for h in all_hints.get(hid, ()))
+    frames = sorted(set(needed) | hinted |
+                    (set(entry['rows']) if entry else set()))
+    ys, cbs, crs = [], [], []
+    for f in frames:
+        fkey = ('dvframe', id(source), f)
+        planes = cache.get(fkey)
+        if planes is None:
+            image = source.get_frame(f, quality)
+            if image is None:
+                return None
+            planes = (np.asarray(image[0]), np.asarray(image[1]),
+                      np.asarray(image[2]))
+            cache[fkey] = planes
+        ys.append(planes[0])
+        cbs.append(planes[1])
+        crs.append(planes[2])
+
+    # Pad the row count to a multiple of 8 (repeating the last frame)
+    # so consecutive pipeline chunks produce identical stack shapes and
+    # share one compiled program.
+    pad = (-len(frames)) % 8
+    if pad:
+        ys.extend([ys[-1]] * pad)
+        cbs.extend([cbs[-1]] * pad)
+        crs.extend([crs[-1]] * pad)
+
+    from canvas_tpu.render import stack_frames
+    backend.ensure_initialized()
+    jax = backend.jax
+    host = (stack_frames(ys), stack_frames(cbs), stack_frames(crs))
+    mesh = getattr(ctx.planner, '_plan_mesh', None)
+    if mesh is not None:
+        # Sharded programs declare replicated in_shardings for the
+        # stacks; commit them replicated so jit accepts them.
+        from jax.sharding import NamedSharding, PartitionSpec
+        target = NamedSharding(mesh, PartitionSpec())
+        stacks = tuple(jax.device_put(s, target) for s in host)
+    else:
+        stacks = tuple(jax.device_put(s) for s in host)
+    row_of = {f: i for i, f in enumerate(frames)}
+    cache[key] = {'stacks': stacks, 'rows': row_of}
+    return stacks, row_of
+
+
 def _dvrecon_emit(self, ctx):
     """Batched-render node: planes staged host-side (decode stays on the
     host), reconstruction traced on device (canvas_tpu.render)."""
@@ -238,38 +303,26 @@ def _dvrecon_emit(self, ctx):
         from canvas_tpu.sources import _emit_empty
         return _emit_empty(ctx)
 
-    # Per-render staging cache: repeated frames (pulldown pulls most
-    # frames twice across its two children; scrubbing repeats batches)
-    # are fetched AND stacked once, so identical ndarray objects reach
-    # jax and H2D transfers dedup.
+    # Device-resident segment staging: unique coded frames are pulled
+    # once, stacked, and shipped to the device ONE time per segment
+    # (replicated (Useg,H,W) u8 params); each batch gathers its rows by
+    # index on device. Pulldown's two children share the stack, so the
+    # doubled H2D of round 1 is gone, and because planning runs on the
+    # prepare thread the segment's transfer overlaps the previous
+    # segment's device compute.
     cache = getattr(ctx.planner, '_stage_cache', None)
     if cache is None:
         cache = ctx.planner._stage_cache = {}
 
-    key = (id(self.source), tuple(int(f) for f in ctx.frames))
-    stacked = cache.get(key)
-    if stacked is None:
-        ys, cbs, crs = [], [], []
-        frame_cache_prefix = ('dvframe', id(self.source))
-        for f in ctx.frames:
-            fkey = frame_cache_prefix + (int(f),)
-            planes = cache.get(fkey)
-            if planes is None:
-                image = self.source.get_frame(int(f), self.quality)
-                if image is None:
-                    return None     # host-stage the whole node instead
-                planes = (np.asarray(image[0]), np.asarray(image[1]),
-                          np.asarray(image[2]))
-                cache[fkey] = planes
-            ys.append(planes[0])
-            cbs.append(planes[1])
-            crs.append(planes[2])
-        from canvas_tpu.render import stack_frames
-        stacked = (stack_frames(ys), stack_frames(cbs), stack_frames(crs))
-        cache[key] = stacked
+    staged = _device_plane_stack(ctx, self.source, self.quality, cache,
+                                 hint_ids=(id(self),))
+    if staged is None:
+        return None     # a frame pull failed -> host-stage the whole node
+    (py, pcb, pcr), row_of = staged
+    rows = np.asarray([row_of[int(f)] for f in ctx.frames], np.int32)
 
-    recon = Node('dv_recon', params={
-        'y': stacked[0], 'cb': stacked[1], 'cr': stacked[2],
+    recon = Node('dv_recon_rows', params={
+        'py': py, 'pcb': pcb, 'pcr': pcr, 'rows': rows,
         'up': chroma_ops._dv_up_matrix(),
         'm': chroma_ops.YCBCR_TO_RGB_REC709,
     }, windows=tile_window(current, B))
@@ -315,6 +368,15 @@ def _pulldown_emit(self, ctx):
     frames_b = np.asarray([a if b is None else b for (a, b) in maps],
                           np.int64)
     mixed = np.asarray([b is not None for (_a, b) in maps])
+
+    # Declare the union of both children's frames up front so a coded
+    # child stages ONE device plane stack covering both pulls (each
+    # unique coded frame crosses host->device once, not twice).
+    hints = getattr(ctx.planner, '_frame_hints', None)
+    if hints is None:
+        hints = ctx.planner._frame_hints = {}
+    hints[id(self.source)] = np.unique(np.concatenate(
+        [frames_a, frames_b]))
 
     child_a = ctx.with_frames(frames_a).plan(self.source)
     if not mixed.any():

@@ -68,14 +68,19 @@ class Node:
 
     def signature(self):
         child_sigs = tuple(c.signature() for c in self.children)
+        # dtype via the array's own attribute when present: params may be
+        # device-resident jax arrays and np.asarray would fetch them.
         param_shapes = tuple(sorted(
-            (k, np.shape(v), np.asarray(v).dtype.num)
+            (k, np.shape(v), np.dtype(getattr(v, 'dtype', None)
+                                      or np.asarray(v).dtype).num)
             for k, v in self.params.items()))
         return (self.op, self.static, param_shapes, child_sigs)
 
     def flat_params(self, out):
-        """Depth-first parameter collection; mirrors _eval's traversal."""
-        out.append({k: np.asarray(v) for k, v in self.params.items()})
+        """Depth-first parameter collection; mirrors _eval's traversal.
+        Device-resident params (jax arrays) pass through untouched."""
+        out.append({k: (v if backend.is_jax_array(v) else np.asarray(v))
+                    for k, v in self.params.items()})
         for c in self.children:
             c.flat_params(out)
         return out
@@ -115,6 +120,7 @@ _FRAME_PARAMS = {
     'matrix': frozenset(),
     'u8_linearize': frozenset(('data',)),
     'dv_recon': frozenset(('y', 'cb', 'cr')),
+    'dv_recon_rows': frozenset(('rows',)),
     'field_interleave': frozenset(('start_y', 'end_y', 'x0', 'x1')),
 }
 
@@ -562,23 +568,43 @@ def _eval(node_sig, params_iter, jnp, jax):
     if op == 'dv_recon':
         # params: y (B,480,720) u8, cb/cr (B,480,180) u8; static: target
         # placement precomputed; output in image coords then placed.
-        y = (params['y'].astype(jnp.float32) - 16.0) / 219.0
-        cb = (params['cb'].astype(jnp.float32) - 128.0) / 224.0
-        cr = (params['cr'].astype(jnp.float32) - 128.0) / 224.0
-        U = params['up']
-        M = params['m']
-        cb_full = jnp.einsum('bhs,xs->bhx', cb, U, precision='highest',
-                             preferred_element_type=jnp.float32)
-        cr_full = jnp.einsum('bhs,xs->bhx', cr, U, precision='highest',
-                             preferred_element_type=jnp.float32)
-        ycc = jnp.stack([y, cb_full, cr_full], axis=1)
-        rgb = jnp.einsum('ij,bjhw->bihw', M, ycc, precision='highest',
-                         preferred_element_type=jnp.float32)
-        alpha = jnp.ones_like(y)[:, None]
-        rgba16 = jnp.concatenate([rgb, alpha], axis=1).astype(jnp.float16)
-        return _device_transfer('rec709_to_linear_scene', rgba16, jnp, jax)
+        return _dv_recon_math(params['y'], params['cb'], params['cr'],
+                              params['up'], params['m'], jnp, jax)
+
+    if op == 'dv_recon_rows':
+        # Device-resident coded staging: py/pcb/pcr are (Useg, H, W) u8
+        # plane stacks shipped to the device ONCE per segment (replicated
+        # params — the same jax arrays pass through every batch with no
+        # H2D); 'rows' (B,) selects this batch's input frames by row.
+        # Pulldown's two children share the stack, so each unique coded
+        # frame crosses the tunnel exactly once (VERDICT round-1 item 1).
+        rows = params['rows']
+        y = jnp.take(params['py'], rows, axis=0)
+        cb = jnp.take(params['pcb'], rows, axis=0)
+        cr = jnp.take(params['pcr'], rows, axis=0)
+        return _dv_recon_math(y, cb, cr, params['up'], params['m'],
+                              jnp, jax)
 
     raise ValueError('unknown op: %r' % (op,))
+
+
+def _dv_recon_math(y8, cb8, cr8, U, M, jnp, jax):
+    """DV 4:1:1 reconstruct: studio-range expand, chroma upsample as an
+    MXU matmul, YCbCr->RGB matrix, rec709->linear transfer
+    (video_reconstruct.c:50-137)."""
+    y = (y8.astype(jnp.float32) - 16.0) / 219.0
+    cb = (cb8.astype(jnp.float32) - 128.0) / 224.0
+    cr = (cr8.astype(jnp.float32) - 128.0) / 224.0
+    cb_full = jnp.einsum('bhs,xs->bhx', cb, U, precision='highest',
+                         preferred_element_type=jnp.float32)
+    cr_full = jnp.einsum('bhs,xs->bhx', cr, U, precision='highest',
+                         preferred_element_type=jnp.float32)
+    ycc = jnp.stack([y, cb_full, cr_full], axis=1)
+    rgb = jnp.einsum('ij,bjhw->bihw', M, ycc, precision='highest',
+                     preferred_element_type=jnp.float32)
+    alpha = jnp.ones_like(y)[:, None]
+    rgba16 = jnp.concatenate([rgb, alpha], axis=1).astype(jnp.float16)
+    return _device_transfer('rec709_to_linear_scene', rgba16, jnp, jax)
 
 
 def _sliced_signature(node, N, B):
@@ -600,7 +626,10 @@ def _sliced_signature(node, N, B):
                     'op %r frame param %r has shape %r; expected axis %d '
                     'of length %d' % (node.op, k, shp, ax, N))
             shp = shp[:ax] + (B,) + shp[ax + 1:]
-        shapes.append((k, shp, np.asarray(v).dtype.num))
+        # np.dtype(...).num, NOT np.asarray(v).dtype.num: params may be
+        # device-resident jax arrays and np.asarray would fetch them.
+        shapes.append((k, shp, np.dtype(getattr(v, 'dtype', None)
+                                        or np.asarray(v).dtype).num))
     static = node.static
     if node.op == 'empty':
         if static[0] != N:
@@ -676,6 +705,10 @@ def _get_program(signature):
 class RenderPlanner:
     """Plans and executes batched renders of a source over frame ranges."""
 
+    #: Mesh the current planning pass targets (set by iter_batches /
+    #: render_sharded); device staging commits replicated params to it.
+    _plan_mesh = None
+
     def __init__(self, source, window):
         self.source = source
         self.window = box2i(window)
@@ -687,17 +720,28 @@ class RenderPlanner:
     #: shared across chunks with the same geometry.
     max_plan_frames = 256
 
+    #: Pipeline-chunk span: long segments additionally split into chunks
+    #: of this many frames so the one-segment-ahead prepare thread
+    #: overlaps host staging + H2D of chunk k+1 with device execution of
+    #: chunk k (the round-1 config3 stall: a single long segment staged
+    #: everything serially before the first dispatch). Chunks with the
+    #: same graph structure share one compiled program (staged plane
+    #: stacks pad their row count to a multiple of 8 to keep shapes
+    #: chunk-invariant).
+    pipeline_chunk = 64
+
     def segments(self, start, stop):
         """Split [start, stop) at graph-structure boundaries (and the
-        planning-span cap)."""
+        planning-span/pipeline-chunk caps)."""
+        span = min(self.max_plan_frames, self.pipeline_chunk)
         cuts = sorted(set(
             c for c in self.source.plan_cuts(start, stop) if start < c < stop))
         edges = [start] + cuts + [stop]
         out = []
         for lo, hi in zip(edges[:-1], edges[1:]):
-            while hi - lo > self.max_plan_frames:
-                out.append((lo, lo + self.max_plan_frames))
-                lo += self.max_plan_frames
+            while hi - lo > span:
+                out.append((lo, lo + span))
+                lo += span
             out.append((lo, hi))
         return out
 
@@ -739,6 +783,7 @@ class RenderPlanner:
             segment (backend state is thread-local)."""
             seg_start, seg_stop = seg
             self._stage_cache = {}
+            self._plan_mesh = mesh
             N = seg_stop - seg_start
             frames = np.arange(seg_start, seg_stop, dtype=np.int64)
             ctx = PlanContext(self, frames, self.window)
@@ -807,6 +852,7 @@ class RenderPlanner:
         # Staging cache lives for one render call: dedups host pulls that
         # occur in multiple children of the same plan (e.g. pulldown)
         self._stage_cache = {}
+        self._plan_mesh = None
         outs = []
         windows = []
         for seg_start, seg_stop in self.segments(start, stop):
@@ -879,6 +925,7 @@ def render_sharded(source, window, start, stop, mesh=None, axis='frames',
             for (s0, s1) in segs], axis=0)
 
     frames = np.arange(start, stop, dtype=np.int64)
+    planner._plan_mesh = mesh
     ctx = PlanContext(planner, frames, planner.window)
     node = ctx.plan(source)
     sig = node.signature()
