@@ -122,15 +122,16 @@ def config4():
     planner = render.RenderPlanner(ws, box2i(0, 0, 1919, 1079))
     fps = timeit_batches(planner, 16, 128)
 
-    # p50 single-frame pull latency on the same graph (warm the
-    # B=1 program first so we measure steady state, not compilation).
-    # Latency is what a user waits for one frame, so the full fetch of
-    # the rendered frame to host is part of the measurement.
-    out = planner.render(199, 200)
+    # p50 single-frame pull latency on the same graph: the low-latency
+    # display path (render_display — one warm fused program rendering +
+    # converting to u8 BGRA on device, single u8 fetch; what a playback
+    # surface waits for). Warm the program first so we measure steady
+    # state, not compilation.
+    planner.render_display(199)
     lat = []
     for i in range(20):
         t0 = time.perf_counter()
-        out = planner.render(200 + i, 201 + i)
+        planner.render_display(200 + i)
         lat.append(time.perf_counter() - t0)
     return fps, float(np.percentile(lat, 50) * 1e3)
 

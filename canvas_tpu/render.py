@@ -875,6 +875,40 @@ class RenderPlanner:
             return out, np.concatenate(windows, axis=0)
         return out
 
+    def render_display(self, frame_index, order=(2, 1, 0, 3)):
+        """Low-latency single-frame display pull.
+
+        ONE warm compiled program renders the frame AND converts it to
+        interleaved u8 on device (the widget_gl soft-mode f16->u8
+        gamma45 path, widget_gl.c:793-816), so only display bytes
+        (H*W*4 u8 — half the f16 frame) cross the host link, in a
+        single fetch. Returns an (H, W, 4) uint8 array in channel
+        *order* (default BGRA, the display layout).
+        """
+        from canvas_tpu.ops import color as color_ops
+        jax, jnp = _jx()
+        self._stage_cache = {}
+        self._plan_mesh = None
+        frames = np.arange(frame_index, frame_index + 1, dtype=np.int64)
+        ctx = PlanContext(self, frames, self.window)
+        node = ctx.plan(self.source)
+        key = (node.signature(), 'display', tuple(order))
+        with _program_lock:
+            fn = _program_cache.get(key)
+        if fn is None:
+            sig = node.signature()
+
+            def run(params_list):
+                it = iter(params_list)
+                out = _eval(sig, it, jnp, jax).astype(jnp.float16)
+                return color_ops._u8_device(out, tuple(order))
+
+            fn = jax.jit(run)
+            with _program_lock:
+                _program_cache[key] = fn
+        flat = np.asarray(fn(node.flat_params([])))
+        return flat.reshape(flat.shape[1], -1, 4)
+
 
 def render_frames(source, window, start, stop, **kw):
     """One-call batched render (see RenderPlanner)."""

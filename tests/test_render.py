@@ -479,3 +479,30 @@ def test_replicated_matrix_3frame_segment():
     assert got.shape == want.shape
     np.testing.assert_allclose(got.astype(np.float32),
                                want.astype(np.float32), atol=2e-3)
+
+
+def test_render_display_single_frame():
+    """render_display: one fused program -> u8 BGRA display frame that
+    matches rendering + gamma45 conversion done separately."""
+    from canvas_tpu.ops import color as color_ops
+
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource((0.2, 0.4, 0.6, 1.0)),
+           x=0, length=8, z=0)
+    ws.add(source=SolidColorVideoSource(
+        LerpFunc((1.0, 0.2, 0.1, 0.8), (0.0, 0.9, 0.5, 0.3), 8),
+        window=box2i(4, 4, 40, 40)), x=0, length=8, z=1)
+    window = box2i(0, 0, 63, 63)
+    planner = render.RenderPlanner(ws, window)
+
+    bgra = planner.render_display(3)
+    assert bgra.shape == (64, 64, 4) and bgra.dtype == np.uint8
+
+    # reference: rendered f16 frame -> direct gamma45 u8 (same formula
+    # as the device conversion)
+    f16 = planner.render(3, 4)[0].astype(np.float32)
+    y = np.power(np.clip(f16, 0, None), 0.45) * 255.0
+    want = np.floor(np.clip(np.nan_to_num(y), 0.0, 255.0)).astype(np.uint8)
+    for c_dst, c_src in enumerate((2, 1, 0, 3)):
+        np.testing.assert_array_equal(bgra[..., c_dst], want[c_src],
+                                      err_msg='channel %d' % c_dst)
