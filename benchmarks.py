@@ -198,6 +198,50 @@ def config6():
     return run_range()
 
 
+def config7():
+    """Mixed-content 10-layer 1080p timeline: 3 of the 10 layers are
+    STAGED coded video (DV 4:1:1 reconstruct -> scaler), the rest
+    solids/gain/crossfade — so the number cannot be carried by the
+    solid_stack fusion alone (VERDICT round-1 item 3). Coded planes
+    differ per frame (rolled), so every frame's planes really cross
+    host->device."""
+    import bench
+    from canvas_tpu import render
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.coded import (CodedImage, CodedImageSource,
+                                  DVReconstructionFilter)
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.sources import VideoScaler
+
+    rng = np.random.RandomState(7)
+    y = rng.randint(16, 236, (480, 720)).astype(np.uint8)
+    cb = rng.randint(16, 241, (480, 180)).astype(np.uint8)
+    cr = rng.randint(16, 241, (480, 180)).astype(np.uint8)
+
+    class Rolled(CodedImageSource):
+        def get_frame(self, frame_index, quality=0):
+            return CodedImage([np.roll(y, frame_index, axis=0),
+                               np.roll(cb, frame_index, axis=0),
+                               np.roll(cr, frame_index, axis=0)])
+
+    length = 256
+    ws = bench.build_timeline(length)
+    # Replace three solid layers (z=2,4,6) with scaled DV clips
+    for z, (tx, ty) in zip((2, 4, 6), ((0, 0), (640, 120), (960, 480))):
+        clip = VideoScaler(
+            DVReconstructionFilter(Rolled()),
+            target_point=LerpFunc((tx, ty), (tx + 60, ty + 40), length),
+            source_point=(0.0, -1.0),
+            scale_factors=(1.25, 1.25),
+            source_rect=box2i(0, -1, 719, 478))
+        for item in [it for it in ws if it.z == z]:
+            ws.remove(item)
+        ws.add(source=clip, x=0, length=length, z=z)
+
+    planner = render.RenderPlanner(ws, box2i(0, 0, 1919, 1079))
+    return timeit_batches(planner, 16, 128)
+
+
 def main():
     import jax
 
@@ -211,6 +255,7 @@ def main():
     results['config5_sharded_fps_%d_devices' % len(jax.devices())] = \
         round(config5(), 1)
     results['config6_4k_10layer_export_path_fps'] = round(config6(), 1)
+    results['config7_mixed_content_10layer_fps'] = round(config7(), 1)
 
     print(json.dumps(results, indent=1))
 

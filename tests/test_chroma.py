@@ -272,3 +272,45 @@ def test_pulldown_mixed_frame_window_clip():
     got = render.render_frames(filt, window, 0, 4)
     np.testing.assert_allclose(got.astype(np.float32),
                                want.astype(np.float32), atol=2e-3)
+
+
+def test_scaled_dv_layer_in_workspace_matches_pull():
+    """config7 shape: a VideoScaler over a DV reconstruct staged layer
+    composited with solids in a workspace — batched planner must match
+    the eager pull path."""
+    from canvas_tpu import render
+    from canvas_tpu.coded import CodedImage, CodedImageSource
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.sources import SolidColorVideoSource, VideoScaler, VideoWorkspace
+
+    class Source(CodedImageSource):
+        def get_frame(self, frame_index, quality=0):
+            rng = np.random.RandomState(frame_index)
+            return CodedImage([
+                rng.randint(16, 236, (480, 720)).astype(np.uint8),
+                rng.randint(16, 241, (480, 180)).astype(np.uint8),
+                rng.randint(16, 241, (480, 180)).astype(np.uint8)])
+
+    clip = VideoScaler(
+        DVReconstructionFilter(Source()),
+        target_point=LerpFunc((0, 0), (8, 6), 4),
+        source_point=(0.0, -1.0),
+        scale_factors=(0.25, 0.25),
+        source_rect=box2i(0, -1, 719, 478))
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource((0.2, 0.3, 0.4, 1.0)),
+           x=0, length=4, z=0)
+    ws.add(source=clip, x=0, length=4, z=1)
+    window = box2i(0, 0, 199, 149)
+
+    want = []
+    for i in range(2):
+        frame = ws.get_frame_f16(i, window)
+        want.append(np.asarray(frame.data, np.float16))
+    want = np.stack(want)
+    got = render.render_frames(ws, window, 0, 2)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=2e-2)
+    # most pixels bit-exact or within a couple f16 ulps
+    close = np.mean(np.abs(got.astype(np.float32) - want.astype(np.float32)) < 2e-3)
+    assert close > 0.98, close
