@@ -230,6 +230,46 @@ def apply_gamma45_u8(arr):
                           gamma45_ramp_u8())
 
 
+def display_ramp_u8(intent):
+    """The widget display ramp: 65536-entry f16-bits -> u8 table
+    ``lrint(clamp(pow(f, intent) * 255, 0, 255))``
+    (widget_gl_set_rendering_intent, widget_gl.c:950-969; default
+    intent 1.25)."""
+    def fn(x):
+        with np.errstate(invalid='ignore'):
+            y = np.power(x.astype(np.float32), np.float32(intent))
+        y = np.clip(y * np.float32(255.0), 0.0, 255.0)
+        return np.rint(np.nan_to_num(y, nan=0.0)).astype(np.uint8)
+    return _luts.get('display_u8_%r' % (float(intent),), fn, np.uint8)
+
+
+def apply_display_u8(arr, intent=1.25):
+    """Host/eager widget_gl soft-mode display conversion: linear f16 ->
+    sRGB transfer (all 4 channels, the LUT quirk) -> rendering-intent
+    ramp -> u8 (widget_gl.c:291-308). Returns u8, same shape."""
+    srgb = transfer_linear_to_srgb(arr)
+    return apply_half_lut(srgb, display_ramp_u8(intent))
+
+
+def display_u8_device(data, intent=1.25, order=(2, 1, 0, 3)):
+    """(B, 4, H, W) rgba f16 device array -> (B, H, W*4) interleaved u8
+    display frames (reshape to (B, H, W, 4) host-side): the widget_gl
+    soft-mode conversion computed ON DEVICE — sRGB transfer
+    (f16-quantized to match the half-LUT) then the rendering-intent pow
+    with lrint rounding, direct VPU math instead of 64K gathers."""
+    jnp = backend.jnp
+    x = data.astype(jnp.float32)
+    # linear -> sRGB, f16-quantized like a table hit
+    s = jnp.where(x <= 0.0031308, x * 12.92,
+                  1.055 * jnp.power(x, 1.0 / 2.4) - 0.055)
+    s = s.astype(jnp.float16).astype(jnp.float32)
+    y = jnp.power(s, jnp.float32(intent)) * 255.0
+    y = jnp.clip(jnp.nan_to_num(y, nan=0.0), 0.0, 255.0)
+    u8 = jnp.rint(y).astype(jnp.uint8)[:, list(order)]
+    t = jnp.transpose(u8, (0, 2, 3, 1))
+    return t.reshape(t.shape[0], t.shape[1], -1)
+
+
 def _u8_device(data, order):
     """(B, 4, H, W) rgba f16 device array -> (B, H, W*4) interleaved u8
     device array in the given channel *order*, reshaped to (B, H, W, 4)

@@ -38,7 +38,8 @@ class VideoPlaybackEngine:
     """
 
     def __init__(self, source, clock, frame_rate, window, present,
-                 batch=4, ring_frames=8):
+                 batch=4, ring_frames=8, pixel_aspect_ratio=40.0 / 33.0,
+                 rendering_intent=1.25):
         self.source = source
         self.clock = clock
         self.frame_rate = Fraction(frame_rate)
@@ -46,6 +47,10 @@ class VideoPlaybackEngine:
         self.present = present
         self.batch = int(batch)
         self.ring_frames = int(ring_frames)
+        # Display semantics (widget_gl.c:818-969): defaults match the
+        # reference (PAR 40/33 NTSC 4:3, rendering intent 1.25).
+        self._pixel_aspect_ratio = float(pixel_aspect_ratio)
+        self._rendering_intent = float(rendering_intent)
 
         from canvas_tpu import backend
         backend.ensure_initialized()   # JAX must first init on this thread
@@ -85,6 +90,53 @@ class VideoPlaybackEngine:
                     del self._cache[key]
         self._wake.set()
 
+    # -- display semantics (widget_gl.c:818-969) --------------------------
+
+    @property
+    def display_window(self):
+        return self.window
+
+    def set_display_window(self, window):
+        """Change the window frames are pulled into
+        (widget_gl_set_display_window)."""
+        with self._lock:
+            self.window = box2i(window)
+            self._cache.clear()
+        self._wake.set()
+
+    @property
+    def pixel_aspect_ratio(self):
+        return self._pixel_aspect_ratio
+
+    def set_pixel_aspect_ratio(self, par):
+        """Display pixel aspect ratio (width scale a widget applies;
+        widget_gl.c:914-923). DV NTSC 4:3 uses 10/11."""
+        self._pixel_aspect_ratio = float(par)
+        self._wake.set()
+
+    def display_size(self):
+        """PAR-corrected size a display surface should use, as
+        (width, height): source width scaled by the pixel aspect
+        ratio (what the widget layers derive their viewport from)."""
+        w = self.window.width
+        h = self.window.height
+        return (int(round(w * self._pixel_aspect_ratio)), h)
+
+    @property
+    def rendering_intent(self):
+        return self._rendering_intent
+
+    def set_rendering_intent(self, intent):
+        """Additional display gamma (default 1.25;
+        widget_gl_set_rendering_intent). Re-renders the ring."""
+        intent = float(intent)
+        if intent == self._rendering_intent:
+            return
+        self._rendering_intent = intent
+        with self._lock:
+            self._cache.clear()
+        self._wake.set()
+
     def stop(self):
         self._quit = True
         self._wake.set()
@@ -99,19 +151,27 @@ class VideoPlaybackEngine:
     def _render_batch(self, start, stop):
         from canvas_tpu import backend, render
         from canvas_tpu.ops import color as color_ops
-        data = render.render_frames(self.source, self.window, start, stop,
+        # Snapshot display state: if the window or intent changes while
+        # this batch is in flight, the results are stale — drop them
+        # instead of caching frames converted with the old settings.
+        window = self.window
+        intent = self._rendering_intent
+        data = render.render_frames(self.source, window, start, stop,
                                     device_out=True)
         if backend.is_jax_array(data):
-            # Display conversion on device: only u8 BGRA crosses the
-            # host link (half the f16 bytes)
-            flat = np.asarray(color_ops.bgra_u8_device(data))
+            # Display conversion on device (widget_gl soft mode: sRGB
+            # transfer + rendering-intent ramp): only u8 BGRA crosses
+            # the host link (half the f16 bytes)
+            flat = np.asarray(color_ops.display_u8_device(data, intent))
             bgra = flat.reshape(flat.shape[0], flat.shape[1], -1, 4)
         else:
-            u8 = color_ops.apply_gamma45_u8(np.asarray(data))
+            u8 = color_ops.apply_display_u8(np.asarray(data), intent)
             bgra = np.empty(u8.shape[0:1] + u8.shape[2:] + (4,), np.uint8)
             for c_dst, c_src in enumerate((2, 1, 0, 3)):
                 bgra[..., c_dst] = u8[:, c_src]
         with self._lock:
+            if window is not self.window or intent != self._rendering_intent:
+                return
             for i, idx in enumerate(range(start, stop)):
                 self._cache[idx] = bgra[i]
             # Evict behind the playhead

@@ -875,15 +875,20 @@ class RenderPlanner:
             return out, np.concatenate(windows, axis=0)
         return out
 
-    def render_display(self, frame_index, order=(2, 1, 0, 3)):
+    def render_display(self, frame_index, order=(2, 1, 0, 3),
+                       intent=None):
         """Low-latency single-frame display pull.
 
         ONE warm compiled program renders the frame AND converts it to
-        interleaved u8 on device (the widget_gl soft-mode f16->u8
-        gamma45 path, widget_gl.c:793-816), so only display bytes
-        (H*W*4 u8 — half the f16 frame) cross the host link, in a
-        single fetch. Returns an (H, W, 4) uint8 array in channel
-        *order* (default BGRA, the display layout).
+        interleaved u8 on device, so only display bytes (H*W*4 u8 —
+        half the f16 frame) cross the host link, in a single fetch.
+        Returns an (H, W, 4) uint8 array in channel *order* (default
+        BGRA, the display layout).
+
+        intent=None uses the gamma45 ramp (the to_argb_string
+        contract, gammatab.c:12-37); a float uses the widget_gl
+        soft-mode conversion — sRGB transfer then that rendering
+        intent (widget_gl.c:291-308, default there 1.25).
         """
         from canvas_tpu.ops import color as color_ops
         jax, jnp = _jx()
@@ -892,7 +897,8 @@ class RenderPlanner:
         frames = np.arange(frame_index, frame_index + 1, dtype=np.int64)
         ctx = PlanContext(self, frames, self.window)
         node = ctx.plan(self.source)
-        key = (node.signature(), 'display', tuple(order))
+        key = (node.signature(), 'display', tuple(order),
+               None if intent is None else float(intent))
         with _program_lock:
             fn = _program_cache.get(key)
         if fn is None:
@@ -901,7 +907,10 @@ class RenderPlanner:
             def run(params_list):
                 it = iter(params_list)
                 out = _eval(sig, it, jnp, jax).astype(jnp.float16)
-                return color_ops._u8_device(out, tuple(order))
+                if intent is None:
+                    return color_ops._u8_device(out, tuple(order))
+                return color_ops.display_u8_device(out, float(intent),
+                                                   tuple(order))
 
             fn = jax.jit(run)
             with _program_lock:

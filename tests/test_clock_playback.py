@@ -170,3 +170,87 @@ def test_engine_and_queue_lifecycle_no_thread_leak():
         eng.stop()
     time.sleep(0.5)
     assert threading.active_count() - base <= 2
+
+
+def test_display_semantics_par_and_intent():
+    """widget_gl display parity (widget_gl.c:818-969): DV 10:11 pixel
+    aspect ratio geometry, display window override, rendering-intent
+    switching re-renders with the new ramp."""
+    from canvas_tpu.playback import VideoPlaybackEngine
+
+    presented = []
+    src = SolidColorVideoSource((0.25, 0.5, 0.75, 1.0))
+    clock = SystemPresentationClock()
+    engine = VideoPlaybackEngine(
+        src, clock, Fraction(30000, 1001), box2i(0, -1, 719, 478),
+        lambda idx, bgra: presented.append((idx, bgra)))
+    try:
+        # defaults match the reference
+        assert abs(engine.pixel_aspect_ratio - 40.0 / 33.0) < 1e-6
+        assert engine.rendering_intent == 1.25
+
+        # DV NTSC 4:3: PAR 10/11 -> display width 720*10/11 = 655
+        engine.set_pixel_aspect_ratio(10.0 / 11.0)
+        assert engine.display_size() == (655, 480)
+
+        # display window override re-windows the pull
+        engine.set_display_window(box2i(0, 0, 99, 79))
+        assert engine.display_size() == (91, 80)
+
+        clock.play(1)
+        deadline = time.time() + (60 if os.environ.get('CANVAS_TEST_TPU')
+                                  else 10)
+        while not presented and time.time() < deadline:
+            time.sleep(0.02)
+        clock.stop()
+        assert presented
+        _, bgra = presented[0]
+        assert bgra.shape == (80, 100, 4)
+
+        # conversion is the widget path: sRGB + intent ramp (not gamma45)
+        from canvas_tpu.ops import color as color_ops
+        lin = np.zeros((4, 1, 1), np.float16)
+        lin[0] = 0.25; lin[1] = 0.5; lin[2] = 0.75; lin[3] = 1.0
+        want = color_ops.apply_display_u8(lin, 1.25)
+        got_px = bgra[40, 50]
+        assert tuple(got_px) == (int(want[2, 0, 0]), int(want[1, 0, 0]),
+                                 int(want[0, 0, 0]), int(want[3, 0, 0]))
+
+        # intent switch invalidates and re-renders with the new ramp
+        presented.clear()
+        engine.set_rendering_intent(1.0)
+        clock.seek(0)
+        clock.play(1)
+        deadline = time.time() + (60 if os.environ.get('CANVAS_TEST_TPU')
+                                  else 10)
+        while not presented and time.time() < deadline:
+            time.sleep(0.02)
+        clock.stop()
+        assert presented
+        _, bgra1 = presented[0]
+        want1 = color_ops.apply_display_u8(lin, 1.0)
+        got_px1 = bgra1[40, 50]
+        assert tuple(got_px1) == (int(want1[2, 0, 0]), int(want1[1, 0, 0]),
+                                  int(want1[0, 0, 0]), int(want1[3, 0, 0]))
+        assert tuple(got_px1) != tuple(got_px)
+    finally:
+        engine.stop()
+
+
+def test_display_u8_device_matches_host_lut():
+    """Device display conversion (direct VPU math) agrees with the
+    host 64K-LUT path within 1 code value everywhere."""
+    from canvas_tpu import backend
+    from canvas_tpu.ops import color as color_ops
+
+    rng = np.random.RandomState(3)
+    data = (rng.rand(2, 4, 32, 128) * 1.2 - 0.05).astype(np.float16)
+    host = color_ops.apply_display_u8(data, 1.25)
+    with backend.force_backend('jax'):
+        jnp = backend.jnp
+        flat = np.asarray(color_ops.display_u8_device(
+            jnp.asarray(data), 1.25, order=(0, 1, 2, 3)))
+    dev = flat.reshape(2, 32, 128, 4).transpose(0, 3, 1, 2)
+    diff = np.abs(host.astype(int) - dev.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.02
