@@ -36,11 +36,14 @@ def qt_available():
     return bool(_load_qt())
 
 
-def VideoWidget(source, clock, frame_rate, window, parent=None):
+def VideoWidget(source, clock, frame_rate, window, parent=None,
+                pixel_aspect_ratio=40.0 / 33.0, rendering_intent=1.25):
     """Create a Qt widget that displays *source* driven by *clock*.
 
     Returns a QWidget subclass instance; raises RuntimeError when no Qt
-    binding is installed.
+    binding is installed. ``pixel_aspect_ratio`` scales the widget's
+    size hint like the reference widget scales its viewport
+    (widget_gl.c:755; DV NTSC 4:3 uses 10/11).
     """
     qt = _load_qt()
     if not qt:
@@ -58,7 +61,17 @@ def VideoWidget(source, clock, frame_rate, window, parent=None):
             self._image = None
             self._frame_ready.connect(self.update)
             self._engine = VideoPlaybackEngine(
-                source, clock, frame_rate, window, self._present)
+                source, clock, frame_rate, window, self._present,
+                pixel_aspect_ratio=pixel_aspect_ratio,
+                rendering_intent=rendering_intent)
+
+        @property
+        def engine(self):
+            return self._engine
+
+        def sizeHint(self):
+            w, h = self._engine.display_size()
+            return QtCore.QSize(w, h)
 
         def _present(self, frame_index, bgra):
             height, width = bgra.shape[:2]

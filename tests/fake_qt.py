@@ -1,0 +1,131 @@
+"""A minimal fake Qt binding (test double) so the editor's Qt widget
+layer (canvas_tpu/editor/ui/qt.py) actually executes in CI — the image
+ships no PyQt/PySide. Mimics just the surface the widget uses: QWidget,
+QImage, QPainter, QSize, signals."""
+
+
+class Signal:
+    """Stands in for pyqtSignal: a class-level descriptor returning a
+    per-instance bound signal with connect/emit."""
+
+    def __init__(self, *types):
+        self._name = None
+
+    def __set_name__(self, owner, name):
+        self._name = '__signal_' + name
+
+    def __get__(self, obj, objtype=None):
+        if obj is None:
+            return self
+        bound = getattr(obj, self._name, None)
+        if bound is None:
+            bound = _BoundSignal()
+            setattr(obj, self._name, bound)
+        return bound
+
+
+class _BoundSignal:
+    def __init__(self):
+        self._subs = []
+
+    def connect(self, fn):
+        self._subs.append(fn)
+
+    def emit(self, *args):
+        for fn in list(self._subs):
+            fn(*args)
+
+
+class QSize:
+    def __init__(self, w, h):
+        self._w, self._h = w, h
+
+    def width(self):
+        return self._w
+
+    def height(self):
+        return self._h
+
+
+class _Rect:
+    def __init__(self, w=320, h=240):
+        self._w, self._h = w, h
+
+
+class QWidget:
+    def __init__(self, parent=None):
+        self._parent = parent
+        self.update_calls = 0
+        self._rect = _Rect()
+
+    def update(self):
+        self.update_calls += 1
+        self.paintEvent(None)
+
+    def rect(self):
+        return self._rect
+
+    def closeEvent(self, event):
+        pass
+
+
+class QImage:
+    class Format:
+        Format_ARGB32 = 'ARGB32'
+
+    def __init__(self, data, width, height, stride, fmt):
+        self.data = data
+        self._width, self._height = width, height
+        self.stride = stride
+        self.format = fmt
+
+    def width(self):
+        return self._width
+
+    def height(self):
+        return self._height
+
+
+class QPainter:
+    instances = []
+
+    def __init__(self, widget):
+        self.widget = widget
+        self.drawn = []
+        self.filled = []
+        QPainter.instances.append(self)
+
+    def drawImage(self, rect, image):
+        self.drawn.append((rect, image))
+
+    def fillRect(self, rect, color):
+        self.filled.append((rect, color))
+
+    def end(self):
+        pass
+
+
+class Qt:
+    class GlobalColor:
+        black = 'black'
+
+
+class QtWidgetsModule:
+    QWidget = QWidget
+
+
+class QtGuiModule:
+    QImage = QImage
+    QPainter = QPainter
+
+
+class QtCoreModule:
+    pyqtSignal = Signal
+    QSize = QSize
+    Qt = Qt
+
+
+def install(qt_module):
+    """Inject this fake binding into canvas_tpu.editor.ui.qt."""
+    qt_module._qt = (QtWidgetsModule, QtGuiModule, QtCoreModule)
+    return qt_module._qt
