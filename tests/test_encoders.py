@@ -191,3 +191,161 @@ def test_planar_dv_round_trip(tmp_path):
     px = frame.pixel(360, 240)
     assert abs(px.r - 0.3) < 0.02
     assert abs(px.g - 0.3) < 0.02
+
+
+class _RampSource:
+    """Audio source where sample s has value s (easy accuracy asserts)."""
+
+    def get_frame(self, min_sample, max_sample, channels):
+        from canvas_tpu.audio import AudioFrame
+        n = max_sample - min_sample + 1
+        data = np.repeat(np.arange(min_sample, max_sample + 1,
+                                   dtype=np.float32)[:, None], channels, 1)
+        return AudioFrame(min_sample, max_sample, channels, data)
+
+
+class _CaptureSink:
+    """Unpaced sink capturing everything (sample-accuracy checks)."""
+
+    def __init__(self):
+        self.chunks = []
+
+    def write(self, samples):
+        self.chunks.append(np.array(samples, copy=True))
+        return len(samples)
+
+    def delay(self):
+        return 0
+
+    def drop(self):
+        self.chunks.append('DROP')
+
+    def close(self):
+        pass
+
+    def samples(self):
+        return np.concatenate([c for c in self.chunks
+                               if not isinstance(c, str)])
+
+
+def test_audio_sink_sample_accurate_speeds():
+    """AlsaPlayer parity: output is sample-accurate and speed-scaled by
+    index decimation, including negative speed (AlsaPlayer.c:160-180),
+    and seeks drop the sink queue (snd_pcm_drop)."""
+    import time
+    from fractions import Fraction
+
+    from canvas_tpu.audioout import AudioPlayer
+
+    # speed 1: exact ramp
+    sink = _CaptureSink()
+    player = AudioPlayer(48000, 2, _RampSource(), sink=sink,
+                         chunk_frames=256)
+    try:
+        player.play(1)
+        deadline = time.time() + 5
+        while sum(len(c) for c in sink.chunks
+                  if not isinstance(c, str)) < 1024 and \
+                time.time() < deadline:
+            time.sleep(0.01)
+        player.stop()
+        time.sleep(0.05)
+        got = sink.samples()
+        n = min(len(got), 1024)
+        np.testing.assert_array_equal(got[:n, 0], np.arange(n,
+                                                            dtype=np.float32))
+        np.testing.assert_array_equal(got[:n, 1], got[:n, 0])
+    finally:
+        player.close()
+
+    # speed 2: every second sample
+    sink = _CaptureSink()
+    player = AudioPlayer(48000, 1, _RampSource(), sink=sink,
+                         chunk_frames=256)
+    try:
+        player.play(2)
+        deadline = time.time() + 5
+        while sum(len(c) for c in sink.chunks
+                  if not isinstance(c, str)) < 512 and \
+                time.time() < deadline:
+            time.sleep(0.01)
+        player.stop()
+        time.sleep(0.05)
+        got = sink.samples()[:, 0]
+        n = min(len(got), 512)
+        np.testing.assert_array_equal(got[:n], np.arange(0, 2 * n, 2,
+                                                         dtype=np.float32))
+    finally:
+        player.close()
+
+    # speed -1 from sample 1000: descending ramp ... 1000, 999, 998
+    sink = _CaptureSink()
+    player = AudioPlayer(48000, 1, _RampSource(), sink=sink,
+                         chunk_frames=128)
+    try:
+        player.seek((1000 * 1_000_000_000) // 48000 + 1)
+        player.play(-1)
+        deadline = time.time() + 5
+        while sum(len(c) for c in sink.chunks
+                  if not isinstance(c, str)) < 256 and \
+                time.time() < deadline:
+            time.sleep(0.01)
+        player.stop()
+        time.sleep(0.05)
+        got = sink.samples()[:, 0]
+        start = got[0]
+        n = min(len(got), 256)
+        np.testing.assert_array_equal(
+            got[:n], np.arange(start, start - n, -1, dtype=np.float32))
+        # seek dropped the queue at least once (initial seek + play)
+        assert 'DROP' in sink.chunks
+    finally:
+        player.close()
+
+
+def test_wav_file_sink(tmp_path):
+    """WavFileSink writes a valid float32 WAV readable by libav."""
+    import time
+
+    from canvas_tpu.audioout import AudioPlayer, WavFileSink
+
+    path = str(tmp_path / 'out.wav')
+    sink = WavFileSink(path, 8000, 2)
+    player = AudioPlayer(8000, 2, _RampSource(), sink=sink,
+                         chunk_frames=512)
+    try:
+        player.play(1)
+        deadline = time.time() + 5
+        while sink._frames < 2048 and time.time() < deadline:
+            time.sleep(0.01)
+        player.stop()
+        time.sleep(0.05)
+    finally:
+        player.close()
+
+    # header sanity
+    with open(path, 'rb') as f:
+        hdr = f.read(44)
+    assert hdr[:4] == b'RIFF' and hdr[8:12] == b'WAVE'
+    import struct
+    fmt, ch, rate = struct.unpack('<HHI', hdr[20:28])
+    assert (fmt, ch, rate) == (3, 2, 8000)
+
+    # readable by the native libav probe
+    if libav.available():
+        container = libav.AVContainer(path)
+        audio = next(s for s in container.streams if s.type == 'audio')
+        assert audio.sample_rate == 8000 and audio.channels == 2
+        container.close()
+
+
+def test_alsa_sink_gated():
+    from canvas_tpu import audioout
+
+    if not audioout.alsa_available():
+        with pytest.raises(RuntimeError):
+            audioout.AlsaSink(48000, 2)
+    else:
+        sink = audioout.AlsaSink(48000, 2)
+        assert sink.write(np.zeros((64, 2), np.float32)) >= 0
+        sink.close()
