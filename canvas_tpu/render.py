@@ -789,7 +789,14 @@ class RenderPlanner:
             ctx = PlanContext(self, frames, self.window)
             with profiling.Timer('render.plan'):
                 node = ctx.plan(self.source)
-            B_eff = min(batch, N) if N < batch else batch
+            if N >= batch:
+                B_eff = batch
+            else:
+                # whole segment smaller than a batch: compile at the
+                # segment size, rounded up to the shard count when a
+                # mesh is in play (tail padding repeats the last frame)
+                shards = mesh.shape[axis] if mesh is not None else 1
+                B_eff = N + ((-N) % shards)
             sig = _sliced_signature(node, N, B_eff)
             return (seg_start, N, sig, node,
                     node.flat_params([]), node.flat_ops([]))
@@ -822,10 +829,22 @@ class RenderPlanner:
                         def cut(v, ax):
                             return np.take(v, idx, axis=ax)
                     if N < batch:
-                        # whole segment smaller than a batch: no
-                        # padding, compile at the segment size instead
-                        def cut(v, ax):      # noqa: F811
-                            return v
+                        # whole segment smaller than a batch: compile at
+                        # the segment size (padded to the shard count
+                        # when sharded; slice the pad off below)
+                        shards = (mesh.shape[axis]
+                                  if mesh is not None else 1)
+                        seg_pad = (-N) % shards
+                        if seg_pad:
+                            idx_seg = np.concatenate([
+                                np.arange(0, N),
+                                np.full(seg_pad, N - 1, np.int64)])
+
+                            def cut(v, ax):  # noqa: F811
+                                return np.take(v, idx_seg, axis=ax)
+                        else:
+                            def cut(v, ax):  # noqa: F811
+                                return v
                     with profiling.Timer('render.dispatch'):
                         out = fn([
                             {k: (cut(v, _BATCH_AXIS.get(op, 0))
@@ -834,8 +853,9 @@ class RenderPlanner:
                             for p, op in zip(params, ops)])
                     if not device_out:
                         out = np.asarray(out)
-                    yield seg_start + pos, take, out[:take] \
-                        if take < batch and N >= batch else out
+                    yield seg_start + pos, take, (out[:take]
+                                                  if take < len(out)
+                                                  else out)
                     pos += take
         finally:
             pool.shutdown(wait=False)
@@ -931,20 +951,21 @@ def render_sharded(source, window, start, stop, mesh=None, axis='frames',
     Shards the frame batch over *axis* of *mesh* (defaults to a 1-D mesh
     over all local devices). This is BASELINE config-5 style scaling: each
     chip renders its frame slice; results gather to host for encode.
-    Frame count must divide evenly by the axis size (pad upstream).
+
+    Segment cuts (graph-structure changes) and frame counts that don't
+    divide the shard count are handled by rendering each segment sharded
+    with tail padding (repeat-last-frame) and slicing the pad back off —
+    a long export crossing structure boundaries keeps full parallelism
+    (round-1 verdict item 8), with device_out supported throughout.
     """
     jax, jnp = _jx()
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh
 
     if mesh is None:
         devices = np.asarray(jax.devices())
         mesh = Mesh(devices, (axis,))
 
     n = mesh.shape[axis]
-    B = stop - start
-    if B % n != 0:
-        raise ValueError('frame count %d not divisible by %d shards' % (B, n))
-
     if n == 1 and spatial_axis is None:
         # Degenerate mesh: nothing to shard — use the plain streaming
         # executor (the sharded dispatch path costs real overhead on
@@ -952,22 +973,28 @@ def render_sharded(source, window, start, stop, mesh=None, axis='frames',
         return RenderPlanner(source, window).render(start, stop,
                                                     device_out=device_out)
 
-    # Plan on host (cheap), then shard every leading-B param array.
+    # Plan on host (cheap), then shard every frame-axis param array.
     planner = RenderPlanner(source, window)
-    segs = planner.segments(start, stop)
-    if len(segs) != 1:
-        # Structure changes inside the range: render each segment
-        # unsharded-batched and concatenate. (Scatter frames *within*
-        # a segment; segments are usually >> shard count.)
-        if device_out:
-            raise ValueError('device_out requires a single-structure range')
-        return np.concatenate([
-            render_sharded(source, window, s0, s1, mesh=mesh, axis=axis)
-            if (s1 - s0) % n == 0 else
-            planner.render(s0, s1)
-            for (s0, s1) in segs], axis=0)
+    outs = [_render_sharded_segment(planner, s0, s1, mesh, axis, n,
+                                    spatial_axis, jax, jnp)
+            for (s0, s1) in planner.segments(start, stop)]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    if device_out:
+        return out
+    return np.asarray(out)
 
-    frames = np.arange(start, stop, dtype=np.int64)
+
+def _render_sharded_segment(planner, start, stop, mesh, axis, n,
+                            spatial_axis, jax, jnp):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    source = planner.source
+    B = stop - start
+    pad = (-B) % n
+    frames = np.arange(start, stop + pad, dtype=np.int64)
+    if pad:
+        frames[B:] = stop - 1        # tail padding: repeat the last frame
+    planner._stage_cache = {}
     planner._plan_mesh = mesh
     ctx = PlanContext(planner, frames, planner.window)
     node = ctx.plan(source)
@@ -1008,6 +1035,6 @@ def render_sharded(source, window, start, stop, mesh=None, axis='frames',
         # split): XLA inserts the all-to-all over ICI
         out = jax.device_put(out, NamedSharding(
             mesh, P(axis, None, spatial_axis, None)))
-    if device_out:
-        return out
-    return np.asarray(out)
+    if pad:
+        out = out[:B]
+    return out

@@ -176,3 +176,40 @@ def test_video_decode_planar_capacity_retry(sample_file):
     np.testing.assert_array_equal(image[0], image2[0])
     dec.close()
     dec2.close()
+
+
+def test_write_video_mesh_across_segment_cut(tmp_path):
+    """Sharded export (write_video(mesh=)) across a structure boundary
+    with a frame count not divisible by the shard count: tail padding
+    keeps parallelism, output stays frame-accurate (VERDICT item 8)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from canvas_tpu.sources import VideoWorkspace
+
+    if len(jax.devices()) < 2:
+        pytest.skip('needs multiple devices')
+    mesh = Mesh(np.asarray(jax.devices()), ('frames',))
+
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource(
+        LerpFunc((0.0, 0.0, 0.0, 1.0), (1.0, 1.0, 1.0, 1.0), 23)),
+        x=0, length=23, z=0)
+    # structure cut at frame 9 (green card appears) and 16 (ends)
+    ws.add(source=SolidColorVideoSource((0.0, 1.0, 0.0, 1.0)),
+           x=9, length=7, z=1)
+
+    path = str(tmp_path / 'sharded.avi')
+    libav.write_video(path, ws, None, 0, 23, frame_size=(64, 48),
+                      frame_rate=25, video_codec='ffv1', mesh=mesh)
+    assert os.path.getsize(path) > 1000
+
+    dec = libav.AVVideoDecoder(path)
+    # before the cut: ramp (frame 5 dark), inside: green dominates,
+    # after: ramp again (frame 20 bright)
+    f5 = dec.get_frame_rgba(5, 64, 48)
+    f12 = dec.get_frame_rgba(12, 64, 48)
+    f20 = dec.get_frame_rgba(20, 64, 48)
+    assert int(f12[24, 32, 1]) > 200 and int(f12[24, 32, 0]) < 60
+    assert int(f20[24, 32, 0]) > int(f5[24, 32, 0]) + 100
+    dec.close()

@@ -506,3 +506,62 @@ def test_render_display_single_frame():
     for c_dst, c_src in enumerate((2, 1, 0, 3)):
         np.testing.assert_array_equal(bgra[..., c_dst], want[c_src],
                                       err_msg='channel %d' % c_dst)
+
+
+def test_render_sharded_segment_cuts_and_tail_padding():
+    """Sharded export across structure boundaries with non-divisible
+    frame counts: every segment renders sharded with repeat-last-frame
+    tail padding; device_out works across cuts (VERDICT round-1
+    item 8)."""
+    from canvas_tpu import backend
+    jax = backend.jax
+    if len(jax.devices()) < 2:
+        pytest.skip('needs multiple devices')
+
+    # Structure changes at frame 10 (an item appears) and 17 (it ends):
+    # range [0, 23) crosses two cuts; 23 % 8 != 0, 10 % 8 != 0...
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource(
+        LerpFunc((1, 0, 0, 1), (0, 1, 0, 1), 23)), x=0, length=23, z=0)
+    ws.add(source=SolidColorVideoSource((0, 0, 1, 0.5),
+                                        window=box2i(4, 4, 20, 20)),
+           x=10, length=7, z=1)
+    want, _ = pull_frames(ws, WINDOW, 0, 23)
+
+    got = render.render_sharded(ws, WINDOW, 0, 23)
+    assert got.shape[0] == 23
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=2e-3)
+
+    # device_out across the cuts
+    dev = render.render_sharded(ws, WINDOW, 0, 23, device_out=True)
+    assert backend.is_jax_array(dev)
+    np.testing.assert_allclose(np.asarray(dev).astype(np.float32),
+                               want.astype(np.float32), atol=2e-3)
+
+
+def test_iter_batches_sharded_small_segment(jax_backend):
+    """A mesh-sharded segment smaller than the batch (and not divisible
+    by the shard count) pads to the shard count and slices back."""
+    import jax
+    from jax.sharding import Mesh
+    from canvas_tpu.render import RenderPlanner
+
+    if len(jax.devices()) < 2:
+        pytest.skip('needs multiple devices')
+    mesh = Mesh(np.asarray(jax.devices()), ('frames',))
+
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource(
+        LerpFunc((0, 0, 0, 1), (1, 1, 1, 1), 5)), x=0, length=5, z=0)
+    want, _ = pull_frames(ws, WINDOW, 0, 5)
+
+    outs = []
+    planner = RenderPlanner(ws, WINDOW)
+    for (s, n, out) in planner.iter_batches(0, 5, batch=8, mesh=mesh,
+                                            device_out=False):
+        outs.append(np.asarray(out)[:n])
+    got = np.concatenate(outs, axis=0)
+    assert got.shape[0] == 5
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=2e-3)
