@@ -193,6 +193,15 @@ def region_over(jnp, jax, P, A, layer, dy0, dx0):
     to slice/update elsewhere.
     """
     B, _c, h, w = layer.shape
+    # The TPU path floors dynamic offsets to block indices — misaligned
+    # offsets or a non-block-multiple region would silently corrupt the
+    # accumulator. Region size is static: check it here; offsets are
+    # dynamic params and are asserted at the host planning site
+    # (sources.py region quantization).
+    if h % 64 or w % 128:
+        raise ValueError(
+            'region_over region (%d, %d) must be a multiple of the '
+            '(64, 128) block grid' % (h, w))
     if jax.default_backend() != 'tpu':
         zero = jnp.int32(0)
         subP = jax.lax.dynamic_slice(P, (zero, zero, dy0, dx0),

@@ -883,12 +883,20 @@ def _ws_emit(self, ctx):
             area = h_box * w_box
             fits = (x1 <= full.max.x and y1 <= full.max.y)
             if fits and area < 0.7 * full.height * full.width:
+                dy0 = y0 - full.min.y
+                dx0 = x0 - full.min.x
+                # region_over requires block-aligned offsets; the
+                # quantization above guarantees it — fail loudly here
+                # (host side, offsets become dynamic device params) if a
+                # future edit breaks the invariant instead of letting
+                # the kernel floor them silently.
+                assert dy0 % QR == 0 and dx0 % QC == 0, (dy0, dx0)
                 replanned = sub.with_window(
                     box2i(x0, y0, x1, y1)).plan(item._source)
                 child = Node('placed',
                              static=(h_box, w_box),
-                             params={'dy0': np.int32(y0 - full.min.y),
-                                     'dx0': np.int32(x0 - full.min.x)},
+                             params={'dy0': np.int32(dy0),
+                                     'dx0': np.int32(dx0)},
                              children=[replanned],
                              windows=replanned.windows)
         children.append(child)

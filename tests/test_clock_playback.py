@@ -254,3 +254,56 @@ def test_display_u8_device_matches_host_lut():
     diff = np.abs(host.astype(int) - dev.astype(int))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 0.02
+
+
+def test_reverse_playback_staged_source():
+    """Reverse playback against a STAGED (coded DV) source: the engine
+    renders batches behind the playhead and presents frames in
+    descending order with per-frame content (the reference treats
+    reverse as first-class, AVAudioDecoder.c:255-295)."""
+    from canvas_tpu.coded import (CodedImage, CodedImageSource,
+                                  DVReconstructionFilter)
+    from canvas_tpu.playback import VideoPlaybackEngine
+
+    class Coded(CodedImageSource):
+        """Luma encodes the frame index (distinguishable content)."""
+
+        def get_frame(self, frame_index, quality=0):
+            y = np.full((480, 720), 16 + 2 * (frame_index % 100), np.uint8)
+            c = np.full((480, 180), 128, np.uint8)
+            return CodedImage([y, c, c])
+
+    from canvas_tpu import process
+
+    src = DVReconstructionFilter(Coded())
+    clock = SystemPresentationClock()
+    presented = []
+    engine = VideoPlaybackEngine(
+        src, clock, Fraction(10, 1), box2i(0, -1, 719, 478),
+        lambda idx, bgra: presented.append((idx, int(bgra[200, 300, 2]))),
+        batch=4)
+    try:
+        # start at frame 40, play backwards (10 fps so the CPU recon
+        # path keeps up with the playhead)
+        clock.seek(process.get_frame_time(Fraction(10, 1), 40))
+        presented.clear()     # drop the paused pre-seek frame
+        clock.play(-1)
+        deadline = time.time() + (120 if os.environ.get('CANVAS_TEST_TPU')
+                                  else 40)
+        while len(presented) < 3 and time.time() < deadline:
+            time.sleep(0.02)
+        clock.stop()
+        assert len(presented) >= 3
+        # a stale paused-frame (index 0) present can race the seek;
+        # ignore it for the ordering check
+        indices = [i for (i, _r) in presented if i != 0]
+        assert len(indices) >= 2
+        assert indices == sorted(indices, reverse=True), indices
+        assert all(0 < i <= 40 for i in indices), indices
+        # content follows the frame index: higher frame -> brighter red
+        by_idx = dict(presented)
+        lo, hi = min(by_idx), max(by_idx)
+        if hi > lo:
+            assert by_idx[hi] > by_idx[lo]
+    finally:
+        engine.stop()

@@ -384,3 +384,45 @@ def test_editor_app_end_to_end_playback_and_export(tmp_path):
                       frame_size=(48, 32), video_codec='ffv1',
                       format='avi')
     assert os.path.getsize(out) > 0
+
+
+def test_gtk_video_widget_with_fake_binding():
+    """Execute the real GTK widget code (editor/ui/gtk.py) against a
+    fake PyGObject: pixbuf construction from presented frames,
+    main-loop marshalling, draw handler painting, PAR size request
+    (GtkVideoWidget.c:44-132 role)."""
+    import fake_gtk
+    from canvas_tpu.clock import SystemPresentationClock
+    from canvas_tpu.editor.ui import gtk as gtk_mod
+
+    old = gtk_mod._gtk
+    fake_gtk.install(gtk_mod)
+    try:
+        assert gtk_mod.gtk_available()
+        clock = SystemPresentationClock()
+        src = process.SolidColorVideoSource((0.9, 0.3, 0.1, 1.0))
+        widget = gtk_mod.GtkVideoWidget(
+            src, clock, fractions.Fraction(30, 1), box2i(0, 0, 31, 23),
+            pixel_aspect_ratio=10.0 / 11.0)
+        try:
+            assert widget.size_request == (29, 24)
+            clock.play(1)
+            deadline = time.time() + (60 if os.environ.get('CANVAS_TEST_TPU')
+                                      else 10)
+            while widget.queue_draw_calls == 0 and time.time() < deadline:
+                time.sleep(0.02)
+            clock.stop()
+            assert widget.queue_draw_calls > 0
+            assert widget._pixbuf is not None
+            assert (widget._pixbuf.width, widget._pixbuf.height) == (32, 24)
+            # draw handler painted the pixbuf
+            assert widget.last_cr.painted
+            assert widget.last_cr.painted[-1][0] == 'pixbuf'
+            # RGB bytes: red channel leads and dominates
+            rgb = widget._pixbuf.data
+            assert rgb[0] > rgb[1] and rgb[0] > rgb[2]
+        finally:
+            widget.close()
+    finally:
+        gtk_mod._gtk = old
+        fake_gtk.Pixbuf.created.clear()
