@@ -11,6 +11,7 @@ from canvas_tpu.editor.ui.ruler import TimeRulerModel  # noqa: F401
 from canvas_tpu.editor.ui.canvas_models import (  # noqa: F401
     CanvasItemView, CanvasSceneModel, DragController)
 from canvas_tpu.editor.ui.thumbnails import ThumbnailPainter  # noqa: F401
+from canvas_tpu.editor.ui.paint import CanvasPainter  # noqa: F401
 from canvas_tpu.editor.ui.renderprogress import RenderJob  # noqa: F401
 from canvas_tpu.editor.ui.notification import AlertListModel  # noqa: F401
 from canvas_tpu.editor.ui.app import EditorApp  # noqa: F401

@@ -53,6 +53,35 @@ class SpaceEditor:
         return VideoPlaybackEngine(self.video_stream, self.app.clock,
                                    rate, window, present, batch=batch)
 
+    def paint_timeline(self, width_px, height_px, transform=None,
+                       thumbnails=None):
+        """Rasterize this space's timeline view into a (H, W, 4) u8
+        BGRA buffer (software paint layer; any widget can blit it).
+        The playhead follows the app clock."""
+        import fractions as _fractions
+
+        from canvas_tpu import process, timecode
+        from canvas_tpu.editor.ui.canvas_models import ViewTransformModel
+        from canvas_tpu.editor.ui.paint import CanvasPainter
+        from canvas_tpu.editor.ui.ruler import TimeRulerModel
+
+        rate = self.space.video_format.frame_rate
+        if transform is None:
+            transform = ViewTransformModel()
+        ruler = TimeRulerModel(
+            timecode.Frames(),
+            scale=_fractions.Fraction(transform.pixels_per_second) /
+            _fractions.Fraction(rate),
+            frame_rate=rate)
+        ruler.set_left_frame(process.get_time_frame(
+            rate, int(transform.scroll_x * 1_000_000_000)))
+        painter = CanvasPainter(self.scene, transform, ruler=ruler)
+        playhead = process.get_time_frame(
+            rate, self.app.clock.get_presentation_time())
+        return painter.paint(width_px, height_px,
+                             playhead_frame=playhead, playhead_rate=rate,
+                             thumbnails=thumbnails)
+
 
 class EditorApp:
     def __init__(self, load_plugins=True):

@@ -1,0 +1,201 @@
+"""Software paint layer for the editor timeline canvas.
+
+The reference paints its timeline with QGraphicsScene items
+(/root/reference/fluggo/editor/ui/canvas/scene.py, clipitem.py,
+scrollview.py) — Qt-only. Here the paint layer is a toolkit-independent
+NumPy rasterizer producing (H, W, 4) u8 BGRA frames: the Qt/GTK widget
+shims (and tests, and headless CI) all blit the same pixels. It draws
+what the reference's canvas draws: lane stripes, clip rectangles with
+type colors + title bars, selection outlines, thumbnail strips inside
+video clips, snap markers, the time ruler with timecode labels, and the
+playhead.
+"""
+
+import numpy as np
+
+__all__ = ['CanvasPainter', 'THEME']
+
+# BGRA colors (display byte order, matching the playback sinks)
+THEME = {
+    'background': (34, 30, 28, 255),
+    'lane_even': (42, 38, 36, 255),
+    'lane_odd': (48, 43, 41, 255),
+    'ruler_bg': (26, 23, 22, 255),
+    'tick_minor': (80, 76, 72, 255),
+    'tick_medium': (120, 114, 108, 255),
+    'tick_major': (190, 184, 176, 255),
+    'clip_video': (96, 60, 36, 255),
+    'clip_audio': (52, 96, 48, 255),
+    'clip_title': (128, 84, 56, 255),
+    'clip_border': (16, 14, 13, 255),
+    'selection': (64, 180, 255, 255),
+    'snap': (0, 220, 255, 255),
+    'playhead': (48, 48, 230, 255),
+    'label': (210, 205, 200, 255),
+}
+
+# 4x6 bitmap glyphs for ruler timecode labels (rows of 4 bits each).
+_GLYPHS = {
+    '0': (0x6, 0x9, 0x9, 0x9, 0x9, 0x6),
+    '1': (0x2, 0x6, 0x2, 0x2, 0x2, 0x7),
+    '2': (0x6, 0x9, 0x1, 0x6, 0x8, 0xF),
+    '3': (0x6, 0x9, 0x2, 0x1, 0x9, 0x6),
+    '4': (0x9, 0x9, 0x9, 0xF, 0x1, 0x1),
+    '5': (0xF, 0x8, 0xE, 0x1, 0x9, 0x6),
+    '6': (0x6, 0x8, 0xE, 0x9, 0x9, 0x6),
+    '7': (0xF, 0x1, 0x2, 0x2, 0x4, 0x4),
+    '8': (0x6, 0x9, 0x6, 0x9, 0x9, 0x6),
+    '9': (0x6, 0x9, 0x9, 0x7, 0x1, 0x6),
+    ':': (0x0, 0x2, 0x0, 0x0, 0x2, 0x0),
+    ';': (0x0, 0x2, 0x0, 0x0, 0x2, 0x4),
+    '.': (0x0, 0x0, 0x0, 0x0, 0x0, 0x2),
+    '-': (0x0, 0x0, 0xF, 0x0, 0x0, 0x0),
+    '+': (0x0, 0x2, 0x7, 0x2, 0x0, 0x0),
+}
+
+
+def _draw_text(buf, x, y, text, color):
+    """Blit 4x6 glyph text at (x, y); unknown characters skip."""
+    H, W = buf.shape[:2]
+    for ch in text:
+        glyph = _GLYPHS.get(ch)
+        if glyph is not None:
+            for row, bits in enumerate(glyph):
+                py = y + row
+                if not (0 <= py < H):
+                    continue
+                for col in range(4):
+                    if bits & (0x8 >> col):
+                        px = x + col
+                        if 0 <= px < W:
+                            buf[py, px] = color
+        x += 5
+
+
+def _fill(buf, x0, y0, x1, y1, color):
+    """Filled rect, [x0, x1) x [y0, y1), clipped."""
+    H, W = buf.shape[:2]
+    x0, x1 = max(0, int(x0)), min(W, int(x1))
+    y0, y1 = max(0, int(y0)), min(H, int(y1))
+    if x0 < x1 and y0 < y1:
+        buf[y0:y1, x0:x1] = color
+
+
+def _outline(buf, x0, y0, x1, y1, color, thickness=1):
+    t = thickness
+    _fill(buf, x0, y0, x1, y0 + t, color)
+    _fill(buf, x0, y1 - t, x1, y1, color)
+    _fill(buf, x0, y0, x0 + t, y1, color)
+    _fill(buf, x1 - t, y0, x1, y1, color)
+
+
+class CanvasPainter:
+    """Rasterizes a CanvasSceneModel through a ViewTransformModel.
+
+    ruler: optional TimeRulerModel drawn as a strip at the top;
+    thumbnails: optional {item: (H, W, 4) u8 BGRA} blitted into video
+    clips (the ThumbnailPainter output).
+    """
+
+    ruler_height = 18
+    title_height = 5
+
+    def __init__(self, scene, transform, ruler=None, theme=None):
+        self.scene = scene
+        self.transform = transform
+        self.ruler = ruler
+        self.theme = dict(THEME, **(theme or {}))
+
+    def paint(self, width_px, height_px, playhead_frame=None,
+              playhead_rate=None, thumbnails=None):
+        """Render the canvas into a fresh (height_px, width_px, 4) u8
+        BGRA buffer."""
+        t = self.theme
+        buf = np.empty((height_px, width_px, 4), np.uint8)
+        buf[:] = t['background']
+
+        # Content (lanes/clips) draws offset below the ruler strip.
+        top = self.ruler_height if self.ruler is not None else 0
+
+        # Lane stripes
+        lane_h = self.transform.pixels_per_lane
+        first_lane = int(np.floor(self.transform.view_to_scene(0, 0)[1]))
+        lane = first_lane
+        while True:
+            y0 = self.transform.scene_to_view(0, lane)[1] + top
+            if y0 >= height_px:
+                break
+            y1 = y0 + lane_h
+            if y1 > top:
+                _fill(buf, 0, max(y0, top), width_px, y1,
+                      t['lane_even'] if lane % 2 == 0 else t['lane_odd'])
+            lane += 1
+
+        # Items, bottom z first so higher z paints on top
+        views = sorted(self.scene.views.values(),
+                       key=lambda v: -getattr(v.item, 'z', 0))
+        for view in views:
+            (x, y, w, h) = view.rect
+            x0, y0 = self.transform.scene_to_view(x, y)
+            x1, y1 = self.transform.scene_to_view(x + w, y + h)
+            y0 += top
+            y1 += top
+            y0 = max(y0, top)
+            if x1 <= 0 or x0 >= width_px or y1 <= top or y0 >= height_px:
+                continue
+            kind = view.item.type() if callable(
+                getattr(view.item, 'type', None)) else 'video'
+            body = t['clip_audio'] if kind == 'audio' else t['clip_video']
+            _fill(buf, x0, y0, x1, y1, body)
+            _fill(buf, x0, y0, x1, min(y0 + self.title_height, y1),
+                  t['clip_title'])
+            thumb = (thumbnails or {}).get(view.item)
+            if thumb is not None:
+                self._blit_thumb(buf, thumb,
+                                 x0, y0 + self.title_height, x1, y1)
+            _outline(buf, x0, y0, x1, y1,
+                     t['selection'] if view.selected else t['clip_border'])
+
+        # Snap markers
+        for marker in getattr(self.transform, 'markers', ()):
+            if marker.axis == 'x':
+                px = self.transform.scene_to_view(marker.position, 0)[0]
+                _fill(buf, px, top, px + 1, height_px, t['snap'])
+
+        # Ruler strip
+        if self.ruler is not None:
+            _fill(buf, 0, 0, width_px, top, t['ruler_bg'])
+            for (px, kind, label) in self.ruler.ticks_in_width(width_px):
+                px = int(px)
+                if kind == 'major':
+                    _fill(buf, px, 2, px + 1, top, t['tick_major'])
+                    if label:
+                        _draw_text(buf, px + 3, 3, label, t['label'])
+                elif kind == 'medium':
+                    _fill(buf, px, top - 8, px + 1, top, t['tick_medium'])
+                else:
+                    _fill(buf, px, top - 4, px + 1, top, t['tick_minor'])
+
+        # Playhead
+        if playhead_frame is not None:
+            rate = float(playhead_rate or 30.0)
+            px = self.transform.scene_to_view(playhead_frame / rate, 0)[0]
+            _fill(buf, px, 0, px + 1, height_px, t['playhead'])
+
+        return buf
+
+    @staticmethod
+    def _blit_thumb(buf, thumb, x0, y0, x1, y1):
+        """Nearest-neighbor blit of a BGRA thumb into the clip body."""
+        x0, y0 = max(0, int(x0)), max(0, int(y0))
+        x1 = min(buf.shape[1], int(x1))
+        y1 = min(buf.shape[0], int(y1))
+        w, h = x1 - x0, y1 - y0
+        if w <= 1 or h <= 1:
+            return
+        th, tw = thumb.shape[:2]
+        # keep thumb aspect, anchor left
+        w = min(w, max(1, int(h * tw / th)))
+        ys = (np.arange(h) * th // h)
+        xs = (np.arange(w) * tw // w)
+        buf[y0:y0 + h, x0:x0 + w] = thumb[ys][:, xs]

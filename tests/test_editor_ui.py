@@ -426,3 +426,102 @@ def test_gtk_video_widget_with_fake_binding():
     finally:
         gtk_mod._gtk = old
         fake_gtk.Pixbuf.created.clear()
+
+
+def test_canvas_painter_pixels():
+    """The software paint layer draws what the reference's
+    QGraphicsScene canvas draws: ruler, lanes, clips with title bars,
+    selection outline, snap marker, playhead (ui/canvas/scene.py,
+    clipitem.py roles) — asserted at the pixel level."""
+    from canvas_tpu.editor.ui import CanvasPainter
+    from canvas_tpu.editor.ui.canvas_models import (SnapMarker,
+                                                    ViewTransformModel)
+    from canvas_tpu.editor.ui.paint import THEME
+
+    space = model.Space('s', plugins.VideoFormat(frame_rate=10),
+                        plugins.AudioFormat(sample_rate=48000))
+    vclip = model.Clip(type='video', x=10, y=0.0, length=20, height=1.0)
+    aclip = model.Clip(type='audio', x=24000, y=1.0, length=96000,
+                       height=1.0)   # audio x/length are in samples
+    space[0:0] = [vclip, aclip]
+
+    scene = CanvasSceneModel(space)
+    scene.select([vclip])
+    transform = ViewTransformModel(pixels_per_second=32.0,
+                                   pixels_per_lane=30.0)
+    transform.add_marker(SnapMarker('x', 3.5))
+    ruler = TimeRulerModel(timecode.Frames(), scale=fractions.Fraction(32, 10),
+                           frame_rate=fractions.Fraction(10, 1))
+    painter = CanvasPainter(scene, transform, ruler=ruler)
+
+    buf = painter.paint(320, 120, playhead_frame=20, playhead_rate=10)
+    assert buf.shape == (120, 320, 4) and buf.dtype == np.uint8
+
+    top = painter.ruler_height
+    # video clip: x=10 frames @10fps -> 1s -> 32px; lane 0
+    inside_video = buf[top + 12, 48]
+    assert tuple(inside_video) == THEME['clip_video']
+    # title bar just under the top edge of the clip
+    assert tuple(buf[top + 2, 48]) == THEME['clip_title']
+    # selection outline on the left edge (x=32px)
+    assert tuple(buf[top + 12, 32]) == THEME['selection']
+    # audio clip on lane 1 (y: top + 30..60), 0.5s..2.5s -> 16..80px
+    assert tuple(buf[top + 40, 40]) == THEME['clip_audio']
+    # audio clip is not selected: border is clip_border
+    assert tuple(buf[top + 40, 16]) == THEME['clip_border']
+    # snap marker at 3.5s = 112px spans the content area (foreground)
+    assert tuple(buf[top + 95, 112]) == THEME['snap']
+    # playhead at frame 20 @10fps = 2s -> 64px, drawn over everything
+    assert tuple(buf[5, 64]) == THEME['playhead']
+    assert tuple(buf[110, 64]) == THEME['playhead']
+    # ruler strip background + at least one major tick with a label
+    assert tuple(buf[1, 200]) == THEME['ruler_bg']
+    flat = buf[:top].reshape(-1, 4)
+    assert (flat == np.array(THEME['tick_major'], np.uint8)).all(1).any()
+    assert (flat == np.array(THEME['label'], np.uint8)).all(1).any()
+
+    # scrolling 2s right moves the playhead from x=64 to x=0
+    transform.scroll_by(64.0, 0.0)
+    buf2 = painter.paint(320, 120, playhead_frame=20, playhead_rate=10)
+    assert tuple(buf2[5, 0]) == THEME['playhead']
+    assert tuple(buf2[5, 64]) != THEME['playhead']
+
+
+def test_canvas_painter_thumbnails():
+    """Video clips blit their thumbnail strip (ThumbnailPainter output)."""
+    from canvas_tpu.editor.ui import CanvasPainter
+    from canvas_tpu.editor.ui.canvas_models import ViewTransformModel
+
+    space = model.Space('s', plugins.VideoFormat(frame_rate=10),
+                        plugins.AudioFormat(sample_rate=48000))
+    clip = model.Clip(type='video', x=0, y=0.0, length=40, height=1.0)
+    space[0:0] = [clip]
+    scene = CanvasSceneModel(space)
+    transform = ViewTransformModel(pixels_per_second=32.0,
+                                   pixels_per_lane=40.0)
+    painter = CanvasPainter(scene, transform)
+
+    thumb = np.zeros((8, 8, 4), np.uint8)
+    thumb[:] = (11, 22, 33, 255)
+    buf = painter.paint(200, 80, thumbnails={clip: thumb})
+    assert tuple(buf[20, 10]) == (11, 22, 33, 255)
+
+
+def test_editor_paint_timeline():
+    """SpaceEditor.paint_timeline: the app-level timeline view renders
+    clips + ruler + clock playhead into a displayable buffer."""
+    from canvas_tpu.editor.ui.paint import THEME
+
+    app = EditorApp(load_plugins=False)
+    editor = app.new_space('paint', plugins.VideoFormat(frame_rate=10),
+                           plugins.AudioFormat(sample_rate=48000))
+    clip = model.Clip(type='video', x=10, y=0.0, length=20, height=1.0)
+    editor.space[0:0] = [clip]
+    app.seek(2 * 1_000_000_000)        # playhead at 2 s
+
+    buf = editor.paint_timeline(320, 120)
+    assert buf.shape == (120, 320, 4)
+    # clip at 1 s (64 px/s default) -> x=64..; body below the title bar
+    assert tuple(buf[40, 100]) == THEME['clip_video']
+    # playhead at 2 s -> 128 px
+    assert tuple(buf[2, 128]) == THEME['playhead']
