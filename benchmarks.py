@@ -186,8 +186,10 @@ def config6():
         t0 = time.perf_counter()
         acc = None
         n = 0
-        for (_s, _n, out) in planner.iter_batches(0, 64, batch=8):
-            u8 = color_ops.rgba_u8_device(out)
+        # post= fuses the u8 conversion into the render program — the
+        # write_video export path (no intermediate f16 tensor)
+        for (_s, _n, u8) in planner.iter_batches(0, 64, batch=8,
+                                                 post='rgba_u8'):
             p = probe(u8)
             acc = p if acc is None else acc + p
             n += _n

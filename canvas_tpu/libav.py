@@ -558,10 +558,18 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
             if use_batch:
                 from canvas_tpu import backend, render
                 planner = render.RenderPlanner(video_source, window)
+                # Unsharded: fuse the u8 conversion into the render
+                # program (post=) so no f16 batch is ever materialized;
+                # sharded programs keep f16 out + a separate conversion.
+                post = None if mesh is not None else 'rgba_u8'
                 for (s, n, data) in planner.iter_batches(
                         start_frame, start_frame + n_frames, batch=batch,
-                        device_out=True, mesh=mesh):
-                    if backend.is_jax_array(data):
+                        device_out=True, mesh=mesh, post=post):
+                    if post is not None:
+                        flat = np.asarray(data)
+                        u8 = flat.reshape(flat.shape[0], flat.shape[1],
+                                          -1, 4)
+                    elif backend.is_jax_array(data):
                         flat = np.asarray(color_ops.rgba_u8_device(data))
                         u8 = flat.reshape(flat.shape[0], flat.shape[1],
                                           -1, 4)

@@ -684,9 +684,18 @@ def _get_sharded_program(signature, node, mesh, axis, N):
     return fn
 
 
-def _get_program(signature):
+def _get_program(signature, post=None):
+    """Compiled program for *signature*. ``post`` fuses the display/
+    export conversion into the SAME program:
+
+    * None        -> (B, 4, H, W) f16 frames
+    * 'rgba_u8' / 'bgra_u8' -> (B, H, W*4) interleaved u8 (gamma45
+      ramp), so exports never materialize + re-read the f16 output
+      (write_video's path; halves the program's output traffic)
+    """
+    key = signature if post is None else (signature, 'post', post)
     with _program_lock:
-        fn = _program_cache.get(signature)
+        fn = _program_cache.get(key)
     if fn is not None:
         return fn
     jax, jnp = _jx()
@@ -694,11 +703,15 @@ def _get_program(signature):
     def run(params_list):
         it = iter(params_list)
         out = _eval(signature, it, jnp, jax)
-        return out.astype(jnp.float16)
+        if post is None:
+            return out.astype(jnp.float16)
+        from canvas_tpu.ops import color as color_ops
+        order = (2, 1, 0, 3) if post == 'bgra_u8' else (0, 1, 2, 3)
+        return color_ops._u8_device(out.astype(jnp.float16), order)
 
     fn = jax.jit(run)
     with _program_lock:
-        _program_cache[signature] = fn
+        _program_cache[key] = fn
     return fn
 
 
@@ -746,9 +759,14 @@ class RenderPlanner:
         return out
 
     def iter_batches(self, start, stop, batch=16, device_out=True,
-                     mesh=None, axis='frames'):
+                     mesh=None, axis='frames', post=None):
         """Yield ``(frame_start, n_valid, out)`` for [start, stop) in
         fixed-size batches, planning each structure segment ONCE.
+
+        ``post`` ('rgba_u8' / 'bgra_u8', unsharded only) fuses the u8
+        display conversion into the compiled program: batches come out
+        as (B, H, W*4) interleaved u8 with no intermediate f16 tensor
+        (the export path).
 
         Within a segment the graph structure (and therefore the compiled
         program) is constant; only per-frame params change. Planning the
@@ -811,8 +829,11 @@ class RenderPlanner:
                 if i + 1 < len(segs):
                     fut = pool.submit(prepare, segs[i + 1])
                 if mesh is None:
-                    fn = _get_program(sig)
+                    fn = _get_program(sig, post=post)
                 else:
+                    if post is not None:
+                        raise ValueError('post= is not supported with '
+                                         'mesh sharding')
                     fn = _get_sharded_program(sig, node, mesh, axis, N)
                 pos = 0
                 while pos < N:

@@ -565,3 +565,41 @@ def test_iter_batches_sharded_small_segment(jax_backend):
     assert got.shape[0] == 5
     np.testing.assert_allclose(got.astype(np.float32),
                                want.astype(np.float32), atol=2e-3)
+
+
+def test_iter_batches_post_u8():
+    """post='rgba_u8' fuses the export u8 conversion into the compiled
+    program and matches the separate-dispatch conversion exactly."""
+    from canvas_tpu.ops import color as color_ops
+    from canvas_tpu import backend
+
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource(
+        LerpFunc((0, 0, 0, 1), (1, 1, 1, 1), 12)), x=0, length=12, z=0)
+    planner = render.RenderPlanner(ws, WINDOW)
+
+    fused = []
+    for (_s, n, u8) in planner.iter_batches(0, 12, batch=4,
+                                            post='rgba_u8'):
+        fused.append(np.asarray(u8)[:n])
+    fused = np.concatenate(fused, axis=0)
+
+    planner2 = render.RenderPlanner(ws, WINDOW)
+    separate = []
+    with backend.force_backend('jax'):
+        for (_s, n, out) in planner2.iter_batches(0, 12, batch=4):
+            separate.append(np.asarray(
+                color_ops.rgba_u8_device(out))[:n])
+    separate = np.concatenate(separate, axis=0)
+
+    assert fused.dtype == np.uint8
+    np.testing.assert_array_equal(fused, separate)
+
+    # sharded + post is rejected
+    import jax
+    from jax.sharding import Mesh
+    if len(jax.devices()) >= 2:
+        mesh = Mesh(np.asarray(jax.devices()), ('frames',))
+        with pytest.raises(ValueError):
+            list(planner.iter_batches(0, 8, batch=8, mesh=mesh,
+                                      post='rgba_u8'))
