@@ -15,3 +15,4 @@ from canvas_tpu.editor.ui.paint import CanvasPainter  # noqa: F401
 from canvas_tpu.editor.ui.renderprogress import RenderJob  # noqa: F401
 from canvas_tpu.editor.ui.notification import AlertListModel  # noqa: F401
 from canvas_tpu.editor.ui.app import EditorApp  # noqa: F401
+from canvas_tpu.editor.ui.mainwindow import create_main_window  # noqa: F401

@@ -1,0 +1,273 @@
+"""Editor main window (the reference's qttest.py MainWindow, :500-903).
+
+Builds the full editing surface over EditorApp: document tabs holding
+timeline views (software paint layer + mouse editing through
+DragController), a video-preview dock, asset/alert/undo docks, File and
+Edit menus, and a transport toolbar driven by the app clock.
+
+Parameterized over the Qt binding the same way editor/ui/qt.py is, so
+the whole window runs against PyQt5/PyQt6/PySide6 when installed and
+against the fake binding in CI.
+"""
+
+import fractions
+
+from canvas_tpu.basetypes import box2i
+from canvas_tpu.editor.ui import qt as qt_shim
+
+__all__ = ['MainWindow', 'create_main_window']
+
+
+def create_main_window(app=None, binding=None):
+    """Build the main window class against the active Qt binding and
+    return an instance. *app* is an EditorApp (created when None)."""
+    qt = binding or qt_shim._load_qt()
+    if not qt:
+        raise RuntimeError('No Qt binding (PyQt5/PyQt6/PySide6) available')
+    QtWidgets, QtGui, QtCore = qt
+
+    from canvas_tpu.editor.ui import EditorApp
+    from canvas_tpu.editor.ui.canvas_models import ViewTransformModel
+
+    if app is None:
+        app = EditorApp()
+
+    class TimelineWidget(QtWidgets.QWidget):
+        """One open space: blits SpaceEditor.paint_timeline and routes
+        mouse input into the scene model + DragController."""
+
+        def __init__(self, editor, parent=None):
+            super().__init__(parent)
+            self.editor = editor
+            self.transform = ViewTransformModel()
+            self._image = None
+            self._drag_active = False
+
+        # -- painting ------------------------------------------------
+
+        def _view_size(self):
+            r = self.rect()
+            w = r.width() if callable(getattr(r, 'width', None)) else 640
+            h = r.height() if callable(getattr(r, 'height', None)) else 240
+            return max(64, w), max(64, h)
+
+        def refresh(self):
+            w, h = self._view_size()
+            buf = self.editor.paint_timeline(w, h,
+                                             transform=self.transform)
+            self._image = QtGui.QImage(buf.tobytes(), w, h, w * 4,
+                                       QtGui.QImage.Format.Format_ARGB32)
+            self.update()
+
+        def paintEvent(self, event):
+            painter = QtGui.QPainter(self)
+            if self._image is not None:
+                painter.drawImage(self.rect(), self._image)
+            else:
+                painter.fillRect(self.rect(), QtCore.Qt.GlobalColor.black)
+            painter.end()
+
+        # -- mouse editing (scene.py/manip.py routing) ------------------
+
+        def _scene_pos(self, px, py):
+            x, y = self.transform.view_to_scene(px, py - 18)
+            return x, y
+
+        def mouse_press(self, px, py):
+            x, y = self._scene_pos(px, py)
+            scene = self.editor.scene
+            item = scene.item_at(x, y)
+            scene.select([item] if item is not None else [])
+            if item is not None:
+                self.editor.drag.start(item, x, y)
+                self._drag_active = True
+            self.refresh()
+
+        def mouse_move(self, px, py):
+            if self._drag_active:
+                x, y = self._scene_pos(px, py)
+                self.editor.drag.move_to_space(self.transform.snapped_x(x)
+                                               if hasattr(self.transform,
+                                                          'snapped_x')
+                                               else x, y)
+                self.refresh()
+
+        def mouse_release(self, px, py):
+            if self._drag_active:
+                self.editor.drag.drop()
+                self._drag_active = False
+                self.refresh()
+
+        # Qt event names route to the toolkit-independent handlers
+        def mousePressEvent(self, event):
+            self.mouse_press(event.position().x(), event.position().y())
+
+        def mouseMoveEvent(self, event):
+            self.mouse_move(event.position().x(), event.position().y())
+
+        def mouseReleaseEvent(self, event):
+            self.mouse_release(event.position().x(), event.position().y())
+
+    class MainWindow(QtWidgets.QMainWindow):
+        def __init__(self):
+            super().__init__()
+            self.app = app
+            self.editors = {}          # asset name -> (editor, widget)
+            self.video_widget = None
+            self._playback_window = box2i(0, 0, 639, 479)
+
+            # Document tabs (qttest.py:546-560)
+            self.document_tabs = QtWidgets.QTabWidget()
+            self.setCentralWidget(self.document_tabs)
+
+            # Docks (qttest.py:527-544)
+            self.asset_dock = QtWidgets.QDockWidget('Assets')
+            self.asset_list_widget = QtWidgets.QListWidget()
+            self.asset_dock.setWidget(self.asset_list_widget)
+            self.addDockWidget(QtCore.Qt.DockWidgetArea.BottomDockWidgetArea,
+                               self.asset_dock)
+
+            self.alerts = getattr(app, 'alert_model', None)
+            self.alert_dock = QtWidgets.QDockWidget('Notifications')
+            self.alert_list_widget = QtWidgets.QListWidget()
+            self.alert_dock.setWidget(self.alert_list_widget)
+            self.addDockWidget(QtCore.Qt.DockWidgetArea.BottomDockWidgetArea,
+                               self.alert_dock)
+
+            self.video_dock = QtWidgets.QDockWidget('Video Preview')
+            self.addDockWidget(QtCore.Qt.DockWidgetArea.BottomDockWidgetArea,
+                               self.video_dock)
+
+            # Menus (qttest.py:629-646)
+            bar = self.menuBar()
+            self.file_menu = bar.addMenu('&File')
+            self.act_open = self.file_menu.addAction('&Open project...')
+            self.act_save = self.file_menu.addAction('&Save project...')
+            self.act_quit = self.file_menu.addAction('&Quit')
+            self.edit_menu = bar.addMenu('&Edit')
+            self.act_undo = self.edit_menu.addAction('&Undo')
+            self.act_redo = self.edit_menu.addAction('&Redo')
+
+            # Transport toolbar (qttest.py:553-558)
+            self.transport = QtWidgets.QToolBar()
+            self.act_play = self.transport.addAction('Play')
+            self.act_stop = self.transport.addAction('Stop')
+            self.act_rewind = self.transport.addAction('Rewind')
+            self.addToolBar(self.transport)
+
+            for action, slot in ((self.act_undo, self.undo),
+                                 (self.act_redo, self.redo),
+                                 (self.act_play, self.play),
+                                 (self.act_stop, self.stop),
+                                 (self.act_rewind, self.rewind),
+                                 (self.act_quit, self.close)):
+                action.triggered.connect(slot)
+
+        # -- project I/O (qttest.py:795-827) --------------------------
+
+        def open_project(self, path):
+            self.app.open_file(path)
+            self._refresh_assets()
+            for name, asset in self.app.asset_list.items():
+                if getattr(asset, 'space', None) is not None:
+                    self.open_space(name)
+
+        def save_project(self, path):
+            self.app.save_file(path)
+
+        def _refresh_assets(self):
+            self.asset_list_widget.clear()
+            for name in self.app.asset_list:
+                self.asset_list_widget.addItem(name)
+
+        # -- spaces ----------------------------------------------------
+
+        def open_space(self, name):
+            if name in self.editors:
+                return self.editors[name][0]
+            editor = self.app.open_space(name)
+            widget = TimelineWidget(editor)
+            self.document_tabs.addTab(widget, name)
+            self.editors[name] = (editor, widget)
+            widget.refresh()
+            self._attach_preview(editor)
+            self._refresh_assets()
+            return editor
+
+        def new_space(self, name, video_format=None, audio_format=None):
+            editor = self.app.new_space(name, video_format, audio_format)
+            widget = TimelineWidget(editor)
+            self.document_tabs.addTab(widget, name)
+            self.editors[name] = (editor, widget)
+            widget.refresh()
+            self._attach_preview(editor)
+            self._refresh_assets()
+            return editor
+
+        def _attach_preview(self, editor):
+            if self.video_widget is not None:
+                self.video_widget.closeEvent(None)
+            rate = editor.space.video_format.frame_rate or \
+                fractions.Fraction(30000, 1001)
+            self.video_widget = qt_shim.VideoWidget(
+                editor.video_stream, self.app.clock, rate,
+                self._playback_window)
+            self.video_dock.setWidget(self.video_widget)
+
+        @property
+        def current_editor(self):
+            for editor, widget in self.editors.values():
+                return editor
+            return None
+
+        # -- actions ---------------------------------------------------
+
+        def undo(self, *a):
+            editor = self.current_editor
+            if editor is not None:
+                editor.undo_stack.undo()
+                self.editors_refresh()
+
+        def redo(self, *a):
+            editor = self.current_editor
+            if editor is not None:
+                editor.undo_stack.redo()
+                self.editors_refresh()
+
+        def editors_refresh(self):
+            for _editor, widget in self.editors.values():
+                widget.refresh()
+
+        def play(self, *a):
+            self.app.play(1)
+
+        def stop(self, *a):
+            self.app.stop()
+
+        def rewind(self, *a):
+            self.app.seek(0)
+
+        def render_space(self, path, **kw):
+            """Export the current space with write_video (the render
+            dialog's job, qttest.py:829)."""
+            from canvas_tpu import libav
+            editor = self.current_editor
+            rate = editor.space.video_format.frame_rate or \
+                fractions.Fraction(30000, 1001)
+            length = max((item.x + item.length for item in editor.space),
+                         default=0)
+            kw.setdefault('frame_rate', rate)
+            libav.write_video(path, editor.video_stream, None, 0, length,
+                              **kw)
+
+        def closeEvent(self, event):
+            if self.video_widget is not None:
+                self.video_widget.closeEvent(None)
+            super().closeEvent(event)
+
+    return MainWindow()
+
+
+def MainWindow(app=None):
+    """qttest.py-style entry: build against the installed binding."""
+    return create_main_window(app)

@@ -51,6 +51,12 @@ class _Rect:
     def __init__(self, w=320, h=240):
         self._w, self._h = w, h
 
+    def width(self):
+        return self._w
+
+    def height(self):
+        return self._h
+
 
 class QWidget:
     def __init__(self, parent=None):
@@ -62,11 +68,111 @@ class QWidget:
         self.update_calls += 1
         self.paintEvent(None)
 
+    def paintEvent(self, event):
+        pass
+
     def rect(self):
         return self._rect
 
+    def resize(self, w, h):
+        self._rect = _Rect(w, h)
+
     def closeEvent(self, event):
         pass
+
+    def close(self):
+        self.closeEvent(None)
+
+
+class QAction:
+    def __init__(self, text):
+        self.text = text
+        self.triggered = _BoundSignal()
+
+
+class QMenu:
+    def __init__(self, title):
+        self.title = title
+        self.actions = []
+
+    def addAction(self, text):
+        action = QAction(text)
+        self.actions.append(action)
+        return action
+
+
+class QMenuBar:
+    def __init__(self):
+        self.menus = []
+
+    def addMenu(self, title):
+        menu = QMenu(title)
+        self.menus.append(menu)
+        return menu
+
+
+class QToolBar(QWidget):
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self.actions = []
+
+    def addAction(self, text):
+        action = QAction(text)
+        self.actions.append(action)
+        return action
+
+
+class QDockWidget(QWidget):
+    def __init__(self, title='', parent=None):
+        super().__init__(parent)
+        self.title = title
+        self.widget = None
+
+    def setWidget(self, widget):
+        self.widget = widget
+
+
+class QTabWidget(QWidget):
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self.tabs = []
+
+    def addTab(self, widget, label):
+        self.tabs.append((widget, label))
+        return len(self.tabs) - 1
+
+
+class QListWidget(QWidget):
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self.items = []
+
+    def addItem(self, text):
+        self.items.append(text)
+
+    def clear(self):
+        self.items = []
+
+
+class QMainWindow(QWidget):
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self.central = None
+        self.docks = []
+        self.toolbars = []
+        self._menu_bar = QMenuBar()
+
+    def setCentralWidget(self, widget):
+        self.central = widget
+
+    def addDockWidget(self, area, dock):
+        self.docks.append((area, dock))
+
+    def addToolBar(self, toolbar):
+        self.toolbars.append(toolbar)
+
+    def menuBar(self):
+        return self._menu_bar
 
 
 class QImage:
@@ -109,9 +215,18 @@ class Qt:
     class GlobalColor:
         black = 'black'
 
+    class DockWidgetArea:
+        BottomDockWidgetArea = 'bottom'
+        TopDockWidgetArea = 'top'
+
 
 class QtWidgetsModule:
     QWidget = QWidget
+    QMainWindow = QMainWindow
+    QDockWidget = QDockWidget
+    QTabWidget = QTabWidget
+    QListWidget = QListWidget
+    QToolBar = QToolBar
 
 
 class QtGuiModule:

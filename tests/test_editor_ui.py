@@ -525,3 +525,78 @@ def test_editor_paint_timeline():
     assert tuple(buf[40, 100]) == THEME['clip_video']
     # playhead at 2 s -> 128 px
     assert tuple(buf[2, 128]) == THEME['playhead']
+
+
+def test_main_window_full_surface(tmp_path):
+    """The qttest.py MainWindow role, executed against the fake
+    binding: docks + menus + tabs construct, timeline paints, mouse
+    drag edits through DragController with undo/redo via menu actions,
+    transport drives the clock, render exports a real file."""
+    import fake_qt
+    from canvas_tpu import libav
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+        assert window.central is window.document_tabs
+        assert len(window.docks) == 3
+        assert [m.title for m in window.menuBar().menus] == ['&File',
+                                                            '&Edit']
+
+        editor = window.new_space('cut', plugins.VideoFormat(frame_rate=24),
+                                  plugins.AudioFormat(sample_rate=48000))
+        assert window.document_tabs.tabs
+        # video preview dock got a live widget
+        assert window.video_dock.widget is window.video_widget
+
+        # drop an asset in (the drag-edit starting point)
+        stream = plugins.VideoStream(
+            process.SolidColorVideoSource((1, 0, 0, 1)), range=(0, 47),
+            name='video')
+        app.asset_list['red'] = model.RuntimeSourceAsset(
+            model.RuntimeSource('red', {'video': stream}))
+        window._refresh_assets()
+        assert 'red' in window.asset_list_widget.items
+        app.add_asset_to_space(editor, 'red', x=0, length=24)
+        (_e, widget) = window.editors['cut']
+        widget.refresh()
+        before = widget._image.data
+
+        # mouse drag: press inside the clip (x=0..1s at 64px/s, below
+        # the 18px ruler), drag right 2 s
+        widget.mouse_press(32, 30)
+        assert editor.scene.selected_items == [editor.space[0]]
+        widget.mouse_move(160, 30)
+        widget.mouse_release(160, 30)
+        assert editor.space[0].x == 48      # +2 s at 24 fps
+        after = widget._image.data
+        assert after != before
+
+        # undo via the Edit menu action
+        window.act_undo.triggered.emit()
+        assert editor.space[0].x == 0
+        window.act_redo.triggered.emit()
+        assert editor.space[0].x == 48
+
+        # transport
+        window.act_play.triggered.emit()
+        assert app.clock.get_speed() == 1
+        window.act_stop.triggered.emit()
+        assert app.clock.get_speed() == 0
+        window.act_rewind.triggered.emit()
+        assert app.clock.get_presentation_time() == 0
+
+        # render the space to a real file (qttest.py:829 dialog role)
+        out = str(tmp_path / 'cut.avi')
+        window.render_space(out, frame_size=(64, 48), video_codec='ffv1',
+                            format='avi')
+        assert os.path.getsize(out) > 0
+
+        window.closeEvent(None)
+    finally:
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()
