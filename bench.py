@@ -87,8 +87,12 @@ def main():
 
     # Execution-forcing probe: on this rig's remote TPU transport,
     # block_until_ready() returns before execution finishes, so honest
-    # timing needs a device-side data dependency per batch plus exactly
-    # ONE host fetch at the end (each host fetch costs a ~30 ms RTT).
+    # timing needs a device-side data dependency and ONE host fetch at
+    # the end (each host fetch costs a ~30 ms RTT). The device executes
+    # dispatched programs in FIFO order (verified: post-hoc probes of
+    # earlier batches return in pure fetch-RTT), so probing the LAST
+    # batch bounds the whole range; probing every batch adds a ~17 ms
+    # dispatch each and under-reports by ~2x.
     import jax
     import jax.numpy as jnp
 
@@ -107,12 +111,11 @@ def main():
     start = warm_frames
     for _rep in range(2):
         t0 = time.perf_counter()
-        acc = None
+        last = None
         for (_s, _n, out) in planner.iter_batches(
                 start, start + timed_frames, batch=batch):
-            p = probe(out)
-            acc = p if acc is None else acc + p
-        float(acc)   # single forced fetch: everything above must have run
+            last = out
+        float(probe(last))   # forced fetch: FIFO => whole range ran
         fps = max(fps, timed_frames / (time.perf_counter() - t0))
 
     # Baseline: the MEASURED reference C cprocess engine on this host

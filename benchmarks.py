@@ -43,17 +43,22 @@ def _probe():
 
 def timeit_batches(planner, batch, n_frames, start=0):
     """Steady-state fps through the plan-once streaming path: one warm
-    pass over the SAME range (pays compiles), then the timed pass."""
+    pass over the SAME range (pays compiles), then the timed pass.
+
+    Forced-execution timing: the device executes dispatched programs in
+    FIFO order (verified: post-hoc probes of earlier batches return in
+    pure fetch-RTT), so probing the LAST batch's output and fetching
+    one scalar bounds the whole range. A probe dispatch per batch costs
+    ~17 ms each through this tunnel and under-reports by ~2x."""
     probe = _probe()
 
     def run_range():
         t0 = time.perf_counter()
-        acc = None
+        last = None
         for (_s, _n, out) in planner.iter_batches(
                 start, start + n_frames, batch=batch):
-            p = probe(out)
-            acc = p if acc is None else acc + p
-        float(acc)
+            last = out
+        float(probe(last))
         return n_frames / (time.perf_counter() - t0)
 
     run_range()
@@ -153,14 +158,12 @@ def config5():
     def run_range():
         t0 = time.perf_counter()
         total = 0
-        acc = None
+        last = None
         for start in range(0, batch * 4, batch):
-            out = render.render_sharded(ws, window, start, start + batch,
-                                        device_out=True)
-            p = probe(out)
-            acc = p if acc is None else acc + p
+            last = render.render_sharded(ws, window, start, start + batch,
+                                         device_out=True)
             total += batch
-        float(acc)
+        float(probe(last))     # FIFO: last done => all done
         return total / (time.perf_counter() - t0)
 
     run_range()            # pays compiles
@@ -184,16 +187,15 @@ def config6():
 
     def run_range():
         t0 = time.perf_counter()
-        acc = None
+        last = None
         n = 0
         # post= fuses the u8 conversion into the render program — the
         # write_video export path (no intermediate f16 tensor)
         for (_s, _n, u8) in planner.iter_batches(0, 64, batch=8,
                                                  post='rgba_u8'):
-            p = probe(u8)
-            acc = p if acc is None else acc + p
+            last = u8
             n += _n
-        float(acc)
+        float(probe(last))     # FIFO: last done => all done
         return n / (time.perf_counter() - t0)
 
     run_range()
@@ -270,11 +272,14 @@ def main():
             f.write('| %s | %s |\n' % (key, value))
         f.write('\nHeadline metric: see bench.py / BENCH_r*.json. '
                 'The reference publishes no numbers (BASELINE.md); its '
-                'implied target is ~30 fps realtime DV playback.\n\n'
+                'implied target is ~30 fps realtime DV playback. '
+                'Measured C-kernel baselines: cbaseline/README.md.\n\n'
                 'Measurement: on this rig block_until_ready() returns '
-                'before remote execution finishes, so every timing chains '
-                'a device-side reduction per batch and fetches one scalar '
-                'at the end (see _probe) — numbers are forced-execution '
+                'before remote execution finishes, so every timing '
+                'probes the LAST dispatched output with a device-side '
+                'reduction and fetches one scalar (FIFO execution '
+                'verified: post-hoc probes of earlier outputs return in '
+                'pure fetch-RTT) — numbers are forced-execution '
                 'honest.\n\n'
                 'Note: this rig reaches the TPU through a network tunnel '
                 '(~30 ms RTT per host fetch, ~80 MB/s H2D). Configs that '

@@ -592,6 +592,12 @@ def _pass_plan_cuts(self, start, stop):
 def _pass_emit(self, ctx):
     if not self._in_range(int(ctx.frames[0])):
         return _emit_empty(ctx)
+    # Forward frame-union hints (pulldown's staging-dedup declaration)
+    # through the retime so a coded child behind a pass-through still
+    # stages ONE device plane stack for both pulldown children.
+    hints = getattr(ctx.planner, '_frame_hints', None)
+    if hints is not None and id(self) in hints:
+        hints[id(self._source)] = hints[id(self)] + self.offset
     return ctx.with_frames(ctx.frames + self.offset).plan(self._source)
 
 

@@ -314,3 +314,41 @@ def test_scaled_dv_layer_in_workspace_matches_pull():
     # most pixels bit-exact or within a couple f16 ulps
     close = np.mean(np.abs(got.astype(np.float32) - want.astype(np.float32)) < 2e-3)
     assert close > 0.98, close
+
+
+def test_pulldown_hint_through_passthrough_dedups_staging():
+    """Pulldown over a retiming pass-through over DV recon: the frame
+    union hint forwards through the retime, so both children share ONE
+    device plane stack (each coded frame staged once)."""
+    from canvas_tpu import render
+    from canvas_tpu.coded import CodedImage, CodedImageSource
+    from canvas_tpu.sources import VideoPassThroughFilter
+
+    pulls = []
+
+    class Source(CodedImageSource):
+        def get_frame(self, frame_index, quality=0):
+            pulls.append(frame_index)
+            rng = np.random.RandomState(frame_index)
+            return CodedImage([
+                rng.randint(16, 236, (480, 720)).astype(np.uint8),
+                rng.randint(16, 241, (480, 180)).astype(np.uint8),
+                rng.randint(16, 241, (480, 180)).astype(np.uint8)])
+
+    src = Pulldown23RemovalFilter(
+        VideoPassThroughFilter(DVReconstructionFilter(Source()), offset=3),
+        0)
+    window = box2i(0, -1, 719, 478)
+
+    want = []
+    for i in range(4):
+        frame = src.get_frame_f16(i, window)
+        want.append(np.asarray(frame.data, np.float16))
+    want = np.stack(want)
+
+    pulls.clear()
+    got = render.render_frames(src, window, 0, 4)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=2e-2)
+    # every coded frame pulled exactly once during batched planning
+    assert len(pulls) == len(set(pulls)), pulls
