@@ -68,6 +68,10 @@ def random_source(rng, depth=0):
             random_source(rng, depth + 1),
             str(rng.choice(['rec709_to_linear_scene', 'linear_to_rec709',
                             'linear_to_srgb'])))
+    if r < 0.62:
+        from canvas_tpu.coded import Pulldown23RemovalFilter
+        return Pulldown23RemovalFilter(random_source(rng, depth + 1),
+                                       int(rng.randint(0, 5)))
     if r < 0.75:
         return VideoMixFilter(random_source(rng, depth + 1),
                               random_source(rng, depth + 1),
