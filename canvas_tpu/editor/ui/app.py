@@ -53,6 +53,22 @@ class SpaceEditor:
         return VideoPlaybackEngine(self.video_stream, self.app.clock,
                                    rate, window, present, batch=batch)
 
+    def stream_for_item(self, item):
+        """Resolve a clip's AssetStreamRef to a live stream (the ref
+        connectors' happy path); None when unresolvable (offline
+        assets degrade to alert-covered blanks, not errors)."""
+        ref = getattr(item, 'source', None)
+        if ref is None or not hasattr(ref, 'asset_path'):
+            return None
+        try:
+            asset = self.app.asset_list[ref.asset_path]
+            source = asset.get_source()
+            if source.offline:
+                source.bring_online()
+            return source.get_stream(ref.stream)
+        except Exception:
+            return None
+
     def paint_timeline(self, width_px, height_px, transform=None,
                        thumbnails=None):
         """Rasterize this space's timeline view into a (H, W, 4) u8

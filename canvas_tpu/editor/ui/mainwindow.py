@@ -42,6 +42,40 @@ def create_main_window(app=None, binding=None):
             self.transform = ViewTransformModel()
             self._image = None
             self._drag_active = False
+            self._thumb_painters = {}     # item -> ThumbnailPainter
+
+        def enable_thumbnails(self, size=(48, 32), window=None):
+            """Async thumbnail strips inside video clips
+            (ui/canvas/thumbnails.py role): one painter per resolvable
+            clip; refresh as each thumbnail lands. The pull window
+            comes from the stream format's full_frame unless given."""
+            from canvas_tpu.editor.ui import ThumbnailPainter
+            for item in self.editor.space:
+                if item in self._thumb_painters or \
+                        item.type() != 'video':
+                    continue
+                stream = self.editor.stream_for_item(item)
+                if stream is None:
+                    continue
+                win = window
+                if win is None:
+                    fmt = getattr(stream, 'format', None)
+                    win = getattr(fmt, 'full_frame', None)
+                painter = ThumbnailPainter(stream=stream, size=size,
+                                           count=1, window=win)
+                painter.set_range(item.offset, max(1, item.length))
+                painter.thumbnail_ready.connect(
+                    lambda *_a: self.refresh())
+                painter.request_all()
+                self._thumb_painters[item] = painter
+
+        def _thumbnail_map(self):
+            out = {}
+            for item, painter in self._thumb_painters.items():
+                thumb = painter.thumbnail(0)
+                if thumb is not None:
+                    out[item] = thumb
+            return out
 
         # -- painting ------------------------------------------------
 
@@ -53,8 +87,9 @@ def create_main_window(app=None, binding=None):
 
         def refresh(self):
             w, h = self._view_size()
-            buf = self.editor.paint_timeline(w, h,
-                                             transform=self.transform)
+            buf = self.editor.paint_timeline(
+                w, h, transform=self.transform,
+                thumbnails=self._thumbnail_map())
             self._image = QtGui.QImage(buf.tobytes(), w, h, w * 4,
                                        QtGui.QImage.Format.Format_ARGB32)
             self.update()

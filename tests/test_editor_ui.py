@@ -600,3 +600,46 @@ def test_main_window_full_surface(tmp_path):
     finally:
         qt_mod._qt = old
         fake_qt.QPainter.instances.clear()
+
+
+def test_timeline_widget_thumbnails():
+    """TimelineWidget.enable_thumbnails paints async clip thumbnails
+    into the timeline buffer (ui/canvas/thumbnails.py role)."""
+    import fake_qt
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+    from canvas_tpu.editor.ui.paint import THEME
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+        editor = window.new_space('t', plugins.VideoFormat(frame_rate=24),
+                                  plugins.AudioFormat(sample_rate=48000))
+        stream = plugins.VideoStream(
+            process.SolidColorVideoSource((0.0, 1.0, 0.0, 1.0),
+                                          window=box2i(0, 0, 63, 47)),
+            range=(0, 23), name='video')
+        app.asset_list['green'] = model.RuntimeSourceAsset(
+            model.RuntimeSource('green', {'video': stream}))
+        app.add_asset_to_space(editor, 'green', x=0, length=24)
+
+        (_e, widget) = window.editors['t']
+        widget.enable_thumbnails(window=box2i(0, 0, 63, 47))
+        deadline = time.time() + 10
+        while not widget._thumbnail_map() and time.time() < deadline:
+            time.sleep(0.02)
+        assert widget._thumbnail_map()
+        widget.refresh()
+        buf = np.frombuffer(widget._image.data, np.uint8).reshape(
+            widget._image.height(), widget._image.width(), 4)
+        # a green thumbnail pixel inside the clip body (below the
+        # 18px ruler + 5px title bar): BGRA green-dominant
+        region = buf[26:40, 4:30]
+        assert (region[..., 1].astype(int) -
+                region[..., 2].astype(int) > 100).any()
+        window.closeEvent(None)
+    finally:
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()
