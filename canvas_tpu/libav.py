@@ -558,10 +558,9 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
             if use_batch:
                 from canvas_tpu import backend, render
                 planner = render.RenderPlanner(video_source, window)
-                # Unsharded: fuse the u8 conversion into the render
-                # program (post=) so no f16 batch is ever materialized;
-                # sharded programs keep f16 out + a separate conversion.
-                post = None if mesh is not None else 'rgba_u8'
+                # Fuse the u8 conversion into the render program
+                # (post=) so no f16 batch is ever materialized.
+                post = 'rgba_u8'
                 for (s, n, data) in planner.iter_batches(
                         start_frame, start_frame + n_frames, batch=batch,
                         device_out=True, mesh=mesh, post=post):

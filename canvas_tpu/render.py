@@ -645,13 +645,14 @@ _program_cache = {}
 _program_lock = threading.Lock()
 
 
-def _get_sharded_program(signature, node, mesh, axis, N):
+def _get_sharded_program(signature, node, mesh, axis, N, post=None):
     """Compiled program whose frame-axis params shard over *axis* of
     *mesh* (in_shardings ingest host arrays directly). A param is
     frame-sharded iff its op declares it per-frame (_FRAME_PARAMS) —
-    mirroring iter_batches' slicing rule."""
+    mirroring iter_batches' slicing rule. ``post`` fuses the u8 export
+    conversion like _get_program's."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-    key = (signature, 'sharded', mesh, axis)
+    key = (signature, 'sharded', mesh, axis, post)
     with _program_lock:
         fn = _program_cache.get(key)
     if fn is not None:
@@ -676,7 +677,11 @@ def _get_sharded_program(signature, node, mesh, axis, N):
     def run(params_list):
         it = iter(params_list)
         out = _eval(signature, it, jnp, jax)
-        return out.astype(jnp.float16)
+        if post is None:
+            return out.astype(jnp.float16)
+        from canvas_tpu.ops import color as color_ops
+        order = (2, 1, 0, 3) if post == 'bgra_u8' else (0, 1, 2, 3)
+        return color_ops._u8_device(out.astype(jnp.float16), order)
 
     fn = jax.jit(run, in_shardings=(shardings,))
     with _program_lock:
@@ -763,10 +768,10 @@ class RenderPlanner:
         """Yield ``(frame_start, n_valid, out)`` for [start, stop) in
         fixed-size batches, planning each structure segment ONCE.
 
-        ``post`` ('rgba_u8' / 'bgra_u8', unsharded only) fuses the u8
-        display conversion into the compiled program: batches come out
-        as (B, H, W*4) interleaved u8 with no intermediate f16 tensor
-        (the export path).
+        ``post`` ('rgba_u8' / 'bgra_u8') fuses the u8 display
+        conversion into the compiled program (sharded or not): batches
+        come out as (B, H, W*4) interleaved u8 with no intermediate f16
+        tensor (the export path).
 
         Within a segment the graph structure (and therefore the compiled
         program) is constant; only per-frame params change. Planning the
@@ -831,10 +836,8 @@ class RenderPlanner:
                 if mesh is None:
                     fn = _get_program(sig, post=post)
                 else:
-                    if post is not None:
-                        raise ValueError('post= is not supported with '
-                                         'mesh sharding')
-                    fn = _get_sharded_program(sig, node, mesh, axis, N)
+                    fn = _get_sharded_program(sig, node, mesh, axis, N,
+                                              post=post)
                 pos = 0
                 while pos < N:
                     take = min(batch, N - pos)

@@ -595,11 +595,16 @@ def test_iter_batches_post_u8():
     assert fused.dtype == np.uint8
     np.testing.assert_array_equal(fused, separate)
 
-    # sharded + post is rejected
+    # sharded + post: fused conversion matches too
     import jax
     from jax.sharding import Mesh
     if len(jax.devices()) >= 2:
         mesh = Mesh(np.asarray(jax.devices()), ('frames',))
-        with pytest.raises(ValueError):
-            list(planner.iter_batches(0, 8, batch=8, mesh=mesh,
-                                      post='rgba_u8'))
+        planner3 = render.RenderPlanner(ws, WINDOW)
+        sharded = []
+        for (_s, n, u8) in planner3.iter_batches(0, 8, batch=8,
+                                                 mesh=mesh,
+                                                 post='rgba_u8'):
+            sharded.append(np.asarray(u8)[:n])
+        np.testing.assert_array_equal(np.concatenate(sharded, axis=0),
+                                      separate[:8])
