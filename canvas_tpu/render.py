@@ -933,20 +933,46 @@ class RenderPlanner:
         contract, gammatab.c:12-37); a float uses the widget_gl
         soft-mode conversion — sRGB transfer then that rendering
         intent (widget_gl.c:291-308, default there 1.25).
+
+        Scrub-friendly: the containing pipeline-chunk segment is
+        planned ONCE and cached (including any device-staged coded
+        planes), so consecutive single-frame pulls slice per-frame
+        params out of the cached plan (~1 ms host) instead of
+        re-planning (~10 ms) and re-staging. Graph edits invalidate
+        via the source's ``frames_updated`` signal (subscribed
+        automatically) or ``invalidate_display_cache()``.
         """
         from canvas_tpu.ops import color as color_ops
         jax, jnp = _jx()
-        self._stage_cache = {}
-        self._plan_mesh = None
-        frames = np.arange(frame_index, frame_index + 1, dtype=np.int64)
-        ctx = PlanContext(self, frames, self.window)
-        node = ctx.plan(self.source)
-        key = (node.signature(), 'display', tuple(order),
+
+        seg = getattr(self, '_display_seg', None)
+        if seg is None or not (seg['lo'] <= frame_index < seg['hi']):
+            self._watch_frames_updated()
+            self._stage_cache = {}
+            self._plan_mesh = None
+            chunk = self.pipeline_chunk
+            lo0 = (frame_index // chunk) * chunk
+            lo, hi = lo0, lo0 + 1
+            for (s0, s1) in self.segments(lo0, lo0 + chunk):
+                if s0 <= frame_index < s1:
+                    lo, hi = s0, s1
+                    break
+            frames = np.arange(lo, hi, dtype=np.int64)
+            ctx = PlanContext(self, frames, self.window)
+            node = ctx.plan(self.source)
+            seg = self._display_seg = {
+                'lo': lo, 'hi': hi, 'node': node,
+                'params': node.flat_params([]),
+                'ops': node.flat_ops([]),
+                'sig1': _sliced_signature(node, hi - lo, 1),
+            }
+
+        key = (seg['sig1'], 'display', tuple(order),
                None if intent is None else float(intent))
         with _program_lock:
             fn = _program_cache.get(key)
         if fn is None:
-            sig = node.signature()
+            sig = seg['sig1']
 
             def run(params_list):
                 it = iter(params_list)
@@ -959,8 +985,31 @@ class RenderPlanner:
             fn = jax.jit(run)
             with _program_lock:
                 _program_cache[key] = fn
-        flat = np.asarray(fn(node.flat_params([])))
+
+        pos = frame_index - seg['lo']
+
+        def cut(v, ax):
+            sl = (slice(None),) * ax
+            return v[sl + (slice(pos, pos + 1),)]
+
+        flat = np.asarray(fn([
+            {k: (cut(v, _BATCH_AXIS.get(op, 0))
+                 if k in _frame_params(op) else v)
+             for k, v in p.items()}
+            for p, op in zip(seg['params'], seg['ops'])]))
         return flat.reshape(flat.shape[1], -1, 4)
+
+    def invalidate_display_cache(self, *args):
+        """Drop the cached single-frame display plan (graph changed)."""
+        self._display_seg = None
+
+    def _watch_frames_updated(self):
+        if getattr(self, '_watching_updates', False):
+            return
+        updated = getattr(self.source, 'frames_updated', None)
+        if updated is not None:
+            updated.connect(self.invalidate_display_cache)
+        self._watching_updates = True
 
 
 def render_frames(source, window, start, stop, **kw):

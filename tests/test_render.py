@@ -608,3 +608,33 @@ def test_iter_batches_post_u8():
             sharded.append(np.asarray(u8)[:n])
         np.testing.assert_array_equal(np.concatenate(sharded, axis=0),
                                       separate[:8])
+
+
+def test_render_display_scrub_cache():
+    """Consecutive render_display calls slice one cached segment plan;
+    results equal per-frame pulls, and edits invalidate the cache."""
+    ws = VideoWorkspace()
+    item = ws.add(source=SolidColorVideoSource(
+        LerpFunc((0, 0, 0, 1), (1, 1, 1, 1), 128)), x=0, length=128, z=0)
+    window = box2i(0, 0, 31, 31)
+    planner = render.RenderPlanner(ws, window)
+
+    frames = [planner.render_display(i) for i in (5, 6, 7, 70, 3)]
+    # one segment plan for 3..7, another for 70
+    for idx, i in enumerate((5, 6, 7, 70, 3)):
+        f16 = planner.render(i, i + 1)[0].astype(np.float32)
+        y = np.power(np.clip(f16, 0, None), 0.45) * 255.0
+        want = np.floor(np.clip(np.nan_to_num(y), 0, 255)).astype(np.uint8)
+        np.testing.assert_array_equal(frames[idx][..., 2], want[0],
+                                      err_msg='frame %d' % i)
+
+    # the cached plan is reused: planning again must not re-pull staged
+    # sources; emulate by checking the cached segment bounds
+    seg = planner._display_seg
+    assert seg['lo'] <= 3 < seg['hi']
+
+    # invalidation drops the plan
+    planner.invalidate_display_cache()
+    assert planner._display_seg is None
+    bgra = planner.render_display(5)
+    np.testing.assert_array_equal(bgra, frames[0])
