@@ -179,12 +179,52 @@ class VideoPlaybackEngine:
                 for k in sorted(self._cache)[:-self.ring_frames * 2]:
                     del self._cache[k]
 
+    def set_video_source(self, source):
+        """Swap the displayed source live
+        (widget_gl_set_video_source)."""
+        with self._lock:
+            self.source = source
+            self._cache.clear()
+        updated = getattr(source, 'frames_updated', None)
+        if updated is not None:
+            updated.connect(self._frames_updated)
+        self._wake.set()
+
+    def set_frame_range(self, first, last):
+        """Clamp playback to [first, last] (widget_gl firstFrame/
+        lastFrame, widget_gl.c:236-239)."""
+        self._first_frame = int(first)
+        self._last_frame = int(last)
+        self._wake.set()
+
+    def display_frame(self, frame_index):
+        """Render and present one frame immediately (paused preview /
+        scrub; widget_gl_display_frame). Clamped to the frame range."""
+        frame_index = self._clamp(int(frame_index))
+        with self._lock:
+            frame = self._cache.get(frame_index)
+        if frame is None:
+            self._render_batch(frame_index, frame_index + 1)
+            with self._lock:
+                frame = self._cache.get(frame_index)
+        if frame is not None:
+            self.present(frame_index, frame)
+
+    def _clamp(self, frame):
+        first = getattr(self, '_first_frame', None)
+        last = getattr(self, '_last_frame', None)
+        if first is not None and frame < first:
+            return first
+        if last is not None and frame > last:
+            return last
+        return frame
+
     def _run(self):
         last_presented = None
         while not self._quit:
             speed = self.clock.get_speed()
             now = self.clock.get_presentation_time()
-            current = self._frame_at(now)
+            current = self._clamp(self._frame_at(now))
 
             with self._lock:
                 have = current in self._cache

@@ -307,3 +307,40 @@ def test_reverse_playback_staged_source():
             assert by_idx[hi] > by_idx[lo]
     finally:
         engine.stop()
+
+
+def test_playback_source_swap_range_and_display_frame():
+    """widget_gl parity: live source swap, first/last frame clamps,
+    and display_frame paused preview (widget_gl.c:236-239, 552-554,
+    widget_gl_set_video_source)."""
+    from canvas_tpu.playback import VideoPlaybackEngine
+
+    presented = []
+    red = SolidColorVideoSource((1.0, 0.0, 0.0, 1.0))
+    green = SolidColorVideoSource((0.0, 1.0, 0.0, 1.0))
+    clock = SystemPresentationClock()
+    engine = VideoPlaybackEngine(
+        red, clock, Fraction(100, 1), box2i(0, 0, 15, 15),
+        lambda idx, bgra: presented.append((idx, tuple(bgra[8, 8]))))
+    try:
+        engine.set_frame_range(0, 5)
+        engine.display_frame(99)       # clamps to frame 5
+        deadline = time.time() + 10
+        while not presented and time.time() < deadline:
+            time.sleep(0.02)
+        assert presented
+        idx, px = presented[-1]
+        assert idx == 5
+        assert px[2] > 180 and px[1] < 40      # red, BGRA order
+
+        presented.clear()
+        engine.set_video_source(green)
+        engine.display_frame(2)
+        deadline = time.time() + 10
+        while not presented and time.time() < deadline:
+            time.sleep(0.02)
+        idx, px = presented[-1]
+        assert idx == 2
+        assert px[1] > 180 and px[2] < 40      # green now
+    finally:
+        engine.stop()
