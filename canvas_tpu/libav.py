@@ -138,6 +138,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_int]
+        lib.cav_muxer_add_video_ex.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int]
         lib.cav_muxer_add_audio.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int64, ctypes.c_char_p, ctypes.c_int]
@@ -444,14 +449,25 @@ class AVMuxer:
         self._started = False
 
     def add_video_stream(self, codec, frame_size, frame_rate,
-                         bit_rate=0, options=''):
+                         bit_rate=0, options='',
+                         sample_aspect_ratio=None, interlaced=False,
+                         top_field_first=False):
+        """sample_aspect_ratio (Fraction; DV NTSC 4:3 is 10/11),
+        interlaced and top_field_first mirror the reference
+        AVVideoEncoder kwargs (src/libav/AVVideoEncoder.c)."""
         err = _err_buf()
         from fractions import Fraction
         rate = Fraction(frame_rate)
-        idx = _load().cav_muxer_add_video(
+        sar_num = sar_den = 0
+        if sample_aspect_ratio is not None:
+            sar = Fraction(sample_aspect_ratio)
+            sar_num, sar_den = sar.numerator, sar.denominator
+        idx = _load().cav_muxer_add_video_ex(
             self._handle, codec.encode(), int(frame_size[0]),
             int(frame_size[1]), rate.numerator, rate.denominator,
-            int(bit_rate), options.encode(), err, len(err))
+            int(bit_rate), sar_num, sar_den,
+            1 if interlaced else 0, 1 if top_field_first else 0,
+            options.encode(), err, len(err))
         if idx < 0:
             raise IOError(err.value.decode())
         return idx
@@ -514,7 +530,9 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
                 frame_size=(720, 480), frame_rate=None, sample_rate=48000,
                 channels=2, video_codec='mpeg4', audio_codec=None,
                 bit_rate=4_000_000, format='', window=None, use_batch=True,
-                progress_callback=None, mesh=None):
+                progress_callback=None, mesh=None,
+                sample_aspect_ratio=None, interlaced=False,
+                top_field_first=False):
     """One-call export (src/libav/writeVideo.c:41-120): pull video frames,
     gamma-ramp to 8-bit, encode and mux with optional audio.
 
@@ -536,8 +554,10 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
 
     n_frames = int(end_frame - start_frame)
     with AVMuxer(filename, format) as mux:
-        vstream = mux.add_video_stream(video_codec, frame_size, frame_rate,
-                                       bit_rate)
+        vstream = mux.add_video_stream(
+            video_codec, frame_size, frame_rate, bit_rate,
+            sample_aspect_ratio=sample_aspect_ratio,
+            interlaced=interlaced, top_field_first=top_field_first)
         astream = None
         if audio_source is not None and audio_codec:
             astream = mux.add_audio_stream(audio_codec, sample_rate, channels)

@@ -124,8 +124,12 @@ CAV_EXPORT int cav_stream_info(CavFormat *f, int idx, CavStreamInfo *out) {
         AVRational fr = av_guess_frame_rate(f->ctx, s, nullptr);
         out->frame_rate_num = fr.num;
         out->frame_rate_den = fr.den;
-        out->sar_num = par->sample_aspect_ratio.num;
-        out->sar_den = par->sample_aspect_ratio.den;
+        // Demuxers surface the aspect ratio on the stream or the
+        // codec parameters depending on the container; prefer the
+        // effective one (av_guess_sample_aspect_ratio).
+        AVRational sar = av_guess_sample_aspect_ratio(f->ctx, s, nullptr);
+        out->sar_num = sar.num;
+        out->sar_den = sar.den;
     }
     out->time_base_num = s->time_base.num;
     out->time_base_den = s->time_base.den;
@@ -614,11 +618,16 @@ CAV_EXPORT CavMuxer *cav_muxer_create(const char *filename,
     return m;
 }
 
-CAV_EXPORT int cav_muxer_add_video(CavMuxer *m, const char *codec_name,
-                                   int width, int height, int fps_num,
-                                   int fps_den, int64_t bit_rate,
-                                   const char *options, char *err,
-                                   int errlen) {
+// Extended video stream setup: sample aspect ratio + interlacing flags
+// (the reference AVVideoEncoder's sample_aspect_ratio / interlaced /
+// top_field_first kwargs, src/libav/AVVideoEncoder.c).
+CAV_EXPORT int cav_muxer_add_video_ex(CavMuxer *m, const char *codec_name,
+                                      int width, int height, int fps_num,
+                                      int fps_den, int64_t bit_rate,
+                                      int sar_num, int sar_den,
+                                      int interlaced, int top_field_first,
+                                      const char *options, char *err,
+                                      int errlen) {
     const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
     if (!codec) {
         set_err(err, errlen, std::string("no encoder: ") + codec_name);
@@ -634,6 +643,13 @@ CAV_EXPORT int cav_muxer_add_video(CavMuxer *m, const char *codec_name,
     s->codec->pix_fmt =
         codec->pix_fmts ? codec->pix_fmts[0] : AV_PIX_FMT_YUV420P;
     if (bit_rate > 0) s->codec->bit_rate = bit_rate;
+    if (sar_num > 0 && sar_den > 0)
+        s->codec->sample_aspect_ratio = {sar_num, sar_den};
+    if (interlaced) {
+        s->codec->field_order = top_field_first ? AV_FIELD_TT : AV_FIELD_BB;
+        s->codec->flags |=
+            AV_CODEC_FLAG_INTERLACED_DCT | AV_CODEC_FLAG_INTERLACED_ME;
+    }
     s->codec->gop_size = 12;
     if (m->ctx->oformat->flags & AVFMT_GLOBALHEADER)
         s->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
@@ -651,16 +667,37 @@ CAV_EXPORT int cav_muxer_add_video(CavMuxer *m, const char *codec_name,
     s->stream = avformat_new_stream(m->ctx, nullptr);
     s->stream->time_base = s->codec->time_base;
     avcodec_parameters_from_context(s->stream->codecpar, s->codec);
+    if (sar_num > 0 && sar_den > 0)
+        s->stream->sample_aspect_ratio = {sar_num, sar_den};
     s->frame = av_frame_alloc();
     s->frame->format = s->codec->pix_fmt;
     s->frame->width = width;
     s->frame->height = height;
+    if (interlaced) {
+#if LIBAVUTIL_VERSION_MAJOR >= 58
+        s->frame->flags |= AV_FRAME_FLAG_INTERLACED;
+        if (top_field_first) s->frame->flags |= AV_FRAME_FLAG_TOP_FIELD_FIRST;
+#else
+        s->frame->interlaced_frame = 1;
+        s->frame->top_field_first = top_field_first ? 1 : 0;
+#endif
+    }
     av_frame_get_buffer(s->frame, 0);
     s->sws = sws_getContext(width, height, AV_PIX_FMT_RGBA, width, height,
                             s->codec->pix_fmt, SWS_BILINEAR, nullptr, nullptr,
                             nullptr);
     m->streams.push_back(s);
     return (int)m->streams.size() - 1;
+}
+
+CAV_EXPORT int cav_muxer_add_video(CavMuxer *m, const char *codec_name,
+                                   int width, int height, int fps_num,
+                                   int fps_den, int64_t bit_rate,
+                                   const char *options, char *err,
+                                   int errlen) {
+    return cav_muxer_add_video_ex(m, codec_name, width, height, fps_num,
+                                  fps_den, bit_rate, 0, 0, 0, 0, options,
+                                  err, errlen);
 }
 
 CAV_EXPORT int cav_muxer_add_audio(CavMuxer *m, const char *codec_name,

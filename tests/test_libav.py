@@ -213,3 +213,24 @@ def test_write_video_mesh_across_segment_cut(tmp_path):
     assert int(f12[24, 32, 1]) > 200 and int(f12[24, 32, 0]) < 60
     assert int(f20[24, 32, 0]) > int(f5[24, 32, 0]) + 100
     dec.close()
+
+
+def test_video_stream_sar_and_interlacing(tmp_path):
+    """add_video_stream carries sample aspect ratio + interlacing into
+    the container (reference AVVideoEncoder kwargs)."""
+    import fractions
+
+    path = str(tmp_path / 'sar.mkv')
+    with libav.AVMuxer(path, 'matroska') as mux:
+        mux.add_video_stream('ffv1', (64, 48), 25,
+                             sample_aspect_ratio=fractions.Fraction(10, 11),
+                             interlaced=True, top_field_first=False)
+        mux.start()
+        frame = np.zeros((48, 64, 4), np.uint8)
+        frame[:, :, 3] = 255
+        for _ in range(3):
+            mux.write_video_frame(0, frame)
+    container = libav.AVContainer(path)
+    video = next(s for s in container.streams if s.type == 'video')
+    assert video.sample_aspect_ratio == fractions.Fraction(10, 11)
+    container.close()
