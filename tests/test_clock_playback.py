@@ -283,8 +283,14 @@ def test_reverse_playback_staged_source():
         lambda idx, bgra: presented.append((idx, int(bgra[200, 300, 2]))),
         batch=4)
     try:
-        # start at frame 40, play backwards (10 fps so the CPU recon
-        # path keeps up with the playhead)
+        # start at frame 40, play backwards (10 fps so the recon path
+        # keeps up; clamp the range so a slow first compile can't let
+        # the playhead escape below frame 0 on the remote chip)
+        engine.set_frame_range(0, 40)
+        # Warm the compiled batch program first: on the remote chip the
+        # first compile takes tens of seconds and would outrun any
+        # real-time playhead.
+        engine._render_batch(37, 41)
         clock.seek(process.get_frame_time(Fraction(10, 1), 40))
         presented.clear()     # drop the paused pre-seek frame
         clock.play(-1)
