@@ -79,6 +79,9 @@ def GtkVideoWidget(source, clock, frame_rate, window,
             height, width = bgra.shape[:2]
 
             def apply():
+                # Pixbuf.new_from_data does NOT copy the buffer — keep
+                # the bytes alive for the pixbuf's lifetime.
+                self._pixbuf_data = rgb
                 self._pixbuf = GdkPixbuf.Pixbuf.new_from_data(
                     rgb, GdkPixbuf.Colorspace.RGB, False, 8,
                     width, height, width * 3)

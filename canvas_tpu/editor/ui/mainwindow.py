@@ -36,6 +36,12 @@ def create_main_window(app=None, binding=None):
         """One open space: blits SpaceEditor.paint_timeline and routes
         mouse input into the scene model + DragController."""
 
+        # Thumbnails land on the VideoPullQueue worker thread; this
+        # signal hops the repaint onto the GUI thread (the same
+        # pattern as qt.py's _frame_ready).
+        _thumbs_changed = QtCore.pyqtSignal() \
+            if hasattr(QtCore, 'pyqtSignal') else QtCore.Signal()
+
         def __init__(self, editor, parent=None):
             super().__init__(parent)
             self.editor = editor
@@ -43,6 +49,7 @@ def create_main_window(app=None, binding=None):
             self._image = None
             self._drag_active = False
             self._thumb_painters = {}     # item -> ThumbnailPainter
+            self._thumbs_changed.connect(self.refresh)
 
         def enable_thumbnails(self, size=(48, 32), window=None):
             """Async thumbnail strips inside video clips
@@ -65,7 +72,7 @@ def create_main_window(app=None, binding=None):
                                            count=1, window=win)
                 painter.set_range(item.offset, max(1, item.length))
                 painter.thumbnail_ready.connect(
-                    lambda *_a: self.refresh())
+                    lambda *_a: self._thumbs_changed.emit())
                 painter.request_all()
                 self._thumb_painters[item] = painter
 
@@ -90,7 +97,9 @@ def create_main_window(app=None, binding=None):
             buf = self.editor.paint_timeline(
                 w, h, transform=self.transform,
                 thumbnails=self._thumbnail_map())
-            self._image = QtGui.QImage(buf.tobytes(), w, h, w * 4,
+            # QImage does NOT copy the buffer — keep the bytes alive.
+            self._image_data = buf.tobytes()
+            self._image = QtGui.QImage(self._image_data, w, h, w * 4,
                                        QtGui.QImage.Format.Format_ARGB32)
             self.update()
 
@@ -133,15 +142,25 @@ def create_main_window(app=None, binding=None):
                 self._drag_active = False
                 self.refresh()
 
-        # Qt event names route to the toolkit-independent handlers
+        # Qt event names route to the toolkit-independent handlers.
+        # position() is Qt6; Qt5 uses localPos()/pos().
+        @staticmethod
+        def _event_xy(event):
+            for name in ('position', 'localPos', 'pos'):
+                getter = getattr(event, name, None)
+                if getter is not None:
+                    p = getter()
+                    return p.x(), p.y()
+            raise AttributeError('mouse event has no position accessor')
+
         def mousePressEvent(self, event):
-            self.mouse_press(event.position().x(), event.position().y())
+            self.mouse_press(*self._event_xy(event))
 
         def mouseMoveEvent(self, event):
-            self.mouse_move(event.position().x(), event.position().y())
+            self.mouse_move(*self._event_xy(event))
 
         def mouseReleaseEvent(self, event):
-            self.mouse_release(event.position().x(), event.position().y())
+            self.mouse_release(*self._event_xy(event))
 
     class MainWindow(QtWidgets.QMainWindow):
         def __init__(self):
@@ -241,7 +260,7 @@ def create_main_window(app=None, binding=None):
 
         def _attach_preview(self, editor):
             if self.video_widget is not None:
-                self.video_widget.closeEvent(None)
+                self.video_widget.close()
             rate = editor.space.video_format.frame_rate or \
                 fractions.Fraction(30000, 1001)
             self.video_widget = qt_shim.VideoWidget(
@@ -297,7 +316,7 @@ def create_main_window(app=None, binding=None):
 
         def closeEvent(self, event):
             if self.video_widget is not None:
-                self.video_widget.closeEvent(None)
+                self.video_widget.close()
             super().closeEvent(event)
 
     return MainWindow()

@@ -75,8 +75,11 @@ def VideoWidget(source, clock, frame_rate, window, parent=None,
 
         def _present(self, frame_index, bgra):
             height, width = bgra.shape[:2]
+            # QImage does NOT copy or retain this buffer — keep the
+            # bytes alive for the image's lifetime.
+            self._image_data = bgra.tobytes()
             self._image = QtGui.QImage(
-                bgra.tobytes(), width, height, width * 4,
+                self._image_data, width, height, width * 4,
                 QtGui.QImage.Format.Format_ARGB32)
             self._frame_ready.emit()
 

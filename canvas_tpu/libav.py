@@ -576,24 +576,17 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
             8-bit display conversion runs on device so only u8 crosses
             the host link."""
             if use_batch:
-                from canvas_tpu import backend, render
+                from canvas_tpu import render
                 planner = render.RenderPlanner(video_source, window)
-                # Fuse the u8 conversion into the render program
-                # (post=) so no f16 batch is ever materialized.
-                post = 'rgba_u8'
+                # The u8 conversion is fused into the render program
+                # (post=): batches arrive as interleaved u8 with no
+                # intermediate f16 tensor.
                 for (s, n, data) in planner.iter_batches(
                         start_frame, start_frame + n_frames, batch=batch,
-                        device_out=True, mesh=mesh, post=post):
-                    if post is not None:
-                        flat = np.asarray(data)
-                        u8 = flat.reshape(flat.shape[0], flat.shape[1],
-                                          -1, 4)
-                    elif backend.is_jax_array(data):
-                        flat = np.asarray(color_ops.rgba_u8_device(data))
-                        u8 = flat.reshape(flat.shape[0], flat.shape[1],
-                                          -1, 4)
-                    else:
-                        u8 = to_u8(data)
+                        device_out=True, mesh=mesh, post='rgba_u8'):
+                    flat = np.asarray(data)
+                    u8 = flat.reshape(flat.shape[0], flat.shape[1],
+                                      -1, 4)
                     yield s - start_frame, s - start_frame + n, u8
             else:
                 for b0 in range(0, n_frames, batch):

@@ -698,3 +698,36 @@ def write_audio_pcm_float(filename, source, min_sample, max_sample,
             last_pts = timecode(hi + 1, sample_rate, timescale)
             cursor += samples_per_block
         writer.write_end(duration=float(last_pts))
+
+
+def write_interleaved_blocks(writer, streams):
+    """Pull packets from several encoders and write SimpleBlocks in
+    presentation order (the DTS-ordered interleave the reference's
+    muxers do, AVMuxer.c:232-245; writing whole tracks back-to-back
+    makes cluster timecodes jump backwards and desyncs players).
+
+    ``streams`` is a list of ``(track_number, next_packet, to_ms,
+    is_keyframe)`` where ``next_packet()`` returns the next packet or
+    None at end, ``to_ms(packet)`` its absolute timecode in writer
+    units, and ``is_keyframe(packet)`` its key flag. Returns
+    {track_number: packet_count}.
+    """
+    pending = []
+    counts = {}
+    for (num, next_packet, to_ms, is_kf) in streams:
+        counts[num] = 0
+        packet = next_packet()
+        if packet is not None:
+            pending.append([to_ms(packet), num, packet, next_packet,
+                            to_ms, is_kf])
+    while pending:
+        pending.sort(key=lambda e: e[0])
+        ms, num, packet, next_packet, to_ms, is_kf = pending.pop(0)
+        writer.write_simple_block(num, int(ms), packet.data,
+                                  keyframe=bool(is_kf(packet)))
+        counts[num] += 1
+        nxt = next_packet()
+        if nxt is not None:
+            pending.append([to_ms(nxt), num, nxt, next_packet, to_ms,
+                            is_kf])
+    return counts

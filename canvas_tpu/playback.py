@@ -151,12 +151,13 @@ class VideoPlaybackEngine:
     def _render_batch(self, start, stop):
         from canvas_tpu import backend, render
         from canvas_tpu.ops import color as color_ops
-        # Snapshot display state: if the window or intent changes while
-        # this batch is in flight, the results are stale — drop them
-        # instead of caching frames converted with the old settings.
+        # Snapshot display state: if the source, window, or intent
+        # changes while this batch is in flight, the results are stale —
+        # drop them instead of caching frames from the old settings.
+        source = self.source
         window = self.window
         intent = self._rendering_intent
-        data = render.render_frames(self.source, window, start, stop,
+        data = render.render_frames(source, window, start, stop,
                                     device_out=True)
         if backend.is_jax_array(data):
             # Display conversion on device (widget_gl soft mode: sRGB
@@ -170,7 +171,8 @@ class VideoPlaybackEngine:
             for c_dst, c_src in enumerate((2, 1, 0, 3)):
                 bgra[..., c_dst] = u8[:, c_src]
         with self._lock:
-            if window is not self.window or intent != self._rendering_intent:
+            if (source is not self.source or window is not self.window
+                    or intent != self._rendering_intent):
                 return
             for i, idx in enumerate(range(start, stop)):
                 self._cache[idx] = bgra[i]
@@ -182,9 +184,16 @@ class VideoPlaybackEngine:
     def set_video_source(self, source):
         """Swap the displayed source live
         (widget_gl_set_video_source)."""
+        old = getattr(self, 'source', None)
         with self._lock:
             self.source = source
             self._cache.clear()
+        old_updated = getattr(old, 'frames_updated', None)
+        if old_updated is not None:
+            try:
+                old_updated.disconnect(self._frames_updated)
+            except (ValueError, KeyError):
+                pass
         updated = getattr(source, 'frames_updated', None)
         if updated is not None:
             updated.connect(self._frames_updated)

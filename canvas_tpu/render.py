@@ -806,6 +806,7 @@ class RenderPlanner:
             segment (backend state is thread-local)."""
             seg_start, seg_stop = seg
             self._stage_cache = {}
+            self._frame_hints = {}
             self._plan_mesh = mesh
             N = seg_stop - seg_start
             frames = np.arange(seg_start, seg_stop, dtype=np.int64)
@@ -896,6 +897,7 @@ class RenderPlanner:
         # Staging cache lives for one render call: dedups host pulls that
         # occur in multiple children of the same plan (e.g. pulldown)
         self._stage_cache = {}
+        self._frame_hints = {}
         self._plan_mesh = None
         outs = []
         windows = []
@@ -949,6 +951,7 @@ class RenderPlanner:
         if seg is None or not (seg['lo'] <= frame_index < seg['hi']):
             self._watch_frames_updated()
             self._stage_cache = {}
+            self._frame_hints = {}
             self._plan_mesh = None
             chunk = self.pipeline_chunk
             lo0 = (frame_index // chunk) * chunk
@@ -1068,6 +1071,7 @@ def _render_sharded_segment(planner, start, stop, mesh, axis, n,
     if pad:
         frames[B:] = stop - 1        # tail padding: repeat the last frame
     planner._stage_cache = {}
+    planner._frame_hints = {}
     planner._plan_mesh = mesh
     ctx = PlanContext(planner, frames, planner.window)
     node = ctx.plan(source)

@@ -107,24 +107,16 @@ def main():
                 audio=matroska.TrackAudio(sample_rate, channels=2)))
         writer.write_tracks(tracks)
 
-        count = 0
-        while True:
-            packet = vencoder.get_next_packet()
-            if packet is None:
-                break
-            pts_ms = int(packet.pts * frame_rate.denominator * 1000 /
-                         frame_rate.numerator)
-            writer.write_simple_block(1, pts_ms, packet.data,
-                                      keyframe=packet.keyframe)
-            count += 1
+        streams = [(1, vencoder.get_next_packet,
+                    lambda p: p.pts * frame_rate.denominator * 1000 /
+                    frame_rate.numerator,
+                    lambda p: p.keyframe)]
         if aencoder is not None:
-            while True:
-                packet = aencoder.get_next_packet()
-                if packet is None:
-                    break
-                writer.write_simple_block(
-                    2, int(packet.pts * 1000 / sample_rate), packet.data,
-                    keyframe=True)
+            streams.append((2, aencoder.get_next_packet,
+                            lambda p: p.pts * 1000 / sample_rate,
+                            lambda p: True))
+        counts = matroska.write_interleaved_blocks(writer, streams)
+        count = counts[1]
         writer.write_end(duration=float(
             count * frame_rate.denominator * 1000 / frame_rate.numerator))
     print('wrote %d frames to %s' % (count, args.out_path))

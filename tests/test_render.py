@@ -213,7 +213,7 @@ def test_pulldown_batched_matches_pull():
                                want.astype(np.float32), atol=2e-3)
 
 
-def test_render_sharded_spatial_axis():
+def test_render_sharded_spatial_axis_smoke():
     """Frames x rows 2-D sharding on the virtual mesh."""
     from canvas_tpu import backend
     jax = backend.jax
