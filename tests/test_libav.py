@@ -234,3 +234,40 @@ def test_video_stream_sar_and_interlacing(tmp_path):
     video = next(s for s in container.streams if s.type == 'video')
     assert video.sample_aspect_ratio == fractions.Fraction(10, 11)
     container.close()
+
+
+def test_write_video_with_audio(tmp_path):
+    """write_video muxes an audio source alongside video (the
+    reference's writeVideo.c audio path)."""
+    import fractions
+
+    from canvas_tpu.audio import AudioFrame
+
+    class Tone:
+        def get_frame(self, lo, hi, ch):
+            t = np.arange(lo, hi + 1, dtype=np.float32)
+            data = np.repeat(np.sin(2 * np.pi * 440 * t / 8000)[:, None],
+                             ch, 1) * 0.5
+            return AudioFrame(lo, hi, ch, data)
+
+    path = str(tmp_path / 'av.mkv')
+    src = SolidColorVideoSource(
+        LerpFunc((0.0, 0.0, 0.0, 1.0), (1.0, 1.0, 1.0, 1.0), 25))
+    libav.write_video(path, src, Tone(), 0, 25, frame_size=(64, 48),
+                      frame_rate=25, video_codec='ffv1',
+                      audio_codec='pcm_f32le', sample_rate=8000,
+                      channels=2, format='matroska')
+    container = libav.AVContainer(path)
+    types = sorted(s.type for s in container.streams)
+    assert types == ['audio', 'video']
+    audio = next(s for s in container.streams if s.type == 'audio')
+    assert audio.sample_rate == 8000 and audio.channels == 2
+    container.close()
+
+    # decoded audio round-trips the tone (sample-accurate pcm)
+    adec = libav.AVAudioDecoder(path, channels=2)
+    got = adec.get_frame(100, 1099, 2)
+    t = np.arange(100, 1100, dtype=np.float32)
+    want = np.sin(2 * np.pi * 440 * t / 8000) * 0.5
+    np.testing.assert_allclose(np.asarray(got.data)[:, 0], want, atol=1e-4)
+    adec.close()
