@@ -152,3 +152,41 @@ def test_video_blocks_mkv_readable_by_libav(tmp_path):
     assert f5 is not None
     assert 60 < int(f5[24, 32, 1]) < 140  # green ramp ~ 5*20
     dec.close()
+
+
+def test_write_interleaved_blocks_orders_by_pts():
+    """write_interleaved_blocks merges multiple packet streams in
+    presentation order (the muxer DTS-interleave, AVMuxer.c:232-245),
+    so cluster timecodes never jump backwards."""
+    from canvas_tpu.matroska import write_interleaved_blocks
+
+    class Packet:
+        def __init__(self, pts, data):
+            self.pts = pts
+            self.data = data
+            self.keyframe = True
+
+    def stream(packets):
+        it = iter(packets)
+        return lambda: next(it, None)
+
+    written = []
+
+    class Writer:
+        def write_simple_block(self, track, pts, data, keyframe=True):
+            written.append((pts, track, data))
+
+    video = [Packet(p, b'v%d' % p) for p in range(0, 2000, 40)]
+    audio = [Packet(p, b'a%d' % p) for p in range(0, 2000, 21)]
+    counts = write_interleaved_blocks(Writer(), [
+        (1, stream(video), lambda p: p.pts, lambda p: p.keyframe),
+        (2, stream(audio), lambda p: p.pts, lambda p: True),
+    ])
+    assert counts == {1: len(video), 2: len(audio)}
+    assert len(written) == len(video) + len(audio)
+    pts_seq = [w[0] for w in written]
+    assert pts_seq == sorted(pts_seq)
+    # both streams actually interleave (not track-at-a-time)
+    tracks = [w[1] for w in written]
+    switches = sum(1 for a, b in zip(tracks, tracks[1:]) if a != b)
+    assert switches > 10
