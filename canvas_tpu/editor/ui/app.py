@@ -100,7 +100,13 @@ class SpaceEditor:
 
 
 class EditorApp:
-    def __init__(self, load_plugins=True):
+    def __init__(self, load_plugins=True, audio_master=False,
+                 audio_rate=48000, audio_channels=2, audio_sink=None):
+        """audio_master=True makes the audio output thread THE
+        presentation clock (the reference wires AlsaPlayer as the
+        UIManager clock, qttest.py:393-426): video follows what the
+        audio sink actually consumed. The current space's audio stream
+        feeds the player automatically on open."""
         if load_plugins:
             plugins.PluginManager.load_all()
         self.asset_list = model.AssetList()
@@ -108,8 +114,19 @@ class EditorApp:
             plugins.PluginManager.alert_manager)
         self.editors = []
         self.current_editor = None
-        self.clock = SystemPresentationClock()
+        if audio_master:
+            from canvas_tpu.audioout import AudioPlayer
+            self.clock = AudioPlayer(audio_rate, audio_channels,
+                                     sink=audio_sink)
+        else:
+            self.clock = SystemPresentationClock()
         self.editor_added = Signal()
+
+    def close(self):
+        """Shut down the clock's audio thread (if audio-master)."""
+        close = getattr(self.clock, 'close', None)
+        if close is not None:
+            close()
 
     # -- project lifecycle (qttest.py:795-827) ----------------------------
 
@@ -138,6 +155,13 @@ class EditorApp:
         editor = SpaceEditor(self, asset)
         self.editors.append(editor)
         self.current_editor = editor
+        # Audio-master clock: feed it the space's audio graph
+        # (qttest.py handle_editor_changed -> set_audio_source)
+        if hasattr(self.clock, 'set_audio_source'):
+            try:
+                self.clock.set_audio_source(editor.audio_stream)
+            except StopIteration:
+                pass              # space exposes no audio stream
         self.editor_added(editor)
         return editor
 

@@ -643,3 +643,64 @@ def test_timeline_widget_thumbnails():
     finally:
         qt_mod._qt = old
         fake_qt.QPainter.instances.clear()
+
+
+def test_editor_audio_master_clock():
+    """audio_master=True: the audio player IS the app clock
+    (AlsaPlayer-as-clock, qttest.py:393-426) — the space's mixed audio
+    feeds the sink and video time follows consumed samples."""
+    class Capture:
+        def __init__(self):
+            self.frames = 0
+
+        def write(self, samples):
+            self.frames += len(samples)
+            # non-silent content reached the sink?
+            if np.abs(samples).max() > 0.1:
+                self.loud = True
+            return len(samples)
+
+        def delay(self):
+            return 0
+
+        def drop(self):
+            pass
+
+        def close(self):
+            pass
+
+    sink = Capture()
+    app = EditorApp(load_plugins=False, audio_master=True,
+                    audio_rate=8000, audio_channels=2, audio_sink=sink)
+    try:
+        editor = app.new_space('am', plugins.VideoFormat(frame_rate=10),
+                               plugins.AudioFormat(sample_rate=8000))
+
+        # an audio clip in the space: constant 0.5 tone source
+        from canvas_tpu import audio as caudio
+
+        class Const(caudio.AudioSource):
+            def _render(self, frame):
+                frame.data[:] = 0.5
+                frame.current_min_sample = frame.full_min_sample
+                frame.current_max_sample = frame.full_max_sample
+
+        stream = plugins.AudioStream(Const(), range=(0, 8000 * 60),
+                                     name='audio')
+        app.asset_list['tone'] = model.RuntimeSourceAsset(
+            model.RuntimeSource('tone', {'audio': stream}))
+        app.add_asset_to_space(editor, 'tone', x=0, length=8000 * 60)
+        # re-open so the clock rewires to the updated space graph
+        app.open_space('am')
+
+        t0 = app.clock.get_presentation_time()
+        app.play(1)
+        deadline = time.time() + 10
+        while sink.frames < 2048 and time.time() < deadline:
+            time.sleep(0.02)
+        app.stop()
+        assert sink.frames >= 2048
+        assert getattr(sink, 'loud', False)    # graph audio reached sink
+        assert app.clock.get_presentation_time() > t0
+    finally:
+        app.close()
