@@ -187,10 +187,27 @@ def create_main_window(app=None, binding=None):
             self.alert_dock.setWidget(self.alert_list_widget)
             self.addDockWidget(QtCore.Qt.DockWidgetArea.BottomDockWidgetArea,
                                self.alert_dock)
+            if self.alerts is not None:
+                self.alerts.rows_changed.connect(self._refresh_alerts)
+                self._refresh_alerts()
+
+            # Undo history dock (qttest.py UndoDockWidget, :292)
+            self.undo_dock = QtWidgets.QDockWidget('Undo')
+            self.undo_list_widget = QtWidgets.QListWidget()
+            self.undo_dock.setWidget(self.undo_list_widget)
+            self.addDockWidget(QtCore.Qt.DockWidgetArea.BottomDockWidgetArea,
+                               self.undo_dock)
 
             self.video_dock = QtWidgets.QDockWidget('Video Preview')
             self.addDockWidget(QtCore.Qt.DockWidgetArea.BottomDockWidgetArea,
                                self.video_dock)
+
+            # Asset list follows the model's signals (the reference's
+            # asset search dock stays live, qttest.py:157-289)
+            for signal_name in ('added', 'removed', 'renamed'):
+                signal = getattr(app.asset_list, signal_name, None)
+                if signal is not None:
+                    signal.connect(self._on_assets_changed)
 
             # Menus (qttest.py:629-646)
             bar = self.menuBar()
@@ -233,6 +250,25 @@ def create_main_window(app=None, binding=None):
             self.asset_list_widget.clear()
             for name in self.app.asset_list:
                 self.asset_list_widget.addItem(name)
+
+        def _on_assets_changed(self, *args):
+            self._refresh_assets()
+
+        def _refresh_alerts(self, *args):
+            self.alert_list_widget.clear()
+            for i in range(len(self.alerts)):
+                self.alert_list_widget.addItem(self.alerts.row_text(i))
+
+        def _refresh_undo(self):
+            self.undo_list_widget.clear()
+            editor = self.current_editor
+            if editor is None:
+                return
+            stack = editor.undo_stack
+            for i, command in enumerate(stack._commands):
+                marker = '* ' if i < stack.index else '  '
+                self.undo_list_widget.addItem(marker + (command.text() or
+                                                        '<command>'))
 
         # -- spaces ----------------------------------------------------
 
@@ -291,6 +327,7 @@ def create_main_window(app=None, binding=None):
         def editors_refresh(self):
             for _editor, widget in self.editors.values():
                 widget.refresh()
+            self._refresh_undo()
 
         def play(self, *a):
             self.app.play(1)

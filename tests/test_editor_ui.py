@@ -543,7 +543,7 @@ def test_main_window_full_surface(tmp_path):
         app = EditorApp(load_plugins=False)
         window = create_main_window(app)
         assert window.central is window.document_tabs
-        assert len(window.docks) == 3
+        assert len(window.docks) == 4
         assert [m.title for m in window.menuBar().menus] == ['&File',
                                                             '&Edit']
 
@@ -559,7 +559,7 @@ def test_main_window_full_surface(tmp_path):
             name='video')
         app.asset_list['red'] = model.RuntimeSourceAsset(
             model.RuntimeSource('red', {'video': stream}))
-        window._refresh_assets()
+        # the asset dock follows the model's signals
         assert 'red' in window.asset_list_widget.items
         app.add_asset_to_space(editor, 'red', x=0, length=24)
         (_e, widget) = window.editors['cut']
@@ -576,11 +576,21 @@ def test_main_window_full_surface(tmp_path):
         after = widget._image.data
         assert after != before
 
-        # undo via the Edit menu action
+        # undo via the Edit menu action; the undo dock lists history
         window.act_undo.triggered.emit()
         assert editor.space[0].x == 0
         window.act_redo.triggered.emit()
         assert editor.space[0].x == 48
+        assert window.undo_list_widget.items
+        assert any(i.startswith('* ') for i in window.undo_list_widget.items)
+
+        # alerts surface in the notification dock
+        alert = plugins.Alert('disk full', key='df')
+        app.alert_model.show_alert(alert)
+        assert any('disk full' in t for t in window.alert_list_widget.items)
+        app.alert_model.hide_alert(alert)
+        assert not any('disk full' in t
+                       for t in window.alert_list_widget.items)
 
         # transport
         window.act_play.triggered.emit()
