@@ -689,6 +689,34 @@ def _get_sharded_program(signature, node, mesh, axis, N, post=None):
     return fn
 
 
+def _commit_replicated_params(node, mesh=None):
+    """device_put every REPLICATED (non-frame-axis) param once.
+
+    jit does not cache host arrays across calls, so a replicated numpy
+    param — a (T, S) scale matrix, the DV chroma upsample matrix — is
+    re-transferred on EVERY batch dispatch of a segment. Committing
+    them to the device at plan time (on the prepare thread, overlapping
+    the previous segment's compute) ships each exactly once; with a
+    mesh they commit replicated so sharded in_shardings accept them."""
+    jax, _jnp = _jx()
+    target = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        target = NamedSharding(mesh, PartitionSpec())
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        fp = _frame_params(n.op)
+        for k, v in n.params.items():
+            if k not in fp and not backend.is_jax_array(v):
+                arr = np.asarray(v)
+                n.params[k] = (jax.device_put(arr, target)
+                               if target is not None
+                               else jax.device_put(arr))
+        stack.extend(n.children)
+    return node
+
+
 def _get_program(signature, post=None):
     """Compiled program for *signature*. ``post`` fuses the display/
     export conversion into the SAME program:
@@ -813,6 +841,7 @@ class RenderPlanner:
             ctx = PlanContext(self, frames, self.window)
             with profiling.Timer('render.plan'):
                 node = ctx.plan(self.source)
+            _commit_replicated_params(node, mesh)
             if N >= batch:
                 B_eff = batch
             else:
@@ -963,6 +992,7 @@ class RenderPlanner:
             frames = np.arange(lo, hi, dtype=np.int64)
             ctx = PlanContext(self, frames, self.window)
             node = ctx.plan(self.source)
+            _commit_replicated_params(node)
             seg = self._display_seg = {
                 'lo': lo, 'hi': hi, 'node': node,
                 'params': node.flat_params([]),
