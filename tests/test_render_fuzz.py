@@ -214,3 +214,45 @@ def test_edit_churn_reuses_programs(any_backend):
                    - expect.astype(np.float32)).max()
         assert d <= 4e-3, (step, d)
     assert len(R._program_cache) - cache_before < 60
+
+
+@pytest.mark.parametrize('seed', range(6))
+def test_random_graph_iter_batches_matches_pull(seed, any_backend):
+    """The streaming executor (segment planning, pipeline chunks, batch
+    slicing, tail padding, optional mesh sharding and fused u8) agrees
+    with the pull path on random graphs."""
+    import jax
+
+    rng = np.random.RandomState(1000 + seed)
+    ws = random_workspace(rng)
+    start = int(rng.randint(0, 6))
+    stop = start + int(rng.randint(5, 30))
+    batch = int(rng.choice([3, 4, 8]))
+    use_mesh = bool(rng.rand() < 0.4 and len(jax.devices()) >= 2)
+
+    planner = render.RenderPlanner(ws, WINDOW)
+    kwargs = {}
+    if use_mesh:
+        from jax.sharding import Mesh
+        n = len(jax.devices())
+        batch = max(batch, n)
+        batch -= batch % n
+        kwargs['mesh'] = Mesh(np.asarray(jax.devices()), ('frames',))
+
+    outs = []
+    for (_s, n_valid, out) in planner.iter_batches(start, stop,
+                                                   batch=batch, **kwargs):
+        outs.append(np.asarray(out)[:n_valid])
+    got = np.concatenate(outs, axis=0)
+    assert got.shape[0] == stop - start
+
+    for i in range(start, stop):
+        want = ws.get_frame_f16(i, WINDOW)
+        if want.current_window.empty():
+            expect = np.zeros((4, WINDOW.height, WINDOW.width), np.float16)
+        else:
+            expect = np.asarray(want.data, np.float16)
+        np.testing.assert_allclose(
+            got[i - start].astype(np.float32), expect.astype(np.float32),
+            atol=8e-3, err_msg='seed %d frame %d batch %d mesh %s'
+            % (seed, i, batch, use_mesh))
