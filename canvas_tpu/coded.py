@@ -344,11 +344,46 @@ DVReconstructionFilter.emit = _dvrecon_emit
 
 
 def _pulldown_plan_cuts(self, start, stop):
-    if self.source is not None and hasattr(self.source, 'plan_cuts'):
-        # Child cuts can't be mapped exactly (frame mapping is
-        # non-affine); conservatively cut where the child would
-        return self.source.plan_cuts(start, stop)
-    return []
+    """Map the child's structure cuts through the 4:5 cadence.
+
+    The child reports cuts in ITS frame coordinates; an output frame f
+    pulls child frames a(f) (and b(f) for mixed frames), so the output
+    must cut wherever the set of child-cut intervals those pulls land
+    in changes. (Round-2 fuzz finding: forwarding child cuts unmapped
+    put sequence-clip boundaries at the wrong output frames and frames
+    near a boundary planned with the wrong clip's parameters.)
+    """
+    import bisect
+
+    if self.source is None or not hasattr(self.source, 'plan_cuts'):
+        return []
+    start = int(start)
+    stop = int(stop)
+    if stop <= start:
+        return []
+    lo = min(self._map(start))if self._map(start)[1] is not None \
+        else self._map(start)[0]
+    a_hi, b_hi = self._map(stop)
+    hi = max(a_hi, b_hi if b_hi is not None else a_hi) + 2
+    child_cuts = sorted(set(self.source.plan_cuts(lo, hi)))
+    if not child_cuts:
+        return []
+
+    def key(f):
+        a, b = self._map(f)
+        if b is None:
+            b = a
+        return (bisect.bisect_right(child_cuts, a),
+                bisect.bisect_right(child_cuts, b))
+
+    cuts = []
+    prev = key(start)
+    for f in range(start + 1, stop):
+        cur = key(f)
+        if cur != prev:
+            cuts.append(f)
+            prev = cur
+    return cuts
 
 
 def _pulldown_emit(self, ctx):

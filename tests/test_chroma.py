@@ -352,3 +352,29 @@ def test_pulldown_hint_through_passthrough_dedups_staging():
                                want.astype(np.float32), atol=2e-2)
     # every coded frame pulled exactly once during batched planning
     assert len(pulls) == len(set(pulls)), pulls
+
+
+def test_pulldown_plan_cuts_map_child_coordinates():
+    """Structure cuts below a pulldown must map through the 4:5 cadence:
+    a sequence clip boundary at child frame C cuts the OUTPUT where the
+    pulls cross C, not at output frame C (round-2 fuzz regression: the
+    unmapped cut let frames near a boundary plan with the wrong clip)."""
+    from canvas_tpu import render
+    from canvas_tpu.sources import SolidColorVideoSource, VideoSequence
+
+    seq = VideoSequence()
+    seq.append((SolidColorVideoSource((1.0, 0.0, 0.0, 1.0)), 2, 12))
+    seq.append((SolidColorVideoSource((0.0, 1.0, 0.0, 1.0)), 0, 4))
+    filt = Pulldown23RemovalFilter(seq, 3)
+    window = box2i(0, 0, 15, 15)
+
+    want = []
+    for i in range(4, 14):
+        frame = filt.get_frame_f16(i, window)
+        want.append(np.asarray(frame.data, np.float16)
+                    if not frame.current_window.empty()
+                    else np.zeros((4, 16, 16), np.float16))
+    want = np.stack(want)
+    got = render.render_frames(filt, window, 4, 14)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=2e-3)
