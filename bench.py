@@ -81,7 +81,7 @@ def main():
 
     planner = render.RenderPlanner(ws, window)
 
-    batch = int(os.environ.get('CANVAS_BENCH_BATCH', '16'))
+    batch = int(os.environ.get('CANVAS_BENCH_BATCH', '32'))
     warm_frames = batch
     timed_frames = int(os.environ.get('CANVAS_BENCH_FRAMES', '384'))
 
