@@ -361,28 +361,27 @@ def _pulldown_plan_cuts(self, start, stop):
     stop = int(stop)
     if stop <= start:
         return []
-    lo = min(self._map(start))if self._map(start)[1] is not None \
-        else self._map(start)[0]
-    a_hi, b_hi = self._map(stop)
-    hi = max(a_hi, b_hi if b_hi is not None else a_hi) + 2
+    # The child query window must cover EVERY frame the range pulls:
+    # the cadence map is non-monotonic for offset 4, so derive lo/hi
+    # from the actual per-frame pulls, not the endpoints.
+    pulls = []
+    for f in range(start, stop):
+        a, b = self._map(f)
+        pulls.append((a, a if b is None else b))
+    lo = min(a for (a, _b) in pulls)
+    hi = max(b for (_a, b) in pulls) + 1
     child_cuts = sorted(set(self.source.plan_cuts(lo, hi)))
     if not child_cuts:
         return []
 
-    def key(f):
-        a, b = self._map(f)
-        if b is None:
-            b = a
-        return (bisect.bisect_right(child_cuts, a),
-                bisect.bisect_right(child_cuts, b))
-
     cuts = []
-    prev = key(start)
-    for f in range(start + 1, stop):
-        cur = key(f)
-        if cur != prev:
+    prev = None
+    for f, (a, b) in zip(range(start, stop), pulls):
+        cur = (bisect.bisect_right(child_cuts, a),
+               bisect.bisect_right(child_cuts, b))
+        if prev is not None and cur != prev:
             cuts.append(f)
-            prev = cur
+        prev = cur
     return cuts
 
 

@@ -166,7 +166,14 @@ class Space(ezlist.EZList):
 
 
 def _space_represent(dumper, data):
-    return dumper.represent_mapping('!CanvasSpace', {'items': data._items})
+    # The reference's representer writes only items while its
+    # constructor expects the formats (space.py:211-218 — a reload
+    # there loses them); serialize both so round trips keep the
+    # space's frame/sample rates.
+    return dumper.represent_mapping('!CanvasSpace', {
+        'items': data._items,
+        'video_format': data._video_format,
+        'audio_format': data._audio_format})
 
 
 def _space_construct(loader, node):

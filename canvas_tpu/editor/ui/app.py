@@ -145,6 +145,10 @@ class EditorApp:
 
     def set_asset_list(self, asset_list):
         self.asset_list = asset_list
+        # Audio-master clock: the old project's audio graph must not
+        # keep playing through the sink after the project is replaced.
+        if hasattr(self.clock, 'set_audio_source'):
+            self.clock.set_audio_source(None)
         self.editors = []
         self.current_editor = None
 

@@ -204,10 +204,7 @@ def create_main_window(app=None, binding=None):
 
             # Asset list follows the model's signals (the reference's
             # asset search dock stays live, qttest.py:157-289)
-            for signal_name in ('added', 'removed', 'renamed'):
-                signal = getattr(app.asset_list, signal_name, None)
-                if signal is not None:
-                    signal.connect(self._on_assets_changed)
+            self._wire_asset_signals()
 
             # Menus (qttest.py:629-646)
             bar = self.menuBar()
@@ -236,8 +233,16 @@ def create_main_window(app=None, binding=None):
 
         # -- project I/O (qttest.py:795-827) --------------------------
 
+        def _wire_asset_signals(self):
+            for signal_name in ('added', 'removed', 'renamed'):
+                signal = getattr(self.app.asset_list, signal_name, None)
+                if signal is not None:
+                    signal.connect(self._on_assets_changed)
+
         def open_project(self, path):
             self.app.open_file(path)
+            # open_file swaps in a NEW AssetList: follow the new one
+            self._wire_asset_signals()
             self._refresh_assets()
             for name, asset in self.app.asset_list.items():
                 if getattr(asset, 'space', None) is not None:
@@ -272,27 +277,30 @@ def create_main_window(app=None, binding=None):
 
         # -- spaces ----------------------------------------------------
 
+        def _register_editor(self, name, editor):
+            widget = TimelineWidget(editor)
+            self.document_tabs.addTab(widget, name)
+            self.editors[name] = (editor, widget)
+            widget.refresh()
+            # undo history dock follows every push/undo/redo
+            editor.undo_stack.index_changed.connect(
+                self._on_undo_index_changed)
+            self._attach_preview(editor)
+            self._refresh_assets()
+            self._refresh_undo()
+            return editor
+
+        def _on_undo_index_changed(self, *args):
+            self._refresh_undo()
+
         def open_space(self, name):
             if name in self.editors:
                 return self.editors[name][0]
-            editor = self.app.open_space(name)
-            widget = TimelineWidget(editor)
-            self.document_tabs.addTab(widget, name)
-            self.editors[name] = (editor, widget)
-            widget.refresh()
-            self._attach_preview(editor)
-            self._refresh_assets()
-            return editor
+            return self._register_editor(name, self.app.open_space(name))
 
         def new_space(self, name, video_format=None, audio_format=None):
-            editor = self.app.new_space(name, video_format, audio_format)
-            widget = TimelineWidget(editor)
-            self.document_tabs.addTab(widget, name)
-            self.editors[name] = (editor, widget)
-            widget.refresh()
-            self._attach_preview(editor)
-            self._refresh_assets()
-            return editor
+            return self._register_editor(
+                name, self.app.new_space(name, video_format, audio_format))
 
         def _attach_preview(self, editor):
             if self.video_widget is not None:

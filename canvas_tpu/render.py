@@ -822,6 +822,9 @@ class RenderPlanner:
         from concurrent.futures import ThreadPoolExecutor
 
         from canvas_tpu import profiling
+        # First JAX touch must happen on the main thread (axon init
+        # hangs on workers); prepare() below device_puts from the pool.
+        backend.ensure_initialized()
         jax, jnp = _jx()
         if mesh is not None and batch % mesh.shape[axis] != 0:
             raise ValueError('batch %d not divisible by %d shards'
@@ -974,6 +977,7 @@ class RenderPlanner:
         automatically) or ``invalidate_display_cache()``.
         """
         from canvas_tpu.ops import color as color_ops
+        backend.ensure_initialized()
         jax, jnp = _jx()
 
         seg = getattr(self, '_display_seg', None)

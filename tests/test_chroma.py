@@ -354,18 +354,21 @@ def test_pulldown_hint_through_passthrough_dedups_staging():
     assert len(pulls) == len(set(pulls)), pulls
 
 
-def test_pulldown_plan_cuts_map_child_coordinates():
+@pytest.mark.parametrize('offset', range(5))
+def test_pulldown_plan_cuts_map_child_coordinates(offset):
     """Structure cuts below a pulldown must map through the 4:5 cadence:
     a sequence clip boundary at child frame C cuts the OUTPUT where the
     pulls cross C, not at output frame C (round-2 fuzz regression: the
-    unmapped cut let frames near a boundary plan with the wrong clip)."""
+    unmapped cut let frames near a boundary plan with the wrong clip;
+    offset 4's map is non-monotonic, so the child query window must
+    cover every actual pull, not just the endpoints)."""
     from canvas_tpu import render
     from canvas_tpu.sources import SolidColorVideoSource, VideoSequence
 
     seq = VideoSequence()
     seq.append((SolidColorVideoSource((1.0, 0.0, 0.0, 1.0)), 2, 12))
     seq.append((SolidColorVideoSource((0.0, 1.0, 0.0, 1.0)), 0, 4))
-    filt = Pulldown23RemovalFilter(seq, 3)
+    filt = Pulldown23RemovalFilter(seq, offset)
     window = box2i(0, 0, 15, 15)
 
     want = []

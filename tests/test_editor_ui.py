@@ -714,3 +714,42 @@ def test_editor_audio_master_clock():
         assert app.clock.get_presentation_time() > t0
     finally:
         app.close()
+
+
+def test_main_window_docks_follow_replaced_state(tmp_path):
+    """Review regressions: the asset dock must follow the NEW AssetList
+    after open_file swaps it, and the undo dock must update on every
+    command push (index_changed), not only via the menu actions."""
+    import fake_qt
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+        editor = window.new_space('docks', plugins.VideoFormat(frame_rate=24),
+                                  plugins.AudioFormat(sample_rate=48000))
+
+        # undo dock updates on a plain push (no menu action involved)
+        clip = model.Clip(type='video', x=0, y=0.0, length=5, height=1.0)
+        editor.undo_stack.push(model.InsertItemCommand(editor.space, clip, 0))
+        assert window.undo_list_widget.items
+
+        # save a project, open it: asset dock follows the NEW list
+        app.save_file(str(tmp_path / 'p.yaml'))
+        app2 = EditorApp(load_plugins=False)
+        window2 = create_main_window(app2)
+        window2.open_project(str(tmp_path / 'p.yaml'))
+        stream = plugins.VideoStream(
+            process.SolidColorVideoSource((1, 0, 0, 1)), range=(0, 9),
+            name='video')
+        app2.asset_list['late'] = model.RuntimeSourceAsset(
+            model.RuntimeSource('late', {'video': stream}))
+        assert 'late' in window2.asset_list_widget.items
+        window2.closeEvent(None)
+        window.closeEvent(None)
+    finally:
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()
