@@ -21,7 +21,7 @@ from canvas_tpu.ops import window as window_ops
 
 __all__ = ['CodecPacketSource', 'CodedImage', 'CodedImageSource', 'DVReconstructionFilter',
            'DVSubsampleFilter', 'MPEG2SubsampleFilter',
-           'Pulldown23RemovalFilter']
+           'PlanarReconstructionFilter', 'Pulldown23RemovalFilter']
 
 
 class CodedImage:
@@ -100,6 +100,44 @@ class DVReconstructionFilter(VideoSource):
             frame.current_window = EMPTY_BOX2I
             return
         frame.data, frame.current_window = chroma_ops.reconstruct_dv(
+            (image[0], image[1], image[2]), frame.full_window,
+            use_jax=backend.use_jax_for(
+                (4, frame.full_window.height, frame.full_window.width)))
+
+
+class PlanarReconstructionFilter(VideoSource):
+    """Generic planar YCbCr (4:2:0 / 4:2:2 / 4:1:1 / 4:4:4, 8-bit) ->
+    linear RGBA video source: the DV reconstruction generalized to any
+    integer-factor geometry (studio expand + separable triangle chroma
+    upsample + Rec.709 matrix + scene transfer). This is the preferred
+    path for generic decoded video: staging 4:2:0 planes ships ~2.7x
+    fewer host->device bytes than staging RGBA.
+
+    *width*/*height* declare the luma geometry for batched planning
+    (read from the first frame when omitted)."""
+
+    def __init__(self, source, quality=0, width=None, height=None):
+        if not isinstance(source, CodedImageSource):
+            raise TypeError('source must be a CodedImageSource')
+        self.source = source
+        self.quality = int(quality)
+        self._size = (width, height) if width and height else None
+
+    def _geometry(self):
+        if self._size is None:
+            image = self.source.get_frame(0, self.quality)
+            if image is None:
+                return None
+            self._size = (image[0].shape[1], image[0].shape[0])
+        return self._size
+
+    def _render_f16(self, frame_index, frame):
+        image = (self.source.get_frame(frame_index, self.quality)
+                 if self.source else None)
+        if image is None:
+            frame.current_window = EMPTY_BOX2I
+            return
+        frame.data, frame.current_window = chroma_ops.reconstruct_planar(
             (image[0], image[1], image[2]), frame.full_window,
             use_jax=backend.use_jax_for(
                 (4, frame.full_window.height, frame.full_window.width)))
@@ -341,6 +379,58 @@ def _dvrecon_emit(self, ctx):
 
 
 DVReconstructionFilter.emit = _dvrecon_emit
+
+
+def _planar_emit(self, ctx):
+    """Batched node for the generic planar reconstruct: same
+    device-resident plane staging as DV (unique frames shipped once per
+    segment, rows gathered per batch)."""
+    from canvas_tpu.render import Node, tile_window
+    from canvas_tpu.basetypes import box2i_intersect
+
+    geo = self._geometry() if self.source is not None else None
+    if geo is None:
+        from canvas_tpu.sources import _emit_empty
+        return _emit_empty(ctx)
+    yw, yh = geo
+    image_box = box2i(0, 0, yw - 1, yh - 1)
+    current = box2i_intersect(image_box, ctx.window)
+    B = len(ctx.frames)
+    if current.empty():
+        from canvas_tpu.sources import _emit_empty
+        return _emit_empty(ctx)
+
+    cache = getattr(ctx.planner, '_stage_cache', None)
+    if cache is None:
+        cache = ctx.planner._stage_cache = {}
+    staged = _device_plane_stack(ctx, self.source, self.quality, cache,
+                                 hint_ids=(id(self),))
+    if staged is None:
+        return None
+    (py, pcb, pcr), row_of = staged
+    rows = np.asarray([row_of[int(f)] for f in ctx.frames], np.int32)
+    ch, cw = int(pcb.shape[1]), int(pcb.shape[2])
+
+    recon = Node('planar_recon_rows', params={
+        'py': py, 'pcb': pcb, 'pcr': pcr, 'rows': rows,
+        'uh': chroma_ops._up_matrix_generic(yw, cw),
+        'uv': chroma_ops._up_matrix_generic(yh, ch),
+        'm': chroma_ops.YCBCR_TO_RGB_REC709,
+    }, windows=tile_window(current, B))
+
+    sy0 = current.min.y - image_box.min.y
+    sy1 = current.max.y - image_box.min.y
+    sx0 = current.min.x - image_box.min.x
+    sx1 = current.max.x - image_box.min.x
+    dy0 = current.min.y - ctx.window.min.y
+    dx0 = current.min.x - ctx.window.min.x
+    return Node('place',
+                static=(ctx.window.height, ctx.window.width,
+                        sy0, sy1, sx0, sx1, dy0, dx0),
+                children=[recon], windows=tile_window(current, B))
+
+
+PlanarReconstructionFilter.emit = _planar_emit
 
 
 def _pulldown_plan_cuts(self, start, stop):

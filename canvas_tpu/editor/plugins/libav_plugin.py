@@ -214,6 +214,7 @@ class GenericVideoDecoderStream(plugins.VideoStream):
 
     def get_static_stream(self):
         from canvas_tpu import libav
+        from canvas_tpu.coded import PlanarReconstructionFilter
         decoder = libav.AVVideoDecoder(self._pktstream)
         info = libav.AVContainer(self._pktstream.filename)
         try:
@@ -221,6 +222,16 @@ class GenericVideoDecoderStream(plugins.VideoStream):
             width, height = desc.frame_size
         finally:
             info.close()
+        # Prefer the planar path: staging YCbCr planes ships ~2.7x
+        # fewer host->device bytes than RGBA and reconstruction (chroma
+        # upsample + matrix + transfer) runs on device. Fall back to
+        # swscale RGBA for non-planar/10-bit sources.
+        try:
+            if decoder.get_frame(0) is not None:
+                return PlanarReconstructionFilter(decoder, width=width,
+                                                  height=height)
+        except (ValueError, IOError):
+            pass
         return _RgbaDecoderSource(decoder, width, height)
 
 

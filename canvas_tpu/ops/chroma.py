@@ -192,6 +192,129 @@ def reconstruct_dv(planes, full_window, use_jax=None):
     return data, current
 
 
+# --- generic planar reconstruction (4:2:0 / 4:2:2 / 4:1:1, any size) --------
+
+def _up_matrix_generic(n_full, n_sub):
+    """(n_full, n_sub) chroma scatter matrix for an integer subsample
+    factor (co-sited with the first sample, triangle filter — the same
+    filter family the reference's DV reconstruct uses,
+    video_reconstruct.c:85-109). Factor 1 is the identity."""
+    key = ('up_generic', n_full, n_sub)
+    W = _matrix_cache.get(key)
+    if W is None:
+        if n_sub <= 0:
+            raise ValueError('empty chroma plane')
+        factor = max(1, round(n_full / n_sub))
+        if factor == 1:
+            W = np.eye(n_full, n_sub, dtype=np.float32)
+        else:
+            coeff, center = scale_ops.triangle_weights(float(factor), 0.0)
+            W = np.zeros((n_full, n_sub), dtype=np.float32)
+            for x in range(n_sub):
+                for k, w in enumerate(coeff):
+                    i = x * factor + (k - center)
+                    if 0 <= i < n_full:
+                        W[i, x] += w
+        _matrix_cache[key] = W
+    return W
+
+
+def reconstruct_planar_full(y_plane, cb_plane, cr_plane):
+    """Full-frame planar YCbCr (any 8-bit subsampling with integer
+    factors: 4:2:0, 4:2:2, 4:1:1, 4:4:4) -> linear RGBA f16, NumPy
+    reference path. Studio-range expand, separable triangle chroma
+    upsample on both axes, Rec.709 matrix, scene transfer — the DV
+    reconstruction generalized to arbitrary geometry."""
+    yh, yw = y_plane.shape
+    ch, cw = cb_plane.shape
+    y = _studio_luma8_to_float(y_plane.astype(np.float32))
+    cb = _studio_chroma8_to_float(cb_plane.astype(np.float32))
+    cr = _studio_chroma8_to_float(cr_plane.astype(np.float32))
+
+    Uh = _up_matrix_generic(yw, cw)
+    Uv = _up_matrix_generic(yh, ch)
+    cb_full = Uv @ cb @ Uh.T
+    cr_full = Uv @ cr @ Uh.T
+
+    M = YCBCR_TO_RGB_REC709
+    ycc = np.stack([y, cb_full, cr_full], axis=0)
+    rgb = np.einsum('ij,jhw->ihw', M, ycc)
+    alpha = np.ones_like(y)[None]
+    rgba16 = np.concatenate([rgb, alpha], axis=0).astype(np.float16)
+    return color_ops.transfer_rec709_to_linear_scene(rgba16)
+
+
+_jax_planar_recon = None
+
+
+def _jax_reconstruct_planar():
+    global _jax_planar_recon
+    if _jax_planar_recon is None:
+        jax = backend.jax
+        jnp = backend.jnp
+        lut = color_ops.build_half_lut(color_ops.rec709_to_linear_scene)
+
+        @jax.jit
+        def recon(y_plane, cb_plane, cr_plane, Uh, Uv, M):
+            y = (y_plane.astype(jnp.float32) - 16.0) / 219.0
+            cb = (cb_plane.astype(jnp.float32) - 128.0) / 224.0
+            cr = (cr_plane.astype(jnp.float32) - 128.0) / 224.0
+
+            def up(c):
+                c = jnp.einsum('hs,xs->hx', c, Uh,
+                               preferred_element_type=jnp.float32,
+                               precision='highest')
+                return jnp.einsum('sw,hs->hw', c, Uv,
+                                  preferred_element_type=jnp.float32,
+                                  precision='highest')
+
+            ycc = jnp.stack([y, up(cb), up(cr)], axis=0)
+            rgb = jnp.einsum('ij,jhw->ihw', M, ycc,
+                             preferred_element_type=jnp.float32,
+                             precision='highest')
+            alpha = jnp.ones_like(y)[None]
+            rgba16 = jnp.concatenate([rgb, alpha], axis=0).astype(
+                jnp.float16)
+            bits = jax.lax.bitcast_convert_type(
+                rgba16, jnp.uint16).astype(jnp.int32)
+            return jnp.take(jnp.asarray(lut), bits, axis=0)
+
+        _jax_planar_recon = recon
+    return _jax_planar_recon
+
+
+def reconstruct_planar(planes, full_window, use_jax=None):
+    """Planar YCbCr -> windowed linear RGBA f16 frame data.
+
+    planes: (y, cb, cr) u8 arrays; image coordinates start at (0, 0).
+    Returns (data (4, H, W) f16, current_window)."""
+    yh, yw = planes[0].shape
+    image_box = box2i(0, 0, yw - 1, yh - 1)
+    current = box2i_intersect(image_box, full_window)
+    shape = (4, full_window.height, full_window.width)
+    if current.empty():
+        return np.zeros(shape, np.float16), EMPTY_BOX2I
+
+    if use_jax is None:
+        use_jax = backend.use_jax_for(shape)
+
+    if use_jax:
+        jnp = backend.jnp
+        ch, cw = planes[1].shape
+        full = _jax_reconstruct_planar()(
+            jnp.asarray(planes[0]), jnp.asarray(planes[1]),
+            jnp.asarray(planes[2]),
+            jnp.asarray(_up_matrix_generic(yw, cw)),
+            jnp.asarray(_up_matrix_generic(yh, ch)),
+            jnp.asarray(YCBCR_TO_RGB_REC709))
+    else:
+        full = reconstruct_planar_full(planes[0], planes[1], planes[2])
+
+    from canvas_tpu.ops import window as window_ops
+    data = window_ops.place(full, image_box, full_window, current)
+    return data, current
+
+
 # --- DV subsampling ----------------------------------------------------------
 
 def subsample_dv(data, full_window, current_window):

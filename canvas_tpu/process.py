@@ -23,7 +23,7 @@ from canvas_tpu.sources import (  # noqa: F401
     WorkspaceItem)
 from canvas_tpu.coded import (  # noqa: F401
     CodecPacketSource, CodedImage, CodedImageSource,
-    DVReconstructionFilter, DVSubsampleFilter,
+    DVReconstructionFilter, DVSubsampleFilter, PlanarReconstructionFilter,
     MPEG2SubsampleFilter, Pulldown23RemovalFilter)
 from canvas_tpu.audio import (  # noqa: F401
     AudioFrame, AudioSource, AudioPassThroughFilter, AudioSequence,

@@ -121,6 +121,7 @@ _FRAME_PARAMS = {
     'u8_linearize': frozenset(('data',)),
     'dv_recon': frozenset(('y', 'cb', 'cr')),
     'dv_recon_rows': frozenset(('rows',)),
+    'planar_recon_rows': frozenset(('rows',)),
     'field_interleave': frozenset(('start_y', 'end_y', 'x0', 'x1')),
 }
 
@@ -570,6 +571,34 @@ def _eval(node_sig, params_iter, jnp, jax):
         # placement precomputed; output in image coords then placed.
         return _dv_recon_math(params['y'], params['cb'], params['cr'],
                               params['up'], params['m'], jnp, jax)
+
+    if op == 'planar_recon_rows':
+        # Generic planar YCbCr (any integer subsample geometry) from a
+        # device-resident plane stack: separable chroma upsample on
+        # both axes as MXU matmuls, then matrix + transfer.
+        rows = params['rows']
+        y8 = jnp.take(params['py'], rows, axis=0)
+        cb8 = jnp.take(params['pcb'], rows, axis=0)
+        cr8 = jnp.take(params['pcr'], rows, axis=0)
+        y = (y8.astype(jnp.float32) - 16.0) / 219.0
+        cb = (cb8.astype(jnp.float32) - 128.0) / 224.0
+        cr = (cr8.astype(jnp.float32) - 128.0) / 224.0
+        Uh = params['uh']
+        Uv = params['uv']
+
+        def up(c):
+            c = jnp.einsum('bhs,xs->bhx', c, Uh, precision='highest',
+                           preferred_element_type=jnp.float32)
+            return jnp.einsum('bsw,hs->bhw', c, Uv, precision='highest',
+                              preferred_element_type=jnp.float32)
+
+        ycc = jnp.stack([y, up(cb), up(cr)], axis=1)
+        rgb = jnp.einsum('ij,bjhw->bihw', params['m'], ycc,
+                         precision='highest',
+                         preferred_element_type=jnp.float32)
+        alpha = jnp.ones_like(y)[:, None]
+        rgba16 = jnp.concatenate([rgb, alpha], axis=1).astype(jnp.float16)
+        return _device_transfer('rec709_to_linear_scene', rgba16, jnp, jax)
 
     if op == 'dv_recon_rows':
         # Device-resident coded staging: py/pcb/pcr are (Useg, H, W) u8

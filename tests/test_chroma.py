@@ -381,3 +381,63 @@ def test_pulldown_plan_cuts_map_child_coordinates(offset):
     got = render.render_frames(filt, window, 4, 14)
     np.testing.assert_allclose(got.astype(np.float32),
                                want.astype(np.float32), atol=2e-3)
+
+
+def test_reconstruct_planar_geometries(any_backend):
+    """Generic planar reconstruct handles 4:2:0 / 4:2:2 / 4:4:4 and
+    reduces to the DV math for 4:1:1."""
+    from canvas_tpu.ops.chroma import (reconstruct_dv_full,
+                                       reconstruct_planar_full)
+
+    rng = np.random.RandomState(11)
+    # 4:1:1 equivalence with the DV kernel (identity vertical factor)
+    y = rng.randint(16, 236, (480, 720)).astype(np.uint8)
+    cb = rng.randint(16, 241, (480, 180)).astype(np.uint8)
+    cr = rng.randint(16, 241, (480, 180)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        reconstruct_planar_full(y, cb, cr).view(np.uint16),
+        reconstruct_dv_full(y, cb, cr).view(np.uint16))
+
+    # other geometries produce full-size output with sane values
+    for (cs, name) in (((24, 32), '420'), ((48, 32), '422'),
+                       ((48, 64), '444')):
+        y = rng.randint(16, 236, (48, 64)).astype(np.uint8)
+        cbp = rng.randint(16, 241, cs).astype(np.uint8)
+        crp = rng.randint(16, 241, cs).astype(np.uint8)
+        out = reconstruct_planar_full(y, cbp, crp)
+        assert out.shape == (4, 48, 64), name
+        assert np.isfinite(out.astype(np.float32)).all(), name
+        # gray input sanity: y-only signal reconstructs to r=g=b
+        cb_g = np.full(cs, 128, np.uint8)
+        out_g = reconstruct_planar_full(y, cb_g, cb_g).astype(np.float32)
+        np.testing.assert_allclose(out_g[0], out_g[1], atol=1e-3)
+        np.testing.assert_allclose(out_g[1], out_g[2], atol=1e-3)
+
+
+def test_planar_reconstruction_filter_batched_matches_pull():
+    """PlanarReconstructionFilter (4:2:0) batched device path matches
+    the eager pull path."""
+    from canvas_tpu import render
+    from canvas_tpu.coded import (CodedImage, CodedImageSource,
+                                  PlanarReconstructionFilter)
+
+    class Source(CodedImageSource):
+        def get_frame(self, frame_index, quality=0):
+            rng = np.random.RandomState(frame_index)
+            return CodedImage([
+                rng.randint(16, 236, (96, 128)).astype(np.uint8),
+                rng.randint(16, 241, (48, 64)).astype(np.uint8),
+                rng.randint(16, 241, (48, 64)).astype(np.uint8)])
+
+    filt = PlanarReconstructionFilter(Source())
+    window = box2i(0, 0, 159, 127)        # larger than the image
+    want = []
+    for i in range(4):
+        frame = filt.get_frame_f16(i, window)
+        want.append(np.asarray(frame.data, np.float16))
+    want = np.stack(want)
+    got = render.render_frames(filt, window, 0, 4)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=1e-2)
+    exact = np.mean(got.view(np.uint16) == want.view(np.uint16))
+    assert exact > 0.99

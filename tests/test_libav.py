@@ -271,3 +271,38 @@ def test_write_video_with_audio(tmp_path):
     want = np.sin(2 * np.pi * 440 * t / 8000) * 0.5
     np.testing.assert_allclose(np.asarray(got.data)[:, 0], want, atol=1e-4)
     adec.close()
+
+
+def test_decoded_planar_path_matches_rgba_path(tmp_path):
+    """Real decode through the planar (4:2:0 planes staged to device)
+    path agrees with the swscale RGBA path on gray content (gray is
+    matrix-invariant, isolating the shared studio-range + transfer
+    semantics from color-matrix convention differences)."""
+    from canvas_tpu.coded import PlanarReconstructionFilter
+    from canvas_tpu.editor.plugins.libav_plugin import _RgbaDecoderSource
+    from canvas_tpu.basetypes import box2i
+
+    path = str(tmp_path / 'gray.avi')
+    src = SolidColorVideoSource(
+        LerpFunc((0.02, 0.02, 0.02, 1.0), (0.9, 0.9, 0.9, 1.0), 20))
+    libav.write_video(path, src, None, 0, 20, frame_size=(64, 48),
+                      frame_rate=25, video_codec='ffv1', format='avi')
+
+    win = box2i(0, 0, 63, 47)
+    planar = PlanarReconstructionFilter(libav.AVVideoDecoder(path),
+                                        width=64, height=48)
+    rgba = _RgbaDecoderSource(libav.AVVideoDecoder(path), 64, 48)
+    for i in (1, 10, 18):
+        a = np.asarray(planar.get_frame_f16(i, win).data, np.float32)
+        b = np.asarray(rgba.get_frame_f16(i, win).data, np.float32)
+        # interior pixels (chroma edges differ by filter support)
+        np.testing.assert_allclose(a[:3, 4:-4, 4:-4], b[:3, 4:-4, 4:-4],
+                                   atol=0.05, err_msg='frame %d' % i)
+
+    # and the batched path matches the eager planar pull
+    from canvas_tpu import render
+    got = render.render_frames(planar, win, 0, 3)
+    want = np.stack([np.asarray(planar.get_frame_f16(i, win).data)
+                     for i in range(3)])
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=1e-2)
