@@ -77,3 +77,33 @@ def test_random_workspace_batched_matches_pull():
             got[i].astype(np.float32),
             np.asarray(frame.data, np.float32), atol=2e-3,
             err_msg='frame %d' % i)
+
+
+def test_five_thousand_clip_timeline_plans_fast():
+    """Cost is independent of timeline length (the reference's interval
+    design axiom, workspace.c:27-60): planning mid-way into a 5000-clip
+    timeline touches only the <=8 active layers."""
+    import time
+
+    from canvas_tpu import render
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.sources import SolidColorVideoSource, VideoWorkspace
+
+    ws = VideoWorkspace()
+    for i in range(5000):
+        ws.add(source=SolidColorVideoSource((0.1, 0.2, 0.3, 0.8),
+                                            window=box2i(0, 0, 63, 63)),
+               x=i * 10, length=80, z=i % 8)
+    planner = render.RenderPlanner(ws, box2i(0, 0, 127, 127))
+    t0 = time.perf_counter()
+    segs = planner.segments(25000, 25100)
+    plan_ms = (time.perf_counter() - t0) * 1e3
+    assert segs
+    assert plan_ms < 500, plan_ms          # ~5 ms measured; huge margin
+
+    out = planner.render(25000, 25002)     # compiles once
+    t0 = time.perf_counter()
+    out = planner.render(25002, 25004)
+    warm_ms = (time.perf_counter() - t0) * 1e3
+    assert out.shape[0] == 2
+    assert warm_ms < 2000, warm_ms         # ~10 ms measured
