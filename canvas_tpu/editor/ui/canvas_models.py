@@ -137,9 +137,10 @@ class DragController:
         if self.manipulator:
             self.manipulator.set_space_item(self.scene.space, x_seconds, y)
 
-    def move_to_sequence(self, sequence, x_seconds, y):
+    def move_to_sequence(self, sequence, x_seconds, y, operation='add'):
         if self.manipulator:
-            self.manipulator.set_sequence_item(sequence, x_seconds, y, 'add')
+            self.manipulator.set_sequence_item(sequence, x_seconds, y,
+                                               operation)
 
     def drop(self):
         if not self.manipulator:

@@ -130,10 +130,21 @@ def create_main_window(app=None, binding=None):
         def mouse_move(self, px, py):
             if self._drag_active:
                 x, y = self._scene_pos(px, py)
-                self.editor.drag.move_to_space(self.transform.snapped_x(x)
-                                               if hasattr(self.transform,
-                                                          'snapped_x')
-                                               else x, y)
+                # Hovering over a Sequence item routes the drag into the
+                # sequence (the reference's sequence-insertion drag,
+                # manip.py set_sequence_item); otherwise move in space.
+                from canvas_tpu.editor import model as _model
+                target = self.editor.scene.item_at(x, y)
+                dragged = set(self.editor.scene.selected_items)
+                if isinstance(target, _model.Sequence) and \
+                        target not in dragged:
+                    try:
+                        self.editor.drag.move_to_sequence(target, x, y)
+                        self.refresh()
+                        return
+                    except (NotImplementedError, ValueError):
+                        pass
+                self.editor.drag.move_to_space(x, y)
                 self.refresh()
 
         def mouse_release(self, px, py):

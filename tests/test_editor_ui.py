@@ -753,3 +753,60 @@ def test_main_window_docks_follow_replaced_state(tmp_path):
     finally:
         qt_mod._qt = old
         fake_qt.QPainter.instances.clear()
+
+
+def test_drag_clip_into_sequence_via_widget():
+    """Dragging a clip over a Sequence item routes the manipulator into
+    sequence insertion (the reference's sequence drop,
+    manip.py:36-750); dropping inserts it as a sequence item with undo."""
+    import fake_qt
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+        editor = window.new_space('seqdrop',
+                                  plugins.VideoFormat(frame_rate=10),
+                                  plugins.AudioFormat(sample_rate=48000))
+
+        stream = plugins.VideoStream(
+            process.SolidColorVideoSource((1, 0, 0, 1)), range=(0, 99),
+            name='video')
+        app.asset_list['clip'] = model.RuntimeSourceAsset(
+            model.RuntimeSource('clip', {'video': stream}))
+
+        seq = model.Sequence(type='video', x=0, y=1.0, height=1.0,
+                             items=[model.SequenceItem(
+                                 source=model.AssetStreamRef('clip',
+                                                             'video'),
+                                 length=15, offset=0),
+                                    model.SequenceItem(
+                                 source=model.AssetStreamRef('clip',
+                                                             'video'),
+                                 length=15, offset=0)])
+        clip = model.Clip(type='video', x=0, y=0.0, length=10, height=1.0,
+                          source=model.AssetStreamRef('clip', 'video'))
+        editor.space[0:0] = [seq, clip]
+
+        (_e, widget) = window.editors['seqdrop']
+        widget.refresh()
+        # grab the clip (lane 0) and drag it over the sequence (lane 1)
+        # 64 px/s default; ruler offset 18. clip at x=0..1s -> px 0..64
+        widget.mouse_press(16, 18 + 10)
+        assert editor.scene.selected_items == [clip]
+        before = len(seq)
+        # drag across the sequence's middle cut (frame 15 = 1.5 s;
+        # grab offset -0.25 s -> pointer at 1.75 s = 112 px)
+        widget.mouse_move(112, 18 + 24 + 12)
+        widget.mouse_release(112, 18 + 24 + 12)
+        assert len(seq) == before + 1              # inserted into sequence
+        assert clip not in list(editor.space)
+        editor.undo_stack.undo()
+        assert len(seq) == before
+        assert clip in list(editor.space)
+    finally:
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()
