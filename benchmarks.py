@@ -246,6 +246,33 @@ def config7():
     return timeit_batches(planner, 16, 128)
 
 
+def config8(tmp='/tmp/canvas_bench_1080p.avi'):
+    """Real decoded 1080p playback through the planar staging path
+    (decode on host -> YCbCr planes staged once per segment to device
+    -> reconstruction + transfer on device). The round-1 RGBA staging
+    measured ~1/14th of this through the same tunnel."""
+    import fractions
+    import os
+
+    from canvas_tpu import libav, render
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.coded import PlanarReconstructionFilter
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.sources import SolidColorVideoSource
+
+    if not os.path.exists(tmp):
+        src = SolidColorVideoSource(LerpFunc((0, 0, 0, 1), (1, 1, 1, 1),
+                                             64))
+        libav.write_video(tmp, src, None, 0, 64, frame_size=(1920, 1080),
+                          frame_rate=fractions.Fraction(25),
+                          video_codec='mpeg4', bit_rate=8_000_000,
+                          format='avi')
+    filt = PlanarReconstructionFilter(libav.AVVideoDecoder(tmp),
+                                      width=1920, height=1080)
+    planner = render.RenderPlanner(filt, box2i(0, 0, 1919, 1079))
+    return timeit_batches(planner, 8, 48)
+
+
 def main():
     import jax
 
@@ -260,6 +287,7 @@ def main():
         round(config5(), 1)
     results['config6_4k_10layer_export_path_fps'] = round(config6(), 1)
     results['config7_mixed_content_10layer_fps'] = round(config7(), 1)
+    results['config8_1080p_decoded_planar_fps'] = round(config8(), 1)
 
     print(json.dumps(results, indent=1))
 
