@@ -106,6 +106,7 @@ _BATCH_AXIS = {'solid_stack': 1}
 _FRAME_PARAMS = {
     'solid': frozenset(('color', 'box')),
     'stage': frozenset(('data',)),
+    'stage_rows': frozenset(('rows',)),
     'solid_stack': frozenset(('color', 'box', 'gain', 'offset')),
     'empty': frozenset(),
     'placed': frozenset(),
@@ -246,24 +247,72 @@ class PlanContext:
                     windows=clipped_arr)
 
     def stage(self, source):
-        """Host-pull fallback: pull every frame now and ship the batch."""
+        """Host-pull fallback: pull every UNIQUE frame once, ship the
+        stack to the device once per segment, and gather rows per batch
+        ('stage_rows' — the same device-resident staging the coded path
+        uses, so pulldown's double pulls of an arbitrary source don't
+        double the host work or the transfer)."""
         from canvas_tpu import profiling
         self._stage_timer = profiling.Timer('render.stage')
         self._stage_timer.__enter__()
-        B = len(self.frames)
-        datas = []
-        windows = np.empty((B, 4), np.int64)
-        with backend.force_backend('numpy'):
-            for i in range(B):
-                frame = source.get_frame_f16(int(self.frames[i]), self.window)
-                datas.append(np.asarray(frame.data, np.float16))
-                w = frame.current_window
-                windows[i] = (w.min.x, w.min.y, w.max.x, w.max.y)
-        node = Node('stage',
-                    static=(self.window.height, self.window.width),
-                    params={'data': stack_frames(datas)}, windows=windows)
-        self._stage_timer.__exit__(None, None, None)
-        return node
+        try:
+            cache = getattr(self.planner, '_stage_cache', None)
+            if cache is None:
+                cache = self.planner._stage_cache = {}
+            key = ('framestack', id(source),
+                   (self.window.min.x, self.window.min.y,
+                    self.window.max.x, self.window.max.y))
+            needed = [int(f) for f in self.frames]
+            entry = cache.get(key)
+            if entry is None or not all(f in entry['rows']
+                                        for f in needed):
+                hints = getattr(self.planner, '_frame_hints', {})
+                hinted = set(int(h) for h in hints.get(id(source), ()))
+                frames = sorted(set(needed) | hinted |
+                                (set(entry['rows']) if entry else set()))
+                datas = []
+                windows = {}
+                with backend.force_backend('numpy'):
+                    for f in frames:
+                        fkey = ('stagedframe', id(source), f) + key[2:]
+                        got = cache.get(fkey)
+                        if got is None:
+                            frame = source.get_frame_f16(f, self.window)
+                            w = frame.current_window
+                            got = (np.asarray(frame.data, np.float16),
+                                   (w.min.x, w.min.y, w.max.x, w.max.y)
+                                   if not w.empty() else (0, 0, -1, -1))
+                            cache[fkey] = got
+                        datas.append(got[0])
+                        windows[f] = got[1]
+                pad = (-len(frames)) % 8
+                if pad:
+                    datas.extend([datas[-1]] * pad)
+                backend.ensure_initialized()
+                jax, _jnp = _jx()
+                host = stack_frames(datas)
+                mesh = getattr(self.planner, '_plan_mesh', None)
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    stack = jax.device_put(
+                        host, NamedSharding(mesh, PartitionSpec()))
+                else:
+                    stack = jax.device_put(host)
+                entry = cache[key] = {
+                    'stack': stack,
+                    'rows': {f: i for i, f in enumerate(frames)},
+                    'windows': windows,
+                }
+            B = len(self.frames)
+            rows = np.asarray([entry['rows'][f] for f in needed], np.int32)
+            win_arr = np.asarray([entry['windows'][f] for f in needed],
+                                 np.int64).reshape(B, 4)
+            return Node('stage_rows',
+                        static=(self.window.height, self.window.width),
+                        params={'data': entry['stack'], 'rows': rows},
+                        windows=win_arr)
+        finally:
+            self._stage_timer.__exit__(None, None, None)
 
     def plan(self, source):
         """Plan *source*: its emit() if traceable, else staged."""
@@ -331,6 +380,12 @@ def _eval(node_sig, params_iter, jnp, jax):
 
     if op == 'stage':
         return params['data'].astype(jnp.float32)
+
+    if op == 'stage_rows':
+        # Device-resident staged frames: gather this batch's rows from
+        # the segment's (U, 4, H, W) f16 stack (shipped once).
+        return jnp.take(params['data'], params['rows'],
+                        axis=0).astype(jnp.float32)
 
     if op == 'solid_stack':
         # Fused run of solid(/gain) layers: pointwise premultiplied fold

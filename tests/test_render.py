@@ -638,3 +638,33 @@ def test_render_display_scrub_cache():
     assert planner._display_seg is None
     bgra = planner.render_display(5)
     np.testing.assert_array_equal(bgra, frames[0])
+
+
+def test_generic_stage_dedups_pulldown_pulls():
+    """The stage fallback (untraceable sources) shares one device frame
+    stack per segment, so pulldown's two children pull each unique
+    frame ONCE (round-2: matches the coded path's staging)."""
+    from canvas_tpu.coded import Pulldown23RemovalFilter
+    from canvas_tpu.frames import VideoSource
+
+    pulls = []
+
+    class Custom(VideoSource):
+        def _render_f16(self, frame_index, frame):
+            pulls.append(frame_index)
+            data = np.zeros((4, frame.full_window.height,
+                             frame.full_window.width), np.float16)
+            data[0] = (frame_index % 11) * 0.05
+            data[3] = 1.0
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    src = Custom()
+    filt = Pulldown23RemovalFilter(src, 1)
+    window = box2i(0, 0, 31, 31)
+    want, _ = pull_frames(filt, window, 0, 8)
+    pulls.clear()
+    got = render.render_frames(filt, window, 0, 8)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=2e-3)
+    assert len(pulls) == len(set(pulls)), pulls
