@@ -256,3 +256,54 @@ def test_random_graph_iter_batches_matches_pull(seed, any_backend):
             got[i - start].astype(np.float32), expect.astype(np.float32),
             atol=8e-3, err_msg='seed %d frame %d batch %d mesh %s'
             % (seed, i, batch, use_mesh))
+
+
+@pytest.mark.parametrize('seed', range(3))
+def test_random_graph_with_untraceable_leaves(seed, any_backend):
+    """Random graphs containing untraceable sources (device-resident
+    stage_rows fallback) still match the pull path."""
+    from canvas_tpu.frames import VideoSource
+
+    class Opaque(VideoSource):
+        def __init__(self, key):
+            self.key = key
+
+        def _render_f16(self, frame_index, frame):
+            rng2 = np.random.RandomState(self.key * 1000 +
+                                         frame_index % 97)
+            h, w = frame.full_window.height, frame.full_window.width
+            data = (rng2.rand(4, h, w) * 0.9).astype(np.float16)
+            data[3] = np.float16(1.0)
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    rng = np.random.RandomState(7000 + seed)
+    orig = random_leaf
+
+    def leaf(r):
+        if r.rand() < 0.4:
+            return Opaque(int(r.randint(0, 1000)))
+        return orig(r)
+
+    import test_render_fuzz as mod
+    mod.random_leaf, saved = leaf, mod.random_leaf
+    try:
+        ws = random_workspace(rng)
+    finally:
+        mod.random_leaf = saved
+
+    start = int(rng.randint(0, 6))
+    stop = start + int(rng.randint(4, 12))
+    planner = render.RenderPlanner(ws, WINDOW)
+    outs = []
+    for (_s, nv, out) in planner.iter_batches(start, stop, batch=4):
+        outs.append(np.asarray(out)[:nv])
+    got = np.concatenate(outs, axis=0)
+    for i in range(start, stop):
+        want = ws.get_frame_f16(i, WINDOW)
+        expect = (np.zeros((4, WINDOW.height, WINDOW.width), np.float16)
+                  if want.current_window.empty()
+                  else np.asarray(want.data, np.float16))
+        np.testing.assert_allclose(
+            got[i - start].astype(np.float32), expect.astype(np.float32),
+            atol=8e-3, err_msg='seed %d frame %d' % (seed, i))
