@@ -226,6 +226,11 @@ def create_main_window(app=None, binding=None):
             self.edit_menu = bar.addMenu('&Edit')
             self.act_undo = self.edit_menu.addAction('&Undo')
             self.act_redo = self.edit_menu.addAction('&Redo')
+            self.tools_menu = bar.addMenu('&Tools')
+            self.act_edit_plugins = self.tools_menu.addAction(
+                'Edit &plugins...')
+            self.act_edit_decoders = self.tools_menu.addAction(
+                'Edit &decoders...')
 
             # Transport toolbar (qttest.py:553-558)
             self.transport = QtWidgets.QToolBar()
@@ -239,6 +244,9 @@ def create_main_window(app=None, binding=None):
                                  (self.act_play, self.play),
                                  (self.act_stop, self.stop),
                                  (self.act_rewind, self.rewind),
+                                 (self.act_edit_plugins, self.edit_plugins),
+                                 (self.act_edit_decoders,
+                                  self.edit_decoders),
                                  (self.act_quit, self.close)):
                 action.triggered.connect(slot)
 
@@ -356,6 +364,40 @@ def create_main_window(app=None, binding=None):
 
         def rewind(self, *a):
             self.app.seek(0)
+
+        def edit_plugins(self, *a):
+            """Plugin settings dock (the reference's plugin editor
+            dialog, qttest.py:645): one row per plugin with its enabled
+            state; toggled via the model (persists to settings)."""
+            from canvas_tpu.editor.ui.settings_models import \
+                PluginEditorModel
+            self.plugin_editor = PluginEditorModel()
+            dock = QtWidgets.QDockWidget('Plugins')
+            widget = QtWidgets.QListWidget()
+            for (_plugin, name, _desc, enabled) in \
+                    self.plugin_editor.rows():
+                widget.addItem('%s [%s]' % (name,
+                                            'on' if enabled else 'off'))
+            dock.setWidget(widget)
+            self.addDockWidget(
+                QtCore.Qt.DockWidgetArea.BottomDockWidgetArea, dock)
+            return self.plugin_editor
+
+        def edit_decoders(self, *a):
+            """Decoder priority editor (qttest.py:646 role)."""
+            from canvas_tpu.editor.ui.settings_models import \
+                DecoderEditorModel
+            self.decoder_editor = DecoderEditorModel()
+            dock = QtWidgets.QDockWidget('Decoders')
+            widget = QtWidgets.QListWidget()
+            for (_dec, name, _urns, enabled, priority) in \
+                    self.decoder_editor.rows():
+                widget.addItem('%s [prio %d%s]' % (
+                    name, priority, '' if enabled else ', off'))
+            dock.setWidget(widget)
+            self.addDockWidget(
+                QtCore.Qt.DockWidgetArea.BottomDockWidgetArea, dock)
+            return self.decoder_editor
 
         def render_space(self, path, **kw):
             """Export the current space with write_video (the render

@@ -544,8 +544,8 @@ def test_main_window_full_surface(tmp_path):
         window = create_main_window(app)
         assert window.central is window.document_tabs
         assert len(window.docks) == 4
-        assert [m.title for m in window.menuBar().menus] == ['&File',
-                                                            '&Edit']
+        assert [m.title for m in window.menuBar().menus] == \
+            ['&File', '&Edit', '&Tools']
 
         editor = window.new_space('cut', plugins.VideoFormat(frame_rate=24),
                                   plugins.AudioFormat(sample_rate=48000))
@@ -807,6 +807,35 @@ def test_drag_clip_into_sequence_via_widget():
         editor.undo_stack.undo()
         assert len(seq) == before
         assert clip in list(editor.space)
+    finally:
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()
+
+
+def test_main_window_tools_menus(tmp_path, monkeypatch):
+    """Tools menu opens the plugin and decoder editors (qttest.py:644-646
+    role) backed by the settings models."""
+    import fake_qt
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+    from canvas_tpu.editor import plugins as plugmod
+
+    monkeypatch.setattr(plugmod.PluginManager, 'settings_path',
+                        str(tmp_path / 'settings.json'), raising=False)
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+        assert [m.title for m in window.menuBar().menus] == \
+            ['&File', '&Edit', '&Tools']
+        window.act_edit_plugins.triggered.emit()
+        assert hasattr(window, 'plugin_editor')
+        window.act_edit_decoders.triggered.emit()
+        assert hasattr(window, 'decoder_editor')
+        # the docks rendered rows (libav plugin discovered via manifest)
+        names = [d.title for (_a, d) in window.docks]
+        assert 'Plugins' in names and 'Decoders' in names
     finally:
         qt_mod._qt = old
         fake_qt.QPainter.instances.clear()
