@@ -906,3 +906,87 @@ def test_one_item_add_seq_backwards_walk():
     assert (seq.x, seq[1].transition_length) == (-6, -1)
 
     assert manip.finish() is not None
+
+
+@pytest.mark.parametrize('seed', range(12))
+def test_random_drag_gestures_undo_redo_roundtrip(seed):
+    """Random drag gestures (space moves, sequence hovers, cancels,
+    drops) leave the model consistent: undoing everything restores the
+    initial snapshot, redoing restores the final one."""
+    import numpy as np
+
+    from canvas_tpu.editor import model, plugins
+    from canvas_tpu.editor.model.undo import UndoStack
+    from canvas_tpu.editor.ui.canvas_models import (CanvasSceneModel,
+                                                    DragController)
+
+    vf = plugins.VideoFormat(frame_rate=10)
+    af = plugins.AudioFormat(sample_rate=48000)
+
+    def snapshot(space):
+        out = []
+        for item in space:
+            row = (type(item).__name__, item.x, item.y, item.length,
+                   item.z)
+            if isinstance(item, model.Sequence):
+                row = row + tuple((si.x, si.length, si.offset,
+                                   si.transition_length) for si in item)
+            out.append(row)
+        return sorted(out, key=str)
+
+    rng = np.random.RandomState(9000 + seed)
+    space = model.Space('s', vf, af)
+    items = []
+    for i in range(rng.randint(2, 6)):
+        if rng.rand() < 0.3:
+            seq_items = [model.SequenceItem(
+                length=int(rng.randint(5, 20)), offset=0,
+                transition_length=0)
+                for _ in range(rng.randint(1, 4))]
+            items.append(model.Sequence(
+                type='video', x=int(rng.randint(0, 100)),
+                y=float(rng.randint(0, 4)), height=1.0, items=seq_items))
+        else:
+            items.append(model.Clip(
+                type='video', x=int(rng.randint(0, 100)),
+                y=float(rng.randint(0, 4)),
+                length=int(rng.randint(5, 30)), height=1.0))
+    space[0:0] = items
+    scene = CanvasSceneModel(space)
+    stack = UndoStack()
+    drag = DragController(scene, stack)
+    base = snapshot(space)
+
+    for _gesture in range(4):
+        targets = [i for i in space]
+        if not targets:
+            break
+        item = targets[rng.randint(len(targets))]
+        drag.start(item, item.x / 10.0 + 0.1, item.y)
+        for _ in range(rng.randint(1, 4)):
+            if rng.rand() < 0.3:
+                seqs = [s for s in space
+                        if isinstance(s, model.Sequence) and s is not item]
+                if seqs:
+                    s = seqs[rng.randint(len(seqs))]
+                    try:
+                        drag.move_to_sequence(
+                            s, float(rng.randint(0, 15)), s.y)
+                    except Exception:
+                        drag.move_to_space(float(rng.randint(0, 15)),
+                                           float(rng.randint(0, 4)))
+                    continue
+            drag.move_to_space(float(rng.randint(0, 15)),
+                               float(rng.randint(0, 4)))
+        if rng.rand() < 0.25:
+            drag.cancel()
+        else:
+            drag.drop()
+
+    done = snapshot(space)
+    while stack.can_undo():
+        stack.undo()
+    assert snapshot(space) == base
+    while stack.can_redo():
+        stack.redo()
+    assert snapshot(space) == done
