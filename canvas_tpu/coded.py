@@ -116,11 +116,15 @@ class PlanarReconstructionFilter(VideoSource):
     *width*/*height* declare the luma geometry for batched planning
     (read from the first frame when omitted)."""
 
-    def __init__(self, source, quality=0, width=None, height=None):
+    def __init__(self, source, quality=0, width=None, height=None,
+                 matrix='rec709'):
         if not isinstance(source, CodedImageSource):
             raise TypeError('source must be a CodedImageSource')
+        if matrix not in ('rec709', 'rec601'):
+            raise ValueError("matrix must be 'rec709' or 'rec601'")
         self.source = source
         self.quality = int(quality)
+        self.matrix = matrix
         self._size = (width, height) if width and height else None
 
     def _geometry(self):
@@ -140,7 +144,8 @@ class PlanarReconstructionFilter(VideoSource):
         frame.data, frame.current_window = chroma_ops.reconstruct_planar(
             (image[0], image[1], image[2]), frame.full_window,
             use_jax=backend.use_jax_for(
-                (4, frame.full_window.height, frame.full_window.width)))
+                (4, frame.full_window.height, frame.full_window.width)),
+            matrix=self.matrix)
 
 
 class DVSubsampleFilter(CodedImageSource):
@@ -272,7 +277,7 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=()):
     -> stack row. Returns None if any coded pull fails (callers fall
     back to host staging of the whole node).
     """
-    key = ('dvplanes', id(source))
+    key = ('dvplanes', id(source), int(quality))
     needed = [int(f) for f in ctx.frames]
     entry = cache.get(key)
     if entry is not None and all(f in entry['rows'] for f in needed):
@@ -286,7 +291,7 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=()):
                     (set(entry['rows']) if entry else set()))
     ys, cbs, crs = [], [], []
     for f in frames:
-        fkey = ('dvframe', id(source), f)
+        fkey = ('dvframe', id(source), int(quality), f)
         planes = cache.get(fkey)
         if planes is None:
             image = source.get_frame(f, quality)
@@ -388,10 +393,12 @@ def _planar_emit(self, ctx):
     from canvas_tpu.render import Node, tile_window
     from canvas_tpu.basetypes import box2i_intersect
 
-    geo = self._geometry() if self.source is not None else None
-    if geo is None:
+    if self.source is None:
         from canvas_tpu.sources import _emit_empty
         return _emit_empty(ctx)
+    geo = self._geometry()
+    if geo is None:
+        return None          # geometry unknown: host-stage the node
     yw, yh = geo
     image_box = box2i(0, 0, yw - 1, yh - 1)
     current = box2i_intersect(image_box, ctx.window)
@@ -408,6 +415,11 @@ def _planar_emit(self, ctx):
     if staged is None:
         return None
     (py, pcb, pcr), row_of = staged
+    if (int(py.shape[1]), int(py.shape[2])) != (yh, yw):
+        # Decoded plane dims disagree with the declared geometry
+        # (coded-size frames / mid-stream dimension change): the eager
+        # path reads actual shapes per frame, so fall back to it.
+        return None
     rows = np.asarray([row_of[int(f)] for f in ctx.frames], np.int32)
     ch, cw = int(pcb.shape[1]), int(pcb.shape[2])
 
@@ -415,7 +427,7 @@ def _planar_emit(self, ctx):
         'py': py, 'pcb': pcb, 'pcr': pcr, 'rows': rows,
         'uh': chroma_ops._up_matrix_generic(yw, cw),
         'uv': chroma_ops._up_matrix_generic(yh, ch),
-        'm': chroma_ops.YCBCR_TO_RGB_REC709,
+        'm': chroma_ops.ycbcr_matrix(self.matrix),
     }, windows=tile_window(current, B))
 
     sy0 = current.min.y - image_box.min.y

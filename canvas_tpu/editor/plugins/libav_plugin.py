@@ -224,12 +224,17 @@ class GenericVideoDecoderStream(plugins.VideoStream):
             info.close()
         # Prefer the planar path: staging YCbCr planes ships ~2.7x
         # fewer host->device bytes than RGBA and reconstruction (chroma
-        # upsample + matrix + transfer) runs on device. Fall back to
-        # swscale RGBA for non-planar/10-bit sources.
+        # upsample + matrix + transfer) runs on device. The matrix
+        # follows the stream's colorspace tag (601 for SD tags, else
+        # 709); full-range (jpeg/yuvj) and non-planar/10-bit sources
+        # fall back to swscale RGBA, which handles their conversion.
         try:
-            if decoder.get_frame(0) is not None:
+            color_range, colorspace = decoder.color_info()
+            if color_range != 'pc' and decoder.get_frame(0) is not None:
+                matrix = 'rec601' if colorspace == 'bt601' else 'rec709'
                 return PlanarReconstructionFilter(decoder, width=width,
-                                                  height=height)
+                                                  height=height,
+                                                  matrix=matrix)
         except (ValueError, IOError):
             pass
         return _RgbaDecoderSource(decoder, width, height)

@@ -93,10 +93,15 @@ class CanvasSceneModel:
 
     # -- hit testing ------------------------------------------------------
 
-    def item_at(self, x_seconds, y):
-        """Topmost (lowest z) item under the point."""
+    def item_at(self, x_seconds, y, exclude=()):
+        """Topmost (lowest z) item under the point; *exclude* skips
+        items (e.g. the ones being dragged, so hit tests find the drop
+        target underneath them)."""
+        exclude = set(exclude)
         hits = []
         for view in self.views.values():
+            if view.item in exclude:
+                continue
             rx, ry, rw, rh = view.rect
             if rx <= x_seconds < rx + rw and ry <= y < ry + rh:
                 hits.append(view.item)

@@ -134,10 +134,9 @@ def create_main_window(app=None, binding=None):
                 # sequence (the reference's sequence-insertion drag,
                 # manip.py set_sequence_item); otherwise move in space.
                 from canvas_tpu.editor import model as _model
-                target = self.editor.scene.item_at(x, y)
                 dragged = set(self.editor.scene.selected_items)
-                if isinstance(target, _model.Sequence) and \
-                        target not in dragged:
+                target = self.editor.scene.item_at(x, y, exclude=dragged)
+                if isinstance(target, _model.Sequence):
                     try:
                         self.editor.drag.move_to_sequence(target, x, y)
                         self.refresh()
@@ -372,15 +371,19 @@ def create_main_window(app=None, binding=None):
             from canvas_tpu.editor.ui.settings_models import \
                 PluginEditorModel
             self.plugin_editor = PluginEditorModel()
-            dock = QtWidgets.QDockWidget('Plugins')
-            widget = QtWidgets.QListWidget()
+            if not hasattr(self, 'plugin_dock'):
+                self.plugin_dock = QtWidgets.QDockWidget('Plugins')
+                self.plugin_list_widget = QtWidgets.QListWidget()
+                self.plugin_dock.setWidget(self.plugin_list_widget)
+                self.addDockWidget(
+                    QtCore.Qt.DockWidgetArea.BottomDockWidgetArea,
+                    self.plugin_dock)
+            widget = self.plugin_list_widget
+            widget.clear()
             for (_plugin, name, _desc, enabled) in \
                     self.plugin_editor.rows():
                 widget.addItem('%s [%s]' % (name,
                                             'on' if enabled else 'off'))
-            dock.setWidget(widget)
-            self.addDockWidget(
-                QtCore.Qt.DockWidgetArea.BottomDockWidgetArea, dock)
             return self.plugin_editor
 
         def edit_decoders(self, *a):
@@ -388,15 +391,19 @@ def create_main_window(app=None, binding=None):
             from canvas_tpu.editor.ui.settings_models import \
                 DecoderEditorModel
             self.decoder_editor = DecoderEditorModel()
-            dock = QtWidgets.QDockWidget('Decoders')
-            widget = QtWidgets.QListWidget()
+            if not hasattr(self, 'decoder_dock'):
+                self.decoder_dock = QtWidgets.QDockWidget('Decoders')
+                self.decoder_list_widget = QtWidgets.QListWidget()
+                self.decoder_dock.setWidget(self.decoder_list_widget)
+                self.addDockWidget(
+                    QtCore.Qt.DockWidgetArea.BottomDockWidgetArea,
+                    self.decoder_dock)
+            widget = self.decoder_list_widget
+            widget.clear()
             for (_dec, name, _urns, enabled, priority) in \
                     self.decoder_editor.rows():
                 widget.addItem('%s [prio %d%s]' % (
                     name, priority, '' if enabled else ', off'))
-            dock.setWidget(widget)
-            self.addDockWidget(
-                QtCore.Qt.DockWidgetArea.BottomDockWidgetArea, dock)
             return self.decoder_editor
 
         def render_space(self, path, **kw):

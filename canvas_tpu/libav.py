@@ -118,6 +118,9 @@ def _load():
             ctypes.c_int64, ctypes.c_int64]
         lib.cav_video_decoder_info.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(_CavStreamInfo)]
+        lib.cav_video_decoder_color_info.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
 
         lib.cav_audio_decoder_open.restype = ctypes.c_void_p
         lib.cav_audio_decoder_open.argtypes = [
@@ -348,6 +351,26 @@ class AVVideoDecoder(CodedImageSource):
             self._y[:yw * yh].reshape(yh, yw).copy(),
             self._cb[:cw * ch].reshape(ch, cw).copy(),
             self._cr[:cw * ch].reshape(ch, cw).copy()])
+
+    def color_info(self):
+        """('tv'|'pc'|'unknown', 'bt709'|'bt601'|'unknown') from the
+        stream metadata (+ the yuvj pixel-format full-range convention)
+        — drives reconstruction-path/matrix selection."""
+        lib = _load()
+        r = ctypes.c_int32()
+        sp = ctypes.c_int32()
+        lib.cav_video_decoder_color_info(self._handle, ctypes.byref(r),
+                                         ctypes.byref(sp))
+        info = _CavStreamInfo()
+        lib.cav_video_decoder_info(self._handle, ctypes.byref(info))
+        pix = info.pix_fmt.decode()
+        rng = {1: 'tv', 2: 'pc'}.get(r.value, 'unknown')
+        if rng == 'unknown' and pix.startswith('yuvj'):
+            rng = 'pc'
+        space = {1: 'bt709'}.get(sp.value)
+        if space is None and sp.value in (5, 6):   # bt470bg / smpte170m
+            space = 'bt601'
+        return rng, (space or 'unknown')
 
     def get_frame_rgba(self, frame_index, width, height):
         """Decoded frame converted to (H, W, 4) RGBA u8 (swscale)."""

@@ -36,6 +36,13 @@ DV_FULL_HEIGHT = 480
 DV_PIC_OFFSET = (0, -1)      # video_reconstruct.c:70-71
 
 # Rec. 709 YCbCr -> RGB (Poynton p. 316; video_reconstruct.c:62-66)
+# Rec. 601 YCbCr->RGB (Poynton p.305 — the matrix the reference lists
+# alongside its 709 choice, video_reconstruct.c:55-60)
+YCBCR_TO_RGB_REC601 = np.array([
+    [1.0, 0.0, 1.402],
+    [1.0, -0.344136, -0.714136],
+    [1.0, 1.772, 0.0]], dtype=np.float32)
+
 YCBCR_TO_RGB_REC709 = np.array([
     [1.0, 0.0, 1.5748],
     [1.0, -0.187324, -0.468124],
@@ -219,7 +226,11 @@ def _up_matrix_generic(n_full, n_sub):
     return W
 
 
-def reconstruct_planar_full(y_plane, cb_plane, cr_plane):
+def ycbcr_matrix(name):
+    return YCBCR_TO_RGB_REC601 if name == 'rec601' else YCBCR_TO_RGB_REC709
+
+
+def reconstruct_planar_full(y_plane, cb_plane, cr_plane, matrix='rec709'):
     """Full-frame planar YCbCr (any 8-bit subsampling with integer
     factors: 4:2:0, 4:2:2, 4:1:1, 4:4:4) -> linear RGBA f16, NumPy
     reference path. Studio-range expand, separable triangle chroma
@@ -236,7 +247,7 @@ def reconstruct_planar_full(y_plane, cb_plane, cr_plane):
     cb_full = Uv @ cb @ Uh.T
     cr_full = Uv @ cr @ Uh.T
 
-    M = YCBCR_TO_RGB_REC709
+    M = ycbcr_matrix(matrix)
     ycc = np.stack([y, cb_full, cr_full], axis=0)
     rgb = np.einsum('ij,jhw->ihw', M, ycc)
     alpha = np.ones_like(y)[None]
@@ -283,11 +294,13 @@ def _jax_reconstruct_planar():
     return _jax_planar_recon
 
 
-def reconstruct_planar(planes, full_window, use_jax=None):
+def reconstruct_planar(planes, full_window, use_jax=None,
+                       matrix='rec709'):
     """Planar YCbCr -> windowed linear RGBA f16 frame data.
 
     planes: (y, cb, cr) u8 arrays; image coordinates start at (0, 0).
-    Returns (data (4, H, W) f16, current_window)."""
+    *matrix* selects 'rec709' or 'rec601'. Returns
+    (data (4, H, W) f16, current_window)."""
     yh, yw = planes[0].shape
     image_box = box2i(0, 0, yw - 1, yh - 1)
     current = box2i_intersect(image_box, full_window)
@@ -306,9 +319,10 @@ def reconstruct_planar(planes, full_window, use_jax=None):
             jnp.asarray(planes[2]),
             jnp.asarray(_up_matrix_generic(yw, cw)),
             jnp.asarray(_up_matrix_generic(yh, ch)),
-            jnp.asarray(YCBCR_TO_RGB_REC709))
+            jnp.asarray(ycbcr_matrix(matrix)))
     else:
-        full = reconstruct_planar_full(planes[0], planes[1], planes[2])
+        full = reconstruct_planar_full(planes[0], planes[1], planes[2],
+                                       matrix=matrix)
 
     from canvas_tpu.ops import window as window_ops
     data = window_ops.place(full, image_box, full_window, current)

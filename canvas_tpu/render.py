@@ -1010,14 +1010,18 @@ class RenderPlanner:
         [x0, y0, x1, y1] (empty encoded max < min).
         """
         jax, jnp = _jx()
-        # Staging cache lives for one render call: dedups host pulls that
-        # occur in multiple children of the same plan (e.g. pulldown)
-        self._stage_cache = {}
-        self._frame_hints = {}
         self._plan_mesh = None
         outs = []
         windows = []
         for seg_start, seg_stop in self.segments(start, stop):
+            # Staging caches live for one SEGMENT (matching the
+            # streaming path's prepare()): they dedup pulls across
+            # children of the same plan (pulldown), while resetting per
+            # segment keeps device stacks segment-sized — a
+            # call-lifetime cache made multi-segment renders re-ship an
+            # ever-growing stack and recompile per segment.
+            self._stage_cache = {}
+            self._frame_hints = {}
             frames = np.arange(seg_start, seg_stop, dtype=np.int64)
             ctx = PlanContext(self, frames, self.window)
             node = ctx.plan(self.source)

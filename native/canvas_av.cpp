@@ -275,6 +275,16 @@ CAV_EXPORT void cav_video_decoder_info(CavVideoDec *d, CavStreamInfo *out) {
     cav_stream_info(reinterpret_cast<CavFormat *>(&d->fmt), d->stream, out);
 }
 
+// Color metadata for reconstruction-path selection:
+// range: AVCOL_RANGE_* (0 unspecified, 1 mpeg/studio, 2 jpeg/full)
+// space: AVCOL_SPC_* (1 bt709, 5 bt470bg, 6 smpte170m, 2 unspecified)
+CAV_EXPORT void cav_video_decoder_color_info(CavVideoDec *d, int32_t *range,
+                                             int32_t *space) {
+    AVCodecParameters *par = d->fmt->streams[d->stream]->codecpar;
+    *range = (int32_t)par->color_range;
+    *space = (int32_t)par->color_space;
+}
+
 namespace {
 
 int64_t pts_to_frame(CavVideoDec *d, int64_t pts) {
@@ -393,9 +403,14 @@ CAV_EXPORT int cav_video_decode_planar(CavVideoDec *d, int64_t frame_index,
     }
     const AVPixFmtDescriptor *desc =
         av_pix_fmt_desc_get((AVPixelFormat)d->frame->format);
+    // Require truly planar 8-bit YCbCr: semi-planar formats (NV12)
+    // pass the descriptor checks but have data[2] == NULL and would
+    // crash the chroma copy below.
     if (!desc || desc->nb_components < 3 ||
         desc->comp[0].depth != 8 ||
-        (desc->flags & AV_PIX_FMT_FLAG_RGB)) {
+        (desc->flags & AV_PIX_FMT_FLAG_RGB) ||
+        !d->frame->data[1] || !d->frame->data[2] ||
+        desc->comp[1].plane == desc->comp[2].plane) {
         av_frame_unref(d->frame);
         return -1000;
     }

@@ -441,3 +441,64 @@ def test_planar_reconstruction_filter_batched_matches_pull():
                                want.astype(np.float32), atol=1e-2)
     exact = np.mean(got.view(np.uint16) == want.view(np.uint16))
     assert exact > 0.99
+
+
+def test_planar_reconstruction_rec601_matrix():
+    """matrix='rec601' applies the 601 coefficients in both the eager
+    and batched paths (streams tagged smpte170m/bt470bg)."""
+    from canvas_tpu import render
+    from canvas_tpu.coded import (CodedImage, CodedImageSource,
+                                  PlanarReconstructionFilter)
+    from canvas_tpu.ops.chroma import reconstruct_planar_full
+
+    rng = np.random.RandomState(21)
+    y = rng.randint(16, 236, (48, 64)).astype(np.uint8)
+    cb = rng.randint(16, 241, (24, 32)).astype(np.uint8)
+    cr = rng.randint(16, 241, (24, 32)).astype(np.uint8)
+
+    out601 = reconstruct_planar_full(y, cb, cr, matrix='rec601')
+    out709 = reconstruct_planar_full(y, cb, cr, matrix='rec709')
+    assert np.abs(out601.astype(np.float32) -
+                  out709.astype(np.float32)).max() > 1e-3
+
+    class Source(CodedImageSource):
+        def get_frame(self, frame_index, quality=0):
+            return CodedImage([y, cb, cr])
+
+    filt = PlanarReconstructionFilter(Source(), matrix='rec601')
+    window = box2i(0, 0, 63, 47)
+    want = np.asarray(filt.get_frame_f16(0, window).data)
+    got = render.render_frames(filt, window, 0, 1)[0]
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=1e-2)
+
+
+def test_planar_emit_falls_back_when_geometry_unknown():
+    """A source whose frame 0 is unavailable (content starts later)
+    host-stages instead of emitting empty frames (review regression)."""
+    from canvas_tpu import render
+    from canvas_tpu.coded import (CodedImage, CodedImageSource,
+                                  PlanarReconstructionFilter)
+
+    class LateStart(CodedImageSource):
+        def get_frame(self, frame_index, quality=0):
+            if frame_index < 2:
+                return None
+            rng = np.random.RandomState(frame_index)
+            return CodedImage([
+                rng.randint(16, 236, (48, 64)).astype(np.uint8),
+                rng.randint(16, 241, (24, 32)).astype(np.uint8),
+                rng.randint(16, 241, (24, 32)).astype(np.uint8)])
+
+    filt = PlanarReconstructionFilter(LateStart())
+    window = box2i(0, 0, 63, 47)
+    want = []
+    for i in range(4):
+        frame = filt.get_frame_f16(i, window)
+        want.append(np.asarray(frame.data, np.float16)
+                    if not frame.current_window.empty()
+                    else np.zeros((4, 48, 64), np.float16))
+    got = render.render_frames(filt, window, 0, 4)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               np.stack(want).astype(np.float32),
+                               atol=1e-2)

@@ -839,3 +839,52 @@ def test_main_window_tools_menus(tmp_path, monkeypatch):
     finally:
         qt_mod._qt = old
         fake_qt.QPainter.instances.clear()
+
+
+def test_sequence_drop_when_dragged_clip_is_topmost():
+    """Hit-testing during a drag excludes the dragged items, so routing
+    into a sequence works regardless of z order (review regression:
+    with the clip above the sequence, item_at returned the clip itself
+    and sequence insertion was unreachable)."""
+    import fake_qt
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+        editor = window.new_space('ztop', plugins.VideoFormat(frame_rate=10),
+                                  plugins.AudioFormat(sample_rate=48000))
+        stream = plugins.VideoStream(
+            process.SolidColorVideoSource((1, 0, 0, 1)), range=(0, 99),
+            name='video')
+        app.asset_list['clip'] = model.RuntimeSourceAsset(
+            model.RuntimeSource('clip', {'video': stream}))
+        seq = model.Sequence(type='video', x=0, y=1.0, height=1.0,
+                             items=[model.SequenceItem(
+                                 source=model.AssetStreamRef('clip',
+                                                             'video'),
+                                 length=15, offset=0),
+                                    model.SequenceItem(
+                                 source=model.AssetStreamRef('clip',
+                                                             'video'),
+                                 length=15, offset=0)])
+        # CLIP FIRST: z=0, above the sequence
+        clip = model.Clip(type='video', x=0, y=1.0, length=10, height=1.0,
+                          source=model.AssetStreamRef('clip', 'video'))
+        editor.space[0:0] = [clip, seq]
+        assert clip.z < seq.z
+
+        (_e, widget) = window.editors['ztop']
+        widget.mouse_press(16, 18 + 24 + 4)   # grab the clip (same lane)
+        assert editor.scene.selected_items == [clip]
+        before = len(seq)
+        widget.mouse_move(112, 18 + 24 + 12)  # across the middle cut
+        widget.mouse_release(112, 18 + 24 + 12)
+        assert len(seq) == before + 1
+        assert clip not in list(editor.space)
+    finally:
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()

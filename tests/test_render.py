@@ -668,3 +668,31 @@ def test_generic_stage_dedups_pulldown_pulls():
     np.testing.assert_allclose(got.astype(np.float32),
                                want.astype(np.float32), atol=2e-3)
     assert len(pulls) == len(set(pulls)), pulls
+
+
+def test_multi_segment_render_stages_each_frame_once():
+    """render() resets the staging caches PER SEGMENT: a multi-segment
+    range over an untraceable source pulls each frame exactly once and
+    never re-ships a cumulative stack (review regression: a
+    call-lifetime cache grew O(N^2))."""
+    from canvas_tpu.frames import VideoSource
+
+    pulls = []
+
+    class Custom(VideoSource):
+        def _render_f16(self, frame_index, frame):
+            pulls.append(frame_index)
+            data = np.zeros((4, frame.full_window.height,
+                             frame.full_window.width), np.float16)
+            data[1] = (frame_index % 7) * 0.1
+            data[3] = 1.0
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    src = Custom()
+    window = box2i(0, 0, 15, 15)
+    planner = render.RenderPlanner(src, window)
+    planner.pipeline_chunk = 8           # force several segments
+    out = planner.render(0, 20)
+    assert out.shape[0] == 20
+    assert sorted(pulls) == list(range(20))
