@@ -129,6 +129,17 @@ def _load_alsa():
     if _alsa is None:
         path = ctypes.util.find_library('asound')
         _alsa = ctypes.CDLL(path) if path else False
+        if _alsa:
+            # snd_pcm_writei/snd_pcm_delay return snd_pcm_sframes_t (a
+            # long); ctypes' default c_int restype truncates on LP64.
+            _alsa.snd_pcm_open.restype = ctypes.c_int
+            _alsa.snd_pcm_set_params.restype = ctypes.c_int
+            _alsa.snd_pcm_writei.restype = ctypes.c_long
+            _alsa.snd_pcm_delay.restype = ctypes.c_int
+            _alsa.snd_pcm_recover.restype = ctypes.c_int
+            _alsa.snd_pcm_drop.restype = ctypes.c_int
+            _alsa.snd_pcm_prepare.restype = ctypes.c_int
+            _alsa.snd_pcm_close.restype = ctypes.c_int
     return _alsa
 
 

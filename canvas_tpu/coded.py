@@ -300,6 +300,14 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=()):
             planes = (np.asarray(image[0]), np.asarray(image[1]),
                       np.asarray(image[2]))
             cache[fkey] = planes
+        if ys and (planes[0].shape != ys[0].shape
+                   or planes[1].shape != cbs[0].shape
+                   or planes[2].shape != crs[0].shape):
+            # Mid-stream plane-dimension change: stack_frames would
+            # raise during planning; return None so the planner falls
+            # back to host-staging the node (the eager path reads each
+            # frame's actual shapes).
+            return None
         ys.append(planes[0])
         cbs.append(planes[1])
         crs.append(planes[2])
@@ -426,7 +434,8 @@ def _planar_emit(self, ctx):
     recon = Node('planar_recon_rows', params={
         'py': py, 'pcb': pcb, 'pcr': pcr, 'rows': rows,
         'uh': chroma_ops._up_matrix_generic(yw, cw),
-        'uv': chroma_ops._up_matrix_generic(yh, ch),
+        'uv': chroma_ops._up_matrix_generic(
+            yh, ch, siting=chroma_ops._vertical_siting(yh, ch)),
         'm': chroma_ops.ycbcr_matrix(self.matrix),
     }, windows=tile_window(current, B))
 

@@ -332,6 +332,14 @@ def create_main_window(app=None, binding=None):
 
         @property
         def current_editor(self):
+            # The editor behind the ACTIVE document tab: Undo/Redo, the
+            # undo dock, and transport must act on the space the user is
+            # looking at, not the first one opened.
+            current = self.document_tabs.currentWidget()
+            if current is not None:
+                for editor, widget in self.editors.values():
+                    if widget is current:
+                        return editor
             for editor, widget in self.editors.values():
                 return editor
             return None

@@ -201,29 +201,49 @@ def reconstruct_dv(planes, full_window, use_jax=None):
 
 # --- generic planar reconstruction (4:2:0 / 4:2:2 / 4:1:1, any size) --------
 
-def _up_matrix_generic(n_full, n_sub):
+def _up_matrix_generic(n_full, n_sub, siting=0.0):
     """(n_full, n_sub) chroma scatter matrix for an integer subsample
-    factor (co-sited with the first sample, triangle filter — the same
-    filter family the reference's DV reconstruct uses,
-    video_reconstruct.c:85-109). Factor 1 is the identity."""
-    key = ('up_generic', n_full, n_sub)
+    factor (triangle filter — the same filter family the reference's DV
+    reconstruct uses, video_reconstruct.c:85-109). Factor 1 is the
+    identity.
+
+    *siting* is the chroma sample position offset in full-resolution
+    units: 0.0 co-sites chroma with the first luma sample (DV 4:1:1 /
+    horizontal MPEG convention); 0.5 centers it between samples (the
+    MPEG-2/H.264 vertical 4:2:0 convention). Sited matrices renormalize
+    each output row to unit sum so frame edges (where part of the
+    triangle support falls outside the plane) keep full chroma weight."""
+    key = ('up_generic', n_full, n_sub, float(siting))
     W = _matrix_cache.get(key)
     if W is None:
         if n_sub <= 0:
             raise ValueError('empty chroma plane')
         factor = max(1, round(n_full / n_sub))
-        if factor == 1:
+        if factor == 1 and siting == 0.0:
             W = np.eye(n_full, n_sub, dtype=np.float32)
         else:
-            coeff, center = scale_ops.triangle_weights(float(factor), 0.0)
+            coeff, center = scale_ops.triangle_weights(float(factor),
+                                                       float(siting))
             W = np.zeros((n_full, n_sub), dtype=np.float32)
             for x in range(n_sub):
                 for k, w in enumerate(coeff):
                     i = x * factor + (k - center)
                     if 0 <= i < n_full:
                         W[i, x] += w
+            if siting != 0.0:
+                sums = W.sum(axis=1, keepdims=True)
+                W = np.where(sums > 0.0, W / np.where(sums > 0.0, sums, 1.0),
+                             W).astype(np.float32)
         _matrix_cache[key] = W
     return W
+
+
+def _vertical_siting(n_full, n_sub):
+    """Vertical chroma siting for a plane geometry: MPEG-2/H.264 4:2:0
+    centers chroma between luma rows (offset 0.5); every other common
+    geometry (4:2:2, 4:1:1, 4:4:4) is vertically co-sited."""
+    factor = max(1, round(n_full / max(1, n_sub)))
+    return 0.5 if factor == 2 else 0.0
 
 
 def ycbcr_matrix(name):
@@ -243,7 +263,7 @@ def reconstruct_planar_full(y_plane, cb_plane, cr_plane, matrix='rec709'):
     cr = _studio_chroma8_to_float(cr_plane.astype(np.float32))
 
     Uh = _up_matrix_generic(yw, cw)
-    Uv = _up_matrix_generic(yh, ch)
+    Uv = _up_matrix_generic(yh, ch, siting=_vertical_siting(yh, ch))
     cb_full = Uv @ cb @ Uh.T
     cr_full = Uv @ cr @ Uh.T
 
@@ -318,7 +338,8 @@ def reconstruct_planar(planes, full_window, use_jax=None,
             jnp.asarray(planes[0]), jnp.asarray(planes[1]),
             jnp.asarray(planes[2]),
             jnp.asarray(_up_matrix_generic(yw, cw)),
-            jnp.asarray(_up_matrix_generic(yh, ch)),
+            jnp.asarray(_up_matrix_generic(
+                yh, ch, siting=_vertical_siting(yh, ch))),
             jnp.asarray(ycbcr_matrix(matrix)))
     else:
         full = reconstruct_planar_full(planes[0], planes[1], planes[2],

@@ -1129,12 +1129,26 @@ class RenderPlanner:
         self._display_seg = None
 
     def _watch_frames_updated(self):
+        # Signal holds bound methods by WEAKREF (canvas_tpu.signal), so
+        # a dropped planner is collected normally and its slot pruned;
+        # close() disconnects eagerly for deterministic teardown.
         if getattr(self, '_watching_updates', False):
             return
         updated = getattr(self.source, 'frames_updated', None)
         if updated is not None:
             updated.connect(self.invalidate_display_cache)
         self._watching_updates = True
+
+    def close(self):
+        """Deterministic teardown: disconnect from the source's
+        frames_updated signal and drop cached plans/stages."""
+        if getattr(self, '_watching_updates', False):
+            updated = getattr(self.source, 'frames_updated', None)
+            if updated is not None:
+                updated.disconnect(self.invalidate_display_cache)
+            self._watching_updates = False
+        self._display_seg = None
+        self._stage_cache = {}
 
 
 def render_frames(source, window, start, stop, **kw):

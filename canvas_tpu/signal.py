@@ -36,10 +36,15 @@ class Signal:
         if hasattr(slot, '__self__') and slot.__self__ is not None:
             key = (slot.__func__, id(slot.__self__))
 
-            def _cleanup(_ref, self_ref=weakref.ref(self), key=key):
+            def _cleanup(ref, self_ref=weakref.ref(self), key=key):
                 inst = self_ref()
+                # Only pop the entry this dying ref created: the key is
+                # (func, id(obj)), and a new object allocated at the
+                # same id may have re-registered under it.
                 if inst is not None:
-                    inst._slots.pop(key, None)
+                    entry = inst._slots.get(key)
+                    if entry is not None and entry[1] is ref:
+                        inst._slots.pop(key, None)
 
             self._slots[key] = (slot.__func__, weakref.ref(slot.__self__, _cleanup))
         else:

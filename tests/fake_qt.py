@@ -136,10 +136,29 @@ class QTabWidget(QWidget):
     def __init__(self, parent=None):
         super().__init__(parent)
         self.tabs = []
+        self._current = 0
 
     def addTab(self, widget, label):
         self.tabs.append((widget, label))
         return len(self.tabs) - 1
+
+    def currentIndex(self):
+        return self._current if self.tabs else -1
+
+    def setCurrentIndex(self, index):
+        if 0 <= index < len(self.tabs):
+            self._current = index
+
+    def currentWidget(self):
+        if 0 <= self._current < len(self.tabs):
+            return self.tabs[self._current][0]
+        return None
+
+    def setCurrentWidget(self, widget):
+        for i, (w, _label) in enumerate(self.tabs):
+            if w is widget:
+                self._current = i
+                return
 
 
 class QListWidget(QWidget):

@@ -502,3 +502,70 @@ def test_planar_emit_falls_back_when_geometry_unknown():
     np.testing.assert_allclose(got.astype(np.float32),
                                np.stack(want).astype(np.float32),
                                atol=1e-2)
+
+
+def test_420_vertical_siting_centered():
+    """MPEG-2/H.264 4:2:0 chroma is vertically CENTERED between luma
+    rows (advisor round-2): the vertical up-matrix interpolates with
+    0.75/0.25 weights, rows renormalize to unit sum at the edges, and
+    vertically co-sited geometries (4:2:2/4:1:1) are untouched."""
+    from canvas_tpu.ops.chroma import (_up_matrix_generic,
+                                       _vertical_siting)
+
+    # 4:2:0 vertical factor 2 -> sited 0.5; 4:2:2/4:4:4 vertical -> 0.0
+    assert _vertical_siting(48, 24) == 0.5
+    assert _vertical_siting(48, 48) == 0.0
+    assert _vertical_siting(480, 480) == 0.0   # 4:1:1 (DV)
+
+    Uv = _up_matrix_generic(8, 4, siting=0.5)
+    # every output row sums to 1 (edge rows renormalized)
+    np.testing.assert_allclose(Uv.sum(axis=1), np.ones(8), atol=1e-6)
+    # interior rows: chroma row c sits at luma 2c+0.5, so luma row 1
+    # (distance 0.5 and 1.5 from chroma centers 0.5 and 2.5) mixes
+    # 0.75/0.25
+    np.testing.assert_allclose(Uv[1], [0.75, 0.25, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(Uv[2], [0.25, 0.75, 0, 0], atol=1e-6)
+    # co-sited matrix unchanged by the siting parameter default
+    Uv0 = _up_matrix_generic(8, 4)
+    np.testing.assert_allclose(Uv0[0], [1.0, 0, 0, 0], atol=1e-6)
+
+    # uniform chroma stays uniform through the sited filter (batched
+    # and eager paths share these matrices)
+    from canvas_tpu.ops.chroma import reconstruct_planar_full
+    y = np.full((48, 64), 128, np.uint8)
+    c = np.full((24, 32), 90, np.uint8)
+    out = reconstruct_planar_full(y, c, c).astype(np.float32)
+    # (the co-sited HORIZONTAL matrix keeps the reference's triangle
+    # edge behavior, so exclude the last column from the check)
+    for ch in range(3):
+        np.testing.assert_allclose(out[ch][:, :-1], out[ch][0, 0],
+                                   rtol=2e-3)
+
+
+def test_planar_stack_midstream_shape_change_falls_back():
+    """A mid-segment plane-dimension change must not blow up the
+    batched planner: the device plane stack bails and the node is
+    host-staged, matching the eager pull path (advisor round-2)."""
+    from canvas_tpu import render
+    from canvas_tpu.coded import (CodedImage, CodedImageSource,
+                                  PlanarReconstructionFilter)
+
+    class ShapeShift(CodedImageSource):
+        def get_frame(self, frame_index, quality=0):
+            rng = np.random.RandomState(frame_index)
+            if frame_index < 2:
+                shapes = ((96, 128), (48, 64))
+            else:
+                shapes = ((48, 64), (24, 32))
+            return CodedImage([
+                rng.randint(16, 236, shapes[0]).astype(np.uint8),
+                rng.randint(16, 241, shapes[1]).astype(np.uint8),
+                rng.randint(16, 241, shapes[1]).astype(np.uint8)])
+
+    filt = PlanarReconstructionFilter(ShapeShift(), width=128, height=96)
+    window = box2i(0, 0, 127, 95)
+    want = np.stack([np.asarray(filt.get_frame_f16(i, window).data,
+                                np.float16) for i in range(4)])
+    got = render.render_frames(filt, window, 0, 4)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=1e-2)

@@ -888,3 +888,40 @@ def test_sequence_drop_when_dragged_clip_is_topmost():
     finally:
         qt_mod._qt = old
         fake_qt.QPainter.instances.clear()
+
+
+def test_current_editor_follows_active_tab():
+    """Undo/Redo and transport act on the ACTIVE document tab, not the
+    first space opened (advisor round-2)."""
+    import fake_qt
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+        vf = plugins.VideoFormat(frame_rate=24)
+        af = plugins.AudioFormat(sample_rate=48000)
+        ed_a = window.new_space('a', vf, af)
+        ed_b = window.new_space('b', vf, af)
+        # Qt activates the first tab added by default
+        assert window.current_editor is ed_a
+
+        window.document_tabs.setCurrentWidget(window.editors['b'][1])
+        assert window.current_editor is ed_b
+
+        # an edit + menu undo act on the active space only
+        clip = model.Clip(type='video', x=5, y=0.0, length=10, height=1.0)
+        ed_b.space[0:0] = [clip]
+        from canvas_tpu.editor.model import MoveItemCommand
+        ed_b.undo_stack.push(MoveItemCommand(clip, x=9, y=0.0))
+        assert clip.x == 9
+        window.act_undo.triggered.emit()
+        assert clip.x == 5
+
+        window.closeEvent(None)
+    finally:
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()

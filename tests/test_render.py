@@ -696,3 +696,32 @@ def test_multi_segment_render_stages_each_frame_once():
     out = planner.render(0, 20)
     assert out.shape[0] == 20
     assert sorted(pulls) == list(range(20))
+
+
+def test_planner_close_disconnects_frames_updated():
+    """render_display subscribes to the source's frames_updated;
+    close() disconnects eagerly (and the Signal holds the planner only
+    weakly, so dropped planners never leak — advisor round-2)."""
+    import gc
+
+    from canvas_tpu.signal import Signal
+    from canvas_tpu.sources import SolidColorVideoSource
+
+    src = SolidColorVideoSource((0.5, 0.25, 0.125, 1.0))
+    src.frames_updated = Signal()
+    window = box2i(0, 0, 31, 15)
+
+    planner = render.RenderPlanner(src, window)
+    planner.render_display(0)
+    assert len(src.frames_updated) == 1
+    planner.close()
+    assert len(src.frames_updated) == 0
+
+    # weakref path: a dropped planner's slot prunes itself
+    planner2 = render.RenderPlanner(src, window)
+    planner2.render_display(0)
+    assert len(src.frames_updated) == 1
+    del planner2
+    gc.collect()
+    src.frames_updated.fire()
+    assert len(src.frames_updated) == 0
