@@ -145,3 +145,28 @@ def asnumpy(arr):
     if isinstance(arr, np.ndarray):
         return arr
     return np.asarray(arr)
+
+
+# --- staging transfer accounting --------------------------------------------
+
+#: Cumulative host->device staging bytes (frame/plane stacks shipped by
+#: the render planner). Tests use this to assert that cached replays
+#: cross the link zero times; benchmarks report it per config.
+transfer_stats = {'h2d_bytes': 0, 'h2d_calls': 0}
+
+
+def stage_to_device(host_array, mesh=None):
+    """device_put for STAGED render inputs, with transfer accounting.
+
+    All planner staging (frame stacks, coded plane stacks) goes through
+    here so `transfer_stats` reflects real H2D traffic; replicates over
+    *mesh* when sharded programs will consume the array."""
+    ensure_initialized()
+    _load_jax()
+    transfer_stats['h2d_bytes'] += int(host_array.nbytes)
+    transfer_stats['h2d_calls'] += 1
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        return _jax.device_put(
+            host_array, NamedSharding(mesh, PartitionSpec()))
+    return _jax.device_put(host_array)

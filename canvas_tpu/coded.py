@@ -277,7 +277,8 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=()):
     -> stack row. Returns None if any coded pull fails (callers fall
     back to host staging of the whole node).
     """
-    key = ('dvplanes', id(source), int(quality))
+    mesh = getattr(ctx.planner, '_plan_mesh', None)
+    key = ('dvplanes', id(source), int(quality), mesh)
     needed = [int(f) for f in ctx.frames]
     entry = cache.get(key)
     if entry is not None and all(f in entry['rows'] for f in needed):
@@ -287,8 +288,24 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=()):
     hinted = set()
     for hid in tuple(hint_ids) + (id(source),):
         hinted.update(int(h) for h in all_hints.get(hid, ()))
+
+    persist = ctx.planner.persistent_cache
+    if entry is None:
+        # replay hit: a loop/scrub over an already-staged segment keeps
+        # its device plane stacks alive — zero decode, zero H2D
+        got_p = persist.get(key + (tuple(sorted(set(needed) | hinted)),),
+                            source)
+        if got_p is not None:
+            cache[key] = got_p
+            return got_p['stacks'], got_p['rows']
+
     frames = sorted(set(needed) | hinted |
                     (set(entry['rows']) if entry else set()))
+    pkey = key + (tuple(frames),)
+    got_p = persist.get(pkey, source)
+    if got_p is not None:
+        cache[key] = got_p
+        return got_p['stacks'], got_p['rows']
     ys, cbs, crs = [], [], []
     for f in frames:
         fkey = ('dvframe', id(source), int(quality), f)
@@ -323,19 +340,14 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=()):
 
     from canvas_tpu.render import stack_frames
     backend.ensure_initialized()
-    jax = backend.jax
     host = (stack_frames(ys), stack_frames(cbs), stack_frames(crs))
-    mesh = getattr(ctx.planner, '_plan_mesh', None)
-    if mesh is not None:
-        # Sharded programs declare replicated in_shardings for the
-        # stacks; commit them replicated so jit accepts them.
-        from jax.sharding import NamedSharding, PartitionSpec
-        target = NamedSharding(mesh, PartitionSpec())
-        stacks = tuple(jax.device_put(s, target) for s in host)
-    else:
-        stacks = tuple(jax.device_put(s) for s in host)
+    # stage_to_device commits replicated over the mesh (sharded
+    # programs declare replicated in_shardings for the stacks) and
+    # counts the H2D bytes.
+    stacks = tuple(backend.stage_to_device(s, mesh) for s in host)
     row_of = {f: i for i, f in enumerate(frames)}
-    cache[key] = {'stacks': stacks, 'rows': row_of}
+    entry = cache[key] = {'stacks': stacks, 'rows': row_of}
+    persist.put(pkey, source, entry, sum(s.nbytes for s in host))
     return stacks, row_of
 
 

@@ -209,6 +209,64 @@ def rel_box_array(windows, full):
     return out
 
 
+class StageLRU:
+    """Persistent device-resident staging cache (planner lifetime).
+
+    The per-segment staging caches dedup pulls *within* one plan, but
+    reset every segment — so a looped or scrubbed-over range re-decodes
+    and re-crosses the host link on every pass (round-2 verdict: the
+    reference's render-ahead ring keeps recent frames resident,
+    widget_gl.c:25,204-230; here the equivalent is keeping staged
+    device stacks alive across plans). Entries are keyed by
+    (kind, source, window/quality, frame-tuple) — segment-granular, so
+    stack shapes stay stable and compiled programs are shared — and
+    evicted LRU by device bytes. A weakref guards against id() reuse:
+    an entry only hits while its source object is still alive.
+
+    Invalidation: the planner clears the cache on the source's
+    ``frames_updated`` signal (a graph edit re-stages everything).
+    """
+
+    def __init__(self, budget_bytes):
+        from collections import OrderedDict
+        self._entries = OrderedDict()
+        self.budget = int(budget_bytes)
+        self.bytes = 0
+
+    def get(self, key, source):
+        entry = self._entries.get(key)
+        if entry is None:
+            return None
+        if entry['ref']() is not source:
+            # id() reuse after the original source died: stale entry
+            self.bytes -= entry['nbytes']
+            del self._entries[key]
+            return None
+        self._entries.move_to_end(key)
+        return entry['value']
+
+    def put(self, key, source, value, nbytes):
+        import weakref
+        old = self._entries.pop(key, None)
+        if old is not None:
+            self.bytes -= old['nbytes']
+        nbytes = int(nbytes)
+        while self._entries and self.bytes + nbytes > self.budget:
+            _k, dropped = self._entries.popitem(last=False)
+            self.bytes -= dropped['nbytes']
+        if nbytes <= self.budget:
+            self._entries[key] = {'ref': weakref.ref(source),
+                                  'value': value, 'nbytes': nbytes}
+            self.bytes += nbytes
+
+    def clear(self):
+        self._entries.clear()
+        self.bytes = 0
+
+    def __len__(self):
+        return len(self._entries)
+
+
 class PlanContext:
     """Planning context handed to ``VideoSource.emit``.
 
@@ -259,50 +317,59 @@ class PlanContext:
             cache = getattr(self.planner, '_stage_cache', None)
             if cache is None:
                 cache = self.planner._stage_cache = {}
+            persist = self.planner.persistent_cache
+            mesh = getattr(self.planner, '_plan_mesh', None)
             key = ('framestack', id(source),
                    (self.window.min.x, self.window.min.y,
-                    self.window.max.x, self.window.max.y))
+                    self.window.max.x, self.window.max.y), mesh)
             needed = [int(f) for f in self.frames]
+            hints = getattr(self.planner, '_frame_hints', {})
+            hinted = set(int(h) for h in hints.get(id(source), ()))
             entry = cache.get(key)
+            if entry is None:
+                # replay hit: the same segment staged on an earlier
+                # pass keeps its device stack alive (zero decode, zero
+                # H2D on a loop/scrub-over)
+                entry = persist.get(key + (tuple(sorted(set(needed)
+                                                        | hinted)),),
+                                    source)
+                if entry is not None:
+                    cache[key] = entry
             if entry is None or not all(f in entry['rows']
                                         for f in needed):
-                hints = getattr(self.planner, '_frame_hints', {})
-                hinted = set(int(h) for h in hints.get(id(source), ()))
                 frames = sorted(set(needed) | hinted |
                                 (set(entry['rows']) if entry else set()))
-                datas = []
-                windows = {}
-                with backend.force_backend('numpy'):
-                    for f in frames:
-                        fkey = ('stagedframe', id(source), f) + key[2:]
-                        got = cache.get(fkey)
-                        if got is None:
-                            frame = source.get_frame_f16(f, self.window)
-                            w = frame.current_window
-                            got = (np.asarray(frame.data, np.float16),
-                                   (w.min.x, w.min.y, w.max.x, w.max.y)
-                                   if not w.empty() else (0, 0, -1, -1))
-                            cache[fkey] = got
-                        datas.append(got[0])
-                        windows[f] = got[1]
-                pad = (-len(frames)) % 8
-                if pad:
-                    datas.extend([datas[-1]] * pad)
-                backend.ensure_initialized()
-                jax, _jnp = _jx()
-                host = stack_frames(datas)
-                mesh = getattr(self.planner, '_plan_mesh', None)
-                if mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec
-                    stack = jax.device_put(
-                        host, NamedSharding(mesh, PartitionSpec()))
+                pkey = key + (tuple(frames),)
+                got_p = persist.get(pkey, source)
+                if got_p is not None:
+                    entry = cache[key] = got_p
                 else:
-                    stack = jax.device_put(host)
-                entry = cache[key] = {
-                    'stack': stack,
-                    'rows': {f: i for i, f in enumerate(frames)},
-                    'windows': windows,
-                }
+                    datas = []
+                    windows = {}
+                    with backend.force_backend('numpy'):
+                        for f in frames:
+                            fkey = ('stagedframe', id(source), f) + key[2:3]
+                            got = cache.get(fkey)
+                            if got is None:
+                                frame = source.get_frame_f16(f, self.window)
+                                w = frame.current_window
+                                got = (np.asarray(frame.data, np.float16),
+                                       (w.min.x, w.min.y, w.max.x, w.max.y)
+                                       if not w.empty() else (0, 0, -1, -1))
+                                cache[fkey] = got
+                            datas.append(got[0])
+                            windows[f] = got[1]
+                    pad = (-len(frames)) % 8
+                    if pad:
+                        datas.extend([datas[-1]] * pad)
+                    host = stack_frames(datas)
+                    stack = backend.stage_to_device(host, mesh)
+                    entry = cache[key] = {
+                        'stack': stack,
+                        'rows': {f: i for i, f in enumerate(frames)},
+                        'windows': windows,
+                    }
+                    persist.put(pkey, source, entry, host.nbytes)
             B = len(self.frames)
             rows = np.asarray([entry['rows'][f] for f in needed], np.int32)
             win_arr = np.asarray([entry['windows'][f] for f in needed],
@@ -843,6 +910,21 @@ class RenderPlanner:
         self.source = source
         self.window = box2i(window)
 
+    #: Device-byte budget for the persistent staging cache
+    #: (CANVAS_STAGE_CACHE_MB env overrides; 0 disables).
+    stage_cache_mb = None
+
+    @property
+    def persistent_cache(self):
+        cache = getattr(self, '_persistent_cache', None)
+        if cache is None:
+            import os
+            mb = self.stage_cache_mb
+            if mb is None:
+                mb = float(os.environ.get('CANVAS_STAGE_CACHE_MB', '1536'))
+            cache = self._persistent_cache = StageLRU(mb * (1 << 20))
+        return cache
+
     #: Planning-span cap: structure segments longer than this split into
     #: chunks. Bounds host staging memory (a staged 4K source plans
     #: ~33 MB/frame before the first dispatch) and time-to-first-frame
@@ -909,6 +991,7 @@ class RenderPlanner:
         # First JAX touch must happen on the main thread (axon init
         # hangs on workers); prepare() below device_puts from the pool.
         backend.ensure_initialized()
+        self._watch_frames_updated()
         jax, jnp = _jx()
         if mesh is not None and batch % mesh.shape[axis] != 0:
             raise ValueError('batch %d not divisible by %d shards'
@@ -1011,6 +1094,7 @@ class RenderPlanner:
         """
         jax, jnp = _jx()
         self._plan_mesh = None
+        self._watch_frames_updated()
         outs = []
         windows = []
         for seg_start, seg_stop in self.segments(start, stop):
@@ -1042,7 +1126,7 @@ class RenderPlanner:
         return out
 
     def render_display(self, frame_index, order=(2, 1, 0, 3),
-                       intent=None):
+                       intent=None, display_size=None):
         """Low-latency single-frame display pull.
 
         ONE warm compiled program renders the frame AND converts it to
@@ -1055,6 +1139,14 @@ class RenderPlanner:
         contract, gammatab.c:12-37); a float uses the widget_gl
         soft-mode conversion — sRGB transfer then that rendering
         intent (widget_gl.c:291-308, default there 1.25).
+
+        display_size=(w, h) resamples to the VIEWPORT on device before
+        the u8 conversion (linear-light triangle filter, the same FIR
+        family as VideoScaler) and fetches only w*h*4 bytes — the
+        reference's soft mode paints at widget size, not source size
+        (widget_gl.c:793-816), and on a remote-attached device the
+        fetch is the dominant cost of a scrub (a 1080p frame is 8.3 MB;
+        a 960x540 viewport is 2.1 MB). Returns (h, w, 4) uint8.
 
         Scrub-friendly: the containing pipeline-chunk segment is
         planned ONCE and cached (including any device-staged coded
@@ -1092,16 +1184,25 @@ class RenderPlanner:
                 'sig1': _sliced_signature(node, hi - lo, 1),
             }
 
+        if display_size is not None:
+            display_size = (int(display_size[0]), int(display_size[1]))
         key = (seg['sig1'], 'display', tuple(order),
-               None if intent is None else float(intent))
+               None if intent is None else float(intent), display_size)
         with _program_lock:
             fn = _program_cache.get(key)
         if fn is None:
             sig = seg['sig1']
 
-            def run(params_list):
+            def run(params_list, resample):
                 it = iter(params_list)
-                out = _eval(sig, it, jnp, jax).astype(jnp.float16)
+                out = _eval(sig, it, jnp, jax)
+                if resample is not None:
+                    dy, dx = resample
+                    out = jnp.einsum('yh,bchw->bcyw', dy, out,
+                                     preferred_element_type=jnp.float32)
+                    out = jnp.einsum('xw,bcyw->bcyx', dx, out,
+                                     preferred_element_type=jnp.float32)
+                out = out.astype(jnp.float16)
                 if intent is None:
                     return color_ops._u8_device(out, tuple(order))
                 return color_ops.display_u8_device(out, float(intent),
@@ -1121,12 +1222,41 @@ class RenderPlanner:
             {k: (cut(v, _BATCH_AXIS.get(op, 0))
                  if k in _frame_params(op) else v)
              for k, v in p.items()}
-            for p, op in zip(seg['params'], seg['ops'])]))
+            for p, op in zip(seg['params'], seg['ops'])],
+            self._display_matrices(display_size)))
         return flat.reshape(flat.shape[1], -1, 4)
 
+    def _display_matrices(self, display_size):
+        """(Dy (dh, H), Dx (dw, W)) viewport-resample matrices for this
+        planner's window, device-committed and cached per size; None
+        for full-size display. Triangle FIR (filter.c:24-77 family),
+        anchored at the window origin like VideoScaler's point
+        convention."""
+        if display_size is None:
+            return None
+        cache = getattr(self, '_display_mats', None)
+        if cache is None:
+            cache = self._display_mats = {}
+        got = cache.get(display_size)
+        if got is None:
+            from canvas_tpu.ops import scale as scale_ops
+            jax, _jnp = _jx()
+            dw, dh = display_size
+            H, W = self.window.height, self.window.width
+            Dy, _t = scale_ops.axis_matrix(dh / H, 0, dh - 1, 0, H - 1,
+                                           0.0, 0.0)
+            Dx, _t = scale_ops.axis_matrix(dw / W, 0, dw - 1, 0, W - 1,
+                                           0.0, 0.0)
+            got = cache[display_size] = (jax.device_put(Dy),
+                                         jax.device_put(Dx))
+        return got
+
     def invalidate_display_cache(self, *args):
-        """Drop the cached single-frame display plan (graph changed)."""
+        """Drop cached plans and staged device data (graph changed)."""
         self._display_seg = None
+        cache = getattr(self, '_persistent_cache', None)
+        if cache is not None:
+            cache.clear()
 
     def _watch_frames_updated(self):
         # Signal holds bound methods by WEAKREF (canvas_tpu.signal), so
@@ -1149,6 +1279,9 @@ class RenderPlanner:
             self._watching_updates = False
         self._display_seg = None
         self._stage_cache = {}
+        cache = getattr(self, '_persistent_cache', None)
+        if cache is not None:
+            cache.clear()
 
 
 def render_frames(source, window, start, stop, **kw):
