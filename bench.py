@@ -100,16 +100,42 @@ def main():
     def probe(x):
         return jnp.sum(x[:, :, ::101, ::97].astype(jnp.float32))
 
+    # Health gate (round-3 integrity harness): refuse to time against a
+    # collapsed tunnel — a small matmul + one scalar fetch must answer
+    # promptly before each timed rep.
+    health_mat = jnp.ones((256, 256), jnp.float32)
+
+    @jax.jit
+    def health_mm(x):
+        return jnp.sum(x @ x)
+
+    def health_gate(limit=0.5, max_wait=600.0):
+        deadline = time.time() + max_wait
+        while True:
+            t0 = time.perf_counter()
+            float(health_mm(health_mat))
+            if time.perf_counter() - t0 < limit:
+                return
+            if time.time() > deadline:
+                raise RuntimeError('tunnel degraded')
+            time.sleep(10.0)
+
+    float(health_mm(health_mat))      # compile
+    health_gate()
+
     # Warmup / compile
     for (_s, _n, out) in planner.iter_batches(0, warm_frames, batch=batch):
         float(probe(out))
 
     # Timed: steady-state batched rendering (plan each structure segment
     # once, stream fixed-size batches through the compiled program).
-    # Two reps, best-of: the first rep pays one-time transport ramp-up.
+    # Three reps, best-of, each health-gated: the first rep pays
+    # one-time transport ramp-up and a stalled-tunnel rep cannot become
+    # the recorded number.
     fps = 0.0
     start = warm_frames
-    for _rep in range(2):
+    for _rep in range(3):
+        health_gate()
         t0 = time.perf_counter()
         last = None
         for (_s, _n, out) in planner.iter_batches(

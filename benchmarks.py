@@ -12,7 +12,14 @@ script measures the whole matrix and writes BENCHMARKS.md. Configs:
    render_sharded is validated in __graft_entry__.dryrun_multichip).
 
 Also reports p50 single-frame pull latency on config 4 (BASELINE's
-second metric).
+second metric) — full-frame and viewport-sized — plus cached-replay
+throughput on the mixed-content timeline (config 7b).
+
+Integrity harness (round-3 verdict item 5): every config is gated by a
+tunnel health check (small matmul + one scalar fetch), measured as
+median-of-3 with the spread recorded, and re-run once when the spread
+indicates a mid-run tunnel collapse. Results rows are
+``median (min..max)``.
 """
 
 import json
@@ -23,6 +30,11 @@ import time
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/canvas_tpu_jax_cache')
 
 import numpy as np
+
+#: Accept a sample set when (max-min)/median is below this; otherwise
+#: the tunnel collapsed mid-run and the config re-runs once.
+SPREAD_LIMIT = 0.6
+HEALTH_RTT_LIMIT = 0.5           # seconds for a 256x256 matmul + fetch
 
 
 def _probe():
@@ -39,6 +51,46 @@ def _probe():
         return jnp.sum(x[(slice(None), slice(None)) + idx]
                        .astype(jnp.float32))
     return probe
+
+
+def health_gate(max_wait=600.0):
+    """Block until the tunnel answers a small matmul + scalar fetch
+    within HEALTH_RTT_LIMIT. Returns the measured RTT; raises after
+    max_wait of sustained degradation."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((256, 256), jnp.float32)
+
+    @jax.jit
+    def mm(x):
+        return jnp.sum(x @ x)
+
+    float(mm(a))                 # compile (cached after first call)
+    deadline = time.time() + max_wait
+    while True:
+        t0 = time.perf_counter()
+        float(mm(a))
+        rtt = time.perf_counter() - t0
+        if rtt < HEALTH_RTT_LIMIT:
+            return rtt
+        if time.time() > deadline:
+            raise RuntimeError('tunnel degraded: health RTT %.1f s' % rtt)
+        time.sleep(10.0)
+
+
+def median_of(fn, n=3):
+    """Median-of-n with collapse detection: re-runs the sample set once
+    if the spread exceeds SPREAD_LIMIT (a mid-run tunnel stall).
+    Returns (median, lo, hi)."""
+    for _attempt in range(2):
+        health_gate()
+        vals = sorted(float(fn()) for _ in range(n))
+        med = vals[n // 2]
+        spread = (vals[-1] - vals[0]) / med if med else 1.0
+        if spread <= SPREAD_LIMIT:
+            break
+    return med, vals[0], vals[-1]
 
 
 def timeit_batches(planner, batch, n_frames, start=0):
@@ -114,35 +166,49 @@ def config3():
 
     src = Pulldown23RemovalFilter(DVReconstructionFilter(Source()), 0)
     planner = render.RenderPlanner(src, box2i(0, -1, 719, 478))
+    planner.stage_cache_mb = 0       # measure the staging path itself
     return timeit_batches(planner, 16, 128)
 
 
-def config4():
-    """10-layer 1080p timeline (the bench.py headline)."""
+def _config4_graph():
     import bench
     from canvas_tpu import render
     from canvas_tpu.basetypes import box2i
 
     ws = bench.build_timeline()
-    planner = render.RenderPlanner(ws, box2i(0, 0, 1919, 1079))
-    fps = timeit_batches(planner, 16, 128)
+    return render.RenderPlanner(ws, box2i(0, 0, 1919, 1079))
 
-    # p50 single-frame pull latency on the same graph: the low-latency
-    # display path (render_display — one warm fused program rendering +
-    # converting to u8 BGRA on device, single u8 fetch; what a playback
-    # surface waits for). Warm the program first so we measure steady
-    # state, not compilation.
-    planner.render_display(199)
-    lat = []
-    for i in range(20):
-        t0 = time.perf_counter()
-        planner.render_display(200 + i)
-        lat.append(time.perf_counter() - t0)
-    return fps, float(np.percentile(lat, 50) * 1e3)
+
+def config4():
+    """10-layer 1080p timeline (the bench.py headline)."""
+    planner = _config4_graph()
+    return timeit_batches(planner, 32, 256)
+
+
+def config4_p50(display_size=None):
+    """p50 single-frame pull latency on the headline graph through the
+    low-latency display path (render_display — one warm fused program
+    rendering + converting to u8 BGRA on device, single u8 fetch; what
+    a playback surface waits for). display_size fetches a viewport-
+    sized frame (the reference's soft mode paints at widget size,
+    widget_gl.c:793-816)."""
+    planner = _config4_graph()
+    planner.render_display(199, display_size=display_size)   # warm
+
+    def once():
+        lat = []
+        for i in range(20):
+            t0 = time.perf_counter()
+            planner.render_display(200 + i, display_size=display_size)
+            lat.append(time.perf_counter() - t0)
+        return float(np.percentile(lat, 50) * 1e3)
+    return once
 
 
 def config5():
-    """Frame-parallel sharded render (all local devices)."""
+    """Frame-parallel sharded render (all local devices) — since
+    round 3 a thin collector over the same streaming executor, so a
+    1-device mesh matches plain iter_batches."""
     import bench
     from canvas_tpu import render
     from canvas_tpu.basetypes import box2i
@@ -173,13 +239,9 @@ def config5():
 def config6():
     """4K (2160p) 10-layer export-shaped path: streaming render +
     device u8 conversion (what write_video fetches per batch)."""
-    import jax
-    import jax.numpy as jnp
-
     import bench
     from canvas_tpu import render
     from canvas_tpu.basetypes import box2i
-    from canvas_tpu.ops import color as color_ops
 
     ws = bench.build_timeline()
     planner = render.RenderPlanner(ws, box2i(0, 0, 3839, 2159))
@@ -202,15 +264,12 @@ def config6():
     return run_range()
 
 
-def config7():
-    """Mixed-content 10-layer 1080p timeline: 3 of the 10 layers are
-    STAGED coded video (DV 4:1:1 reconstruct -> scaler), the rest
-    solids/gain/crossfade — so the number cannot be carried by the
-    solid_stack fusion alone (VERDICT round-1 item 3). Coded planes
-    differ per frame (rolled), so every frame's planes really cross
-    host->device."""
+def _mixed_timeline(length=256):
+    """10-layer 1080p with 3 STAGED coded DV layers (reconstruct ->
+    scaler), the rest solids/gain/crossfade; coded planes differ per
+    frame (rolled), so every unique frame's planes really cross
+    host->device once."""
     import bench
-    from canvas_tpu import render
     from canvas_tpu.basetypes import box2i
     from canvas_tpu.coded import (CodedImage, CodedImageSource,
                                   DVReconstructionFilter)
@@ -228,9 +287,7 @@ def config7():
                                np.roll(cb, frame_index, axis=0),
                                np.roll(cr, frame_index, axis=0)])
 
-    length = 256
     ws = bench.build_timeline(length)
-    # Replace three solid layers (z=2,4,6) with scaled DV clips
     for z, (tx, ty) in zip((2, 4, 6), ((0, 0), (640, 120), (960, 480))):
         clip = VideoScaler(
             DVReconstructionFilter(Rolled()),
@@ -241,18 +298,50 @@ def config7():
         for item in [it for it in ws if it.z == z]:
             ws.remove(item)
         ws.add(source=clip, x=0, length=length, z=z)
+    return ws
 
+
+def config7():
+    """Mixed-content first pass (tunnel-bound: every unique coded frame
+    crosses H2D once)."""
+    from canvas_tpu import render
+    from canvas_tpu.basetypes import box2i
+
+    ws = _mixed_timeline()
     planner = render.RenderPlanner(ws, box2i(0, 0, 1919, 1079))
+    planner.stage_cache_mb = 0       # force fresh staging per pass
     return timeit_batches(planner, 16, 128)
+
+
+def config7b():
+    """Mixed-content CACHED REPLAY: the second loop over the same range
+    hits the persistent device staging cache (zero decode, zero H2D) —
+    what a looped or scrubbed-over playback sees (round-3 verdict
+    item 3; target >= realtime ~30 fps)."""
+    from canvas_tpu import render
+    from canvas_tpu.basetypes import box2i
+
+    ws = _mixed_timeline()
+    planner = render.RenderPlanner(ws, box2i(0, 0, 1919, 1079))
+    probe = _probe()
+
+    def run_range():
+        t0 = time.perf_counter()
+        last = None
+        for (_s, _n, out) in planner.iter_batches(0, 128, batch=16):
+            last = out
+        float(probe(last))
+        return 128 / (time.perf_counter() - t0)
+
+    run_range()            # first pass: stages everything + compiles
+    return run_range       # subsequent passes replay from HBM
 
 
 def config8(tmp='/tmp/canvas_bench_1080p.avi'):
     """Real decoded 1080p playback through the planar staging path
     (decode on host -> YCbCr planes staged once per segment to device
-    -> reconstruction + transfer on device). The round-1 RGBA staging
-    measured ~1/14th of this through the same tunnel."""
+    -> reconstruction + transfer on device)."""
     import fractions
-    import os
 
     from canvas_tpu import libav, render
     from canvas_tpu.basetypes import box2i
@@ -270,6 +359,7 @@ def config8(tmp='/tmp/canvas_bench_1080p.avi'):
     filt = PlanarReconstructionFilter(libav.AVVideoDecoder(tmp),
                                       width=1920, height=1080)
     planner = render.RenderPlanner(filt, box2i(0, 0, 1919, 1079))
+    planner.stage_cache_mb = 0
     return timeit_batches(planner, 8, 48)
 
 
@@ -277,31 +367,44 @@ def main():
     import jax
 
     results = {}
-    results['config1_720p_single_clip_fps'] = round(config1(), 1)
-    results['config2_1080p_crossfade_fps'] = round(config2(), 1)
-    results['config3_dv_reconstruct_pulldown_fps'] = round(config3(), 1)
-    fps4, p50 = config4()
-    results['config4_10layer_1080p_fps'] = round(fps4, 1)
-    results['config4_single_frame_p50_ms'] = round(p50, 2)
-    results['config5_sharded_fps_%d_devices' % len(jax.devices())] = \
-        round(config5(), 1)
-    results['config6_4k_10layer_export_path_fps'] = round(config6(), 1)
-    results['config7_mixed_content_10layer_fps'] = round(config7(), 1)
-    results['config8_1080p_decoded_planar_fps'] = round(config8(), 1)
 
-    print(json.dumps(results, indent=1))
+    def measure(key, fn, n=3):
+        med, lo, hi = median_of(fn, n)
+        results[key] = (round(med, 2), round(lo, 2), round(hi, 2))
+        print('%-44s %10.2f  (%.2f .. %.2f)'
+              % (key, med, lo, hi), flush=True)
+
+    measure('config1_720p_single_clip_fps', config1)
+    measure('config2_1080p_crossfade_fps', config2)
+    measure('config3_dv_reconstruct_pulldown_fps', config3)
+    measure('config4_10layer_1080p_fps', config4)
+    measure('config4_single_frame_p50_ms', config4_p50())
+    measure('config4_viewport_960x540_p50_ms',
+            config4_p50(display_size=(960, 540)))
+    measure('config5_sharded_fps_%d_devices' % len(jax.devices()),
+            config5)
+    measure('config6_4k_10layer_export_path_fps', config6)
+    measure('config7_mixed_content_10layer_fps', config7)
+    measure('config7b_mixed_content_cached_replay_fps', config7b())
+    measure('config8_1080p_decoded_planar_fps', config8)
+
+    print(json.dumps({k: v[0] for k, v in results.items()}, indent=1))
 
     with open('BENCHMARKS.md', 'w') as f:
         f.write('# Benchmark results (BASELINE.md configs)\n\n')
         f.write('Device: %s x%d\n\n' % (jax.devices()[0].device_kind,
                                         len(jax.devices())))
-        f.write('| Config | Result |\n|---|---|\n')
-        for key, value in results.items():
-            f.write('| %s | %s |\n' % (key, value))
+        f.write('| Config | median | min..max |\n|---|---|---|\n')
+        for key, (med, lo, hi) in results.items():
+            f.write('| %s | %s | %s .. %s |\n' % (key, med, lo, hi))
         f.write('\nHeadline metric: see bench.py / BENCH_r*.json. '
                 'The reference publishes no numbers (BASELINE.md); its '
                 'implied target is ~30 fps realtime DV playback. '
                 'Measured C-kernel baselines: cbaseline/README.md.\n\n'
+                'Integrity: every config is health-gated (256x256 '
+                'matmul + scalar fetch must answer in <0.5 s), measured '
+                'median-of-3, and re-run once if the sample spread '
+                'exceeds 60% (a mid-run tunnel collapse).\n\n'
                 'Measurement: on this rig block_until_ready() returns '
                 'before remote execution finishes, so every timing '
                 'probes the LAST dispatched output with a device-side '
@@ -310,10 +413,13 @@ def main():
                 'pure fetch-RTT) — numbers are forced-execution '
                 'honest.\n\n'
                 'Note: this rig reaches the TPU through a network tunnel '
-                '(~30 ms RTT per host fetch, ~80 MB/s H2D). Configs that '
-                'stage host data per batch (config 3) are transfer-bound, '
-                'and the single-frame p50 includes a full-frame D2H '
-                'fetch; on a locally attached TPU those terms collapse.\n')
+                '(~30 ms RTT per host fetch, ~20-80 MB/s H2D). Configs '
+                'that stage host data per pass (3, 7, 8) are '
+                'transfer-bound; config 7b shows the same content '
+                'replayed from the persistent device cache. The '
+                'single-frame p50 includes the D2H fetch (8.3 MB '
+                'full-frame, 2.1 MB viewport); on a locally attached '
+                'TPU those terms collapse.\n')
     return 0
 
 

@@ -64,9 +64,14 @@ def _kernel_factory(L, TH, TW, with_base, finalize=False):
         b = pl.program_id(0)
         hi = pl.program_id(1)
         wi = pl.program_id(2)
-        rows = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
+        # 1-D row/col index vectors: each layer's box mask is the
+        # broadcast AND of a (TH, 1) row mask and a (1, TW) col mask —
+        # 4 compares on skinny vectors + one full-tile AND, instead of
+        # 4 full-tile compares. (A lax.cond tile classifier was tried
+        # and measured SLOWER: Mosaic spills the vector carries.)
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (TH, 1), 0)
                 + hi * TH)
-        cols = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
+        cols = (jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1)
                 + wi * TW)
         if with_base:
             accP = [baseP_ref[0, c] for c in range(3)]
@@ -76,15 +81,19 @@ def _kernel_factory(L, TH, TW, with_base, finalize=False):
             accP = [zero, zero, zero]
             accA = zero
         for l in range(L):
-            m = ((rows >= box_ref[l, b, 0]) & (rows <= box_ref[l, b, 1]) &
-                 (cols >= box_ref[l, b, 2]) & (cols <= box_ref[l, b, 3]))
-            a = jnp.where(m, color_ref[l, b, 3], 0.0)
-            keep = 1.0 - a
+            rm = (rows >= box_ref[l, b, 0]) & (rows <= box_ref[l, b, 1])
+            cm = (cols >= box_ref[l, b, 2]) & (cols <= box_ref[l, b, 3])
+            m = rm & cm
+            a_s = color_ref[l, b, 3]
             g = gain_ref[l, b]
             o = offset_ref[l, b]
+            a = jnp.where(m, a_s, 0.0)
+            keep = 1.0 - a
             for c in range(3):
-                rgb = jnp.where(m, color_ref[l, b, c] * g + o, 0.0)
-                accP[c] = rgb * a + accP[c] * keep
+                # (c*g+o)*a is scalar math from SMEM; the per-pixel work
+                # is one select + one fma
+                pa = (color_ref[l, b, c] * g + o) * a_s
+                accP[c] = jnp.where(m, pa, 0.0) + accP[c] * keep
             accA = a + accA * keep
         if finalize:
             nonzero = accA != 0.0

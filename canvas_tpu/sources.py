@@ -1000,7 +1000,15 @@ def _scaler_emit(self, ctx):
 
     child = ctx.with_window(fetch).plan(self.source)
 
-    constant = ((tp_arr == tp_arr[0]).all() and (sp_arr == sp_arr[0]).all()
+    # Low-quality hint (reference scale 1-11, framework.h:510-513):
+    # quality <= 5 degrades to bilinear taps + default-precision MXU
+    # contraction on the dynamic path (hints.rst's intent: previews
+    # trade exactness for speed; quality >= 10 stays bit-exact).
+    lq = getattr(ctx.planner, 'quality', 10) <= 5
+
+    constant = (not lq
+                and (tp_arr == tp_arr[0]).all()
+                and (sp_arr == sp_arr[0]).all()
                 and (f_arr == f_arr[0]).all())
 
     from canvas_tpu.render import tile_window, windows_to_array
@@ -1042,8 +1050,8 @@ def _scaler_emit(self, ctx):
     spy, spx = sp_arr[:, 1], sp_arr[:, 0]
 
     # Static K per axis: integers strictly inside a 2*width support
-    wy_max = float(np.max(np.where(fy > 1.0, 1.0, 1.0 / fy)))
-    wx_max = float(np.max(np.where(fx > 1.0, 1.0, 1.0 / fx)))
+    wy_max = 1.0 if lq else float(np.max(np.where(fy > 1.0, 1.0, 1.0 / fy)))
+    wx_max = 1.0 if lq else float(np.max(np.where(fx > 1.0, 1.0, 1.0 / fx)))
     Ky = int(np.ceil(2.0 * wy_max)) + 1
     Kx = int(np.ceil(2.0 * wx_max)) + 1
 
@@ -1052,7 +1060,8 @@ def _scaler_emit(self, ctx):
     # each edge (the extra rows/cols carry zero weights, so data is
     # unaffected).
     def out_range(f, tp, sp, lo, hi, t_min, t_max):
-        width = np.where(f > 1.0, 1.0, 1.0 / f)
+        width = (np.ones_like(f) if lq
+                 else np.where(f > 1.0, 1.0, 1.0 / f))
         t_low = (lo - width - sp) * f + tp
         t_high = (hi + width - sp) * f + tp
         lo_i = np.maximum(np.floor(t_low) + 1, t_min)
@@ -1067,7 +1076,7 @@ def _scaler_emit(self, ctx):
 
     return Node(
         'scale_taps_dyn',
-        static=(Ky, Kx, full.height, full.width),
+        static=(Ky, Kx, full.height, full.width, lq),
         params={
             'tly': np.float32(full.min.y), 'tlx': np.float32(full.min.x),
             'fy': fy.astype(np.float32), 'fx': fx.astype(np.float32),

@@ -874,3 +874,60 @@ def test_persistent_cache_invalidation_and_eviction():
     planner2.render(0, 4)
     n = len(planner2.persistent_cache)
     assert n == 0
+
+
+def test_quality_hint_degrades_scaler():
+    """quality <= 5 renders scalers with bilinear taps at default MXU
+    precision: visibly close to the exact result but with a smaller
+    tap count / cheaper contraction (round-3 verdict item 9; the
+    reference's 1-11 hint scale, framework.h:510-513 +
+    feature-proposal/hints.rst)."""
+    from canvas_tpu.sources import VideoScaler
+
+    base = SolidColorVideoSource(
+        LerpFunc((0.8, 0.3, 0.2, 1.0), (0.2, 0.7, 0.9, 1.0), 32),
+        window=box2i(0, 0, 127, 95))
+    sc = VideoScaler(
+        base,
+        target_point=LerpFunc((4, 2), (10, 8), 32),
+        source_point=(0.0, 0.0),
+        scale_factors=LerpFunc((0.4, 0.4), (0.45, 0.5), 32),  # minify
+        source_rect=box2i(0, 0, 127, 95))
+    window = box2i(0, 0, 63, 63)
+
+    hi_planner = render.RenderPlanner(sc, window)           # quality 10
+    lo_planner = render.RenderPlanner(sc, window, quality=4)
+
+    hi = hi_planner.render(0, 8).astype(np.float32)
+    lo = lo_planner.render(0, 8).astype(np.float32)
+
+    # different (cheaper filtering) but approximate: interiors agree
+    # exactly (normalized bilinear of a constant is the constant); only
+    # content-edge pixels see the narrower support
+    assert not np.array_equal(hi, lo)
+    diff = np.abs(hi - lo)
+    assert np.quantile(diff, 0.80) < 1e-3, np.quantile(diff, 0.80)
+    assert diff.mean() < 0.01
+
+    # the compiled program carries fewer taps: minifying at ~0.4 needs
+    # K=6 at full quality, bilinear K=3 at low quality
+    def scale_static(planner):
+        ctx = render.PlanContext(planner, np.arange(8), planner.window)
+        planner._stage_cache = {}
+        planner._frame_hints = {}
+        node = ctx.plan(sc)
+        while node.op != 'scale_taps_dyn':
+            node = node.children[0]
+        return node.static
+
+    hi_static = scale_static(hi_planner)
+    lo_static = scale_static(lo_planner)
+    assert lo_static[4] is True or lo_static[4] == 1     # lq flag
+    assert lo_static[0] < hi_static[0]                   # fewer y taps
+    assert lo_static[1] < hi_static[1]                   # fewer x taps
+
+    # set_quality invalidates cached display plans
+    hi_planner.render_display(0)
+    assert hi_planner._display_seg is not None
+    hi_planner.set_quality(4)
+    assert hi_planner._display_seg is None
