@@ -91,6 +91,21 @@ def VideoWidget(source, clock, frame_rate, window, parent=None,
                 painter.fillRect(self.rect(), QtCore.Qt.GlobalColor.black)
             painter.end()
 
+        def resizeEvent(self, event):
+            # Soft mode paints at WIDGET size (widget_gl.c:793-816):
+            # tell the engine so display frames resample on device and
+            # only viewport bytes cross the host link. Frames smaller
+            # than the source keep Qt's drawImage scaling as a no-op.
+            w = self.width()
+            h = self.height()
+            if w > 0 and h > 0:
+                src_w, src_h = self._engine.display_size()
+                if w < src_w or h < src_h:
+                    self._engine.set_viewport((w, h))
+                else:
+                    self._engine.set_viewport(None)
+            super().resizeEvent(event)
+
         def closeEvent(self, event):
             self._engine.stop()
             super().closeEvent(event)

@@ -76,6 +76,16 @@ class QWidget:
 
     def resize(self, w, h):
         self._rect = _Rect(w, h)
+        self.resizeEvent(None)
+
+    def width(self):
+        return self._rect.width()
+
+    def height(self):
+        return self._rect.height()
+
+    def resizeEvent(self, event):
+        pass
 
     def closeEvent(self, event):
         pass

@@ -354,3 +354,80 @@ def test_playback_source_swap_range_and_display_frame():
         assert px[1] > 180 and px[2] < 40      # green now
     finally:
         engine.stop()
+
+
+def test_playback_viewport_fetch():
+    """set_viewport: display frames resample on device to the widget
+    size before the u8 conversion, so presented buffers are
+    viewport-sized (widget_gl soft mode paints at widget size,
+    widget_gl.c:793-816; round-3 verdict item 2 applied to playback)."""
+    from canvas_tpu.playback import VideoPlaybackEngine
+
+    presented = []
+    src = SolidColorVideoSource((0.25, 0.5, 0.75, 1.0))
+    clock = SystemPresentationClock()
+    engine = VideoPlaybackEngine(
+        src, clock, Fraction(24), box2i(0, 0, 639, 479),
+        lambda idx, bgra: presented.append((idx, bgra)))
+    try:
+        engine.set_viewport((160, 120))
+        engine.display_frame(3)
+        assert presented
+        _, bgra = presented[-1]
+        assert bgra.shape == (120, 160, 4)
+        # constant-color frame: the downscale preserves the color and
+        # the conversion matches the widget ramp at the center
+        from canvas_tpu.ops import color as color_ops
+        lin = np.zeros((4, 1, 1), np.float16)
+        lin[0] = 0.25; lin[1] = 0.5; lin[2] = 0.75; lin[3] = 1.0
+        want = color_ops.apply_display_u8(lin, 1.25)
+        got = bgra[60, 80]
+        assert abs(int(got[2]) - int(want[0, 0, 0])) <= 1
+        assert abs(int(got[1]) - int(want[1, 0, 0])) <= 1
+        assert abs(int(got[0]) - int(want[2, 0, 0])) <= 1
+
+        # back to full size
+        presented.clear()
+        engine.set_viewport(None)
+        engine.display_frame(4)
+        assert presented[-1][1].shape == (480, 640, 4)
+    finally:
+        engine.stop()
+
+
+def test_playback_replay_uses_persistent_cache():
+    """The engine holds ONE planner per (source, window): a replayed
+    range (loop/scrub-over) renders from the persistent device staging
+    cache with zero re-pulls of the source."""
+    from canvas_tpu.frames import VideoSource
+    from canvas_tpu.playback import VideoPlaybackEngine
+
+    pulls = []
+
+    class Counting(VideoSource):
+        def _render_f16(self, frame_index, frame):
+            pulls.append(frame_index)
+            data = np.zeros((4, frame.full_window.height,
+                             frame.full_window.width), np.float16)
+            data[1] = 0.5
+            data[3] = 1.0
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    src = Counting()
+    clock = SystemPresentationClock()
+    engine = VideoPlaybackEngine(
+        src, clock, Fraction(24), box2i(0, 0, 255, 143),
+        lambda idx, bgra: None)
+    try:
+        engine.display_frame(2)
+        n1 = len(pulls)
+        assert n1 > 0
+        # invalidate the u8 ring only (seek does this); the staged
+        # device data must survive and replay without re-pulling
+        with engine._lock:
+            engine._cache.clear()
+        engine.display_frame(2)
+        assert len(pulls) == n1
+    finally:
+        engine.stop()
