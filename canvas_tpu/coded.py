@@ -266,6 +266,14 @@ class Pulldown23RemovalFilter(VideoSource):
         return new_length + partial
 
 
+def _effective_quality(ctx, quality):
+    """Planner-level quality (RenderPlanner.quality) caps the coded
+    pull quality for degraded preview renders: the LOWER hint wins
+    (0 means default-best = 10, framework.h:510-513)."""
+    q = 10 if int(quality) == 0 else int(quality)
+    return min(q, int(getattr(ctx.planner, 'quality', 10)))
+
+
 def _device_plane_stack(ctx, source, quality, cache, hint_ids=()):
     """Segment-level device staging of coded planes.
 
@@ -377,8 +385,9 @@ def _dvrecon_emit(self, ctx):
     if cache is None:
         cache = ctx.planner._stage_cache = {}
 
-    staged = _device_plane_stack(ctx, self.source, self.quality, cache,
-                                 hint_ids=(id(self),))
+    staged = _device_plane_stack(ctx, self.source,
+                                 _effective_quality(ctx, self.quality),
+                                 cache, hint_ids=(id(self),))
     if staged is None:
         return None     # a frame pull failed -> host-stage the whole node
     (py, pcb, pcr), row_of = staged
@@ -430,8 +439,9 @@ def _planar_emit(self, ctx):
     cache = getattr(ctx.planner, '_stage_cache', None)
     if cache is None:
         cache = ctx.planner._stage_cache = {}
-    staged = _device_plane_stack(ctx, self.source, self.quality, cache,
-                                 hint_ids=(id(self),))
+    staged = _device_plane_stack(ctx, self.source,
+                                 _effective_quality(ctx, self.quality),
+                                 cache, hint_ids=(id(self),))
     if staged is None:
         return None
     (py, pcb, pcr), row_of = staged

@@ -569,3 +569,32 @@ def test_planar_stack_midstream_shape_change_falls_back():
     got = render.render_frames(filt, window, 0, 4)
     np.testing.assert_allclose(got.astype(np.float32),
                                want.astype(np.float32), atol=1e-2)
+
+
+def test_planner_quality_caps_coded_pulls():
+    """RenderPlanner(quality=) flows into coded-source get_frame calls
+    on the batched path: the LOWER of the planner and filter hints
+    wins (framework.h:510-513 quality scale; hints.rst intent)."""
+    from canvas_tpu import render
+    from canvas_tpu.coded import (CodedImage, CodedImageSource,
+                                  DVReconstructionFilter)
+
+    asked = []
+
+    class Recording(CodedImageSource):
+        def get_frame(self, frame_index, quality=0):
+            asked.append(quality)
+            rng = np.random.RandomState(frame_index)
+            return CodedImage([
+                rng.randint(16, 236, (480, 720)).astype(np.uint8),
+                rng.randint(16, 241, (480, 180)).astype(np.uint8),
+                rng.randint(16, 241, (480, 180)).astype(np.uint8)])
+
+    window = box2i(0, -1, 719, 478)
+    filt = DVReconstructionFilter(Recording())
+    render.RenderPlanner(filt, window, quality=4).render(0, 2)
+    assert asked and all(q == 4 for q in asked)
+
+    asked.clear()
+    render.RenderPlanner(filt, window).render(0, 2)
+    assert asked and all(q == 10 for q in asked)
