@@ -23,27 +23,74 @@ The jnp fallback (used on CPU test runs) evaluates the same fold with
 broadcast ops.
 """
 
+import os
+
 import numpy as np
 
 __all__ = ['solid_stack', 'solid_fold', 'region_over']
 
 
+def _fold_mode():
+    """Which implementation solid folds use on TPU:
+
+    'hybrid' (default) — Pallas for MID-stack folds (their (P, A)
+    accumulators feed the region_over kernel in place) and the fused
+    XLA chain for FINALIZE folds (XLA terminates the chain in the f16
+    store Mosaic cannot emit, folding the root convert into the same
+    pass). Measured round 3: XLA beats Pallas standalone (6.93 vs
+    7.56 ms/b32 on the 6-layer fold) but loses on mid-folds feeding
+    Pallas regions; 'xla' / 'pallas' force one path for A/B
+    (CANVAS_FOLD_MODE)."""
+    return os.environ.get('CANVAS_FOLD_MODE', 'hybrid')
+
+
+def _use_xla_fold(finalize):
+    mode = _fold_mode()
+    if mode == 'xla':
+        return True
+    if mode == 'pallas':
+        return False
+    return finalize
+
+
 def _fold_jnp(jnp, jax, P, A, color, box, gain, offset, H, W):
-    """Premultiplied fold of L solid layers over base (P, A)."""
+    """Premultiplied fold of L solid layers over base (P, A), as ONE
+    fusable XLA elementwise chain.
+
+    Structured so XLA fuses the whole fold into a single output pass:
+    per-channel unstacked accumulators, per-layer scalar math
+    ((c*g+o)*a) broadcast into selects — the same op order as the
+    Pallas kernel (bit-identical results). Measured ON TPU (round 3):
+    this chain runs slightly FASTER than the hand-written Pallas fold
+    (6.93 vs 7.56 ms/b32 on a 6-layer 1080p batch) and, unlike Mosaic,
+    can terminate in an f16 store — the root astype fuses into the
+    same pass instead of costing a separate full-frame read/write.
+    (Round 2's '12.7 GB materialized' measurement was of the
+    per-layer-tensor graph structure, not of a fused chain.)
+    """
     L = color.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    if P is None:
+        zero = jnp.zeros((1, H, W), jnp.float32)
+        Pc = [zero, zero, zero]
+        Ac = zero
+    else:
+        Pc = [P[:, c] for c in range(3)]
+        Ac = A[:, 0]
     for l in range(L):
-        b = box[l][:, :, None, None]                     # (B, 4, 1, 1)
-        m = ((rows >= b[:, 0]) & (rows <= b[:, 1]) &
-             (cols >= b[:, 2]) & (cols <= b[:, 3]))      # (B, H, W)
-        mf = m[:, None].astype(jnp.float32)              # (B, 1, H, W)
-        a = color[l][:, 3, None, None, None] * mf
-        rgb = (color[l][:, :3, None, None] * gain[l][:, None, None, None]
-               + offset[l][:, None, None, None]) * mf
-        P = rgb * a + P * (1.0 - a)
-        A = a + A * (1.0 - a)
-    return P, A
+        b = box[l]                                       # (B, 4) i32
+        m = ((rows >= b[:, 0, None, None]) &
+             (rows <= b[:, 1, None, None]) &
+             (cols >= b[:, 2, None, None]) &
+             (cols <= b[:, 3, None, None]))              # (B, H, W)
+        a = jnp.where(m, color[l][:, 3, None, None], 0.0)
+        keep = 1.0 - a
+        for c in range(3):
+            pa = (color[l][:, c] * gain[l] + offset[l]) * color[l][:, 3]
+            Pc[c] = jnp.where(m, pa[:, None, None], 0.0) + Pc[c] * keep
+        Ac = a + Ac * keep
+    return Pc, Ac
 
 
 def _kernel_factory(L, TH, TW, with_base, finalize=False):
@@ -129,16 +176,22 @@ def solid_fold(jnp, jax, P, A, color, box, gain, offset, H, W,
     broadcast fold elsewhere.
     """
     B = color.shape[1]
-    if jax.default_backend() != 'tpu':
-        if P is None:
-            P = jnp.zeros((B, 3, H, W), jnp.float32)
-            A = jnp.zeros((B, 1, H, W), jnp.float32)
-        P, A = _fold_jnp(jnp, jax, P, A, color, box, gain, offset, H, W)
+    if _use_xla_fold(finalize) or jax.default_backend() != 'tpu':
+        Pc, Ac = _fold_jnp(jnp, jax, P, A, color, box, gain, offset,
+                           H, W)
         if not finalize:
-            return P, A
-        safe = jnp.where(A != 0.0, A, 1.0)
-        rgb = jnp.where(A != 0.0, P / safe, 0.0)
-        out = jnp.concatenate([rgb, A], axis=1)
+            Ps = jnp.stack(Pc, axis=1)
+            As = Ac[:, None]
+            if Ps.shape[0] != B:         # degenerate all-empty fold
+                Ps = jnp.broadcast_to(Ps, (B, 3, H, W))
+                As = jnp.broadcast_to(As, (B, 1, H, W))
+            return Ps, As
+        nonzero = Ac != 0.0
+        safe = jnp.where(nonzero, Ac, 1.0)
+        rgb = [jnp.where(nonzero, Pc[c] / safe, 0.0) for c in range(3)]
+        out = jnp.stack(rgb + [Ac], axis=1)
+        if out.shape[0] != B:
+            out = jnp.broadcast_to(out, (B, 4, H, W))
         return out.astype(out_dtype) if out_dtype is not None else out
 
     from jax.experimental import pallas as pl

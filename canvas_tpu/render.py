@@ -108,6 +108,7 @@ _FRAME_PARAMS = {
     'stage': frozenset(('data',)),
     'stage_rows': frozenset(('rows',)),
     'solid_stack': frozenset(('color', 'box', 'gain', 'offset')),
+    'solid_cells': frozenset(('ey', 'ex', 'pt')),
     'empty': frozenset(),
     'placed': frozenset(),
     'gain_offset': frozenset(('gain', 'offset', 'box')),
@@ -464,6 +465,18 @@ def _eval(node_sig, params_iter, jnp, jax):
             jnp, jax, params['color'], params['box'],
             params['gain'], params['offset'], H, W)
 
+    if op == 'solid_cells':
+        # Cell-table solid run (sources._solid_cell_tables): the L-layer
+        # fold was computed HOST-side per piecewise-constant cell; the
+        # device just SELECTS cells with one-hot band matmuls and
+        # un-premultiplies — two tiny MXU contractions + one fused
+        # elementwise output pass instead of L masked folds per pixel.
+        H, W = static
+        p_sel, a_sel, _t = _solid_cells_select(params, H, W, jnp, jax)
+        rgb = jnp.where(a_sel != 0.0,
+                        p_sel / jnp.where(a_sel != 0.0, a_sel, 1.0), 0.0)
+        return jnp.concatenate([rgb, a_sel], axis=1)
+
     if op == 'empty':
         B, H, W = static
         return jnp.zeros((B, 4, H, W), jnp.float32)
@@ -517,6 +530,19 @@ def _eval(node_sig, params_iter, jnp, jax):
         P = A = None
         for i, cs in enumerate(child_sigs):
             c_op = cs[0]
+            if c_op == 'solid_cells':
+                # Cell-table solid run: host-folded per-cell
+                # (P, A, transmittance) selected by one-hot matmuls;
+                # combining over the base is two fused FMAs per pixel.
+                c_params = next(params_iter)
+                p_sel, a_sel, t_sel = _solid_cells_select(
+                    c_params, H, W, jnp, jax)
+                if P is None:
+                    P, A = p_sel, a_sel
+                else:
+                    P = p_sel + P * t_sel
+                    A = a_sel + A * t_sel
+                continue
             if c_op == 'solid_stack':
                 c_params = next(params_iter)
                 L, _h, _w = cs[1]
@@ -741,6 +767,28 @@ def _eval(node_sig, params_iter, jnp, jax):
                               jnp, jax)
 
     raise ValueError('unknown op: %r' % (op,))
+
+
+def _solid_cells_select(params, H, W, jnp, jax):
+    """Select the per-pixel (P premul (B,3,H,W), A (B,1,H,W),
+    T (B,1,H,W)) maps from a solid-run cell table via one-hot band
+    matmuls. Exact: each pixel lies in exactly one (row, col) band, so
+    the 'highest'-precision contraction multiplies the cell value by
+    1.0 and adds 0.0s — bit-identical to a gather, at MXU speed."""
+    ey = params['ey']                    # (B, nb+1) i32
+    ex = params['ex']                    # (B, nc+1) i32
+    pt = params['pt']                    # (B, 5, nb, nc) f32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    R = ((rows >= ey[:, None, :-1]) &
+         (rows < ey[:, None, 1:])).astype(jnp.float32)      # (B, H, nb)
+    C = ((cols >= ex[:, :-1, None]) &
+         (cols < ex[:, 1:, None])).astype(jnp.float32)      # (B, nc, W)
+    G = jnp.einsum('bckl,blw->bckw', pt, C, precision='highest',
+                   preferred_element_type=jnp.float32)      # (B,5,nb,W)
+    S = jnp.einsum('bhk,bckw->bchw', R, G, precision='highest',
+                   preferred_element_type=jnp.float32)      # (B,5,H,W)
+    return S[:, :3], S[:, 3:4], S[:, 4:5]
 
 
 def _dv_recon_math(y8, cb8, cr8, U, M, jnp, jax):
