@@ -53,9 +53,18 @@ def _probe():
     return probe
 
 
+#: Minimum H2D throughput to accept a link-bound measurement; the
+#: tunnel's healthy range is 20-80 MB/s and it degrades to single
+#: digits for stretches (round-2 finding).
+HEALTH_H2D_MIN_MBPS = 12.0
+
+
 def health_gate(max_wait=600.0):
     """Block until the tunnel answers a small matmul + scalar fetch
-    within HEALTH_RTT_LIMIT. Returns the measured RTT; raises after
+    within HEALTH_RTT_LIMIT AND ships a 4 MB H2D probe at a sane rate
+    (RTT alone stays healthy while bulk throughput collapses — the
+    round-3 suite run that recorded config8 at 7 fps against a healthy
+    21.7 was RTT-clean). Returns (rtt_s, h2d_mbps); raises after
     max_wait of sustained degradation."""
     import jax
     import jax.numpy as jnp
@@ -66,16 +75,27 @@ def health_gate(max_wait=600.0):
     def mm(x):
         return jnp.sum(x @ x)
 
+    @jax.jit
+    def touch(x):
+        return jnp.sum(x[::251, ::63].astype(jnp.float32))
+
     float(mm(a))                 # compile (cached after first call)
+    probe_host = np.ones((1 << 20, 4), np.float32)     # 4 MB
+    float(touch(jax.device_put(probe_host)))
     deadline = time.time() + max_wait
     while True:
         t0 = time.perf_counter()
         float(mm(a))
         rtt = time.perf_counter() - t0
-        if rtt < HEALTH_RTT_LIMIT:
-            return rtt
+        t0 = time.perf_counter()
+        float(touch(jax.device_put(probe_host)))
+        h2d = probe_host.nbytes / (1 << 20) / (time.perf_counter() - t0)
+        if rtt < HEALTH_RTT_LIMIT and h2d >= HEALTH_H2D_MIN_MBPS:
+            return rtt, h2d
         if time.time() > deadline:
-            raise RuntimeError('tunnel degraded: health RTT %.1f s' % rtt)
+            raise RuntimeError(
+                'tunnel degraded: health RTT %.2f s, H2D %.1f MB/s'
+                % (rtt, h2d))
         time.sleep(10.0)
 
 
@@ -218,19 +238,18 @@ def config5():
     ws = bench.build_timeline()
     window = box2i(0, 0, 1919, 1079)
     n = len(jax.devices())
-    batch = 16 * n
+    frames = max(256, 64 * n)
     probe = _probe()
 
     def run_range():
+        # ONE call over the whole range, like a real export drives it:
+        # render_sharded streams internally (plan-ahead + program
+        # reuse); per-chunk calls would re-plan per call.
         t0 = time.perf_counter()
-        total = 0
-        last = None
-        for start in range(0, batch * 4, batch):
-            last = render.render_sharded(ws, window, start, start + batch,
-                                         device_out=True)
-            total += batch
-        float(probe(last))     # FIFO: last done => all done
-        return total / (time.perf_counter() - t0)
+        out = render.render_sharded(ws, window, 0, frames,
+                                    device_out=True)
+        float(probe(out))
+        return frames / (time.perf_counter() - t0)
 
     run_range()            # pays compiles
     return run_range()

@@ -307,3 +307,62 @@ def test_random_graph_with_untraceable_leaves(seed, any_backend):
         np.testing.assert_allclose(
             got[i - start].astype(np.float32), expect.astype(np.float32),
             atol=8e-3, err_msg='seed %d frame %d' % (seed, i))
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_random_graph_solid_cells_path(seed, any_backend, monkeypatch):
+    """The gated cell-table solid fold (CANVAS_SOLID_CELLS=1, a
+    measured perf dead end kept correct) agrees with the pull path on
+    random workspaces — same differential contract as the default
+    solid_stack path."""
+    monkeypatch.setenv('CANVAS_SOLID_CELLS', '1')
+    rng = np.random.RandomState(1000 + seed)
+    ws = random_workspace(rng)
+
+    start = int(rng.randint(0, 8))
+    stop = start + int(rng.randint(4, 16))
+    got = render.render_frames(ws, WINDOW, start, stop)
+    for i in range(start, stop):
+        want = ws.get_frame_f16(i, WINDOW)
+        if want.current_window.empty():
+            expect = np.zeros((4, WINDOW.height, WINDOW.width), np.float16)
+        else:
+            expect = np.asarray(want.data, np.float16)
+        np.testing.assert_allclose(
+            got[i - start].astype(np.float32), expect.astype(np.float32),
+            atol=8e-3, err_msg='seed %d frame %d' % (seed, i))
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_persistent_cache_random_replay_sequences(seed, any_backend):
+    """Fuzz the persistent staging cache: random sequences of
+    (possibly overlapping) render ranges through ONE planner must
+    equal a fresh planner's output every time (cache hits can never
+    change pixels)."""
+    from canvas_tpu.frames import VideoSource
+
+    rng = np.random.RandomState(2000 + seed)
+
+    class Hashed(VideoSource):
+        def _render_f16(self, frame_index, frame):
+            r = np.random.RandomState(frame_index * 7 + 1)
+            data = (r.rand(4, frame.full_window.height,
+                           frame.full_window.width) * 0.9).astype(np.float16)
+            data[3] = 1.0
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    window = box2i(0, 0, 47, 31)
+    src = Hashed()
+    planner = render.RenderPlanner(src, window)
+    planner.pipeline_chunk = 8
+    for _round in range(6):
+        start = int(rng.randint(0, 24))
+        stop = start + int(rng.randint(2, 12))
+        got = planner.render(start, stop)
+        fresh = render.RenderPlanner(src, window)
+        fresh.stage_cache_mb = 0
+        want = fresh.render(start, stop)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg='seed %d range %d:%d'
+                                      % (seed, start, stop))
