@@ -421,7 +421,8 @@ def main():
                 'implied target is ~30 fps realtime DV playback. '
                 'Measured C-kernel baselines: cbaseline/README.md.\n\n'
                 'Integrity: every config is health-gated (256x256 '
-                'matmul + scalar fetch must answer in <0.5 s), measured '
+                'matmul + scalar fetch must answer in <0.5 s AND a '
+                '4 MB H2D probe must ship at >= 12 MB/s), measured '
                 'median-of-3, and re-run once if the sample spread '
                 'exceeds 60% (a mid-run tunnel collapse).\n\n'
                 'Measurement: on this rig block_until_ready() returns '

@@ -177,49 +177,60 @@ class PluginSource(plugins.Source):
         self.show_alert(self._load_alert)
 
     # bring_online is a staged resolution pipeline: each stage either
-    # completes (returns None) or yields the alert text for
-    # _alert_and_stay_offline. The set of stages and their failure
-    # texts match the reference semantics (sources.py:233-368) that
+    # completes (returns True) or publishes its failure alert and
+    # returns False. Alerts are raised INSIDE the failing stage's
+    # except block so Alert's sys.exc_info() capture sees the live
+    # traceback. The set of stages and their failure texts match the
+    # reference semantics (sources.py:233-368) that
     # tests/test_editor_model.py asserts; the decomposition is ours.
 
     def _stage_find_plugin(self):
         if self._plugin:
-            return None
+            return True
         self._plugin = plugins.PluginManager.find_plugin_by_urn(
             self.plugin_urn)
         if self._plugin is not None:
-            return None
+            return True
         _log.debug("Couldn't find plugin {0} for source {1}",
                    self.plugin_urn, self.name)
-        return ('Plugin ' + self.plugin_urn + ' unavailable or disabled',
-                False)
+        self._alert_and_stay_offline(
+            'Plugin ' + self.plugin_urn + ' unavailable or disabled')
+        return False
 
     def _stage_create_source(self):
         if self._source:
-            return None
+            return True
         try:
-            created = self._plugin.create_source(self.name, self.definition)
+            created = self._plugin.create_source(self.name,
+                                                 self.definition)
+            created.offline_changed.connect(self._handle_offline_changed)
+            self.follow_alerts(created)
+            self._source = created
         except Exception as ex:
+            self._source = None
             _log.debug('Error while creating source {0} from plugin',
                        self.name, exc_info=True)
-            return ('Unexpected ' + type(ex).__name__ +
-                    ' while creating source from plugin: ' + str(ex), True)
-        self._source = created
-        created.offline_changed.connect(self._handle_offline_changed)
-        self.follow_alerts(created)
-        return None
+            self._alert_and_stay_offline(
+                'Unexpected ' + type(ex).__name__ +
+                ' while creating source from plugin: ' + str(ex),
+                exc_info=True)
+            return False
+        return True
 
     def _stage_activate(self):
         if not self._source.offline:
-            return None
+            return True
         try:
             self._source.bring_online()
         except Exception as ex:
             _log.debug('Error while bringing source {0} online',
                        self.name, exc_info=True)
-            return ('Unexpected ' + type(ex).__name__ +
-                    ' while bringing source online: ' + str(ex), True)
-        return None
+            self._alert_and_stay_offline(
+                'Unexpected ' + type(ex).__name__ +
+                ' while bringing source online: ' + str(ex),
+                exc_info=True)
+            return False
+        return True
 
     def bring_online(self):
         if not self.offline:
@@ -229,11 +240,7 @@ class PluginSource(plugins.Source):
             self._load_alert = None
         for stage in (self._stage_find_plugin, self._stage_create_source,
                       self._stage_activate):
-            failure = stage()
-            if failure:
-                description, with_traceback = failure
-                self._alert_and_stay_offline(description,
-                                             exc_info=with_traceback)
+            if not stage():
                 return
         if not self._source.offline:
             self.offline = False

@@ -94,8 +94,9 @@ def VideoWidget(source, clock, frame_rate, window, parent=None,
         def resizeEvent(self, event):
             # Soft mode paints at WIDGET size (widget_gl.c:793-816):
             # tell the engine so display frames resample on device and
-            # only viewport bytes cross the host link. Frames smaller
-            # than the source keep Qt's drawImage scaling as a no-op.
+            # only viewport bytes cross the host link. set_viewport
+            # clamps each axis to the source size and no-ops on
+            # repeats, so driving it straight from resize is safe.
             w = self.width()
             h = self.height()
             if w > 0 and h > 0:

@@ -58,6 +58,11 @@ class VideoPlaybackEngine:
         backend.ensure_initialized()   # JAX must first init on this thread
 
         self._lock = threading.Lock()
+        #: Serializes planner use: the long-lived RenderPlanner has
+        #: per-plan mutable state (_stage_cache and friends), and both
+        #: the render thread (_run) and display_frame callers reach
+        #: _render_batch.
+        self._render_lock = threading.Lock()
         self._wake = threading.Event()
         self._quit = False
         self._cache = {}            # frame_index -> u8 BGRA array
@@ -144,9 +149,10 @@ class VideoPlaybackEngine:
         self._wake.set()
         self._thread.join(timeout=5)
         self._clock_handle.unregister()
-        if self._planner is not None:
-            self._planner.close()
-            self._planner = None
+        with self._render_lock:
+            if self._planner is not None:
+                self._planner.close()
+                self._planner = None
 
     # -- render loop -----------------------------------------------------
 
@@ -174,10 +180,20 @@ class VideoPlaybackEngine:
         (width, height) before the u8 conversion, so only viewport
         bytes cross the host link (the reference's soft mode paints at
         widget size, not source size — widget_gl.c:793-816). None
-        restores full-size frames."""
+        restores full-size frames. Each axis clamps to the source size
+        (upscaling on device would fetch MORE bytes than full frames;
+        the widget's own blit scaling handles enlargement), and an
+        unchanged viewport is a no-op (resize events repeat)."""
+        if size is not None:
+            w = min(int(size[0]), self.window.width)
+            h = min(int(size[1]), self.window.height)
+            size = (w, h)
+            if size == (self.window.width, self.window.height):
+                size = None
         with self._lock:
-            self._viewport = ((int(size[0]), int(size[1]))
-                              if size else None)
+            if size == self._viewport:
+                return
+            self._viewport = size
             self._cache.clear()
         self._wake.set()
 
@@ -191,8 +207,9 @@ class VideoPlaybackEngine:
         window = self.window
         intent = self._rendering_intent
         viewport = self._viewport
-        planner = self._get_planner(source, window)
-        data = planner.render(start, stop, device_out=True)
+        with self._render_lock:
+            planner = self._get_planner(source, window)
+            data = planner.render(start, stop, device_out=True)
         if backend.is_jax_array(data):
             # Display conversion on device (widget_gl soft mode: sRGB
             # transfer + rendering-intent ramp): only u8 BGRA crosses
@@ -200,7 +217,8 @@ class VideoPlaybackEngine:
             # viewport is set)
             if viewport is not None:
                 jnp = backend.jnp
-                dy, dx = planner._display_matrices(viewport)
+                with self._render_lock:
+                    dy, dx = planner._display_matrices(viewport)
                 data = jnp.einsum('yh,bchw->bcyw', dy,
                                   data.astype(jnp.float32))
                 data = jnp.einsum('xw,bcyw->bcyx', dx,

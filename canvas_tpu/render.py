@@ -1312,9 +1312,16 @@ class RenderPlanner:
             return None
         cache = getattr(self, '_display_mats', None)
         if cache is None:
-            cache = self._display_mats = {}
+            from collections import OrderedDict
+            cache = self._display_mats = OrderedDict()
         got = cache.get(display_size)
+        if got is not None:
+            cache.move_to_end(display_size)
         if got is None:
+            # Bound the cache: interactive widget resizes sweep through
+            # many sizes; each pair is a few MB of device arrays.
+            while len(cache) >= 8:
+                cache.popitem(last=False)
             from canvas_tpu.ops import scale as scale_ops
             jax, _jnp = _jx()
             dw, dh = display_size
@@ -1358,6 +1365,9 @@ class RenderPlanner:
         cache = getattr(self, '_persistent_cache', None)
         if cache is not None:
             cache.clear()
+        mats = getattr(self, '_display_mats', None)
+        if mats is not None:
+            mats.clear()
 
 
 def render_frames(source, window, start, stop, **kw):
@@ -1410,9 +1420,16 @@ def render_sharded(source, window, start, stop, mesh=None, axis='frames',
     if spatial_axis is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         # Reshard rows across a second mesh axis (the 4K single-frame
-        # split): XLA inserts the all-to-all over ICI
+        # split): XLA inserts the all-to-all over ICI. The frame dim
+        # must divide the frames axis for the sharding — pad with
+        # repeat-last and slice back off after the reshard.
+        pad = (-out.shape[0]) % n
+        if pad:
+            out = jnp.concatenate([out] + [out[-1:]] * pad, axis=0)
         out = jax.device_put(out, NamedSharding(
             mesh, P(axis, None, spatial_axis, None)))
+        if pad:
+            out = out[:-pad]
     if device_out:
         return out
     return np.asarray(out)

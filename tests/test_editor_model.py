@@ -693,3 +693,38 @@ def test_space_manager_scales_to_many_clips():
     t0 = time.perf_counter()
     items[150].update(x=500)
     assert time.perf_counter() - t0 < 0.5
+
+
+def test_plugin_source_alert_keeps_traceback():
+    """A failing create_source publishes an alert whose exc_info holds
+    the LIVE traceback (round-3 review: the staged bring_online must
+    raise the alert inside the except block, or Alert captures
+    (None, None, None))."""
+    from canvas_tpu.editor import plugins
+    from canvas_tpu.editor.model import PluginSource
+
+    class Boom(plugins.SourcePlugin):
+        plugin_urn = 'urn:test:boom'
+        name = 'Boom'
+
+        @classmethod
+        def create_source(cls, name, definition):
+            raise ValueError('kapow')
+
+    plugins.PluginManager.load_all()
+    plugins.PluginManager.plugins['urn:test:boom'] = Boom
+    plugins.PluginManager.enabled_plugins['urn:test:boom'] = Boom
+    try:
+        src = PluginSource('b', 'urn:test:boom', {})
+        shown = []
+        src.show_alert = shown.append
+        src.bring_online()
+        assert src.offline
+        assert shown
+        alert = shown[0]
+        assert alert.exc_info is not None
+        assert alert.exc_info[0] is ValueError
+        assert 'kapow' in str(alert) and 'Traceback' in str(alert)
+    finally:
+        plugins.PluginManager.plugins.pop('urn:test:boom', None)
+        plugins.PluginManager.enabled_plugins.pop('urn:test:boom', None)

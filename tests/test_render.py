@@ -234,6 +234,15 @@ def test_render_sharded_spatial_axis_smoke():
     np.testing.assert_allclose(np.asarray(got).astype(np.float32),
                                want.astype(np.float32), atol=2e-3)
 
+    # frame count NOT divisible by the frames axis: the spatial reshard
+    # pads with repeat-last and slices back (round-3 review regression)
+    want5, _ = pull_frames(ws, WINDOW, 0, 5)
+    got5 = render.render_sharded(ws, WINDOW, 0, 5, mesh=mesh,
+                                 spatial_axis='space')
+    assert np.asarray(got5).shape[0] == 5
+    np.testing.assert_allclose(np.asarray(got5).astype(np.float32),
+                               want5.astype(np.float32), atol=2e-3)
+
 
 def test_rgba_decoder_source_batched(tmp_path):
     """Generic decoded video renders batched (u8 staging + device
