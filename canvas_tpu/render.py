@@ -1066,11 +1066,28 @@ class RenderPlanner:
             raise ValueError('batch %d not divisible by %d shards'
                              % (batch, mesh.shape[axis]))
 
+        plan_cache = getattr(self, '_plan_cache', None)
+        if plan_cache is None:
+            from collections import OrderedDict
+            plan_cache = self._plan_cache = OrderedDict()
+
         def prepare(seg):
             """Plan one segment (host work: framefunc eval + staging
             pulls). Runs one segment ahead on a worker thread so host
             decode/staging overlaps device execution of the previous
-            segment (backend state is thread-local)."""
+            segment (backend state is thread-local).
+
+            Prepared segments are CACHED per (segment, batch, mesh,
+            post, quality): a replayed or looped range re-dispatches
+            the pre-cut batches directly — zero planning on the second
+            pass, matching the persistent staging cache's zero-decode
+            guarantee. Invalidated with the other caches on
+            frames_updated / set_quality / close."""
+            pkey = (seg, batch, mesh, axis, post, self.quality)
+            got = plan_cache.get(pkey)
+            if got is not None:
+                plan_cache.move_to_end(pkey)
+                return got
             seg_start, seg_stop = seg
             self._stage_cache = {}
             self._frame_hints = {}
@@ -1133,7 +1150,11 @@ class RenderPlanner:
                      for k, v in p.items()}
                     for p, op in zip(params, ops)]))
                 pos += take
-            return (seg_start, N, sig, node, batches)
+            result = (seg_start, N, sig, node, batches)
+            plan_cache[pkey] = result
+            while len(plan_cache) > 64:
+                plan_cache.popitem(last=False)
+            return result
 
         segs = self.segments(start, stop)
         pool = ThreadPoolExecutor(max_workers=1,
@@ -1335,11 +1356,21 @@ class RenderPlanner:
         return got
 
     def invalidate_display_cache(self, *args):
-        """Drop cached plans and staged device data (graph changed)."""
+        """Drop cached plans and staged device data (graph changed).
+
+        The planner caches aggressively across calls (prepared segment
+        plans, staged device stacks, display programs). Sources edited
+        through the editor layer invalidate automatically via their
+        ``frames_updated`` signal; code mutating a raw graph directly
+        (workspace.add/update without a signal-bearing wrapper) must
+        call this — or use a fresh planner — before re-rendering."""
         self._display_seg = None
         cache = getattr(self, '_persistent_cache', None)
         if cache is not None:
             cache.clear()
+        plans = getattr(self, '_plan_cache', None)
+        if plans is not None:
+            plans.clear()
 
     def _watch_frames_updated(self):
         # Signal holds bound methods by WEAKREF (canvas_tpu.signal), so
@@ -1368,6 +1399,9 @@ class RenderPlanner:
         mats = getattr(self, '_display_mats', None)
         if mats is not None:
             mats.clear()
+        plans = getattr(self, '_plan_cache', None)
+        if plans is not None:
+            plans.clear()
 
 
 def render_frames(source, window, start, stop, **kw):

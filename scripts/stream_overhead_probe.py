@@ -83,7 +83,10 @@ def main():
                      if k in render._frame_params(op) else v)
                  for k, v in p.items()}
                 for p, op in zip(params, ops)]))
-    o = batches[0][0](batches[0][1])
+    # warm EVERY program: segments compile distinct geometry (the
+    # animated scaler region grows per segment)
+    for fn2, p in batches:
+        o = fn2(p)
     float(probe(o))
     t0 = time.perf_counter()
     for fn2, p in batches:

@@ -940,3 +940,42 @@ def test_quality_hint_degrades_scaler():
     assert hi_planner._display_seg is not None
     hi_planner.set_quality(4)
     assert hi_planner._display_seg is None
+
+
+def test_plan_cache_replay_and_invalidation():
+    """iter_batches caches prepared segment plans: a replayed range
+    plans ZERO times on the second pass; frames_updated invalidates
+    (round-3: matches the staging cache's zero-decode guarantee)."""
+    from canvas_tpu.signal import Signal
+
+    plans = []
+    orig_plan = render.PlanContext.plan
+
+    def counting_plan(self, source):
+        if isinstance(source, VideoWorkspace):
+            plans.append(1)
+        return orig_plan(self, source)
+
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource(
+        LerpFunc((1, 0, 0, 1), (0, 1, 0, 1), 64)), x=0, length=64, z=0)
+    ws.frames_updated = Signal()
+    window = box2i(0, 0, 31, 15)
+    planner = render.RenderPlanner(ws, window)
+
+    render.PlanContext.plan = counting_plan
+    try:
+        out1 = [o for (_s, _n, o) in planner.iter_batches(0, 32, batch=8)]
+        n1 = len(plans)
+        assert n1 > 0
+        out2 = [o for (_s, _n, o) in planner.iter_batches(0, 32, batch=8)]
+        assert len(plans) == n1            # replay: zero planning
+        for a, b in zip(out1, out2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # a graph edit (signalled) re-plans
+        ws.frames_updated.fire(0, 32)
+        [o for (_s, _n, o) in planner.iter_batches(0, 32, batch=8)]
+        assert len(plans) > n1
+    finally:
+        render.PlanContext.plan = orig_plan
