@@ -37,7 +37,9 @@ def _real_binding():
 
 NAME, BINDING = _real_binding()
 
-pytestmark = pytest.mark.skipif(
+#: Applied per-test (not module-wide) so the GTK smoke below still
+#: runs on a GTK-only machine.
+needs_qt = pytest.mark.skipif(
     BINDING is None,
     reason='no real Qt binding installed (PyQt6/PyQt5/PySide6); '
            'the fake-binding suite covers the widget logic')
@@ -52,6 +54,7 @@ def qapp():
     yield app
 
 
+@needs_qt
 def test_main_window_offscreen_smoke(qapp, tmp_path):
     """Main window boots against the real binding, edits undo/redo,
     paints real widget pixels, and renders a file."""
@@ -117,6 +120,7 @@ def test_main_window_offscreen_smoke(qapp, tmp_path):
     window.closeEvent(None)
 
 
+@needs_qt
 def test_video_widget_offscreen_paint(qapp):
     """The preview VideoWidget paints decoded frames into a real
     QWidget (the reference's VideoWidget.cpp role, soft mode)."""
@@ -160,3 +164,53 @@ def fractions_frame_rate():
 def box2i_window():
     from canvas_tpu.basetypes import box2i
     return box2i(0, 0, 159, 119)
+
+
+def _real_gtk():
+    try:
+        import gi
+        for version in ('4.0', '3.0'):
+            try:
+                gi.require_version('Gtk', version)
+                break
+            except ValueError:
+                continue
+        from gi.repository import Gtk  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _real_gtk(),
+                    reason='no PyGObject/GTK installed; the fake-binding '
+                           'suite covers the widget logic')
+def test_gtk_video_widget_smoke():
+    """The GTK video widget constructs against real PyGObject and its
+    engine renders a display frame (GtkVideoWidget.c role). Headless:
+    the widget is driven without Gtk.main()."""
+    import time
+
+    from canvas_tpu import process
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.editor.ui.gtk import GtkVideoWidget
+
+    clock = process.SystemPresentationClock()
+    src = process.SolidColorVideoSource((0.1, 0.8, 0.2, 1.0))
+    import fractions
+    widget = GtkVideoWidget(src, clock, fractions.Fraction(24),
+                            box2i(0, 0, 159, 119))
+    try:
+        clock.seek(0)
+        engine = widget.engine
+        deadline = time.time() + 10.0
+        frame = None
+        while time.time() < deadline:
+            engine.display_frame(0)
+            if getattr(widget, '_frame', None) is not None or \
+                    getattr(widget, '_pixbuf', None) is not None:
+                frame = True
+                break
+            time.sleep(0.05)
+        assert frame, 'gtk widget never received a frame'
+    finally:
+        widget.engine.stop()
