@@ -87,6 +87,12 @@ class QWidget:
     def resizeEvent(self, event):
         pass
 
+    def show(self):
+        pass
+
+    def hide(self):
+        pass
+
     def closeEvent(self, event):
         pass
 
@@ -249,6 +255,29 @@ class Qt:
         TopDockWidgetArea = 'top'
 
 
+class QApplication:
+    """App-object fake: scripts/editor.py's boot path runs against it
+    (exec returns immediately so headless CI can drive main())."""
+
+    _instance = None
+
+    def __init__(self, argv=None):
+        QApplication._instance = self
+        self.argv = argv or []
+
+    @classmethod
+    def instance(cls):
+        return cls._instance
+
+    def processEvents(self):
+        pass
+
+    def exec(self):
+        return 0
+
+    exec_ = exec
+
+
 class QtWidgetsModule:
     QWidget = QWidget
     QMainWindow = QMainWindow
@@ -256,6 +285,7 @@ class QtWidgetsModule:
     QTabWidget = QTabWidget
     QListWidget = QListWidget
     QToolBar = QToolBar
+    QApplication = QApplication
 
 
 class QtGuiModule:

@@ -925,3 +925,39 @@ def test_current_editor_follows_active_tab():
     finally:
         qt_mod._qt = old
         fake_qt.QPainter.instances.clear()
+
+
+def test_editor_script_boots_against_fake_binding(tmp_path):
+    """scripts/editor.py's main() boots the full window (the qttest.py
+    entry role): project open + show + event loop, driven here against
+    the fake binding with a real project file."""
+    import runpy
+    import sys
+
+    import fake_qt
+    import yaml
+    from canvas_tpu.editor.ui import qt as qt_mod
+
+    # a minimal real project to open
+    app = EditorApp(load_plugins=False)
+    editor = app.new_space('cut', plugins.VideoFormat(frame_rate=24),
+                           plugins.AudioFormat(sample_rate=48000))
+    clip = model.Clip(type='video', x=2, y=0.0, length=10, height=1.0)
+    editor.space[0:0] = [clip]
+    path = str(tmp_path / 'p.yaml')
+    app.save_file(path)
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    old_argv = sys.argv
+    sys.argv = ['editor.py', path]
+    try:
+        mod = runpy.run_path(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            'scripts', 'editor.py'))
+        rc = mod['main']()
+        assert rc == 0 or rc is None      # fake exec() returns 0
+    finally:
+        sys.argv = old_argv
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()
