@@ -80,6 +80,11 @@ def main():
     ws = build_timeline()
 
     planner = render.RenderPlanner(ws, window)
+    # The headline measures COLD streaming (plan + slice + dispatch per
+    # rep): plan caching would turn best-of-3 reps over one range into
+    # replay measurement (the cached-replay story is config7b in
+    # benchmarks.py).
+    planner.plan_cache_segments = 0
 
     batch = int(os.environ.get('CANVAS_BENCH_BATCH', '32'))
     warm_frames = batch

@@ -121,7 +121,13 @@ def timeit_batches(planner, batch, n_frames, start=0):
     FIFO order (verified: post-hoc probes of earlier batches return in
     pure fetch-RTT), so probing the LAST batch's output and fetching
     one scalar bounds the whole range. A probe dispatch per batch costs
-    ~17 ms each through this tunnel and under-reports by ~2x."""
+    ~17 ms each through this tunnel and under-reports by ~2x.
+
+    Plan caching is DISABLED for the timed planner: the warm pass
+    covers the same range, and a plan-cache hit would silently turn
+    the timed pass into replay measurement (config7b measures replay
+    explicitly, with caches on)."""
+    planner.plan_cache_segments = 0
     probe = _probe()
 
     def run_range():
@@ -264,6 +270,7 @@ def config6():
 
     ws = bench.build_timeline()
     planner = render.RenderPlanner(ws, box2i(0, 0, 3839, 2159))
+    planner.plan_cache_segments = 0      # measure cold streaming
     probe = _probe()
 
     def run_range():

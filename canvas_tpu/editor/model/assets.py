@@ -200,6 +200,7 @@ class PluginSource(plugins.Source):
     def _stage_create_source(self):
         if self._source:
             return True
+        created = None
         try:
             created = self._plugin.create_source(self.name,
                                                  self.definition)
@@ -208,6 +209,14 @@ class PluginSource(plugins.Source):
             self._source = created
         except Exception as ex:
             self._source = None
+            if created is not None:
+                # undo a half-wired connection so a later
+                # offline_changed can't fire into a None _source
+                try:
+                    created.offline_changed.disconnect(
+                        self._handle_offline_changed)
+                except Exception:
+                    pass
             _log.debug('Error while creating source {0} from plugin',
                        self.name, exc_info=True)
             self._alert_and_stay_offline(

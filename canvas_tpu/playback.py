@@ -109,6 +109,16 @@ class VideoPlaybackEngine:
         with self._lock:
             self.window = box2i(window)
             self._cache.clear()
+            # Re-clamp the viewport against the NEW window: a stored
+            # viewport larger than a shrunk window would upscale on
+            # device and fetch more bytes than full frames.
+            vp = self._viewport
+            if vp is not None:
+                vp = (min(vp[0], self.window.width),
+                      min(vp[1], self.window.height))
+                if vp == (self.window.width, self.window.height):
+                    vp = None
+                self._viewport = vp
         self._wake.set()
 
     @property
@@ -208,6 +218,11 @@ class VideoPlaybackEngine:
         intent = self._rendering_intent
         viewport = self._viewport
         with self._render_lock:
+            if self._quit:
+                # stop() may have closed the planner while this thread
+                # waited on the lock (join timeout on a slow compile);
+                # don't resurrect one after teardown.
+                return
             planner = self._get_planner(source, window)
             data = planner.render(start, stop, device_out=True)
         if backend.is_jax_array(data):

@@ -983,6 +983,13 @@ class RenderPlanner:
     #: (CANVAS_STAGE_CACHE_MB env overrides; 0 disables).
     stage_cache_mb = None
 
+    #: Max prepared-segment plans cached across iter_batches calls
+    #: (0 disables). Plans pin their staged device arrays, so plan
+    #: caching is ALSO disabled automatically when the staging budget
+    #: is 0 — otherwise a "no device caching" planner would keep
+    #: staged stacks alive through its plans.
+    plan_cache_segments = 64
+
     @property
     def persistent_cache(self):
         cache = getattr(self, '_persistent_cache', None)
@@ -1070,6 +1077,14 @@ class RenderPlanner:
         if plan_cache is None:
             from collections import OrderedDict
             plan_cache = self._plan_cache = OrderedDict()
+        plan_lock = getattr(self, '_plan_cache_lock', None)
+        if plan_lock is None:
+            plan_lock = self._plan_cache_lock = threading.Lock()
+        # Plans pin staged device arrays: no staging budget => no plan
+        # caching either (benchmarks measuring cold staging rely on
+        # stage_cache_mb = 0 disabling BOTH).
+        cache_plans = (self.plan_cache_segments > 0
+                       and self.persistent_cache.budget > 0)
 
         def prepare(seg):
             """Plan one segment (host work: framefunc eval + staging
@@ -1084,10 +1099,12 @@ class RenderPlanner:
             guarantee. Invalidated with the other caches on
             frames_updated / set_quality / close."""
             pkey = (seg, batch, mesh, axis, post, self.quality)
-            got = plan_cache.get(pkey)
-            if got is not None:
-                plan_cache.move_to_end(pkey)
-                return got
+            if cache_plans:
+                with plan_lock:
+                    got = plan_cache.get(pkey)
+                    if got is not None:
+                        plan_cache.move_to_end(pkey)
+                        return got
             seg_start, seg_stop = seg
             self._stage_cache = {}
             self._frame_hints = {}
@@ -1151,9 +1168,11 @@ class RenderPlanner:
                     for p, op in zip(params, ops)]))
                 pos += take
             result = (seg_start, N, sig, node, batches)
-            plan_cache[pkey] = result
-            while len(plan_cache) > 64:
-                plan_cache.popitem(last=False)
+            if cache_plans:
+                with plan_lock:
+                    plan_cache[pkey] = result
+                    while len(plan_cache) > self.plan_cache_segments:
+                        plan_cache.popitem(last=False)
             return result
 
         segs = self.segments(start, stop)
@@ -1370,7 +1389,12 @@ class RenderPlanner:
             cache.clear()
         plans = getattr(self, '_plan_cache', None)
         if plans is not None:
-            plans.clear()
+            lock = getattr(self, '_plan_cache_lock', None)
+            if lock is not None:
+                with lock:
+                    plans.clear()
+            else:
+                plans.clear()
 
     def _watch_frames_updated(self):
         # Signal holds bound methods by WEAKREF (canvas_tpu.signal), so
@@ -1401,7 +1425,12 @@ class RenderPlanner:
             mats.clear()
         plans = getattr(self, '_plan_cache', None)
         if plans is not None:
-            plans.clear()
+            lock = getattr(self, '_plan_cache_lock', None)
+            if lock is not None:
+                with lock:
+                    plans.clear()
+            else:
+                plans.clear()
 
 
 def render_frames(source, window, start, stop, **kw):

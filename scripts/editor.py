@@ -36,7 +36,13 @@ def main():
     if len(sys.argv) > 1:
         window.open_project(sys.argv[1])
     window.show()
-    return qapp.exec() if hasattr(qapp, 'exec') else qapp.exec_()
+    try:
+        return qapp.exec() if hasattr(qapp, 'exec') else qapp.exec_()
+    finally:
+        # Deterministic teardown: stop playback engines/clock threads
+        # even when the event loop exits abnormally (also what lets
+        # headless CI drive main() without leaking threads).
+        window.closeEvent(None)
 
 
 if __name__ == '__main__':

@@ -935,7 +935,6 @@ def test_editor_script_boots_against_fake_binding(tmp_path):
     import sys
 
     import fake_qt
-    import yaml
     from canvas_tpu.editor.ui import qt as qt_mod
 
     # a minimal real project to open

@@ -194,6 +194,8 @@ def test_gtk_video_widget_smoke():
     from canvas_tpu.basetypes import box2i
     from canvas_tpu.editor.ui.gtk import GtkVideoWidget
 
+    from gi.repository import GLib
+
     clock = process.SystemPresentationClock()
     src = process.SolidColorVideoSource((0.1, 0.8, 0.2, 1.0))
     import fractions
@@ -202,15 +204,19 @@ def test_gtk_video_widget_smoke():
     try:
         clock.seek(0)
         engine = widget.engine
+        context = GLib.MainContext.default()
         deadline = time.time() + 10.0
-        frame = None
+        got_frame = False
         while time.time() < deadline:
             engine.display_frame(0)
-            if getattr(widget, '_frame', None) is not None or \
-                    getattr(widget, '_pixbuf', None) is not None:
-                frame = True
+            # frames land via GLib.idle_add: pump the main context so
+            # the idle callback publishes the pixbuf
+            while context.pending():
+                context.iteration(False)
+            if getattr(widget, '_pixbuf', None) is not None:
+                got_frame = True
                 break
             time.sleep(0.05)
-        assert frame, 'gtk widget never received a frame'
+        assert got_frame, 'gtk widget never received a frame'
     finally:
         widget.engine.stop()
