@@ -248,17 +248,23 @@ class StageLRU:
 
     def put(self, key, source, value, nbytes):
         import weakref
+        nbytes = int(nbytes)
+        if nbytes > self.budget:
+            # an uncacheable entry must not flush the whole cache on
+            # its way to being rejected
+            old = self._entries.pop(key, None)
+            if old is not None:
+                self.bytes -= old['nbytes']
+            return
         old = self._entries.pop(key, None)
         if old is not None:
             self.bytes -= old['nbytes']
-        nbytes = int(nbytes)
         while self._entries and self.bytes + nbytes > self.budget:
             _k, dropped = self._entries.popitem(last=False)
             self.bytes -= dropped['nbytes']
-        if nbytes <= self.budget:
-            self._entries[key] = {'ref': weakref.ref(source),
-                                  'value': value, 'nbytes': nbytes}
-            self.bytes += nbytes
+        self._entries[key] = {'ref': weakref.ref(source),
+                              'value': value, 'nbytes': nbytes}
+        self.bytes += nbytes
 
     def clear(self):
         self._entries.clear()

@@ -979,3 +979,35 @@ def test_plan_cache_replay_and_invalidation():
         assert len(plans) > n1
     finally:
         render.PlanContext.plan = orig_plan
+
+
+def test_stage_lru_unit():
+    """StageLRU mechanics: LRU eviction by bytes, weakref source
+    guard against id() reuse, oversized entries skipped."""
+
+    class Src:
+        pass
+
+    a, b, c = Src(), Src(), Src()
+    lru = render.StageLRU(100)
+    lru.put('a', a, 'A', 40)
+    lru.put('b', b, 'B', 40)
+    assert lru.get('a', a) == 'A'        # refreshes a
+    lru.put('c', c, 'C', 40)             # evicts b (LRU)
+    assert lru.get('b', b) is None
+    assert lru.get('a', a) == 'A'
+    assert lru.get('c', c) == 'C'
+    assert lru.bytes == 80
+
+    # weakref guard: entry only hits while its source is alive
+    d = Src()
+    lru.put('d', d, 'D', 10)
+    assert lru.get('d', d) == 'D'
+    other = Src()
+    assert lru.get('d', other) is None   # different object, same key
+    assert lru.bytes == 80               # stale entry dropped
+
+    # oversized entries never cached
+    lru.put('big', a, 'BIG', 1000)
+    assert lru.get('big', a) is None
+    assert len(lru) == 2
