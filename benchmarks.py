@@ -53,18 +53,20 @@ def _probe():
     return probe
 
 
-#: Minimum H2D throughput to accept a link-bound measurement; the
-#: tunnel's healthy range is 20-80 MB/s and it degrades to single
-#: digits for stretches (round-2 finding).
+#: Minimum bulk throughput (each direction) to accept a link-bound
+#: measurement; the tunnel's healthy range is 20-80 MB/s and it
+#: degrades to single digits for stretches — per DIRECTION,
+#: independently (round-3: one suite run had healthy H2D with a
+#: collapsed D2H, wrecking every fetch-bound row).
 HEALTH_H2D_MIN_MBPS = 12.0
+HEALTH_D2H_MIN_MBPS = 12.0
 
 
 def health_gate(max_wait=600.0):
     """Block until the tunnel answers a small matmul + scalar fetch
-    within HEALTH_RTT_LIMIT AND ships a 4 MB H2D probe at a sane rate
-    (RTT alone stays healthy while bulk throughput collapses — the
-    round-3 suite run that recorded config8 at 7 fps against a healthy
-    21.7 was RTT-clean). Returns (rtt_s, h2d_mbps); raises after
+    within HEALTH_RTT_LIMIT AND ships 4 MB probes at a sane rate in
+    BOTH directions (RTT alone stays healthy while bulk throughput
+    collapses). Returns (rtt_s, h2d_mbps, d2h_mbps); raises after
     max_wait of sustained degradation."""
     import jax
     import jax.numpy as jnp
@@ -79,9 +81,15 @@ def health_gate(max_wait=600.0):
     def touch(x):
         return jnp.sum(x[::251, ::63].astype(jnp.float32))
 
+    @jax.jit
+    def make(x):
+        return jnp.broadcast_to(x, (1 << 20, 4)) * 1.0
+
     float(mm(a))                 # compile (cached after first call)
     probe_host = np.ones((1 << 20, 4), np.float32)     # 4 MB
     float(touch(jax.device_put(probe_host)))
+    dev_probe = make(jnp.float32(1.0))
+    np.asarray(dev_probe)
     deadline = time.time() + max_wait
     while True:
         t0 = time.perf_counter()
@@ -90,12 +98,16 @@ def health_gate(max_wait=600.0):
         t0 = time.perf_counter()
         float(touch(jax.device_put(probe_host)))
         h2d = probe_host.nbytes / (1 << 20) / (time.perf_counter() - t0)
-        if rtt < HEALTH_RTT_LIMIT and h2d >= HEALTH_H2D_MIN_MBPS:
-            return rtt, h2d
+        t0 = time.perf_counter()
+        np.asarray(dev_probe)
+        d2h = probe_host.nbytes / (1 << 20) / (time.perf_counter() - t0)
+        if (rtt < HEALTH_RTT_LIMIT and h2d >= HEALTH_H2D_MIN_MBPS
+                and d2h >= HEALTH_D2H_MIN_MBPS):
+            return rtt, h2d, d2h
         if time.time() > deadline:
             raise RuntimeError(
-                'tunnel degraded: health RTT %.2f s, H2D %.1f MB/s'
-                % (rtt, h2d))
+                'tunnel degraded: health RTT %.2f s, H2D %.1f MB/s, '
+                'D2H %.1f MB/s' % (rtt, h2d, d2h))
         time.sleep(10.0)
 
 
@@ -428,10 +440,10 @@ def main():
                 'implied target is ~30 fps realtime DV playback. '
                 'Measured C-kernel baselines: cbaseline/README.md.\n\n'
                 'Integrity: every config is health-gated (256x256 '
-                'matmul + scalar fetch must answer in <0.5 s AND a '
-                '4 MB H2D probe must ship at >= 12 MB/s), measured '
-                'median-of-3, and re-run once if the sample spread '
-                'exceeds 60% (a mid-run tunnel collapse).\n\n'
+                'matmul + scalar fetch must answer in <0.5 s AND 4 MB '
+                'probes must ship at >= 12 MB/s in BOTH directions), '
+                'measured median-of-3, and re-run once if the sample '
+                'spread exceeds 60% (a mid-run tunnel collapse).\n\n'
                 'Measurement: on this rig block_until_ready() returns '
                 'before remote execution finishes, so every timing '
                 'probes the LAST dispatched output with a device-side '
