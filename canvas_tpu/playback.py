@@ -53,6 +53,7 @@ class VideoPlaybackEngine:
         self._rendering_intent = float(rendering_intent)
         self._viewport = None
         self._planner = None
+        self._quality = 10
 
         from canvas_tpu import backend
         backend.ensure_initialized()   # JAX must first init on this thread
@@ -181,9 +182,28 @@ class VideoPlaybackEngine:
                 or planner.window != window):
             if planner is not None:
                 planner.close()
-            planner = render.RenderPlanner(source, window)
+            planner = render.RenderPlanner(source, window,
+                                           quality=self._quality)
             self._planner = planner
         return planner
+
+    def set_quality(self, quality):
+        """Render-quality hint for the display path (the reference's
+        1-11 scale, framework.h:510-513; hints.rst intent): a UI sets
+        quality <= 5 while scrubbing/dragging for cheaper scaler taps
+        and coded pulls, then restores 10 on pause for the bit-exact
+        frame."""
+        quality = int(quality)
+        with self._render_lock:
+            planner = self._planner
+            if planner is not None:
+                if planner.quality == quality:
+                    return
+                planner.set_quality(quality)
+        with self._lock:
+            self._quality = quality
+            self._cache.clear()
+        self._wake.set()
 
     def set_viewport(self, size):
         """Viewport-sized display fetches: frames resample on device to

@@ -472,3 +472,42 @@ def test_playback_engine_stop_race_with_display_frame():
         # the strong assertion: a post-stop render refuses
         engine._render_batch(0, 1)
         assert engine._planner is None
+
+
+def test_playback_engine_quality_hint():
+    """set_quality: scrub-quality previews render degraded (different
+    pixels on a minifying scaler) and restore exactly at quality 10."""
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.playback import VideoPlaybackEngine
+    from canvas_tpu.sources import VideoScaler
+
+    base = SolidColorVideoSource(
+        LerpFunc((0.8, 0.3, 0.2, 1.0), (0.2, 0.7, 0.9, 1.0), 32),
+        window=box2i(0, 0, 127, 95))
+    sc = VideoScaler(
+        base,
+        target_point=LerpFunc((4, 2), (10, 8), 32),
+        source_point=(0.0, 0.0),
+        scale_factors=LerpFunc((0.4, 0.4), (0.45, 0.5), 32),
+        source_rect=box2i(0, 0, 127, 95))
+
+    presented = {}
+    clock = SystemPresentationClock()
+    engine = VideoPlaybackEngine(
+        sc, clock, Fraction(24), box2i(0, 0, 63, 63),
+        lambda idx, bgra: presented.__setitem__(idx, bgra.copy()))
+    try:
+        engine.display_frame(3)
+        full = presented.pop(3)
+
+        engine.set_quality(4)
+        engine.display_frame(3)
+        fast = presented.pop(3)
+        assert not np.array_equal(full, fast)    # degraded differs
+
+        engine.set_quality(10)
+        engine.display_frame(3)
+        restored = presented.pop(3)
+        np.testing.assert_array_equal(full, restored)
+    finally:
+        engine.stop()
