@@ -137,18 +137,27 @@ class DragController:
     def start(self, item, grab_x_seconds, grab_y):
         items = [item] + [i for i in self.scene.selected_items if i != item]
         self.manipulator = ItemManipulator(items, grab_x_seconds, grab_y)
+        self._moved = False
 
     def move_to_space(self, x_seconds, y):
         if self.manipulator:
             self.manipulator.set_space_item(self.scene.space, x_seconds, y)
+            self._moved = True
 
     def move_to_sequence(self, sequence, x_seconds, y, operation='add'):
         if self.manipulator:
             self.manipulator.set_sequence_item(sequence, x_seconds, y,
                                                operation)
+            self._moved = True
 
     def drop(self):
         if not self.manipulator:
+            return None
+        if not self._moved:
+            # plain click-select: press + release with no motion is not
+            # an edit — finishing an unengaged manipulator would build
+            # an empty command (review find: crashed on clip click)
+            self.cancel()
             return None
         command = self.manipulator.finish()
         self.manipulator = None

@@ -117,7 +117,33 @@ def create_main_window(app=None, binding=None):
             x, y = self.transform.view_to_scene(px, py - 18)
             return x, y
 
+        RULER_HEIGHT = 18
+
+        def _preview_engine_for_scrub(self):
+            getter = getattr(self, 'preview_engine', None)
+            if getter is None:
+                return None
+            try:
+                return getter()
+            except Exception:
+                return None
+
+        def _scrub_to(self, px):
+            seconds, _lane = self.transform.view_to_scene(px, 0)
+            self.editor.app.seek(int(max(0.0, seconds) * 1_000_000_000))
+
         def mouse_press(self, px, py):
+            if py < self.RULER_HEIGHT:
+                # Time-ruler scrub (the qttest.py playhead drag):
+                # degrade preview quality while dragging
+                # (hints.rst intent), restore on release.
+                self._scrub_active = True
+                engine = self._preview_engine_for_scrub()
+                if engine is not None:
+                    engine.set_quality(4)
+                self._scrub_to(px)
+                self.refresh()
+                return
             x, y = self._scene_pos(px, py)
             scene = self.editor.scene
             item = scene.item_at(x, y)
@@ -128,6 +154,10 @@ def create_main_window(app=None, binding=None):
             self.refresh()
 
         def mouse_move(self, px, py):
+            if getattr(self, '_scrub_active', False):
+                self._scrub_to(px)
+                self.refresh()
+                return
             if self._drag_active:
                 x, y = self._scene_pos(px, py)
                 # Hovering over a Sequence item routes the drag into the
@@ -147,6 +177,14 @@ def create_main_window(app=None, binding=None):
                 self.refresh()
 
         def mouse_release(self, px, py):
+            if getattr(self, '_scrub_active', False):
+                self._scrub_active = False
+                self._scrub_to(px)
+                engine = self._preview_engine_for_scrub()
+                if engine is not None:
+                    engine.set_quality(10)
+                self.refresh()
+                return
             if self._drag_active:
                 self.editor.drag.drop()
                 self._drag_active = False
@@ -297,6 +335,12 @@ def create_main_window(app=None, binding=None):
 
         def _register_editor(self, name, editor):
             widget = TimelineWidget(editor)
+            # ruler scrubbing degrades the ACTIVE preview engine while
+            # dragging (quality hint); resolved lazily since the
+            # preview widget swaps with the active tab
+            widget.preview_engine = (
+                lambda: self.video_widget.engine
+                if self.video_widget is not None else None)
             self.document_tabs.addTab(widget, name)
             self.editors[name] = (editor, widget)
             widget.refresh()

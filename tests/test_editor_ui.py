@@ -960,3 +960,50 @@ def test_editor_script_boots_against_fake_binding(tmp_path):
         sys.argv = old_argv
         qt_mod._qt = old
         fake_qt.QPainter.instances.clear()
+
+
+def test_timeline_ruler_scrub():
+    """Clicking/dragging in the time ruler scrubs the playhead
+    (qttest.py's ruler role) and degrades the preview engine's quality
+    hint during the drag, restoring 10 on release."""
+    import fake_qt
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+        window.new_space('scrub', plugins.VideoFormat(frame_rate=24),
+                         plugins.AudioFormat(sample_rate=48000))
+        (_e, widget) = window.editors['scrub']
+        engine = window.video_widget.engine
+
+        # press in the ruler band (py < 18) at 2 s (64 px/s default)
+        widget.mouse_press(128, 5)
+        assert app.clock.get_presentation_time() == 2_000_000_000
+        assert engine._planner is None or engine._planner.quality == 4 \
+            or engine._quality == 4
+        assert engine._quality == 4
+
+        # drag to 3 s
+        widget.mouse_move(192, 5)
+        assert app.clock.get_presentation_time() == 3_000_000_000
+
+        # release restores full quality
+        widget.mouse_release(192, 5)
+        assert engine._quality == 10
+        assert app.clock.get_presentation_time() == 3_000_000_000
+
+        # scene editing below the ruler is unaffected
+        clip = model.Clip(type='video', x=0, y=0.0, length=24, height=1.0)
+        _e.space[0:0] = [clip]
+        widget.mouse_press(16, 30)
+        assert _e.scene.selected_items == [clip]
+        widget.mouse_release(16, 30)
+
+        window.closeEvent(None)
+    finally:
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()
