@@ -190,6 +190,21 @@ def create_main_window(app=None, binding=None):
                 self._drag_active = False
                 self.refresh()
 
+        def wheel(self, px, steps):
+            """Zoom the timeline about the cursor (view.py:172-187
+            role; ViewTransformModel keeps the anchor stationary)."""
+            self.transform.zoom(steps, anchor_px=px)
+            self.refresh()
+
+        def wheelEvent(self, event):
+            delta = 0
+            angle = getattr(event, 'angleDelta', None)
+            if angle is not None:
+                delta = angle().y()
+            if delta:
+                px = self._event_xy(event)[0]
+                self.wheel(px, 1 if delta > 0 else -1)
+
         # Qt event names route to the toolkit-independent handlers.
         # position() is Qt6; Qt5 uses localPos()/pos().
         @staticmethod

@@ -1007,3 +1007,32 @@ def test_timeline_ruler_scrub():
     finally:
         qt_mod._qt = old
         fake_qt.QPainter.instances.clear()
+
+
+def test_timeline_wheel_zoom():
+    """Mouse wheel zooms the timeline around the cursor (view.py
+    wheel-zoom role), wired through the widget."""
+    import fake_qt
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+        window.new_space('z', plugins.VideoFormat(frame_rate=24),
+                         plugins.AudioFormat(sample_rate=48000))
+        (_e, widget) = window.editors['z']
+        pps = widget.transform.pixels_per_second
+        anchor_before = widget.transform.view_to_scene(100, 0)[0]
+        widget.wheel(100, 1)
+        assert widget.transform.pixels_per_second > pps
+        anchor_after = widget.transform.view_to_scene(100, 0)[0]
+        assert abs(anchor_after - anchor_before) < 1e-9
+        widget.wheel(100, -1)
+        assert abs(widget.transform.pixels_per_second - pps) < 1e-9
+        window.closeEvent(None)
+    finally:
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()
