@@ -64,7 +64,7 @@ HEALTH_D2H_MIN_MBPS = 12.0
 
 def health_gate(max_wait=600.0):
     """Block until the tunnel answers a small matmul + scalar fetch
-    within HEALTH_RTT_LIMIT AND ships 4 MB probes at a sane rate in
+    within HEALTH_RTT_LIMIT AND ships 16 MB probes at a sane rate in
     BOTH directions (RTT alone stays healthy while bulk throughput
     collapses). Returns (rtt_s, h2d_mbps, d2h_mbps); raises after
     max_wait of sustained degradation."""
@@ -86,18 +86,24 @@ def health_gate(max_wait=600.0):
         return jnp.broadcast_to(x, (1 << 20, 4)) * 1.0
 
     float(mm(a))                 # compile (cached after first call)
-    probe_host = np.ones((1 << 20, 4), np.float32)     # 4 MB
+    probe_host = np.ones((1 << 20, 4), np.float32)     # 16 MB
     float(touch(jax.device_put(probe_host)))
-    dev_probe = make(jnp.float32(1.0))
-    np.asarray(dev_probe)
+    np.asarray(make(jnp.float32(1.0)))      # compile the D2H producer
     deadline = time.time() + max_wait
+    tick = 0
     while True:
+        tick += 1
         t0 = time.perf_counter()
         float(mm(a))
         rtt = time.perf_counter() - t0
         t0 = time.perf_counter()
         float(touch(jax.device_put(probe_host)))
         h2d = probe_host.nbytes / (1 << 20) / (time.perf_counter() - t0)
+        # D2H probe must be a FRESH device array each round: jax caches
+        # an array's host copy after its first np.asarray, so re-fetching
+        # one array measures a memcpy, never the link.
+        dev_probe = make(jnp.float32(float(tick)))
+        dev_probe.block_until_ready()
         t0 = time.perf_counter()
         np.asarray(dev_probe)
         d2h = probe_host.nbytes / (1 << 20) / (time.perf_counter() - t0)
@@ -440,10 +446,12 @@ def main():
                 'implied target is ~30 fps realtime DV playback. '
                 'Measured C-kernel baselines: cbaseline/README.md.\n\n'
                 'Integrity: every config is health-gated (256x256 '
-                'matmul + scalar fetch must answer in <0.5 s AND 4 MB '
-                'probes must ship at >= 12 MB/s in BOTH directions), '
-                'measured median-of-3, and re-run once if the sample '
-                'spread exceeds 60% (a mid-run tunnel collapse).\n\n'
+                'matmul + scalar fetch must answer in <0.5 s AND 16 MB '
+                'probes must ship at >= 12 MB/s in BOTH directions; '
+                'the D2H probe is a fresh device array each round '
+                'since jax caches host copies), measured median-of-3, '
+                'and re-run once if the sample spread exceeds 60% '
+                '(a mid-run tunnel collapse).\n\n'
                 'Measurement: on this rig block_until_ready() returns '
                 'before remote execution finishes, so every timing '
                 'probes the LAST dispatched output with a device-side '

@@ -114,7 +114,7 @@ def create_main_window(app=None, binding=None):
         # -- mouse editing (scene.py/manip.py routing) ------------------
 
         def _scene_pos(self, px, py):
-            x, y = self.transform.view_to_scene(px, py - 18)
+            x, y = self.transform.view_to_scene(px, py - self.RULER_HEIGHT)
             return x, y
 
         RULER_HEIGHT = 18
@@ -489,7 +489,11 @@ def create_main_window(app=None, binding=None):
         def closeEvent(self, event):
             if self.video_widget is not None:
                 self.video_widget.close()
-            super().closeEvent(event)
+            # event is None when teardown is driven programmatically
+            # (scripts/editor.py's finally, tests): a real Qt
+            # super().closeEvent would dereference the null QCloseEvent
+            if event is not None:
+                super().closeEvent(event)
 
     return MainWindow()
 

@@ -237,6 +237,7 @@ class VideoPlaybackEngine:
         window = self.window
         intent = self._rendering_intent
         viewport = self._viewport
+        quality = self._quality
         with self._render_lock:
             if self._quit:
                 # stop() may have closed the planner while this thread
@@ -262,13 +263,8 @@ class VideoPlaybackEngine:
             bgra = flat.reshape(flat.shape[0], flat.shape[1], -1, 4)
         else:
             if viewport is not None:
-                from canvas_tpu.ops import scale as scale_ops
-                vw, vh = viewport
-                H, W = window.height, window.width
-                Dy, _t = scale_ops.axis_matrix(vh / H, 0, vh - 1,
-                                               0, H - 1, 0.0, 0.0)
-                Dx, _t = scale_ops.axis_matrix(vw / W, 0, vw - 1,
-                                               0, W - 1, 0.0, 0.0)
+                Dy, Dx = render.display_matrices_host(
+                    window.height, window.width, viewport)
                 data = np.einsum('yh,bchw->bcyw', Dy,
                                  np.asarray(data, np.float32))
                 data = np.einsum('xw,bcyw->bcyx', Dx,
@@ -280,7 +276,11 @@ class VideoPlaybackEngine:
         with self._lock:
             if (source is not self.source or window is not self.window
                     or intent != self._rendering_intent
-                    or viewport != self._viewport):
+                    or viewport != self._viewport
+                    or quality != self._quality):
+                # display state changed while this batch was in flight:
+                # the frames are stale (e.g. quality-4 frames finishing
+                # after a quality-10 restore cleared the ring)
                 return
             for i, idx in enumerate(range(start, stop)):
                 self._cache[idx] = bgra[i]

@@ -1110,7 +1110,7 @@ class RenderPlanner:
                     got = plan_cache.get(pkey)
                     if got is not None:
                         plan_cache.move_to_end(pkey)
-                        return got
+                        return got[0]
             seg_start, seg_stop = seg
             self._stage_cache = {}
             self._frame_hints = {}
@@ -1175,10 +1175,29 @@ class RenderPlanner:
                 pos += take
             result = (seg_start, N, sig, node, batches)
             if cache_plans:
-                with plan_lock:
-                    plan_cache[pkey] = result
-                    while len(plan_cache) > self.plan_cache_segments:
-                        plan_cache.popitem(last=False)
+                # A cached plan PINS its staged device arrays (the
+                # pre-cut batch params reference them), so bound the
+                # cache by pinned device bytes against the SAME budget
+                # as the staging cache — entry count alone would let
+                # 64 decoded-video segments pin far more HBM than
+                # CANVAS_STAGE_CACHE_MB allows.
+                pinned = 0
+                seen = set()
+                for p in node.flat_params([]):
+                    for v in p.values():
+                        if backend.is_jax_array(v) and id(v) not in seen:
+                            seen.add(id(v))
+                            pinned += int(v.nbytes)
+                budget = self.persistent_cache.budget
+                if pinned <= budget:
+                    with plan_lock:
+                        plan_cache[pkey] = (result, pinned)
+                        total = sum(b for (_r, b) in plan_cache.values())
+                        while len(plan_cache) > 1 and (
+                                len(plan_cache) > self.plan_cache_segments
+                                or total > budget):
+                            _k, (_r, b) = plan_cache.popitem(last=False)
+                            total -= b
             return result
 
         segs = self.segments(start, stop)
@@ -1351,9 +1370,7 @@ class RenderPlanner:
     def _display_matrices(self, display_size):
         """(Dy (dh, H), Dx (dw, W)) viewport-resample matrices for this
         planner's window, device-committed and cached per size; None
-        for full-size display. Triangle FIR (filter.c:24-77 family),
-        anchored at the window origin like VideoScaler's point
-        convention."""
+        for full-size display."""
         if display_size is None:
             return None
         cache = getattr(self, '_display_mats', None)
@@ -1368,14 +1385,9 @@ class RenderPlanner:
             # many sizes; each pair is a few MB of device arrays.
             while len(cache) >= 8:
                 cache.popitem(last=False)
-            from canvas_tpu.ops import scale as scale_ops
             jax, _jnp = _jx()
-            dw, dh = display_size
-            H, W = self.window.height, self.window.width
-            Dy, _t = scale_ops.axis_matrix(dh / H, 0, dh - 1, 0, H - 1,
-                                           0.0, 0.0)
-            Dx, _t = scale_ops.axis_matrix(dw / W, 0, dw - 1, 0, W - 1,
-                                           0.0, 0.0)
+            Dy, Dx = display_matrices_host(
+                self.window.height, self.window.width, display_size)
             got = cache[display_size] = (jax.device_put(Dy),
                                          jax.device_put(Dx))
         return got
@@ -1421,22 +1433,38 @@ class RenderPlanner:
             if updated is not None:
                 updated.disconnect(self.invalidate_display_cache)
             self._watching_updates = False
-        self._display_seg = None
+        # one clearing path for plans/stages (keeps every future cache
+        # in sync between edit-invalidation and teardown)
+        self.invalidate_display_cache()
         self._stage_cache = {}
-        cache = getattr(self, '_persistent_cache', None)
-        if cache is not None:
-            cache.clear()
         mats = getattr(self, '_display_mats', None)
         if mats is not None:
             mats.clear()
-        plans = getattr(self, '_plan_cache', None)
-        if plans is not None:
-            lock = getattr(self, '_plan_cache_lock', None)
-            if lock is not None:
-                with lock:
-                    plans.clear()
-            else:
-                plans.clear()
+
+
+_display_mats_host = {}
+
+
+def display_matrices_host(window_h, window_w, display_size):
+    """Host (dh, H), (dw, W) triangle-FIR viewport-resample matrices
+    (filter.c:24-77 family, anchored at the window origin like
+    VideoScaler's point convention). The ONE home for the viewport
+    display convention — render_display and the playback engine both
+    resample through these (the planner device-commits them via
+    _display_matrices)."""
+    dw, dh = int(display_size[0]), int(display_size[1])
+    key = (window_h, window_w, dh, dw)
+    got = _display_mats_host.get(key)
+    if got is None:
+        from canvas_tpu.ops import scale as scale_ops
+        Dy, _t = scale_ops.axis_matrix(dh / window_h, 0, dh - 1,
+                                       0, window_h - 1, 0.0, 0.0)
+        Dx, _t = scale_ops.axis_matrix(dw / window_w, 0, dw - 1,
+                                       0, window_w - 1, 0.0, 0.0)
+        if len(_display_mats_host) >= 16:
+            _display_mats_host.clear()
+        got = _display_mats_host[key] = (Dy, Dx)
+    return got
 
 
 def render_frames(source, window, start, stop, **kw):

@@ -466,10 +466,7 @@ def test_playback_engine_stop_race_with_display_frame():
         stop_now.set()
         t.join(timeout=5)
         assert not t.is_alive()
-        # no planner resurrected after stop
-        assert engine._planner is None or not getattr(
-            engine._planner, '_watching_updates', False) or True
-        # the strong assertion: a post-stop render refuses
+        # a post-stop render refuses to resurrect a planner
         engine._render_batch(0, 1)
         assert engine._planner is None
 
