@@ -114,15 +114,28 @@ def main():
     def health_mm(x):
         return jnp.sum(x @ x)
 
-    def health_gate(limit=0.5, max_wait=600.0):
+    def health_gate(limit=0.5, dispatch_limit=0.008, max_wait=600.0):
+        """Wait for a healthy transport phase: RTT under *limit* AND
+        per-dispatch cost under *dispatch_limit* (phases exist where a
+        single round trip looks fine but back-to-back dispatch
+        marshaling is inflated several-fold, halving streaming fps).
+        Best-effort: after *max_wait* the bench proceeds anyway — a
+        degraded number beats no recorded number."""
         deadline = time.time() + max_wait
         while True:
             t0 = time.perf_counter()
             float(health_mm(health_mat))
-            if time.perf_counter() - t0 < limit:
+            rtt_ok = time.perf_counter() - t0 < limit
+            n = 20
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = health_mm(health_mat)
+            float(out)
+            disp = (time.perf_counter() - t0) / n
+            if rtt_ok and disp < dispatch_limit:
                 return
             if time.time() > deadline:
-                raise RuntimeError('tunnel degraded')
+                return
             time.sleep(10.0)
 
     float(health_mm(health_mat))      # compile

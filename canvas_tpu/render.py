@@ -898,6 +898,16 @@ def _get_sharded_program(signature, node, mesh, axis, N, post=None):
     return fn
 
 
+def _take(v, idx, ax):
+    """np.take that stays on device for jax arrays: numpy's take on a
+    device array silently round-trips it through the host (np.asarray
+    fetch + re-ship) — for a tail batch of a staged segment that
+    fetched the whole staged plane stack over the link."""
+    if backend.is_jax_array(v):
+        return backend.jnp.take(v, backend.jnp.asarray(idx), axis=ax)
+    return np.take(v, idx, axis=ax)
+
+
 def _commit_replicated_params(node, mesh=None):
     """device_put every REPLICATED (non-frame-axis) param once.
 
@@ -1152,7 +1162,7 @@ class RenderPlanner:
                             np.full(seg_pad, N - 1, np.int64)])
 
                         def cut(v, ax, idx_seg=idx_seg):
-                            return np.take(v, idx_seg, axis=ax)
+                            return _take(v, idx_seg, ax)
                     else:
                         def cut(v, ax):
                             return v
@@ -1166,13 +1176,34 @@ class RenderPlanner:
                         np.full(batch - take, N - 1, np.int64)])
 
                     def cut(v, ax, idx=idx):
-                        return np.take(v, idx, axis=ax)
+                        return _take(v, idx, ax)
                 batches.append((pos, take, [
                     {k: (cut(v, _BATCH_AXIS.get(op, 0))
                          if k in _frame_params(op) else v)
                      for k, v in p.items()}
                     for p, op in zip(params, ops)]))
                 pos += take
+            if mesh is None:
+                # Commit every remaining host leaf (the per-batch
+                # frame-sliced params; replicated ones were committed
+                # above) to the device in ONE bulk device_put on this
+                # prepare thread. jit re-transfers host arrays on every
+                # dispatch, and through a slow transport each dispatch's
+                # ~dozens of small H2D payloads sit on the DISPATCH
+                # thread's critical path (measured +6 ms/batch on a
+                # degraded tunnel phase, ~1 ms/batch healthy). The mesh
+                # path keeps host leaves: in_shardings place them.
+                host_leaves = []
+                for (_pos, _tk, plist) in batches:
+                    for p in plist:
+                        for k, v in p.items():
+                            if not backend.is_jax_array(v):
+                                host_leaves.append((p, k, v))
+                if host_leaves:
+                    put = jax.device_put([v for (_p, _k, v)
+                                          in host_leaves])
+                    for (p, k, _v), dv in zip(host_leaves, put):
+                        p[k] = dv
             result = (seg_start, N, sig, node, batches)
             if cache_plans:
                 # A cached plan PINS its staged device arrays (the
@@ -1183,11 +1214,22 @@ class RenderPlanner:
                 # CANVAS_STAGE_CACHE_MB allows.
                 pinned = 0
                 seen = set()
-                for p in node.flat_params([]):
+
+                def _count(p):
+                    nonlocal pinned
                     for v in p.values():
                         if backend.is_jax_array(v) and id(v) not in seen:
                             seen.add(id(v))
                             pinned += int(v.nbytes)
+
+                for p in node.flat_params([]):
+                    _count(p)
+                # The batches pin their own device arrays too: per-batch
+                # cut slices of staged stacks and the bulk-device_put
+                # frame params above — count them against the budget.
+                for (_pos, _tk, plist) in batches:
+                    for p in plist:
+                        _count(p)
                 budget = self.persistent_cache.budget
                 if pinned <= budget:
                     with plan_lock:
