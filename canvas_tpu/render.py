@@ -32,6 +32,7 @@ second axis for single-frame latency.
 """
 
 import hashlib
+import os
 import threading
 
 import numpy as np
@@ -117,6 +118,11 @@ _FRAME_PARAMS = {
     'scale': frozenset(),               # wy/wx shared across the segment
     'scale_taps_dyn': frozenset(('fy', 'fx', 'tpy', 'tpx', 'spy', 'spx',
                                  'yl', 'yh', 'xl', 'xh')),
+    # Factored scaled-solid: ry/rx shared (static taps) or rebuilt
+    # per-frame from the same scalars as scale_taps_dyn.
+    'scale_solid': frozenset(('color',)),
+    'scale_solid_dyn': frozenset(('fy', 'fx', 'tpy', 'tpx', 'spy', 'spx',
+                                  'yl', 'yh', 'xl', 'xh', 'color')),
     'place': frozenset(),
     'transfer': frozenset(),
     'matrix': frozenset(),
@@ -434,6 +440,37 @@ def _device_transfer(name, x16, jnp, jax):
     return y.astype(jnp.float16).astype(jnp.float32)
 
 
+def _dyn_axis_taps(jnp, jax, fv, tp, sp, lo, hi, t_lo, T, K, lq, S=None):
+    """Per-frame 1-D resample taps built on device from scalar params
+    (the math of ops/scale.axis_taps_batch, traced once per program).
+
+    Returns (idx, w) with idx (B, T, K) i32 source positions (clipped
+    to [0, S-1]; None when S is None) and w (B, T, K) f32 weights —
+    triangle filter (bilinear when *lq*), normalized when downscaling,
+    zeroed outside the [lo, hi] source window. Shared by
+    'scale_taps_dyn' (densify + MXU contraction) and 'scale_solid_dyn'
+    (row-sums only) so the two paths can never drift."""
+    t = jax.lax.broadcasted_iota(jnp.float32, (1, T), 1) + t_lo
+    f = fv[:, None]
+    width = (jnp.ones_like(f) if lq
+             else jnp.where(f > 1.0, 1.0, 1.0 / f))
+    g = (t - tp[:, None]) / f + sp[:, None]
+    left = jnp.floor(g - width) + 1.0
+    k = jax.lax.broadcasted_iota(jnp.float32, (1, 1, K), 2)
+    pos = left[:, :, None] + k
+    dist = jnp.abs(pos - g[:, :, None]) / width[:, :, None]
+    w = jnp.maximum(0.0, 1.0 - dist)
+    sums = jnp.sum(w, axis=2, keepdims=True)
+    w = jnp.where((f <= 1.0)[:, :, None] & (sums != 0.0),
+                  w / jnp.where(sums != 0.0, sums, 1.0), w)
+    in_window = ((pos >= lo[:, None, None]) &
+                 (pos <= hi[:, None, None]))
+    w = jnp.where(in_window, w, 0.0)
+    idx = (jnp.clip(pos, 0, S - 1).astype(jnp.int32)
+           if S is not None else None)
+    return idx, w
+
+
 def _eval(node_sig, params_iter, jnp, jax):
     """Rebuild the computation from the structure signature. Must visit
     nodes in the same depth-first order as Node.flat_params."""
@@ -645,31 +682,13 @@ def _eval(node_sig, params_iter, jnp, jax):
         t_lo_y = params['tly']
         t_lo_x = params['tlx']
 
-        def axis(fv, tp, sp, lo, hi, t_lo, T, K, S):
-            t = jax.lax.broadcasted_iota(jnp.float32, (1, T), 1) + t_lo
-            f = fv[:, None]
-            width = (jnp.ones_like(f) if lq
-                     else jnp.where(f > 1.0, 1.0, 1.0 / f))
-            g = (t - tp[:, None]) / f + sp[:, None]
-            left = jnp.floor(g - width) + 1.0
-            k = jax.lax.broadcasted_iota(jnp.float32, (1, 1, K), 2)
-            pos = left[:, :, None] + k
-            dist = jnp.abs(pos - g[:, :, None]) / width[:, :, None]
-            w = jnp.maximum(0.0, 1.0 - dist)
-            sums = jnp.sum(w, axis=2, keepdims=True)
-            w = jnp.where((f <= 1.0)[:, :, None] & (sums != 0.0),
-                          w / jnp.where(sums != 0.0, sums, 1.0), w)
-            in_window = ((pos >= lo[:, None, None]) &
-                         (pos <= hi[:, None, None]))
-            w = jnp.where(in_window, w, 0.0)
-            idx = jnp.clip(pos, 0, S - 1).astype(jnp.int32)
-            return idx, w
-
         Sy, Sx = child.shape[2], child.shape[3]
-        iy, wy = axis(params['fy'], params['tpy'], params['spy'],
-                      params['yl'], params['yh'], t_lo_y, Ty, Ky, Sy)
-        ix, wx = axis(params['fx'], params['tpx'], params['spx'],
-                      params['xl'], params['xh'], t_lo_x, Tx, Kx, Sx)
+        iy, wy = _dyn_axis_taps(jnp, jax, params['fy'], params['tpy'],
+                                params['spy'], params['yl'], params['yh'],
+                                t_lo_y, Ty, Ky, lq, Sy)
+        ix, wx = _dyn_axis_taps(jnp, jax, params['fx'], params['tpx'],
+                                params['spx'], params['xl'], params['xh'],
+                                t_lo_x, Tx, Kx, lq, Sx)
 
         # Densify the K taps into per-frame (T, S) resample matrices and
         # contract on the MXU: batched matmuls are far faster on TPU than
@@ -690,6 +709,39 @@ def _eval(node_sig, params_iter, jnp, jax):
         return jnp.einsum('bxw,bctw->bctx', Wx, mid,
                           precision=prec,
                           preferred_element_type=jnp.float32)
+
+    if op == 'scale_solid':
+        # Resampled solid, static taps: the child frame is rank-1
+        # separable (color x row-indicator x col-indicator over its
+        # window), so the whole (T,S)x(S,W) einsum pair collapses to an
+        # outer product of host-precomputed tap row-sums — the planner's
+        # algebraic strength reduction of video_scale.c's FIR applied to
+        # a constant-color box (sources._scaler_emit).
+        ry = params['ry']              # (Ty,) f32
+        rx = params['rx']              # (Tx,) f32
+        color = params['color']        # (B, 4) f32
+        return (color[:, :, None, None]
+                * ry[None, None, :, None]
+                * rx[None, None, None, :])
+
+    if op == 'scale_solid_dyn':
+        # Animated resampled solid: same factorization, taps rebuilt on
+        # device per frame. The window clip inside _dyn_axis_taps zeroes
+        # taps outside the solid's (clipped) box, so the indicator is
+        # exactly the tap mask and each axis reduces to row-sums.
+        (Ky, Kx, Ty, Tx, lq) = static
+        _i, wy = _dyn_axis_taps(jnp, jax, params['fy'], params['tpy'],
+                                params['spy'], params['yl'], params['yh'],
+                                params['tly'], Ty, Ky, lq)
+        _i, wx = _dyn_axis_taps(jnp, jax, params['fx'], params['tpx'],
+                                params['spx'], params['xl'], params['xh'],
+                                params['tlx'], Tx, Kx, lq)
+        ry = jnp.sum(wy, axis=2)       # (B, Ty)
+        rx = jnp.sum(wx, axis=2)       # (B, Tx)
+        color = params['color']        # (B, 4) f32
+        return (color[:, :, None, None]
+                * ry[:, None, :, None]
+                * rx[:, None, None, :])
 
     if op == 'place':
         # Static re-window: child rendered at src window, copy into dst.
@@ -1183,7 +1235,8 @@ class RenderPlanner:
                      for k, v in p.items()}
                     for p, op in zip(params, ops)]))
                 pos += take
-            if mesh is None:
+            if mesh is None and os.environ.get(
+                    'CANVAS_PREPARE_PUT', '1') != '0':
                 # Commit every remaining host leaf (the per-batch
                 # frame-sliced params; replicated ones were committed
                 # above) to the device in ONE bulk device_put on this
@@ -1193,6 +1246,7 @@ class RenderPlanner:
                 # thread's critical path (measured +6 ms/batch on a
                 # degraded tunnel phase, ~1 ms/batch healthy). The mesh
                 # path keeps host leaves: in_shardings place them.
+                # CANVAS_PREPARE_PUT=0 disables for A/B.
                 host_leaves = []
                 for (_pos, _tk, plist) in batches:
                     for p in plist:

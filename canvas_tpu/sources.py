@@ -1038,6 +1038,34 @@ def _scaler_plan_cuts(self, start, stop):
     return self.source.plan_cuts(start, stop)
 
 
+def _as_scaled_solid(child):
+    """If *child* is a single solid layer (optionally gain/offset
+    wrapped), return its per-frame (B, 4) f32 color with gain/offset
+    folded into rgb — else None.
+
+    A solid's frame is rank-1 separable per axis: color x
+    row-indicator x col-indicator of its window (which is exactly
+    child.windows, the bounds the scaler clips taps to). Scaling it
+    therefore needs only per-axis tap row-sums, not the (T,S)x(S,W)
+    contractions — render.py 'scale_solid'/'scale_solid_dyn'. Folding
+    (c*g+o) on the host is the same f32 multiply-add the batched
+    'gain_offset' op performs on device."""
+    g = o = None
+    node = child
+    if (node.op == 'gain_offset' and len(node.children) == 1
+            and node.children[0].op == 'solid'):
+        g = node.params['gain']
+        o = node.params['offset']
+        node = node.children[0]
+    if node.op != 'solid' or node.children:
+        return None
+    color = np.array(node.params['color'], np.float32, copy=True)
+    if g is not None:
+        color[:, :3] = (color[:, :3] * g[:, None].astype(np.float32)
+                        + o[:, None].astype(np.float32))
+    return color
+
+
 def _scaler_emit(self, ctx):
     from canvas_tpu.render import Node
     if self.source is None:
@@ -1121,6 +1149,19 @@ def _scaler_emit(self, ctx):
         Wy = expand(Wy_cur, cw0.min.y, cw0.max.y, fetch.min.y, fetch.max.y)
         Wx = expand(Wx_cur, cw0.min.x, cw0.max.x, fetch.min.x, fetch.max.x)
         out_window = box2i_intersect(out_window, full)
+        solid_color = _as_scaled_solid(child)
+        if solid_color is not None:
+            # Rank-1 child: the tap matrices contract with a constant
+            # within the child window (== the taps' support), so each
+            # axis reduces to its row-sums (f64-accumulated on host).
+            return Node(
+                'scale_solid',
+                params={'ry': Wy.sum(axis=1, dtype=np.float64)
+                               .astype(np.float32),
+                        'rx': Wx.sum(axis=1, dtype=np.float64)
+                               .astype(np.float32),
+                        'color': solid_color},
+                windows=tile_window(out_window, B))
         return Node('scale', params={'wy': Wy, 'wx': Wx}, children=[child],
                     windows=tile_window(out_window, B))
 
@@ -1163,20 +1204,30 @@ def _scaler_emit(self, ctx):
     windows = np.stack([x0, y0, x1, y1], axis=1)
     windows[bad] = (0, 0, -1, -1)
 
+    dyn_params = {
+        'tly': np.float32(full.min.y), 'tlx': np.float32(full.min.x),
+        'fy': fy.astype(np.float32), 'fx': fx.astype(np.float32),
+        'tpy': tpy.astype(np.float32), 'tpx': tpx.astype(np.float32),
+        'spy': (spy - fetch.min.y).astype(np.float32),
+        'spx': (spx - fetch.min.x).astype(np.float32),
+        'yl': (ylo - fetch.min.y).astype(np.float32),
+        'yh': (yhi - fetch.min.y).astype(np.float32),
+        'xl': (xlo - fetch.min.x).astype(np.float32),
+        'xh': (xhi - fetch.min.x).astype(np.float32),
+    }
+    solid_color = _as_scaled_solid(child)
+    if solid_color is not None:
+        # Rank-1 child: taps clipped to [yl,yh]/[xl,xh] already encode
+        # the solid's per-frame indicator, so the device program only
+        # row-sums the (B, T, K) weights — no child, no contractions.
+        dyn_params['color'] = solid_color
+        return Node('scale_solid_dyn',
+                    static=(Ky, Kx, full.height, full.width, lq),
+                    params=dyn_params, windows=windows)
     return Node(
         'scale_taps_dyn',
         static=(Ky, Kx, full.height, full.width, lq),
-        params={
-            'tly': np.float32(full.min.y), 'tlx': np.float32(full.min.x),
-            'fy': fy.astype(np.float32), 'fx': fx.astype(np.float32),
-            'tpy': tpy.astype(np.float32), 'tpx': tpx.astype(np.float32),
-            'spy': (spy - fetch.min.y).astype(np.float32),
-            'spx': (spx - fetch.min.x).astype(np.float32),
-            'yl': (ylo - fetch.min.y).astype(np.float32),
-            'yh': (yhi - fetch.min.y).astype(np.float32),
-            'xl': (xlo - fetch.min.x).astype(np.float32),
-            'xh': (xhi - fetch.min.x).astype(np.float32),
-        },
+        params=dyn_params,
         children=[child], windows=windows)
 
 

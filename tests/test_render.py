@@ -122,6 +122,76 @@ def test_scaler_animated():
     assert_matches_pull(sc, start=0, stop=4, atol=4e-3)
 
 
+def _plan_ops(source, window, frames=4):
+    """Set of node ops in the batched plan of *source*."""
+    planner = render.RenderPlanner(source, window)
+    ctx = render.PlanContext(planner, np.arange(frames), window)
+    planner._stage_cache = {}
+    planner._frame_hints = {}
+    ops = set()
+
+    def walk(node):
+        ops.add(node.op)
+        for c in node.children:
+            walk(c)
+
+    walk(ctx.plan(source))
+    planner.close()
+    return ops
+
+
+def test_scaled_solid_factored():
+    """Scaling a solid-color layer plans as the factored outer-product
+    node (rank-1 strength reduction), not the einsum pair — and still
+    matches the pull path. Static taps, animated taps, and a
+    gain/offset-wrapped solid all factor; scaling non-solid content
+    must keep the contraction nodes."""
+    from canvas_tpu.sources import VideoGainOffsetFilter, VideoScaler
+
+    window = box2i(0, 0, 63, 63)
+    solid = SolidColorVideoSource(
+        LerpFunc((0.8, 0.3, 0.2, 0.9), (0.2, 0.7, 0.9, 0.5), 16),
+        window=box2i(0, 0, 30, 22))
+
+    static_sc = VideoScaler(solid, (2.0, 3.0), (0.0, 0.0), (1.7, 1.3),
+                            box2i(0, 0, 30, 22))
+    assert 'scale_solid' in _plan_ops(static_sc, window)
+    assert_matches_pull(static_sc, window=window, start=0, stop=4)
+
+    anim_sc = VideoScaler(solid,
+                          target_point=LerpFunc((2, 2), (20, 16), 16),
+                          source_point=(0.0, 0.0),
+                          scale_factors=LerpFunc((0.6, 0.8), (1.9, 1.4), 16),
+                          source_rect=box2i(0, 0, 30, 22))
+    assert 'scale_solid_dyn' in _plan_ops(anim_sc, window)
+    assert_matches_pull(anim_sc, window=window, start=0, stop=6, atol=4e-3)
+
+    gained = VideoScaler(
+        VideoGainOffsetFilter(solid, gain=LerpFunc((0.5,), (1.5,), 16),
+                              offset=0.05),
+        target_point=LerpFunc((2, 2), (10, 8), 16),
+        source_point=(0.0, 0.0),
+        scale_factors=LerpFunc((1.0, 1.0), (1.5, 1.5), 16),
+        source_rect=box2i(0, 0, 30, 22))
+    assert 'scale_solid_dyn' in _plan_ops(gained, window)
+    assert_matches_pull(gained, window=window, start=0, stop=6, atol=4e-3)
+
+    # non-rank-1 child (two offset solids composited): must NOT factor
+    inner = VideoWorkspace()
+    inner.add(source=SolidColorVideoSource((1, 0, 0, 1),
+                                           window=box2i(0, 0, 20, 14)),
+              x=0, length=16, z=0)
+    inner.add(source=SolidColorVideoSource((0, 0, 1, 0.5),
+                                           window=box2i(8, 6, 30, 22)),
+              x=0, length=16, z=1)
+    mixed = VideoScaler(inner, (0.0, 0.0), (0.0, 0.0), (1.5, 1.5),
+                        box2i(0, 0, 30, 22))
+    ops = _plan_ops(mixed, window)
+    assert 'scale_solid' not in ops and 'scale_solid_dyn' not in ops
+    assert ops & {'scale', 'scale_taps_dyn'}
+    assert_matches_pull(mixed, window=window, start=0, stop=4)
+
+
 def test_transfer_filter():
     src = VideoColorTransferFilter(
         SolidColorVideoSource((0.25, 0.5, 0.75, 1.0)), 'linear_to_rec709')
@@ -925,7 +995,7 @@ def test_quality_hint_degrades_scaler():
         planner._stage_cache = {}
         planner._frame_hints = {}
         node = ctx.plan(sc)
-        while node.op != 'scale_taps_dyn':
+        while node.op not in ('scale_taps_dyn', 'scale_solid_dyn'):
             node = node.children[0]
         return node.static
 
