@@ -87,6 +87,11 @@ def main():
     planner.plan_cache_segments = 0
 
     batch = int(os.environ.get('CANVAS_BENCH_BATCH', '32'))
+    # Batches larger than the pipeline chunk would be tail-padded to
+    # the segment length; grow the chunk so big-batch sweeps measure
+    # real work (the headline graph stages nothing, so longer chunks
+    # cost no staging stall).
+    planner.pipeline_chunk = max(planner.pipeline_chunk, batch)
     warm_frames = batch
     timed_frames = int(os.environ.get('CANVAS_BENCH_FRAMES', '384'))
 

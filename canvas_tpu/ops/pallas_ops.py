@@ -44,13 +44,13 @@ def _fold_mode():
     return os.environ.get('CANVAS_FOLD_MODE', 'hybrid')
 
 
-def _use_xla_fold(finalize):
+def _use_xla_fold(finalize, prefer_xla=False):
     mode = _fold_mode()
     if mode == 'xla':
         return True
     if mode == 'pallas':
         return False
-    return finalize
+    return finalize or prefer_xla
 
 
 def _fold_jnp(jnp, jax, P, A, color, box, gain, offset, H, W):
@@ -164,7 +164,7 @@ def _pick_tile(n, target, step):
 
 
 def solid_fold(jnp, jax, P, A, color, box, gain, offset, H, W,
-               finalize=False, out_dtype=None):
+               finalize=False, out_dtype=None, prefer_xla=False):
     """Fold L solid(+gain) layers over premultiplied base (P, A).
 
     color/box (L, B, 4), gain/offset (L, B); box is int32
@@ -176,7 +176,8 @@ def solid_fold(jnp, jax, P, A, color, box, gain, offset, H, W,
     broadcast fold elsewhere.
     """
     B = color.shape[1]
-    if _use_xla_fold(finalize) or jax.default_backend() != 'tpu':
+    if (_use_xla_fold(finalize, prefer_xla)
+            or jax.default_backend() != 'tpu'):
         Pc, Ac = _fold_jnp(jnp, jax, P, A, color, box, gain, offset,
                            H, W)
         if not finalize:

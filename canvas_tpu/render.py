@@ -598,9 +598,18 @@ def _eval(node_sig, params_iter, jnp, jax):
                         jnp, jax, P, A, c_params['color'],
                         c_params['box'], c_params['gain'],
                         c_params['offset'], H, W, finalize=True)
+                # Mid-stack fold: Pallas pays off only when the
+                # accumulators feed a region kernel (which consumes
+                # them in place); if every later child is XLA-fusable
+                # elementwise math, the XLA chain keeps the whole
+                # remaining stack in ONE fused pass (measured faster,
+                # see _fold_mode).
+                placed_after = any(later[0] == 'placed'
+                                   for later in child_sigs[i + 1:])
                 P, A = pallas_ops.solid_fold(
                     jnp, jax, P, A, c_params['color'], c_params['box'],
-                    c_params['gain'], c_params['offset'], H, W)
+                    c_params['gain'], c_params['offset'], H, W,
+                    prefer_xla=not placed_after)
                 continue
             if c_op == 'placed':
                 # Damage-region child: rendered at its union box only;

@@ -946,6 +946,13 @@ def _ws_emit(self, ctx):
         # covers well under the full frame is re-planned into just that
         # box and composited with a static placement — the downstream
         # math (scaler einsums, blends) shrinks to the covered area.
+        # Factored scaled solids ('scale_solid*') stay region-placed
+        # like any non-solid layer: an unplaced variant folding them
+        # into one full-frame fused XLA chain was built and MEASURED
+        # SLOWER (16.0 vs 8.9 ms/b32 device-only on the headline graph,
+        # scripts/device_loop_probe.py) — the mega-chain pays every
+        # layer's math on every pixel and fuses worse than the
+        # region-limited multi-pass structure.
         if (child.op not in ('solid', 'solid_stack', 'empty')
                 and not (child.op == 'gain_offset'
                          and child.children[0].op == 'solid')
@@ -1050,6 +1057,9 @@ def _as_scaled_solid(child):
     contractions — render.py 'scale_solid'/'scale_solid_dyn'. Folding
     (c*g+o) on the host is the same f32 multiply-add the batched
     'gain_offset' op performs on device."""
+    import os
+    if os.environ.get('CANVAS_SCALE_SOLID', '1') == '0':
+        return None                     # A/B gate: keep the einsum path
     g = o = None
     node = child
     if (node.op == 'gain_offset' and len(node.children) == 1
