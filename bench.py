@@ -86,7 +86,13 @@ def main():
     # benchmarks.py).
     planner.plan_cache_segments = 0
 
-    batch = int(os.environ.get('CANVAS_BENCH_BATCH', '32'))
+    # Batch 128 (round-3 sweep, one phase: b32 1213 / b64 1752 /
+    # b128 1936 fps): true device compute is ~6-9 ms/b32
+    # (scripts/device_loop_probe.py), so the per-dispatch transport
+    # cost dominates at small batches and amortizes with batch size.
+    # b256 exhausts HBM: async dispatch keeps several (B,4,1088,1920)
+    # f16 outputs (1 GB each at 256) in flight.
+    batch = int(os.environ.get('CANVAS_BENCH_BATCH', '128'))
     # Batches larger than the pipeline chunk would be tail-padded to
     # the segment length; grow the chunk so big-batch sweeps measure
     # real work (the headline graph stages nothing, so longer chunks

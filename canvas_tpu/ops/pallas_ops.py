@@ -176,7 +176,14 @@ def solid_fold(jnp, jax, P, A, color, box, gain, offset, H, W,
     broadcast fold elsewhere.
     """
     B = color.shape[1]
+    # The Pallas kernel keeps the per-layer scalars whole-array in SMEM
+    # (Mosaic's block divisibility rules rule out batch-blocked SMEM
+    # slices); past ~128 frames/batch the 6-layer fold overflows SMEM.
+    # The fused XLA chain measures within ~8% of the kernel standalone,
+    # so big batches just take that path.
+    smem_bytes = (color.size + box.size) * 4 + (gain.size + offset.size) * 4
     if (_use_xla_fold(finalize, prefer_xla)
+            or smem_bytes > 36 * 1024     # b128/L6=30.7K ok, b192/L6=46K not
             or jax.default_backend() != 'tpu'):
         Pc, Ac = _fold_jnp(jnp, jax, P, A, color, box, gain, offset,
                            H, W)
