@@ -192,6 +192,52 @@ def test_scaled_solid_factored():
     assert_matches_pull(mixed, window=window, start=0, stop=4)
 
 
+def test_quality_hint_nonsolid_scaler_keeps_taps_dyn():
+    """quality <= 5 on a NON-rank-1 scaler child still plans the
+    contraction node with the lq flag (the factored scale_solid path
+    must not swallow the einsum lq coverage)."""
+    from canvas_tpu.sources import VideoScaler, VideoWorkspace
+
+    window = box2i(0, 0, 63, 63)
+    inner = VideoWorkspace()
+    inner.add(source=SolidColorVideoSource((0.9, 0.2, 0.1, 1.0),
+                                           window=box2i(0, 0, 20, 14)),
+              x=0, length=16, z=0)
+    inner.add(source=SolidColorVideoSource((0.1, 0.2, 0.9, 0.5),
+                                           window=box2i(8, 6, 30, 22)),
+              x=0, length=16, z=1)
+    sc = VideoScaler(inner,
+                     target_point=LerpFunc((2, 2), (10, 8), 16),
+                     source_point=(0.0, 0.0),
+                     scale_factors=LerpFunc((0.5, 0.5), (0.6, 0.7), 16),
+                     source_rect=box2i(0, 0, 30, 22))
+
+    planner = render.RenderPlanner(sc, window, quality=4)
+    ctx = render.PlanContext(planner, np.arange(4), window)
+    planner._stage_cache = {}
+    planner._frame_hints = {}
+    node = ctx.plan(sc)
+    ops = {}
+
+    def walk(n):
+        ops[n.op] = n
+        for c in n.children:
+            walk(c)
+
+    walk(node)
+    assert 'scale_taps_dyn' in ops
+    assert ops['scale_taps_dyn'].static[4]          # lq flag
+    lo = planner.render(0, 4).astype(np.float32)
+    planner.close()
+
+    hi_planner = render.RenderPlanner(sc, window)
+    hi = hi_planner.render(0, 4).astype(np.float32)
+    hi_planner.close()
+    # cheaper filtering differs but approximates the exact result
+    assert not np.array_equal(hi, lo)
+    assert np.abs(hi - lo).mean() < 0.02
+
+
 def test_transfer_filter():
     src = VideoColorTransferFilter(
         SolidColorVideoSource((0.25, 0.5, 0.75, 1.0)), 'linear_to_rec709')
