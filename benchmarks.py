@@ -146,6 +146,10 @@ def timeit_batches(planner, batch, n_frames, start=0):
     the timed pass into replay measurement (config7b measures replay
     explicitly, with caches on)."""
     planner.plan_cache_segments = 0
+    # Big batches amortize per-dispatch tunnel cost (true device time is
+    # ~6-9 ms/b32, scripts/device_loop_probe.py); segments must be at
+    # least batch-sized or tail padding wastes the batch.
+    planner.pipeline_chunk = max(planner.pipeline_chunk, batch)
     probe = _probe()
 
     def run_range():
@@ -173,7 +177,7 @@ def config1():
         SolidColorVideoSource(LerpFunc((0, 0, 0, 1), (1, 1, 1, 1), 1024)),
         'rec709_to_linear_scene')
     planner = render.RenderPlanner(src, box2i(0, 0, 1279, 719))
-    return timeit_batches(planner, 32, 256)
+    return timeit_batches(planner, 128, 512)
 
 
 def config2():
@@ -188,7 +192,7 @@ def config2():
         SolidColorVideoSource(LerpFunc((0, 0, 1, 1), (1, 1, 0, 1), 1024)),
         LerpFunc((0.0,), (1.0,), 1024))
     planner = render.RenderPlanner(mix, box2i(0, 0, 1919, 1079))
-    return timeit_batches(planner, 32, 256)
+    return timeit_batches(planner, 128, 512)
 
 
 def config3():
@@ -226,7 +230,7 @@ def _config4_graph():
 def config4():
     """10-layer 1080p timeline (the bench.py headline)."""
     planner = _config4_graph()
-    return timeit_batches(planner, 32, 256)
+    return timeit_batches(planner, 128, 512)
 
 
 def config4_p50(display_size=None):
@@ -262,7 +266,7 @@ def config5():
     ws = bench.build_timeline()
     window = box2i(0, 0, 1919, 1079)
     n = len(jax.devices())
-    frames = max(256, 64 * n)
+    frames = max(512, 128 * n)
     probe = _probe()
 
     def run_range():
@@ -271,7 +275,7 @@ def config5():
         # reuse); per-chunk calls would re-plan per call.
         t0 = time.perf_counter()
         out = render.render_sharded(ws, window, 0, frames,
-                                    device_out=True)
+                                    device_out=True, batch=128)
         float(probe(out))
         return frames / (time.perf_counter() - t0)
 

@@ -1578,7 +1578,7 @@ def render_frames(source, window, start, stop, **kw):
 
 
 def render_sharded(source, window, start, stop, mesh=None, axis='frames',
-                   device_out=False, spatial_axis=None):
+                   device_out=False, spatial_axis=None, batch=None):
     """Frame-parallel batched render across a device mesh.
 
     Shards the frame batch over *axis* of *mesh* (defaults to a 1-D mesh
@@ -1612,7 +1612,11 @@ def render_sharded(source, window, start, stop, mesh=None, axis='frames',
     # path costs real overhead on remote transports for zero
     # parallelism (kept for spatial resharding, which needs the mesh).
     use_mesh = mesh if (n > 1 or spatial_axis is not None) else None
-    batch = n * max(1, planner.pipeline_chunk // n)
+    if batch is None:
+        batch = n * max(1, planner.pipeline_chunk // n)
+    else:
+        batch = n * max(1, batch // n)      # must divide the mesh axis
+        planner.pipeline_chunk = max(planner.pipeline_chunk, batch)
     outs = []
     for (_s, n_valid, out) in planner.iter_batches(
             start, stop, batch=batch, device_out=True,
