@@ -266,7 +266,10 @@ def config5():
     ws = bench.build_timeline()
     window = box2i(0, 0, 1919, 1079)
     n = len(jax.devices())
-    frames = max(512, 128 * n)
+    # 256 frames: render_sharded returns ONE concatenated array, and
+    # 512 f16 1080p frames (8.5 GB) exceed what the compiler will
+    # allocate for the concat output; 256 (4.2 GB) fits.
+    frames = max(256, 128 * n)
     probe = _probe()
 
     def run_range():
@@ -417,7 +420,16 @@ def main():
     results = {}
 
     def measure(key, fn, n=3):
-        med, lo, hi = median_of(fn, n)
+        # One config's failure (e.g. a transient remote-compile 500)
+        # must not abort the whole matrix: record it and keep going.
+        try:
+            med, lo, hi = median_of(fn, n)
+        except Exception as e:
+            import traceback
+            traceback.print_exc()
+            results[key] = ('FAILED: %s' % type(e).__name__,)
+            print('%-44s FAILED (%s)' % (key, e), flush=True)
+            return
         results[key] = (round(med, 2), round(lo, 2), round(hi, 2))
         print('%-44s %10.2f  (%.2f .. %.2f)'
               % (key, med, lo, hi), flush=True)
@@ -443,8 +455,12 @@ def main():
         f.write('Device: %s x%d\n\n' % (jax.devices()[0].device_kind,
                                         len(jax.devices())))
         f.write('| Config | median | min..max |\n|---|---|---|\n')
-        for key, (med, lo, hi) in results.items():
-            f.write('| %s | %s | %s .. %s |\n' % (key, med, lo, hi))
+        for key, vals in results.items():
+            if len(vals) == 3:
+                f.write('| %s | %s | %s .. %s |\n'
+                        % (key, vals[0], vals[1], vals[2]))
+            else:
+                f.write('| %s | %s | - |\n' % (key, vals[0]))
         f.write('\nHeadline metric: see bench.py / BENCH_r*.json. '
                 'The reference publishes no numbers (BASELINE.md); its '
                 'implied target is ~30 fps realtime DV playback. '
