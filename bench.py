@@ -114,7 +114,13 @@ def main():
 
     @jax.jit
     def probe(x):
-        return jnp.sum(x[:, :, ::101, ::97].astype(jnp.float32))
+        # The probed array is the MATERIALIZED output of an already
+        # dispatched program (separate executable — no cross-program
+        # DCE), so any element forces the whole batch: a tiny
+        # contiguous corner keeps the probe's own dispatch near-free
+        # (the old strided ::101/::97 gather cost ~17 ms through the
+        # tunnel — 10-25% of a 384-frame timed range).
+        return jnp.sum(x[-1:, :, :32, :128].astype(jnp.float32))
 
     # Health gate (round-3 integrity harness): refuse to time against a
     # collapsed tunnel — a small matmul + one scalar fetch must answer

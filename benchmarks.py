@@ -47,9 +47,13 @@ def _probe():
 
     @jax.jit
     def probe(x):
-        idx = tuple(slice(None, None, 97) for _ in range(x.ndim - 2))
-        return jnp.sum(x[(slice(None), slice(None)) + idx]
-                       .astype(jnp.float32))
+        # Probed arrays are MATERIALIZED outputs of already dispatched
+        # programs (separate executables — no cross-program DCE), so a
+        # tiny contiguous corner of the last frame forces the whole
+        # batch; strided gathers cost ~17 ms of probe dispatch through
+        # the tunnel and bias short ranges 10-25% low.
+        idx = tuple(slice(None, 128) for _ in range(x.ndim - 1))
+        return jnp.sum(x[(slice(-1, None),) + idx].astype(jnp.float32))
     return probe
 
 
