@@ -289,6 +289,64 @@ def _u8_device(data, order):
     return t.reshape(t.shape[0], t.shape[1], -1)
 
 
+def yuv420_pack_device(data, intent=None):
+    """(B, 4, H, W) rgba f16 device array -> (B, H*W + 2*ceil(H/2)*
+    ceil(W/2)) packed u8: full-range BT.601 luma at full resolution +
+    2x2-mean-subsampled Cb/Cr — the LOSSY low-bandwidth display
+    transport (1.5 bytes/px vs BGRA's 4). The RGB values are the same
+    display-domain floats _u8_device/display_u8_device quantize, so Y
+    of a solid region reconstructs within u8 rounding. intent follows
+    render_display: None = gamma45 ramp, float = sRGB + intent pow."""
+    jnp = backend.jnp
+    x = data.astype(jnp.float32)
+    if intent is None:
+        y = jnp.power(x, 0.45) * 255.0
+    else:
+        s = jnp.where(x <= 0.0031308, x * 12.92,
+                      1.055 * jnp.power(x, 1.0 / 2.4) - 0.055)
+        s = s.astype(jnp.float16).astype(jnp.float32)
+        y = jnp.power(s, jnp.float32(intent)) * 255.0
+    y = jnp.clip(jnp.nan_to_num(y, nan=0.0), 0.0, 255.0)
+    R, G, Bl = y[:, 0], y[:, 1], y[:, 2]
+    Y = 0.299 * R + 0.587 * G + 0.114 * Bl
+    Cb = 128.0 + (Bl - Y) * 0.564
+    Cr = 128.0 + (R - Y) * 0.713
+    B, H, W = Y.shape
+    ph, pw = H % 2, W % 2
+    if ph or pw:                         # replicate-pad to even dims
+        Cb = jnp.pad(Cb, ((0, 0), (0, ph), (0, pw)), mode='edge')
+        Cr = jnp.pad(Cr, ((0, 0), (0, ph), (0, pw)), mode='edge')
+    h2, w2 = (H + ph) // 2, (W + pw) // 2
+
+    def sub(c):
+        c = c.reshape(B, h2, 2, w2, 2)
+        return c.mean(axis=(2, 4))
+
+    yq = jnp.rint(Y).astype(jnp.uint8).reshape(B, -1)
+    cbq = jnp.rint(jnp.clip(sub(Cb), 0.0, 255.0)).astype(
+        jnp.uint8).reshape(B, -1)
+    crq = jnp.rint(jnp.clip(sub(Cr), 0.0, 255.0)).astype(
+        jnp.uint8).reshape(B, -1)
+    return jnp.concatenate([yq, cbq, crq], axis=1)
+
+
+def yuv420_unpack(flat, h, w, order=(2, 1, 0, 3)):
+    """Host inverse of yuv420_pack_device for ONE frame: (N,) u8 ->
+    (h, w, 4) u8 in channel *order*, alpha forced 255."""
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
+    Y = flat[:h * w].reshape(h, w).astype(np.float32)
+    Cb = flat[h * w:h * w + h2 * w2].reshape(h2, w2).astype(np.float32)
+    Cr = flat[h * w + h2 * w2:].reshape(h2, w2).astype(np.float32)
+    Cb = np.repeat(np.repeat(Cb, 2, axis=0), 2, axis=1)[:h, :w] - 128.0
+    Cr = np.repeat(np.repeat(Cr, 2, axis=0), 2, axis=1)[:h, :w] - 128.0
+    R = Y + Cr / 0.713
+    Bl = Y + Cb / 0.564
+    G = (Y - 0.299 * R - 0.114 * Bl) / 0.587
+    rgba = np.stack([R, G, Bl, np.full_like(Y, 255.0)], axis=-1)
+    out = np.clip(np.rint(rgba), 0, 255).astype(np.uint8)
+    return out[:, :, list(order)]
+
+
 def bgra_u8_device(data):
     """(B, 4, H, W) rgba f16 device array -> (B, H, W*4) BGRA u8 device
     array (reshape to (B, H, W, 4) after the host fetch): the playback

@@ -259,8 +259,21 @@ class VideoPlaybackEngine:
                                   data.astype(jnp.float32))
                 data = jnp.einsum('xw,bcyw->bcyx', dx,
                                   data).astype(jnp.float16)
-            flat = np.asarray(color_ops.display_u8_device(data, intent))
-            bgra = flat.reshape(flat.shape[0], flat.shape[1], -1, 4)
+            if quality <= 5:
+                # Degraded scrub preview: lossy 4:2:0 packed transport
+                # (1.5 bytes/px vs BGRA's 4 — the fetch dominates a
+                # remote-attached scrub); bit-exact BGRA returns with
+                # quality >= 10.
+                packed = np.asarray(
+                    color_ops.yuv420_pack_device(data, intent))
+                h, w = data.shape[2], data.shape[3]
+                bgra = np.stack([
+                    color_ops.yuv420_unpack(packed[i], h, w)
+                    for i in range(packed.shape[0])])
+            else:
+                flat = np.asarray(
+                    color_ops.display_u8_device(data, intent))
+                bgra = flat.reshape(flat.shape[0], flat.shape[1], -1, 4)
         else:
             if viewport is not None:
                 Dy, Dx = render.display_matrices_host(

@@ -1372,7 +1372,7 @@ class RenderPlanner:
         return out
 
     def render_display(self, frame_index, order=(2, 1, 0, 3),
-                       intent=None, display_size=None):
+                       intent=None, display_size=None, transport='u8'):
         """Low-latency single-frame display pull.
 
         ONE warm compiled program renders the frame AND converts it to
@@ -1401,6 +1401,15 @@ class RenderPlanner:
         re-planning (~10 ms) and re-staging. Graph edits invalidate
         via the source's ``frames_updated`` signal (subscribed
         automatically) or ``invalidate_display_cache()``.
+
+        transport='yuv420' is a LOSSY low-bandwidth scrub transport
+        (the round-2 verdict's 4:2:0-packed fetch): the device packs
+        full-range BT.601 Y + 2x2-mean-subsampled Cb/Cr into one u8
+        buffer (1.5 bytes/px — 2.6x fewer fetch bytes than BGRA) and
+        the host reconstructs the same (h, w, 4) u8 layout (alpha
+        forced opaque). Solid regions survive the round trip within
+        u8 rounding; detail sees chroma blur — preview-only, pair it
+        with quality hints, never with exports.
         """
         from canvas_tpu.ops import color as color_ops
         backend.ensure_initialized()
@@ -1433,7 +1442,8 @@ class RenderPlanner:
         if display_size is not None:
             display_size = (int(display_size[0]), int(display_size[1]))
         key = (seg['sig1'], 'display', tuple(order),
-               None if intent is None else float(intent), display_size)
+               None if intent is None else float(intent), display_size,
+               transport)
         with _program_lock:
             fn = _program_cache.get(key)
         if fn is None:
@@ -1449,6 +1459,9 @@ class RenderPlanner:
                     out = jnp.einsum('xw,bcyw->bcyx', dx, out,
                                      preferred_element_type=jnp.float32)
                 out = out.astype(jnp.float16)
+                if transport == 'yuv420':
+                    return color_ops.yuv420_pack_device(
+                        out, None if intent is None else float(intent))
                 if intent is None:
                     return color_ops._u8_device(out, tuple(order))
                 return color_ops.display_u8_device(out, float(intent),
@@ -1470,6 +1483,13 @@ class RenderPlanner:
              for k, v in p.items()}
             for p, op in zip(seg['params'], seg['ops'])],
             self._display_matrices(display_size)))
+        if transport == 'yuv420':
+            if display_size is not None:
+                dh, dw = display_size[1], display_size[0]
+            else:
+                dh, dw = self.window.height, self.window.width
+            return color_ops.yuv420_unpack(flat[0], dh, dw,
+                                           tuple(order))
         return flat.reshape(flat.shape[1], -1, 4)
 
     def _display_matrices(self, display_size):

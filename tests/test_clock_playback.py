@@ -501,6 +501,12 @@ def test_playback_engine_quality_hint():
         engine.display_frame(3)
         fast = presented.pop(3)
         assert not np.array_equal(full, fast)    # degraded differs
+        # ...but stays a recognizable preview: the lossy 4:2:0 packed
+        # transport + bilinear taps land within a few u8 steps on the
+        # interior of a solid region
+        diff = np.abs(fast[20:40, 20:40, :3].astype(np.int32)
+                      - full[20:40, 20:40, :3].astype(np.int32))
+        assert diff.max() <= 4, diff.max()
 
         engine.set_quality(10)
         engine.display_frame(3)

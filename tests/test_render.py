@@ -633,6 +633,46 @@ def test_render_display_single_frame():
                                       err_msg='channel %d' % c_dst)
 
 
+def test_render_display_yuv420_transport():
+    """transport='yuv420' (lossy low-bandwidth scrub fetch): solid
+    regions reconstruct within u8 rounding of the BGRA transport, the
+    layout/dtype match, and the packed fetch is ~2.6x smaller."""
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource((0.2, 0.4, 0.6, 1.0)),
+           x=0, length=8, z=0)
+    ws.add(source=SolidColorVideoSource((0.9, 0.1, 0.3, 0.8),
+                                        window=box2i(8, 8, 39, 39)),
+           x=0, length=8, z=1)
+    window = box2i(0, 0, 63, 63)
+    planner = render.RenderPlanner(ws, window)
+
+    exact = planner.render_display(3).astype(np.int32)
+    lossy = planner.render_display(3, transport='yuv420')
+    assert lossy.shape == (64, 64, 4) and lossy.dtype == np.uint8
+    assert np.all(lossy[..., 3] == 255)
+    # solid interiors (away from the 2x2 chroma blocks straddling the
+    # layer edge): within a couple u8 steps of the exact transport
+    inner = np.abs(lossy[:6, :6, :3].astype(np.int32) - exact[:6, :6, :3])
+    assert inner.max() <= 2, inner.max()
+    inner2 = np.abs(lossy[12:36, 12:36, :3].astype(np.int32)
+                    - exact[12:36, 12:36, :3])
+    assert inner2.max() <= 2, inner2.max()
+
+    # viewport-sized + odd dimensions exercise the padding path
+    vp = planner.render_display(3, display_size=(33, 21),
+                                transport='yuv420')
+    assert vp.shape == (21, 33, 4) and vp.dtype == np.uint8
+
+    # the packed buffer is 1.5 bytes/px vs BGRA's 4
+    from canvas_tpu.ops import color as color_ops
+    f = planner.render(3, 4, device_out=True)
+    packed = color_ops.yuv420_pack_device(f[:1])
+    assert packed.dtype == np.uint8
+    assert packed.shape[1] == 64 * 64 + 2 * 32 * 32
+    assert packed.shape[1] * 1.0 / (64 * 64 * 4) < 0.4
+    planner.close()
+
+
 def test_render_sharded_segment_cuts_and_tail_padding():
     """Sharded export across structure boundaries with non-divisible
     frame counts: every segment renders sharded with repeat-last-frame
