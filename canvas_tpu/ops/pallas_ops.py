@@ -27,7 +27,8 @@ import os
 
 import numpy as np
 
-__all__ = ['solid_stack', 'solid_fold', 'region_over']
+__all__ = ['solid_stack', 'solid_fold', 'region_over',
+           'region_over_sep']
 
 
 def _fold_mode():
@@ -324,3 +325,81 @@ def region_over(jnp, jax, P, A, layer, dy0, dx0):
                    jax.ShapeDtypeStruct(A.shape, jnp.float32)],
         input_output_aliases={2: 0, 3: 1},
     )(offs, layer, P, A)
+
+
+def region_over_sep(jnp, jax, P, A, color, ry, rx, dy0, dx0):
+    """Composite a RANK-1 damage-region layer (a factored scaled solid:
+    value[c, y, x] = color[c] * ry[y] * rx[x]) over the premultiplied
+    accumulator (P, A) at block-aligned offsets — WITHOUT materializing
+    the (B, 4, h, w) layer tensor: the kernel rebuilds each tile's
+    weights from the two per-axis vector slices in VMEM (the region
+    bytes drop from 4 full channel planes to h + w floats per frame).
+
+    color (B, 4) f32; ry (B, h), rx (B, w) f32 with h % 64 == 0 and
+    w % 128 == 0 (the placed-region quantization); dy0/dx0 int32
+    scalars, block-aligned like region_over. Same over math as
+    region_over on the materialized outer product, within f32
+    reassociation ulps (the batched-vs-pull scaler tolerance).
+    """
+    B, h = ry.shape
+    w = rx.shape[1]
+    if h % 64 or w % 128:
+        raise ValueError(
+            'region_over_sep region (%d, %d) must be a multiple of the '
+            '(64, 128) block grid' % (h, w))
+    if jax.default_backend() != 'tpu':
+        layer = (color[:, :, None, None] * ry[:, None, :, None]
+                 * rx[:, None, None, :])
+        return region_over(jnp, jax, P, A, layer, dy0, dx0)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    TH, TW = 64, 128
+
+    def kernel(offs_ref, color_ref, ry_ref, rx_ref, P_ref, A_ref,
+               outP_ref, outA_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        # Whole-vector VMEM refs (blocked vector slices violate
+        # Mosaic's (8, 128) block divisibility); each tile slices its
+        # aligned (TH, 1)/(1, TW) window — the 3-D shapes keep every
+        # in-kernel value 2-D.
+        wy = ry_ref[b, pl.ds(i * TH, TH), :]    # (TH, 1)
+        wx = rx_ref[b, :, pl.ds(j * TW, TW)]    # (1, TW)
+        wt = wy * wx                            # (TH, TW)
+        la = color_ref[b, 3] * wt
+        keep = 1.0 - la
+        for c in range(3):
+            outP_ref[0, c] = (color_ref[b, c] * wt) * la + P_ref[0, c] * keep
+        outA_ref[0, 0] = la + A_ref[0, 0] * keep
+
+    offs = jnp.stack([dy0 // TH, dx0 // TW]).astype(jnp.int32)
+    grid = (B, h // TH, w // TW)
+
+    def at_region(b, i, j, offs_ref):
+        return (b, 0, offs_ref[0] + i, offs_ref[1] + j)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # color
+            pl.BlockSpec((B, h, 1), lambda b, i, j, o: (0, 0, 0)),
+            pl.BlockSpec((B, 1, w), lambda b, i, j, o: (0, 0, 0)),
+            pl.BlockSpec((1, 3, TH, TW), at_region),
+            pl.BlockSpec((1, 1, TH, TW), at_region),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, TH, TW), at_region),
+            pl.BlockSpec((1, 1, TH, TW), at_region),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(P.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(A.shape, jnp.float32)],
+        input_output_aliases={4: 0, 5: 1},
+    )(offs, color, ry[:, :, None], rx[:, None, :], P, A)

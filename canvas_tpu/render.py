@@ -621,7 +621,47 @@ def _eval(node_sig, params_iter, jnp, jax):
                 pl_params = next(params_iter)
                 dy0 = pl_params['dy0']
                 dx0 = pl_params['dx0']
-                layer = _eval(cs[3][0], params_iter, jnp, jax)
+                inner = cs[3][0]
+                if (inner[0] in ('scale_solid', 'scale_solid_dyn')
+                        and os.environ.get('CANVAS_REGION_SEP',
+                                           '0') == '1'):
+                    # Default OFF until the Mosaic kernel is validated
+                    # on a real chip (tunnel outage at authoring time);
+                    # CPU fallback is tested either way.
+                    # Rank-1 region layer: hand the factored
+                    # (color, ry, rx) straight to the fused region
+                    # kernel — the (B, 4, h, w) outer product never
+                    # materializes (region traffic drops from 4 channel
+                    # planes to h + w floats per frame).
+                    c_params = next(params_iter)
+                    if inner[0] == 'scale_solid':
+                        color = c_params['color']
+                        B = color.shape[0]
+                        ry = jnp.broadcast_to(c_params['ry'][None, :],
+                                              (B, c_params['ry'].shape[0]))
+                        rx = jnp.broadcast_to(c_params['rx'][None, :],
+                                              (B, c_params['rx'].shape[0]))
+                    else:
+                        (Ky, Kx, Ty, Tx, lq) = inner[1]
+                        _i, wy_t = _dyn_axis_taps(
+                            jnp, jax, c_params['fy'], c_params['tpy'],
+                            c_params['spy'], c_params['yl'],
+                            c_params['yh'], c_params['tly'], Ty, Ky, lq)
+                        _i, wx_t = _dyn_axis_taps(
+                            jnp, jax, c_params['fx'], c_params['tpx'],
+                            c_params['spx'], c_params['xl'],
+                            c_params['xh'], c_params['tlx'], Tx, Kx, lq)
+                        ry = jnp.sum(wy_t, axis=2)
+                        rx = jnp.sum(wx_t, axis=2)
+                        color = c_params['color']
+                    if P is None:
+                        B = color.shape[0]
+                        P = jnp.zeros((B, 3, H, W), jnp.float32)
+                        A = jnp.zeros((B, 1, H, W), jnp.float32)
+                    P, A = pallas_ops.region_over_sep(
+                        jnp, jax, P, A, color, ry, rx, dy0, dx0)
+                    continue
+                layer = _eval(inner, params_iter, jnp, jax)
                 if P is None:
                     B = layer.shape[0]
                     P = jnp.zeros((B, 3, H, W), jnp.float32)
