@@ -72,7 +72,41 @@ def build_timeline(length=1024):
     return ws
 
 
+def _start_watchdog(done_event):
+    """Hard stall guard: a fully-down TPU tunnel hangs the FIRST device
+    op (axon init / first fetch never returns), which would leave the
+    driver with no recorded line at all. If the bench hasn't finished
+    within CANVAS_BENCH_WATCHDOG seconds (default 30 min — generous vs
+    the ~3 min healthy runtime), print an honest zero-valued JSON line
+    flagging the outage and hard-exit (os._exit: worker threads blocked
+    on the tunnel would hang a normal exit)."""
+    import threading
+
+    limit = float(os.environ.get('CANVAS_BENCH_WATCHDOG', '1800'))
+    if limit <= 0:
+        return
+
+    def watch():
+        if done_event.wait(limit):
+            return
+        print(json.dumps({
+            'metric': '1080p_10layer_composite_fps_per_chip',
+            'value': 0.0,
+            'unit': 'frames/sec',
+            'vs_baseline': 0.0,
+            'error': 'tpu_unreachable_watchdog_%ds' % int(limit),
+        }), flush=True)
+        os._exit(2)
+
+    threading.Thread(target=watch, daemon=True, name='bench-watchdog').start()
+
+
 def main():
+    import threading
+
+    done = threading.Event()
+    _start_watchdog(done)
+
     from canvas_tpu import backend, render
     from canvas_tpu.basetypes import box2i
 
@@ -201,6 +235,7 @@ def main():
                 times.append(time.perf_counter() - t0)
         base_fps = 1.0 / float(np.median(times))
 
+    done.set()
     print(json.dumps({
         'metric': '1080p_10layer_composite_fps_per_chip',
         'value': round(fps, 2),
