@@ -319,6 +319,33 @@ def config6():
     return run_range()
 
 
+def config6b():
+    """config6 with the packed 4:2:0 export transport
+    (write_video(transport='yuv420')): same graph, 1.5 bytes/px fetched
+    instead of 4 — isolates the D2H-bytes term of export throughput."""
+    import bench
+    from canvas_tpu import render
+    from canvas_tpu.basetypes import box2i
+
+    ws = bench.build_timeline()
+    planner = render.RenderPlanner(ws, box2i(0, 0, 3839, 2159))
+    planner.plan_cache_segments = 0
+
+    def run_range():
+        t0 = time.perf_counter()
+        n = 0
+        for (_s, _n, packed) in planner.iter_batches(0, 64, batch=8,
+                                                     post='yuv420'):
+            # host-fetched ndarray (device_out=False): touching one
+            # element is free, the fetch already completed
+            assert packed[-1, -1] is not None
+            n += _n
+        return n / (time.perf_counter() - t0)
+
+    run_range()
+    return run_range()
+
+
 def _mixed_timeline(length=256):
     """10-layer 1080p with 3 STAGED coded DV layers (reconstruct ->
     scaler), the rest solids/gain/crossfade; coded planes differ per
@@ -448,6 +475,7 @@ def main():
     measure('config5_sharded_fps_%d_devices' % len(jax.devices()),
             config5)
     measure('config6_4k_10layer_export_path_fps', config6)
+    measure('config6b_4k_export_yuv420_transport_fps', config6b)
     measure('config7_mixed_content_10layer_fps', config7)
     measure('config7b_mixed_content_cached_replay_fps', config7b())
     measure('config8_1080p_decoded_planar_fps', config8)

@@ -330,6 +330,48 @@ def yuv420_pack_device(data, intent=None):
     return jnp.concatenate([yq, cbq, crq], axis=1)
 
 
+def yuv420_pack_studio_device(data):
+    """(B, 4, H, W) rgba f16 device array -> (B, H*W + 2*ceil(H/2)*
+    ceil(W/2)) packed u8: STUDIO-RANGE (BT.601 limited swing, Y 16-235,
+    C 16-240) 4:2:0 — the EXPORT transport. The RGB values are first
+    floor-quantized through the gamma45 ramp exactly like _u8_device
+    (write_video's RGBA parity path), then matrixed with the same
+    coefficients swscale applies to that u8 RGBA — so the device pack
+    sees the identical u8 RGB swscale would, and diverges from the
+    host conversion only by swscale's fixed-point rounding and its
+    chroma-phase filter (device uses the 2x2 mean; ±1-2 u8 on detail,
+    exact-within-rounding on flat regions). Chroma of odd-sized frames
+    edge-replicates the last row/column before the 2x2 mean."""
+    jnp = backend.jnp
+    x = data.astype(jnp.float32)
+    y = jnp.power(x, 0.45) * 255.0
+    y = jnp.clip(jnp.nan_to_num(y, nan=0.0), 0.0, 255.0)
+    u8f = jnp.floor(y)                   # the exact u8 values sws sees
+    R, G, Bl = u8f[:, 0], u8f[:, 1], u8f[:, 2]
+    Ey = (0.299 * R + 0.587 * G + 0.114 * Bl) / 255.0   # [0, 1]
+    Y = 16.0 + 219.0 * Ey
+    Cb = 128.0 + 224.0 * 0.5 / 0.886 * (Bl / 255.0 - Ey)
+    Cr = 128.0 + 224.0 * 0.5 / 0.701 * (R / 255.0 - Ey)
+    B, H, W = Y.shape
+    ph, pw = H % 2, W % 2
+    if ph or pw:
+        Cb = jnp.pad(Cb, ((0, 0), (0, ph), (0, pw)), mode='edge')
+        Cr = jnp.pad(Cr, ((0, 0), (0, ph), (0, pw)), mode='edge')
+    h2, w2 = (H + ph) // 2, (W + pw) // 2
+
+    def sub(c):
+        c = c.reshape(B, h2, 2, w2, 2)
+        return c.mean(axis=(2, 4))
+
+    yq = jnp.rint(jnp.clip(Y, 16.0, 235.0)).astype(
+        jnp.uint8).reshape(B, -1)
+    cbq = jnp.rint(jnp.clip(sub(Cb), 16.0, 240.0)).astype(
+        jnp.uint8).reshape(B, -1)
+    crq = jnp.rint(jnp.clip(sub(Cr), 16.0, 240.0)).astype(
+        jnp.uint8).reshape(B, -1)
+    return jnp.concatenate([yq, cbq, crq], axis=1)
+
+
 def yuv420_unpack(flat, h, w, order=(2, 1, 0, 3)):
     """Host inverse of yuv420_pack_device for ONE frame: (N,) u8 ->
     (h, w, 4) u8 in channel *order*, alpha forced 255."""

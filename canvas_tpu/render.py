@@ -990,6 +990,9 @@ def _get_sharded_program(signature, node, mesh, axis, N, post=None):
         if post is None:
             return out.astype(jnp.float16)
         from canvas_tpu.ops import color as color_ops
+        if post == 'yuv420':
+            return color_ops.yuv420_pack_studio_device(
+                out.astype(jnp.float16))
         order = (2, 1, 0, 3) if post == 'bgra_u8' else (0, 1, 2, 3)
         return color_ops._u8_device(out.astype(jnp.float16), order)
 
@@ -1045,6 +1048,9 @@ def _get_program(signature, post=None):
     * 'rgba_u8' / 'bgra_u8' -> (B, H, W*4) interleaved u8 (gamma45
       ramp), so exports never materialize + re-read the f16 output
       (write_video's path; halves the program's output traffic)
+    * 'yuv420'    -> (B, H*W + 2*ceil(H/2)*ceil(W/2)) packed
+      studio-range 4:2:0 u8 (the planar export transport: 1.5 bytes/px
+      vs RGBA's 4 — write_video(transport='yuv420'))
     """
     key = signature if post is None else (signature, 'post', post)
     with _program_lock:
@@ -1059,6 +1065,9 @@ def _get_program(signature, post=None):
         if post is None:
             return out.astype(jnp.float16)
         from canvas_tpu.ops import color as color_ops
+        if post == 'yuv420':
+            return color_ops.yuv420_pack_studio_device(
+                out.astype(jnp.float16))
         order = (2, 1, 0, 3) if post == 'bgra_u8' else (0, 1, 2, 3)
         return color_ops._u8_device(out.astype(jnp.float16), order)
 

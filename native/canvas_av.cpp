@@ -597,6 +597,7 @@ struct CavMuxStream {
     AVStream *stream = nullptr;
     AVCodecContext *codec = nullptr;
     SwsContext *sws = nullptr;
+    SwsContext *sws_planar = nullptr;  // yuv420p input -> codec pix_fmt
     SwrContext *swr = nullptr;
     AVFrame *frame = nullptr;
     int64_t next_pts = 0;
@@ -807,6 +808,48 @@ CAV_EXPORT int cav_muxer_write_video(CavMuxer *m, int stream,
     return drain_packets(m, s);
 }
 
+// Encode one pre-subsampled planar YCbCr 4:2:0 frame: y is h*w,
+// cb/cr are ceil(h/2)*ceil(w/2), all tightly packed (stride == width).
+// The device already did the RGB->YCbCr conversion + 2x2 chroma
+// subsample, so when the codec consumes yuv420p (mpeg4/x264's native
+// format) the planes copy straight into the frame — no sws pass and
+// 2.6x fewer host-link bytes than the RGBA path above.
+CAV_EXPORT int cav_muxer_write_video_planar(CavMuxer *m, int stream,
+                                            const uint8_t *y,
+                                            const uint8_t *cb,
+                                            const uint8_t *cr) {
+    CavMuxStream *s = m->streams[stream];
+    av_frame_make_writable(s->frame);
+    const int w = s->codec->width, h = s->codec->height;
+    const int w2 = (w + 1) / 2, h2 = (h + 1) / 2;
+    if (s->codec->pix_fmt == AV_PIX_FMT_YUV420P) {
+        for (int r = 0; r < h; r++)
+            memcpy(s->frame->data[0] + (size_t)r * s->frame->linesize[0],
+                   y + (size_t)r * w, w);
+        for (int r = 0; r < h2; r++) {
+            memcpy(s->frame->data[1] + (size_t)r * s->frame->linesize[1],
+                   cb + (size_t)r * w2, w2);
+            memcpy(s->frame->data[2] + (size_t)r * s->frame->linesize[2],
+                   cr + (size_t)r * w2, w2);
+        }
+    } else {
+        if (!s->sws_planar) {
+            s->sws_planar = sws_getContext(w, h, AV_PIX_FMT_YUV420P, w, h,
+                                           s->codec->pix_fmt, SWS_BILINEAR,
+                                           nullptr, nullptr, nullptr);
+            if (!s->sws_planar) return -1;
+        }
+        const uint8_t *src[4] = {y, cb, cr, nullptr};
+        int src_stride[4] = {w, w2, w2, 0};
+        sws_scale(s->sws_planar, src, src_stride, 0, h, s->frame->data,
+                  s->frame->linesize);
+    }
+    s->frame->pts = s->next_pts++;
+    int rc = avcodec_send_frame(s->codec, s->frame);
+    if (rc < 0) return rc;
+    return drain_packets(m, s);
+}
+
 // Encode interleaved float32 audio samples (n_samples * channels).
 CAV_EXPORT int cav_muxer_write_audio(CavMuxer *m, int stream,
                                      const float *samples, int n_samples) {
@@ -844,6 +887,7 @@ CAV_EXPORT int cav_muxer_finish(CavMuxer *m) {
     if (m->header_written) av_write_trailer(m->ctx);
     for (auto *s : m->streams) {
         if (s->sws) sws_freeContext(s->sws);
+        if (s->sws_planar) sws_freeContext(s->sws_planar);
         if (s->swr) swr_free(&s->swr);
         if (s->frame) av_frame_free(&s->frame);
         if (s->codec) avcodec_free_context(&s->codec);

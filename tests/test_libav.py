@@ -138,6 +138,70 @@ def test_write_video_end_to_end(tmp_path):
     dec.close()
 
 
+def test_write_video_yuv420_transport(tmp_path):
+    """transport='yuv420' (device-packed studio 4:2:0 planes, 2.6x
+    fewer fetch bytes) produces the same video as the RGBA parity
+    transport within swscale/codec rounding."""
+    src = SolidColorVideoSource(
+        LerpFunc((0.1, 0.7, 0.3, 1.0), (0.9, 0.2, 0.6, 1.0), 25))
+    kw = dict(frame_size=(64, 48), frame_rate=25, video_codec='mpeg4',
+              bit_rate=2_000_000)
+    p_rgba = str(tmp_path / 'rgba.avi')
+    p_yuv = str(tmp_path / 'yuv.avi')
+    libav.write_video(p_rgba, src, None, 0, 25, **kw)
+    libav.write_video(p_yuv, src, None, 0, 25, transport='yuv420', **kw)
+    d1 = libav.AVVideoDecoder(p_rgba)
+    d2 = libav.AVVideoDecoder(p_yuv)
+    for i in (0, 12, 24):
+        a = d1.get_frame_rgba(i, 64, 48).astype(np.int16)
+        b = d2.get_frame_rgba(i, 64, 48).astype(np.int16)
+        # flat solid frames: the only differences are swscale's
+        # fixed-point rounding vs the device matrix + codec noise
+        assert np.abs(a - b)[:, :, :3].max() <= 4, \
+            'frame %d diverged: %d' % (i, np.abs(a - b)[:, :, :3].max())
+    d1.close()
+    d2.close()
+
+    with pytest.raises(ValueError):
+        libav.write_video(str(tmp_path / 'x.avi'), src, None, 0, 2,
+                          use_batch=False, transport='yuv420', **kw)
+    with pytest.raises(ValueError):
+        libav.write_video(str(tmp_path / 'x.avi'), src, None, 0, 2,
+                          transport='nope', **kw)
+
+
+def test_yuv420_studio_pack_math():
+    """Device studio-range pack matches the host BT.601 formula; flat
+    regions survive the chroma subsample exactly."""
+    from canvas_tpu import backend
+    from canvas_tpu.ops import color as color_ops
+    rng = np.random.default_rng(7)
+    rgba = rng.random((2, 4, 8, 16), np.float32).astype(np.float16)
+    packed = np.asarray(color_ops.yuv420_pack_studio_device(
+        backend.jnp.asarray(rgba)))
+    # host reference: gamma45 floor-quantized u8, then studio BT.601
+    u8 = np.floor(np.clip(
+        np.power(rgba[:, :3].astype(np.float32), 0.45) * 255.0,
+        0.0, 255.0))
+    R, G, B = u8[:, 0], u8[:, 1], u8[:, 2]
+    Ey = (0.299 * R + 0.587 * G + 0.114 * B) / 255.0
+    Y = np.rint(np.clip(16.0 + 219.0 * Ey, 16.0, 235.0))
+    got_Y = packed[:, :8 * 16].reshape(2, 8, 16).astype(np.float64)
+    assert np.abs(got_Y - Y).max() <= 1.0
+    # flat frame: chroma planes are constant and invertible
+    flat = np.zeros((1, 4, 8, 16), np.float16)
+    flat[:, 0] = 0.8
+    flat[:, 1] = 0.25
+    flat[:, 2] = 0.5
+    flat[:, 3] = 1.0
+    pf = np.asarray(color_ops.yuv420_pack_studio_device(
+        backend.jnp.asarray(flat)))
+    cb = pf[0, 8 * 16:8 * 16 + 4 * 8]
+    cr = pf[0, 8 * 16 + 4 * 8:]
+    assert cb.min() == cb.max() and cr.min() == cr.max()
+    assert 16 <= cb[0] <= 240 and 16 <= cr[0] <= 240
+
+
 def test_h264_available():
     """libx264 encode via avcodec (the reference's x264 module role)."""
     lib = libav._load()
@@ -211,6 +275,28 @@ def test_write_video_mesh_across_segment_cut(tmp_path):
     f12 = dec.get_frame_rgba(12, 64, 48)
     f20 = dec.get_frame_rgba(20, 64, 48)
     assert int(f12[24, 32, 1]) > 200 and int(f12[24, 32, 0]) < 60
+    assert int(f20[24, 32, 0]) > int(f5[24, 32, 0]) + 100
+    dec.close()
+
+
+def test_write_video_yuv420_mesh(tmp_path):
+    """The packed 4:2:0 export transport composes with the sharded
+    (mesh=) path: the pack fuses into the sharded program."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip('needs multiple devices')
+    mesh = Mesh(np.asarray(jax.devices()), ('frames',))
+    src = SolidColorVideoSource(
+        LerpFunc((0.0, 0.0, 0.0, 1.0), (1.0, 1.0, 1.0, 1.0), 23))
+    path = str(tmp_path / 'sharded_yuv.avi')
+    libav.write_video(path, src, None, 0, 23, frame_size=(64, 48),
+                      frame_rate=25, video_codec='mpeg4',
+                      bit_rate=2_000_000, mesh=mesh, transport='yuv420')
+    dec = libav.AVVideoDecoder(path)
+    f5 = dec.get_frame_rgba(5, 64, 48)
+    f20 = dec.get_frame_rgba(20, 64, 48)
     assert int(f20[24, 32, 0]) > int(f5[24, 32, 0]) + 100
     dec.close()
 
