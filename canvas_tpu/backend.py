@@ -68,20 +68,87 @@ def jax_available():
 
 
 _initialized = False
+_probe_result = None
 
 
-def ensure_initialized():
+def _configured_platforms():
+    """The platform list jax will initialize with, WITHOUT initializing:
+    in-process config (tests pin 'cpu' here) wins over the environment."""
+    if _load_jax() is None:
+        return ''
+    try:
+        value = _jax.config.jax_platforms
+    except AttributeError:
+        value = None
+    return value or os.environ.get('JAX_PLATFORMS', '') or ''
+
+
+def probe_device(timeout=None):
+    """True when the configured JAX platform initializes within
+    *timeout* seconds — probed in a SUBPROCESS, because a down remote
+    TPU transport hangs ``jax.devices()`` inside native code where no
+    in-process watchdog can interrupt it (only a killable process
+    bounds it). Cached for the process lifetime; CPU-configured
+    processes skip the probe entirely.
+
+    CANVAS_DEVICE_PROBE_TIMEOUT overrides the default 45 s; <= 0
+    disables probing (always 'reachable')."""
+    global _probe_result
+    if _probe_result is not None:
+        return _probe_result
+    platforms = _configured_platforms()
+    if platforms.split(',')[0] in ('cpu', ''):
+        # explicit CPU (or jax's own default discovery): nothing remote
+        # to probe — but '' with a TPU lib present still probes below
+        if platforms:
+            _probe_result = True
+            return True
+    if timeout is None:
+        timeout = float(os.environ.get('CANVAS_DEVICE_PROBE_TIMEOUT',
+                                       '45'))
+    if timeout <= 0 or _load_jax() is None:
+        _probe_result = True
+        return True
+    import subprocess
+    import sys
+    try:
+        _probe_result = subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices()'],
+            timeout=timeout, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL).returncode == 0
+    except Exception:
+        _probe_result = False
+    return _probe_result
+
+
+def ensure_initialized(probe=False):
     """Initialize the JAX backend from the *calling* thread.
 
     Some TPU runtimes hang if first touched from a non-main thread;
     engine components that spawn render/prefetch threads call this in
     their constructors (normally on the main thread) so device discovery
     and client setup happen before any worker thread runs JAX.
-    """
+
+    ``probe=True`` (interactive entry points — playback engine, editor
+    app) first checks device reachability in a killable subprocess and
+    falls back to CPU when the remote transport is down, so the app
+    starts with a logged warning instead of hanging forever on the
+    first device op (the editor's alert-not-crash contract,
+    _base.py:70-179 in the reference)."""
     global _initialized
     if _initialized:
         return
     if _load_jax() is not None:
+        if probe and not probe_device():
+            import logging
+            logging.getLogger('canvas_tpu.backend').warning(
+                'JAX device platform %r is unreachable (probe timed '
+                'out); falling back to CPU for this session',
+                _configured_platforms() or 'default')
+            try:
+                _jax.config.update('jax_platforms', 'cpu')
+            except Exception:
+                pass
         try:
             _jax.devices()
             import jax.numpy as jnp_mod

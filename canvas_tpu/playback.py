@@ -56,7 +56,10 @@ class VideoPlaybackEngine:
         self._quality = 10
 
         from canvas_tpu import backend
-        backend.ensure_initialized()   # JAX must first init on this thread
+        # JAX must first init on this thread; probe=True bounds a down
+        # remote transport with a CPU fallback instead of hanging the
+        # app on its first device op.
+        backend.ensure_initialized(probe=True)
 
         self._lock = threading.Lock()
         #: Serializes planner use: the long-lived RenderPlanner has

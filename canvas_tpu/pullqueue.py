@@ -43,7 +43,7 @@ class VideoPullQueue:
 
     def __init__(self, workers=2, dispatch=None):
         from canvas_tpu import backend
-        backend.ensure_initialized()   # JAX must first init on this thread
+        backend.ensure_initialized(probe=True)  # main-thread init, bounded
         self._workers = workers
         self._pool = ThreadPoolExecutor(max_workers=workers,
                                         thread_name_prefix='canvas-pull')

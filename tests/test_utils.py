@@ -191,3 +191,38 @@ def test_profiling_timers():
     assert rep['stage_a'][0] >= 0.0
     profiling.reset()
     assert profiling.report() == {}
+
+
+def test_device_probe_cpu_skip_and_fallback(monkeypatch, caplog):
+    """probe_device: CPU-configured processes skip the subprocess probe;
+    a failed probe makes ensure_initialized(probe=True) fall back to
+    CPU with a warning instead of hanging on a down remote transport."""
+    import logging
+
+    from canvas_tpu import backend
+
+    # this test process is CPU-pinned (conftest) -> probe short-circuits
+    monkeypatch.setattr(backend, '_probe_result', None)
+    assert backend.probe_device() is True
+
+    # simulate a remote platform whose probe times out
+    monkeypatch.setattr(backend, '_probe_result', None)
+    monkeypatch.setattr(backend, '_configured_platforms',
+                        lambda: 'not_a_platform')
+
+    def timeout_run(*a, **kw):
+        raise RuntimeError('probe subprocess timed out')
+
+    import subprocess
+    monkeypatch.setattr(subprocess, 'run', timeout_run)
+    monkeypatch.setenv('CANVAS_DEVICE_PROBE_TIMEOUT', '1')
+    assert backend.probe_device() is False
+
+    monkeypatch.setattr(backend, '_initialized', False)
+    with caplog.at_level(logging.WARNING, 'canvas_tpu.backend'):
+        backend.ensure_initialized(probe=True)
+    assert 'unreachable' in caplog.text
+    # the fallback pinned jax to CPU (already CPU here; must not raise)
+    import jax
+    assert jax.config.jax_platforms == 'cpu'
+    assert len(jax.devices()) >= 1
