@@ -386,8 +386,28 @@ def create_main_window(app=None, binding=None):
                 fractions.Fraction(30000, 1001)
             self.video_widget = qt_shim.VideoWidget(
                 editor.video_stream, self.app.clock, rate,
-                self._playback_window)
+                self._playback_window, on_stall=self._playback_stall)
             self.video_dock.setWidget(self.video_widget)
+
+        def _playback_stall(self, stalled):
+            """Surface render-stall state in the alert dock (the
+            device-transport analog of an offline source: alert, don't
+            freeze silently)."""
+            from canvas_tpu.editor import plugins as plugins_mod
+            manager = plugins_mod.PluginManager.alert_manager
+            alert = getattr(self, '_stall_alert', None)
+            if stalled:
+                if alert is None:
+                    alert = plugins_mod.Alert(
+                        'Playback stalled: the render device stopped '
+                        'responding (transport down or degraded). '
+                        'Playback resumes automatically if it recovers.',
+                        icon=plugins_mod.AlertIcon.Error,
+                        source='playback', key='playback-stall')
+                    self._stall_alert = alert
+                manager.show_alert(alert)
+            elif alert is not None:
+                manager.hide_alert(alert)
 
         @property
         def current_editor(self):

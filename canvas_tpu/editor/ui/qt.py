@@ -37,7 +37,8 @@ def qt_available():
 
 
 def VideoWidget(source, clock, frame_rate, window, parent=None,
-                pixel_aspect_ratio=40.0 / 33.0, rendering_intent=1.25):
+                pixel_aspect_ratio=40.0 / 33.0, rendering_intent=1.25,
+                on_stall=None):
     """Create a Qt widget that displays *source* driven by *clock*.
 
     Returns a QWidget subclass instance; raises RuntimeError when no Qt
@@ -63,7 +64,7 @@ def VideoWidget(source, clock, frame_rate, window, parent=None,
             self._engine = VideoPlaybackEngine(
                 source, clock, frame_rate, window, self._present,
                 pixel_aspect_ratio=pixel_aspect_ratio,
-                rendering_intent=rendering_intent)
+                rendering_intent=rendering_intent, on_stall=on_stall)
 
         @property
         def engine(self):

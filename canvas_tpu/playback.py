@@ -19,7 +19,9 @@ argb_u8 is an (H, W, 4) uint8 BGRA array. Qt/GTK widget layers plug in
 on top (the reference's GtkVideoWidget/VideoWidget equivalents).
 """
 
+import os
 import threading
+import time
 from fractions import Fraction
 
 import numpy as np
@@ -39,7 +41,7 @@ class VideoPlaybackEngine:
 
     def __init__(self, source, clock, frame_rate, window, present,
                  batch=4, ring_frames=8, pixel_aspect_ratio=40.0 / 33.0,
-                 rendering_intent=1.25):
+                 rendering_intent=1.25, on_stall=None):
         self.source = source
         self.clock = clock
         self.frame_rate = Fraction(frame_rate)
@@ -54,6 +56,19 @@ class VideoPlaybackEngine:
         self._viewport = None
         self._planner = None
         self._quality = 10
+        #: Stall watchdog: a dead remote transport blocks the render
+        #: thread inside a native fetch where nothing can interrupt it;
+        #: the app must LEARN about it (alert, don't freeze silently).
+        #: on_stall(True) fires once when a batch exceeds
+        #: stall_timeout (CANVAS_STALL_TIMEOUT, default 60 s — above
+        #: worst-case first compile), on_stall(False) when progress
+        #: resumes; <= 0 disables the watchdog thread.
+        self.on_stall = on_stall
+        self.stall_timeout = float(os.environ.get('CANVAS_STALL_TIMEOUT',
+                                                  '60'))
+        self._batch_started = None
+        self._stalled = False
+        self._watch_stop = threading.Event()
 
         from canvas_tpu import backend
         # JAX must first init on this thread; probe=True bounds a down
@@ -80,6 +95,40 @@ class VideoPlaybackEngine:
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name='canvas-playback')
         self._thread.start()
+        self._watch_thread = None
+        if self.stall_timeout > 0:
+            self._watch_thread = threading.Thread(
+                target=self._watch_stalls, daemon=True,
+                name='canvas-playback-stallwatch')
+            self._watch_thread.start()
+
+    def _watch_stalls(self):
+        import logging
+        log = logging.getLogger('canvas_tpu.playback')
+        while not self._watch_stop.wait(min(5.0, self.stall_timeout / 4)):
+            started = self._batch_started
+            stalled = (started is not None
+                       and time.monotonic() - started > self.stall_timeout)
+            if stalled == self._stalled:
+                continue
+            self._stalled = stalled
+            if stalled:
+                log.warning(
+                    'playback render batch stalled for > %.0f s (device '
+                    'transport down or degraded?)', self.stall_timeout)
+            else:
+                log.info('playback render progress resumed')
+            cb = self.on_stall
+            if cb is not None:
+                try:
+                    cb(stalled)
+                except Exception:
+                    log.warning('on_stall callback failed', exc_info=True)
+
+    @property
+    def stalled(self):
+        """True while a render batch has exceeded stall_timeout."""
+        return self._stalled
 
     # -- clock integration (widget_gl.c:841 _clock_callback) -------------
 
@@ -161,6 +210,7 @@ class VideoPlaybackEngine:
     def stop(self):
         self._quit = True
         self._wake.set()
+        self._watch_stop.set()
         self._thread.join(timeout=5)
         self._clock_handle.unregister()
         with self._render_lock:
@@ -231,6 +281,13 @@ class VideoPlaybackEngine:
         self._wake.set()
 
     def _render_batch(self, start, stop):
+        self._batch_started = time.monotonic()
+        try:
+            self._render_batch_inner(start, stop)
+        finally:
+            self._batch_started = None
+
+    def _render_batch_inner(self, start, stop):
         from canvas_tpu import backend, render
         from canvas_tpu.ops import color as color_ops
         # Snapshot display state: if the source, window, or intent

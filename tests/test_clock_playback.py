@@ -514,3 +514,75 @@ def test_playback_engine_quality_hint():
         np.testing.assert_array_equal(full, restored)
     finally:
         engine.stop()
+
+
+def test_playback_stall_watchdog(monkeypatch):
+    """A render batch exceeding stall_timeout fires on_stall(True) once
+    and on_stall(False) when progress resumes (the device-transport
+    stall alert — a dead tunnel blocks the render thread in native code,
+    so the app must learn about it from a watchdog)."""
+    import threading
+
+    from canvas_tpu.playback import VideoPlaybackEngine
+
+    monkeypatch.setenv('CANVAS_STALL_TIMEOUT', '0.2')
+    events = []
+    clock = SystemPresentationClock()
+    src = SolidColorVideoSource((1.0, 0.0, 0.0, 1.0))
+    engine = VideoPlaybackEngine(
+        src, clock, Fraction(30, 1), box2i(0, 0, 15, 15),
+        lambda i, f: None, on_stall=events.append)
+    try:
+        assert engine.stall_timeout == 0.2
+        release = threading.Event()
+        orig = engine._render_batch_inner
+
+        def blocked(start, stop):
+            release.wait(5.0)
+            return orig(start, stop)
+
+        engine._render_batch_inner = blocked
+        clock.play(1)
+        deadline = time.time() + 5.0
+        while True not in events and time.time() < deadline:
+            time.sleep(0.02)
+        assert events == [True]
+        assert engine.stalled
+        release.set()
+        engine._render_batch_inner = orig
+        deadline = time.time() + 5.0
+        while False not in events and time.time() < deadline:
+            time.sleep(0.02)
+        clock.stop()
+        assert events == [True, False]
+        assert not engine.stalled
+    finally:
+        engine.stop()
+
+
+def test_mainwindow_playback_stall_alert():
+    """MainWindow surfaces engine stalls in the alert dock and clears
+    them on recovery."""
+    import fake_qt
+    from canvas_tpu.editor import plugins as plugins_mod
+    from canvas_tpu.editor.ui import mainwindow as mw_mod
+    from canvas_tpu.editor.ui import qt as qt_mod
+    from canvas_tpu.editor.ui.app import EditorApp
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = mw_mod.create_main_window(app)
+        try:
+            manager = plugins_mod.PluginManager.alert_manager
+            window._playback_stall(True)
+            assert any(getattr(a, 'key', None) == 'playback-stall'
+                       for a in manager._alerts.values()) or \
+                'playback-stall' in manager._alerts
+            window._playback_stall(False)
+            assert 'playback-stall' not in manager._alerts
+        finally:
+            window.closeEvent(None)
+    finally:
+        qt_mod._qt = old
