@@ -39,7 +39,8 @@ def gtk_available():
 
 
 def GtkVideoWidget(source, clock, frame_rate, window,
-                   pixel_aspect_ratio=40.0 / 33.0, rendering_intent=1.25):
+                   pixel_aspect_ratio=40.0 / 33.0, rendering_intent=1.25,
+                   on_stall=None):
     """Create a GTK drawing area displaying *source* driven by *clock*.
 
     Raises RuntimeError when PyGObject is not installed. Mirrors
@@ -65,7 +66,7 @@ def GtkVideoWidget(source, clock, frame_rate, window,
             self._engine = VideoPlaybackEngine(
                 source, clock, frame_rate, window, self._present,
                 pixel_aspect_ratio=pixel_aspect_ratio,
-                rendering_intent=rendering_intent)
+                rendering_intent=rendering_intent, on_stall=on_stall)
             w, h = self._engine.display_size()
             self.set_size_request(w, h)
 
