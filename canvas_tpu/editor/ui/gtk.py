@@ -69,6 +69,26 @@ def GtkVideoWidget(source, clock, frame_rate, window,
                 rendering_intent=rendering_intent, on_stall=on_stall)
             w, h = self._engine.display_size()
             self.set_size_request(w, h)
+            # Soft mode paints at WIDGET size (widget_gl.c:793-816):
+            # viewport-sized device fetches on shrink, like the Qt
+            # widget's resizeEvent. GTK 3 signals size-allocate; GTK 4
+            # subclasses would override do_size_allocate (the fake and
+            # GTK 3 both take the connect path).
+            if hasattr(self, 'connect'):
+                try:
+                    self.connect('size-allocate', self._size_allocate)
+                except TypeError:
+                    pass
+
+        def _size_allocate(self, _widget, allocation):
+            w = getattr(allocation, 'width', 0)
+            h = getattr(allocation, 'height', 0)
+            if w > 0 and h > 0:
+                src_w, src_h = self._engine.display_size()
+                if w < src_w or h < src_h:
+                    self._engine.set_viewport((w, h))
+                else:
+                    self._engine.set_viewport(None)
 
         @property
         def engine(self):

@@ -455,6 +455,18 @@ def test_gtk_video_widget_with_fake_binding():
             assert abs(g - enc(0.3)) <= 1.5
             assert abs(b - enc(0.1)) <= 1.5
             assert r > g > b
+
+            # size-allocate wires viewport-sized device fetches (the
+            # Qt resizeEvent parity): shrink sets a viewport, full
+            # size clears it
+            class Alloc:
+                width, height = 16, 12
+
+            widget._size_allocate(widget, Alloc)
+            assert widget.engine._viewport == (16, 12)
+            Alloc.width, Alloc.height = 64, 48
+            widget._size_allocate(widget, Alloc)
+            assert widget.engine._viewport is None
         finally:
             widget.close()
     finally:
