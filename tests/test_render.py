@@ -1167,3 +1167,28 @@ def test_stage_lru_unit():
     lru.put('big', a, 'BIG', 1000)
     assert lru.get('big', a) is None
     assert len(lru) == 2
+
+
+def test_iter_batches_yuv420_post_odd_dims():
+    """post='yuv420' packs H*W luma + 2 x ceil-dims chroma; odd window
+    sizes edge-replicate before the 2x2 mean (shape contract for the
+    export transport)."""
+    from canvas_tpu.sources import SolidColorVideoSource
+
+    win = box2i(0, 0, 64, 46)           # 65 x 47 — both odd
+    src = SolidColorVideoSource((0.3, 0.6, 0.9, 1.0))
+    planner = render.RenderPlanner(src, win)
+    try:
+        outs = [o for (_s, _n, o) in
+                planner.iter_batches(0, 4, batch=4, post='yuv420')]
+    finally:
+        planner.close()
+    (flat,) = outs
+    h, w = 47, 65
+    h2, w2 = 24, 33
+    assert flat.shape == (4, h * w + 2 * h2 * w2)
+    # flat solid: every luma byte identical, chroma planes constant
+    y = flat[:, :h * w]
+    assert (y == y[0, 0]).all()
+    cb = flat[:, h * w:h * w + h2 * w2]
+    assert (cb == cb[0, 0]).all()
