@@ -21,6 +21,7 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -46,6 +47,28 @@ std::string av_errstr(int code) {
     char buf[AV_ERROR_MAX_STRING_SIZE] = {0};
     av_strerror(code, buf, sizeof(buf));
     return std::string(buf);
+}
+
+// avcodec defaults to a single thread; frame/slice threading scales
+// DV/H.264 decode and mpeg4/x264 encode near-linearly with host cores
+// (the decode side feeds device staging — configs 7/8 are
+// decode+link-bound cold). Default: hardware cores capped at 8.
+// CANVAS_AV_THREADS pins a count (1 restores the old single-threaded
+// behavior, 0 = avcodec's own auto). receive-loops already tolerate
+// the extra EAGAIN latency frame threading introduces.
+void enable_codec_threads(AVCodecContext *ctx) {
+    const char *env = getenv("CANVAS_AV_THREADS");
+    if (env) {
+        ctx->thread_count = atoi(env);
+    } else {
+        // auto, capped: a mixed timeline runs several decoder
+        // instances at once — full-core auto per instance
+        // oversubscribes the host and frame threading buffers
+        // thread_count frames of latency/memory each.
+        unsigned cores = std::thread::hardware_concurrency();
+        ctx->thread_count = cores ? (cores > 8 ? 8 : (int)cores) : 4;
+    }
+    ctx->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
 }
 
 }  // namespace
@@ -244,6 +267,7 @@ CAV_EXPORT CavVideoDec *cav_video_decoder_open(const char *filename,
     }
     d->codec = avcodec_alloc_context3(codec);
     avcodec_parameters_to_context(d->codec, s->codecpar);
+    enable_codec_threads(d->codec);
     rc = avcodec_open2(d->codec, codec, nullptr);
     if (rc < 0) {
         set_err(err, errlen, "avcodec_open2: " + av_errstr(rc));
@@ -475,6 +499,7 @@ CAV_EXPORT CavAudioDec *cav_audio_decoder_open(const char *filename,
     const AVCodec *codec = avcodec_find_decoder(s->codecpar->codec_id);
     d->codec = avcodec_alloc_context3(codec);
     avcodec_parameters_to_context(d->codec, s->codecpar);
+    enable_codec_threads(d->codec);
     rc = avcodec_open2(d->codec, codec, nullptr);
     if (rc < 0) {
         set_err(err, errlen, "avcodec_open2: " + av_errstr(rc));
@@ -670,6 +695,7 @@ CAV_EXPORT int cav_muxer_add_video_ex(CavMuxer *m, const char *codec_name,
     if (m->ctx->oformat->flags & AVFMT_GLOBALHEADER)
         s->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
 
+    enable_codec_threads(s->codec);
     AVDictionary *opts = nullptr;
     if (options && *options) av_dict_parse_string(&opts, options, "=", ":", 0);
     int rc = avcodec_open2(s->codec, codec, &opts);
@@ -945,6 +971,7 @@ CAV_EXPORT CavEncoder *cav_video_encoder_open(const char *codec_name,
     if (bit_rate > 0) e->codec->bit_rate = bit_rate;
     e->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;  // SPS/PPS in extradata
 
+    enable_codec_threads(e->codec);
     AVDictionary *opts = nullptr;
     if (options && *options) av_dict_parse_string(&opts, options, "=", ":", 0);
     int rc = avcodec_open2(e->codec, codec, &opts);
@@ -1133,6 +1160,7 @@ CAV_EXPORT CavEncoder *cav_video_encoder_open_planar(
     if (bit_rate > 0) e->codec->bit_rate = bit_rate;
     e->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
 
+    enable_codec_threads(e->codec);
     AVDictionary *opts = nullptr;
     if (options && *options) av_dict_parse_string(&opts, options, "=", ":", 0);
     int rc = avcodec_open2(e->codec, codec, &opts);
