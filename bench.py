@@ -127,13 +127,20 @@ def main():
     # b256 exhausts HBM: async dispatch keeps several (B,4,1088,1920)
     # f16 outputs (1 GB each at 256) in flight.
     batch = int(os.environ.get('CANVAS_BENCH_BATCH', '128'))
+    # In-flight pacing (render.iter_batches(max_inflight=)): batches
+    # beyond 128 OOM from async dispatch queue depth alone (~4 GB f16
+    # output each at 256); bounding the queue at k batches makes big-
+    # batch sweeps possible. 0 = unbounded (the <=128 default).
+    inflight = int(os.environ.get('CANVAS_BENCH_INFLIGHT',
+                                  '3' if batch > 128 else '0')) or None
     # Batches larger than the pipeline chunk would be tail-padded to
     # the segment length; grow the chunk so big-batch sweeps measure
     # real work (the headline graph stages nothing, so longer chunks
     # cost no staging stall).
     planner.pipeline_chunk = max(planner.pipeline_chunk, batch)
     warm_frames = batch
-    timed_frames = int(os.environ.get('CANVAS_BENCH_FRAMES', '384'))
+    timed_frames = int(os.environ.get('CANVAS_BENCH_FRAMES',
+                                      str(max(384, 3 * batch))))
 
     # Execution-forcing probe: on this rig's remote TPU transport,
     # block_until_ready() returns before execution finishes, so honest
@@ -193,7 +200,8 @@ def main():
     health_gate()
 
     # Warmup / compile
-    for (_s, _n, out) in planner.iter_batches(0, warm_frames, batch=batch):
+    for (_s, _n, out) in planner.iter_batches(0, warm_frames, batch=batch,
+                                              max_inflight=inflight):
         float(probe(out))
 
     # Timed: steady-state batched rendering (plan each structure segment
@@ -208,7 +216,8 @@ def main():
         t0 = time.perf_counter()
         last = None
         for (_s, _n, out) in planner.iter_batches(
-                start, start + timed_frames, batch=batch):
+                start, start + timed_frames, batch=batch,
+                max_inflight=inflight):
             last = out
         float(probe(last))   # forced fetch: FIFO => whole range ran
         fps = max(fps, timed_frames / (time.perf_counter() - t0))

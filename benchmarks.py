@@ -135,7 +135,7 @@ def median_of(fn, n=3):
     return med, vals[0], vals[-1]
 
 
-def timeit_batches(planner, batch, n_frames, start=0):
+def timeit_batches(planner, batch, n_frames, start=0, max_inflight=None):
     """Steady-state fps through the plan-once streaming path: one warm
     pass over the SAME range (pays compiles), then the timed pass.
 
@@ -160,7 +160,8 @@ def timeit_batches(planner, batch, n_frames, start=0):
         t0 = time.perf_counter()
         last = None
         for (_s, _n, out) in planner.iter_batches(
-                start, start + n_frames, batch=batch):
+                start, start + n_frames, batch=batch,
+                max_inflight=max_inflight):
             last = out
         float(probe(last))
         return n_frames / (time.perf_counter() - t0)

@@ -34,6 +34,7 @@ second axis for single-frame latency.
 import hashlib
 import os
 import threading
+from collections import deque
 
 import numpy as np
 
@@ -1077,6 +1078,27 @@ def _get_program(signature, post=None):
     return fn
 
 
+_pace_probe_fn = None
+
+
+def _pace_probe(x):
+    """Tiny completion probe for ``max_inflight`` pacing: a corner-sum
+    of an already-dispatched program's output. Any element forces the
+    whole batch (the output is materialized — no cross-program DCE),
+    and a small contiguous slice keeps the probe dispatch near-free
+    through a slow transport (a strided probe costs a ~17 ms lane
+    gather). jit re-specializes per output shape/dtype automatically."""
+    global _pace_probe_fn
+    jax, jnp = _jx()
+    if _pace_probe_fn is None:
+        @jax.jit
+        def probe(x):
+            flat = x.reshape((x.shape[0], -1))
+            return jnp.sum(flat[-1:, :4096].astype(jnp.float32))
+        _pace_probe_fn = probe
+    return _pace_probe_fn(x)
+
+
 class RenderPlanner:
     """Plans and executes batched renders of a source over frame ranges."""
 
@@ -1160,7 +1182,8 @@ class RenderPlanner:
         return out
 
     def iter_batches(self, start, stop, batch=16, device_out=True,
-                     mesh=None, axis='frames', post=None):
+                     mesh=None, axis='frames', post=None,
+                     max_inflight=None):
         """Yield ``(frame_start, n_valid, out)`` for [start, stop) in
         fixed-size batches, planning each structure segment ONCE.
 
@@ -1168,6 +1191,22 @@ class RenderPlanner:
         conversion into the compiled program (sharded or not): batches
         come out as (B, H, W*4) interleaved u8 with no intermediate f16
         tensor (the export path).
+
+        ``max_inflight`` bounds how many dispatched-but-unfinished
+        batches can be queued on the device at once. Dispatch is
+        asynchronous and eager on this transport: a consumer that drops
+        outputs (throughput benchmarks, probe-last timing) lets the
+        runtime hold every pending batch's output buffer in HBM
+        simultaneously — (B, 4, 1088, 1920) f16 is ~4 GB at B=256, so
+        large batches OOM from queue depth alone. With max_inflight=k,
+        a tiny corner-sum probe is dispatched right after each batch
+        (FIFO: it completes when its batch does) and the oldest probe
+        is fetched before dispatching past depth k — in-flight output
+        memory is bounded at ~k batches while keeping a depth-k
+        pipeline. Costs one ~30 ms scalar fetch per batch, overlapped
+        with device compute (free once device time/batch exceeds the
+        fetch RTT). None (default) = unbounded, the right call when the
+        consumer fetches each batch anyway (exports).
 
         Within a segment the graph structure (and therefore the compiled
         program) is constant; only per-frame params change. Planning the
@@ -1354,6 +1393,8 @@ class RenderPlanner:
                             total -= b
             return result
 
+        pending = deque() if max_inflight else None
+
         segs = self.segments(start, stop)
         pool = ThreadPoolExecutor(max_workers=1,
                                   thread_name_prefix='canvas-plan')
@@ -1369,8 +1410,21 @@ class RenderPlanner:
                     fn = _get_sharded_program(sig, node, mesh, axis, N,
                                               post=post)
                 for (pos, take, cut_params) in batches:
+                    if pending is not None and len(pending) >= max_inflight:
+                        # Wait for the oldest pending batch (FIFO device
+                        # execution: its probe completing means the
+                        # batch's output is materialized and everything
+                        # older has retired).
+                        np.asarray(pending.popleft())
                     with profiling.Timer('render.dispatch'):
                         out = fn(cut_params)
+                    if pending is not None:
+                        pr = _pace_probe(out)
+                        try:
+                            pr.copy_to_host_async()
+                        except (AttributeError, RuntimeError):
+                            pass
+                        pending.append(pr)
                     if not device_out:
                         out = np.asarray(out)
                     yield seg_start + pos, take, (out[:take]

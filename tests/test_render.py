@@ -415,6 +415,35 @@ def test_iter_batches_matches_render(any_backend):
     assert covered == list(range(0, 50))
 
 
+def test_iter_batches_max_inflight_matches():
+    """max_inflight pacing (bounded dispatch queue for big-batch
+    streaming) yields byte-identical batches to the unbounded path,
+    across a segment boundary and a tail batch."""
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.render import RenderPlanner
+    from canvas_tpu.sources import SolidColorVideoSource, VideoWorkspace
+
+    window = box2i(0, 0, 159, 119)
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource(
+        LerpFunc((0.2, 0.3, 0.4, 1.0), (0.4, 0.1, 0.2, 1.0), 60)),
+        x=0, length=60, z=0)
+    ws.add(source=SolidColorVideoSource((1, 0, 0, 0.5),
+                                        window=box2i(5, 5, 90, 90)),
+           x=20, length=40, z=1)
+
+    planner = RenderPlanner(ws, window)
+    planner.plan_cache_segments = 0
+    want = [(s, n, np.asarray(o)) for (s, n, o) in
+            planner.iter_batches(0, 50, batch=8, device_out=False)]
+    got = [(s, n, np.asarray(o)) for (s, n, o) in
+           planner.iter_batches(0, 50, batch=8, device_out=False,
+                                max_inflight=2)]
+    assert [(s, n) for (s, n, _o) in got] == [(s, n) for (s, n, _o) in want]
+    for (_s, _n, a), (_s2, _n2, b) in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_damage_region_layers(any_backend):
     """Layers covering a small part of the frame are planned at their
     union box and composited by placement ('placed' nodes); results
