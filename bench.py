@@ -111,14 +111,6 @@ def main():
     from canvas_tpu.basetypes import box2i
 
     window = box2i(0, 0, 1919, 1079)
-    ws = build_timeline()
-
-    planner = render.RenderPlanner(ws, window)
-    # The headline measures COLD streaming (plan + slice + dispatch per
-    # rep): plan caching would turn best-of-3 reps over one range into
-    # replay measurement (the cached-replay story is config7b in
-    # benchmarks.py).
-    planner.plan_cache_segments = 0
 
     # Batch 128 (round-3 sweep, one phase: b32 1213 / b64 1752 /
     # b128 1936 fps): true device compute is ~6-9 ms/b32
@@ -133,14 +125,26 @@ def main():
     # batch sweeps possible. 0 = unbounded (the <=128 default).
     inflight = int(os.environ.get('CANVAS_BENCH_INFLIGHT',
                                   '3' if batch > 128 else '0')) or None
+    warm_frames = batch
+    timed_frames = int(os.environ.get('CANVAS_BENCH_FRAMES',
+                                      str(max(384, 3 * batch))))
+
+    # The timeline must cover warm + timed frames: layers end at the
+    # timeline length, and a range past it plans EMPTY (near-free zero
+    # frames) — silently inflating the metric at big batch settings.
+    ws = build_timeline(max(1024, warm_frames + timed_frames))
+
+    planner = render.RenderPlanner(ws, window)
+    # The headline measures COLD streaming (plan + slice + dispatch per
+    # rep): plan caching would turn best-of-3 reps over one range into
+    # replay measurement (the cached-replay story is config7b in
+    # benchmarks.py).
+    planner.plan_cache_segments = 0
     # Batches larger than the pipeline chunk would be tail-padded to
     # the segment length; grow the chunk so big-batch sweeps measure
     # real work (the headline graph stages nothing, so longer chunks
     # cost no staging stall).
     planner.pipeline_chunk = max(planner.pipeline_chunk, batch)
-    warm_frames = batch
-    timed_frames = int(os.environ.get('CANVAS_BENCH_FRAMES',
-                                      str(max(384, 3 * batch))))
 
     # Execution-forcing probe: on this rig's remote TPU transport,
     # block_until_ready() returns before execution finishes, so honest

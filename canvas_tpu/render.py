@@ -1393,7 +1393,13 @@ class RenderPlanner:
                             total -= b
             return result
 
-        pending = deque() if max_inflight else None
+        # Pacing only matters for device-resident consumers: with
+        # device_out=False the np.asarray below blocks per batch (depth
+        # is already ~1), so a probe would be pure per-batch RTT waste.
+        # Non-positive values mean unbounded (0/-1 conventions).
+        if max_inflight is not None and max_inflight <= 0:
+            max_inflight = None
+        pending = deque() if (max_inflight and device_out) else None
 
         segs = self.segments(start, stop)
         pool = ThreadPoolExecutor(max_workers=1,

@@ -25,8 +25,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/canvas_tpu_jax_cache')
 
+if os.environ.get('CANVAS_FORCE_CPU'):
+    import jax
+
+    jax.config.update('jax_platforms', 'cpu')
+
 
 def main():
+    import threading
+
+    # A fully-down tunnel hangs the first device op with no in-process
+    # recovery; bound the sweep so it can't hang a driving session
+    # (CANVAS_BENCH_WATCHDOG seconds, 0 disables).
+    from bench import _start_watchdog
+    done = threading.Event()
+    _start_watchdog(done)
     ap = argparse.ArgumentParser()
     ap.add_argument('--frames-mult', type=int, default=3,
                     help='timed frames = mult * batch')
@@ -60,6 +73,7 @@ def main():
                         'fps': round(fps, 1),
                         'wall_s': round(time.perf_counter() - t0, 1)})
         print(json.dumps(results[-1]), flush=True)
+    done.set()
     print(json.dumps({'sweep': results}))
 
 

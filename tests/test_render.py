@@ -436,9 +436,10 @@ def test_iter_batches_max_inflight_matches():
     planner.plan_cache_segments = 0
     want = [(s, n, np.asarray(o)) for (s, n, o) in
             planner.iter_batches(0, 50, batch=8, device_out=False)]
+    # device_out=True: pacing is only active for device-resident
+    # consumers (host-out batches block per batch anyway).
     got = [(s, n, np.asarray(o)) for (s, n, o) in
-           planner.iter_batches(0, 50, batch=8, device_out=False,
-                                max_inflight=2)]
+           planner.iter_batches(0, 50, batch=8, max_inflight=2)]
     assert [(s, n) for (s, n, _o) in got] == [(s, n) for (s, n, _o) in want]
     for (_s, _n, a), (_s2, _n2, b) in zip(got, want):
         np.testing.assert_array_equal(a, b)
