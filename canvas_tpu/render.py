@@ -1332,8 +1332,7 @@ class RenderPlanner:
                      for k, v in p.items()}
                     for p, op in zip(params, ops)]))
                 pos += take
-            if mesh is None and os.environ.get(
-                    'CANVAS_PREPARE_PUT', '1') != '0':
+            if os.environ.get('CANVAS_PREPARE_PUT', '1') != '0':
                 # Commit every remaining host leaf (the per-batch
                 # frame-sliced params; replicated ones were committed
                 # above) to the device in ONE bulk device_put on this
@@ -1341,18 +1340,37 @@ class RenderPlanner:
                 # dispatch, and through a slow transport each dispatch's
                 # ~dozens of small H2D payloads sit on the DISPATCH
                 # thread's critical path (measured +6 ms/batch on a
-                # degraded tunnel phase, ~1 ms/batch healthy). The mesh
-                # path keeps host leaves: in_shardings place them.
+                # degraded tunnel phase, ~1 ms/batch healthy). With a
+                # mesh, leaves commit with the SAME sharding the
+                # compiled program's in_shardings declare (frame params
+                # split over *axis*, everything else replicated), so
+                # dispatch skips the per-batch host split+placement —
+                # sharded streaming measured ~2x faster on the
+                # 8-virtual-device canary shapes (11.9k -> 21-23k fps).
                 # CANVAS_PREPARE_PUT=0 disables for A/B.
+                specs = None
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    repl = NamedSharding(mesh, PartitionSpec())
+                    specs = []
                 host_leaves = []
                 for (_pos, _tk, plist) in batches:
-                    for p in plist:
+                    for p, op in zip(plist, ops):
+                        fp = _frame_params(op)
+                        ax = _BATCH_AXIS.get(op, 0)
                         for k, v in p.items():
-                            if not backend.is_jax_array(v):
-                                host_leaves.append((p, k, v))
+                            if backend.is_jax_array(v):
+                                continue
+                            host_leaves.append((p, k, v))
+                            if specs is not None:
+                                specs.append(NamedSharding(
+                                    mesh, PartitionSpec(
+                                        *((None,) * ax + (axis,))))
+                                    if k in fp else repl)
                 if host_leaves:
-                    put = jax.device_put([v for (_p, _k, v)
-                                          in host_leaves])
+                    vals = [v for (_p, _k, v) in host_leaves]
+                    put = (jax.device_put(vals, specs)
+                           if specs is not None else jax.device_put(vals))
                     for (p, k, _v), dv in zip(host_leaves, put):
                         p[k] = dv
             result = (seg_start, N, sig, node, batches)
