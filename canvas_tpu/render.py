@@ -964,6 +964,8 @@ def _get_sharded_program(signature, node, mesh, axis, N, post=None):
     conversion like _get_program's."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     key = (signature, 'sharded', mesh, axis, post)
+    if os.environ.get('CANVAS_REGION_SEP', '0') == '1':
+        key = (key, 'region_sep')
     with _program_lock:
         fn = _program_cache.get(key)
     if fn is not None:
@@ -1054,6 +1056,12 @@ def _get_program(signature, post=None):
       vs RGBA's 4 — write_video(transport='yuv420'))
     """
     key = signature if post is None else (signature, 'post', post)
+    # Trace-time env gates (CANVAS_REGION_SEP) change the compiled
+    # program for the SAME signature — key them so flipping the flag
+    # between renders (the on-chip A/B validation script) cannot hit a
+    # stale cached program.
+    if os.environ.get('CANVAS_REGION_SEP', '0') == '1':
+        key = (key, 'region_sep')
     with _program_lock:
         fn = _program_cache.get(key)
     if fn is not None:
@@ -1571,6 +1579,8 @@ class RenderPlanner:
         key = (seg['sig1'], 'display', tuple(order),
                None if intent is None else float(intent), display_size,
                transport)
+        if os.environ.get('CANVAS_REGION_SEP', '0') == '1':
+            key = (key, 'region_sep')
         with _program_lock:
             fn = _program_cache.get(key)
         if fn is None:

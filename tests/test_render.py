@@ -415,6 +415,48 @@ def test_iter_batches_matches_render(any_backend):
     assert covered == list(range(0, 50))
 
 
+def test_region_sep_flag_recompiles_and_matches(monkeypatch):
+    """CANVAS_REGION_SEP=1 (fused rank-1 region kernel; XLA fallback off
+    TPU) must compile a DISTINCT program for the same signature — the
+    flag is read at trace time, so keying the program cache on it is
+    what keeps an A/B flip from replaying the other arm's program — and
+    its output must match the flag-off path."""
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.render import RenderPlanner
+    from canvas_tpu.sources import (SolidColorVideoSource, VideoScaler,
+                                    VideoWorkspace)
+
+    window = box2i(0, 0, 639, 383)
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource((0.1, 0.1, 0.12, 1.0)),
+           x=0, length=16, z=0)
+    solid = SolidColorVideoSource(
+        LerpFunc((0.8, 0.3, 0.2, 0.9), (0.2, 0.7, 0.9, 0.5), 16),
+        window=box2i(0, 0, 95, 63))
+    ws.add(source=VideoScaler(
+        solid,
+        target_point=LerpFunc((40, 30), (300, 200), 16),
+        source_point=(0.0, 0.0),
+        scale_factors=LerpFunc((1.0, 1.0), (1.6, 1.6), 16),
+        source_rect=box2i(0, 0, 95, 63)), x=0, length=16, z=1)
+
+    # the graph must actually hit the gated branch: a region-placed
+    # factored scaled solid
+    ops = _plan_ops(ws, window)
+    assert 'placed' in ops and ops & {'scale_solid', 'scale_solid_dyn'}
+
+    monkeypatch.delenv('CANVAS_REGION_SEP', raising=False)
+    base = np.asarray(RenderPlanner(ws, window).render(2, 6))
+
+    cache_before = len(render._program_cache)
+    monkeypatch.setenv('CANVAS_REGION_SEP', '1')
+    fused = np.asarray(RenderPlanner(ws, window).render(2, 6))
+    assert len(render._program_cache) > cache_before, \
+        'flag flip must not reuse the flag-off program'
+    np.testing.assert_allclose(fused.astype(np.float32),
+                               base.astype(np.float32), atol=4e-3)
+
+
 def test_iter_batches_max_inflight_matches():
     """max_inflight pacing (bounded dispatch queue for big-batch
     streaming) yields byte-identical batches to the unbounded path,

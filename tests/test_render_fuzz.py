@@ -6,8 +6,14 @@ runs (Pallas stack), damage regions, scalers, mixes, sequences, gaps,
 empty layers, and opaque pruning together, across segment boundaries.
 """
 
+import os
+
 import numpy as np
 import pytest
+
+# Extended sweeps: CANVAS_FUZZ_SEEDS=200 widens every parametrized
+# seed range (CI default stays small).
+_SEEDS = int(os.environ.get('CANVAS_FUZZ_SEEDS', '0'))
 
 from canvas_tpu import render
 from canvas_tpu.basetypes import box2i
@@ -118,7 +124,7 @@ def random_workspace(rng):
     return ws
 
 
-@pytest.mark.parametrize('seed', range(12))
+@pytest.mark.parametrize('seed', range(max(12, _SEEDS)))
 def test_random_graph_batched_matches_pull(seed, any_backend):
     rng = np.random.RandomState(seed)
     ws = random_workspace(rng)
@@ -216,7 +222,7 @@ def test_edit_churn_reuses_programs(any_backend):
     assert len(R._program_cache) - cache_before < 60
 
 
-@pytest.mark.parametrize('seed', range(6))
+@pytest.mark.parametrize('seed', range(max(6, _SEEDS)))
 def test_random_graph_iter_batches_matches_pull(seed, any_backend):
     """The streaming executor (segment planning, pipeline chunks, batch
     slicing, tail padding, optional mesh sharding and fused u8) agrees
@@ -238,6 +244,9 @@ def test_random_graph_iter_batches_matches_pull(seed, any_backend):
         batch = max(batch, n)
         batch -= batch % n
         kwargs['mesh'] = Mesh(np.asarray(jax.devices()), ('frames',))
+    if rng.rand() < 0.4:
+        # bounded in-flight pacing must be output-invariant
+        kwargs['max_inflight'] = int(rng.choice([1, 2, 3]))
 
     outs = []
     for (_s, n_valid, out) in planner.iter_batches(start, stop,
@@ -258,7 +267,7 @@ def test_random_graph_iter_batches_matches_pull(seed, any_backend):
             % (seed, i, batch, use_mesh))
 
 
-@pytest.mark.parametrize('seed', range(3))
+@pytest.mark.parametrize('seed', range(max(3, _SEEDS)))
 def test_random_graph_with_untraceable_leaves(seed, any_backend):
     """Random graphs containing untraceable sources (device-resident
     stage_rows fallback) still match the pull path."""
@@ -309,7 +318,7 @@ def test_random_graph_with_untraceable_leaves(seed, any_backend):
             atol=8e-3, err_msg='seed %d frame %d' % (seed, i))
 
 
-@pytest.mark.parametrize('seed', range(4))
+@pytest.mark.parametrize('seed', range(max(4, _SEEDS)))
 def test_random_graph_solid_cells_path(seed, any_backend, monkeypatch):
     """The gated cell-table solid fold (CANVAS_SOLID_CELLS=1, a
     measured perf dead end kept correct) agrees with the pull path on
@@ -333,7 +342,7 @@ def test_random_graph_solid_cells_path(seed, any_backend, monkeypatch):
             atol=8e-3, err_msg='seed %d frame %d' % (seed, i))
 
 
-@pytest.mark.parametrize('seed', range(4))
+@pytest.mark.parametrize('seed', range(max(4, _SEEDS)))
 def test_persistent_cache_random_replay_sequences(seed, any_backend):
     """Fuzz the persistent staging cache: random sequences of
     (possibly overlapping) render ranges through ONE planner must
