@@ -956,6 +956,22 @@ _program_cache = {}
 _program_lock = threading.Lock()
 
 
+def _trace_env_key(key):
+    """Append TRACE-TIME env gates to a program-cache key. These flags
+    change the compiled program for an unchanged signature, so an A/B
+    flip between renders (the on-chip validation scripts) would
+    otherwise replay the other arm's cached program. PLAN-time gates
+    (CANVAS_SCALE_SOLID, CANVAS_SOLID_CELLS) change node ops and are
+    already in the signature."""
+    tags = []
+    if os.environ.get('CANVAS_REGION_SEP', '0') == '1':
+        tags.append('region_sep')
+    fold = os.environ.get('CANVAS_FOLD_MODE', 'hybrid')
+    if fold != 'hybrid':
+        tags.append('fold_' + fold)
+    return (key, tuple(tags)) if tags else key
+
+
 def _get_sharded_program(signature, node, mesh, axis, N, post=None):
     """Compiled program whose frame-axis params shard over *axis* of
     *mesh* (in_shardings ingest host arrays directly). A param is
@@ -963,9 +979,7 @@ def _get_sharded_program(signature, node, mesh, axis, N, post=None):
     mirroring iter_batches' slicing rule. ``post`` fuses the u8 export
     conversion like _get_program's."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-    key = (signature, 'sharded', mesh, axis, post)
-    if os.environ.get('CANVAS_REGION_SEP', '0') == '1':
-        key = (key, 'region_sep')
+    key = _trace_env_key((signature, 'sharded', mesh, axis, post))
     with _program_lock:
         fn = _program_cache.get(key)
     if fn is not None:
@@ -1055,13 +1069,8 @@ def _get_program(signature, post=None):
       studio-range 4:2:0 u8 (the planar export transport: 1.5 bytes/px
       vs RGBA's 4 — write_video(transport='yuv420'))
     """
-    key = signature if post is None else (signature, 'post', post)
-    # Trace-time env gates (CANVAS_REGION_SEP) change the compiled
-    # program for the SAME signature — key them so flipping the flag
-    # between renders (the on-chip A/B validation script) cannot hit a
-    # stale cached program.
-    if os.environ.get('CANVAS_REGION_SEP', '0') == '1':
-        key = (key, 'region_sep')
+    key = _trace_env_key(signature if post is None
+                         else (signature, 'post', post))
     with _program_lock:
         fn = _program_cache.get(key)
     if fn is not None:
@@ -1576,11 +1585,10 @@ class RenderPlanner:
 
         if display_size is not None:
             display_size = (int(display_size[0]), int(display_size[1]))
-        key = (seg['sig1'], 'display', tuple(order),
-               None if intent is None else float(intent), display_size,
-               transport)
-        if os.environ.get('CANVAS_REGION_SEP', '0') == '1':
-            key = (key, 'region_sep')
+        key = _trace_env_key(
+            (seg['sig1'], 'display', tuple(order),
+             None if intent is None else float(intent), display_size,
+             transport))
         with _program_lock:
             fn = _program_cache.get(key)
         if fn is None:

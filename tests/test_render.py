@@ -457,6 +457,28 @@ def test_region_sep_flag_recompiles_and_matches(monkeypatch):
                                base.astype(np.float32), atol=4e-3)
 
 
+def test_fold_mode_flag_recompiles_and_matches(monkeypatch):
+    """CANVAS_FOLD_MODE (trace-time A/B of the solid-fold formulation)
+    gets its own program-cache entries and identical output."""
+    from canvas_tpu.render import RenderPlanner
+
+    window = box2i(0, 0, 255, 159)
+    ws = VideoWorkspace()
+    for z in range(4):
+        ws.add(source=SolidColorVideoSource(
+            (0.2 + 0.1 * z, 0.5, 0.3, 0.6),
+            window=box2i(10 * z, 8 * z, 150 + 10 * z, 100 + 8 * z)),
+            x=0, length=12, z=z)
+
+    monkeypatch.delenv('CANVAS_FOLD_MODE', raising=False)
+    base = np.asarray(RenderPlanner(ws, window).render(1, 5))
+    cache_before = len(render._program_cache)
+    monkeypatch.setenv('CANVAS_FOLD_MODE', 'xla')
+    alt = np.asarray(RenderPlanner(ws, window).render(1, 5))
+    assert len(render._program_cache) > cache_before
+    np.testing.assert_array_equal(alt, base)   # fold is bit-exact
+
+
 def test_iter_batches_max_inflight_matches():
     """max_inflight pacing (bounded dispatch queue for big-batch
     streaming) yields byte-identical batches to the unbounded path,
