@@ -9,7 +9,6 @@ but the implementation is original.
 
 import collections
 import fractions
-import numbers
 
 import yaml
 

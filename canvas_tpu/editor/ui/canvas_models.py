@@ -8,7 +8,6 @@ and driving ItemManipulator during drags — live in plain objects a paint
 layer can render.
 """
 
-import fractions
 
 from canvas_tpu.signal import Signal
 from canvas_tpu.editor.model.manip import ItemManipulator

@@ -574,7 +574,7 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
                 bit_rate=4_000_000, format='', window=None, use_batch=True,
                 progress_callback=None, mesh=None,
                 sample_aspect_ratio=None, interlaced=False,
-                top_field_first=False, transport='rgba_u8'):
+                top_field_first=False, transport='rgba_u8', batch=16):
     """One-call export (src/libav/writeVideo.c:41-120): pull video frames,
     gamma-ramp to 8-bit, encode and mux with optional audio.
 
@@ -623,7 +623,10 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
             astream = mux.add_audio_stream(audio_codec, sample_rate, channels)
         mux.start()
 
-        batch = 16
+        # *batch* frames render per compiled-program dispatch; bigger
+        # batches amortize per-dispatch transport on remote-attached
+        # devices (the render thread stays one batch ahead either way).
+        batch = max(1, int(batch))
 
         def to_u8(data):
             u8 = color_ops.apply_gamma45_u8(np.asarray(data))  # (B,4,H,W)

@@ -31,7 +31,6 @@ docs/sphinx/framework.rst) — and optionally shards image rows across a
 second axis for single-frame latency.
 """
 
-import hashlib
 import os
 import threading
 from collections import deque
@@ -39,7 +38,7 @@ from collections import deque
 import numpy as np
 
 from canvas_tpu import backend, framefuncs
-from canvas_tpu.basetypes import EMPTY_BOX2I, box2i, box2i_intersect
+from canvas_tpu.basetypes import box2i, box2i_intersect
 
 __all__ = ['RenderPlanner', 'render_frames', 'render_sharded', 'Node']
 

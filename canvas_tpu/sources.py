@@ -15,7 +15,7 @@ import numpy as np
 from canvas_tpu import backend, framefuncs
 from canvas_tpu.basetypes import (EMPTY_BOX2I, INFINITE_BOX2I, box2i,
                                   box2i_intersect, box2i_union, v2f)
-from canvas_tpu.frames import RgbaFrameF16, RgbaFrameF32, VideoSource
+from canvas_tpu.frames import RgbaFrameF32, VideoSource
 from canvas_tpu.ops import mix as mix_ops
 from canvas_tpu.ops import scale as scale_ops
 from canvas_tpu.ops import window as window_ops
