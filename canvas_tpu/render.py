@@ -1669,19 +1669,42 @@ class RenderPlanner:
         through the editor layer invalidate automatically via their
         ``frames_updated`` signal; code mutating a raw graph directly
         (workspace.add/update without a signal-bearing wrapper) must
-        call this — or use a fresh planner — before re-rendering."""
-        self._display_seg = None
+        call this — or use a fresh planner — before re-rendering.
+
+        When called with a frame range (the graph managers emit
+        ``frames_updated(lo, hi)``, hi inclusive), prepared plans for
+        segments that do NOT touch the range survive: an edit on one
+        part of the timeline keeps a loop/scrub elsewhere replaying
+        with zero planning and zero re-staging (surviving plans pin
+        their staged device arrays). The stage LRU itself always
+        clears — a leaf source's own content change arrives through
+        the same signal and its staged planes key by child frames,
+        which can't be mapped back from the root range; entries for
+        untouched content re-stage on next use. No-range calls clear
+        everything."""
+        lo = hi = None
+        ints = [a for a in args if isinstance(a, (int, np.integer))]
+        if len(ints) >= 2:
+            lo, hi = int(ints[-2]), int(ints[-1])
+        if lo is None:
+            self._display_seg = None
+        else:
+            seg = getattr(self, '_display_seg', None)
+            if seg is not None and seg['lo'] <= hi and lo < seg['hi']:
+                self._display_seg = None
         cache = getattr(self, '_persistent_cache', None)
         if cache is not None:
             cache.clear()
         plans = getattr(self, '_plan_cache', None)
         if plans is not None:
-            lock = getattr(self, '_plan_cache_lock', None)
-            if lock is not None:
-                with lock:
+            lock = getattr(self, '_plan_cache_lock', None) or threading.Lock()
+            with lock:
+                if lo is None:
                     plans.clear()
-            else:
-                plans.clear()
+                else:
+                    for pkey in [k for k in plans
+                                 if k[0][0] <= hi and lo < k[0][1]]:
+                        del plans[pkey]
 
     def _watch_frames_updated(self):
         # Signal holds bound methods by WEAKREF (canvas_tpu.signal), so

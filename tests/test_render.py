@@ -457,6 +457,45 @@ def test_region_sep_flag_recompiles_and_matches(monkeypatch):
                                base.astype(np.float32), atol=4e-3)
 
 
+def test_range_invalidation_keeps_untouched_plans():
+    """frames_updated(lo, hi) drops only prepared plans whose segment
+    touches the range: an edit on one part of the timeline keeps a
+    loop/scrub elsewhere replaying with zero planning, and a re-render
+    of the edited range reflects the new content."""
+    from canvas_tpu.render import RenderPlanner
+
+    window = box2i(0, 0, 159, 119)
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource((0.1, 0.1, 0.1, 1.0)),
+           x=0, length=64, z=0)
+    red = ws.add(source=SolidColorVideoSource(
+        (1, 0, 0, 0.5), window=box2i(5, 5, 90, 90)),
+        x=32, length=32, z=1)
+
+    planner = RenderPlanner(ws, window)
+    for (_s, _n, o) in planner.iter_batches(0, 64, batch=8):
+        np.asarray(o)
+    segs = sorted(k[0] for k in planner._plan_cache)
+    assert segs == [(0, 32), (32, 64)]
+
+    # edit touches only [32, 64): plan for [0, 32) must survive
+    red.update(source=SolidColorVideoSource((0, 1, 0, 0.5),
+                                            window=box2i(5, 5, 90, 90)))
+    planner.invalidate_display_cache(32, 63)
+    assert sorted(k[0] for k in planner._plan_cache) == [(0, 32)]
+
+    got = {s: np.asarray(o) for (s, _n, o) in
+           planner.iter_batches(0, 64, batch=8)}
+    for i in (0, 40):
+        want = np.asarray(ws.get_frame_f16(i, window).data, np.float16)
+        np.testing.assert_array_equal(got[(i // 8) * 8][i % 8], want,
+                                      err_msg='frame %d' % i)
+
+    # no-range call clears everything
+    planner.invalidate_display_cache()
+    assert not planner._plan_cache
+
+
 def test_fold_mode_flag_recompiles_and_matches(monkeypatch):
     """CANVAS_FOLD_MODE (trace-time A/B of the solid-fold formulation)
     gets its own program-cache entries and identical output."""
