@@ -263,10 +263,15 @@ class VideoStream(sources_mod.VideoPassThroughFilter, AlertPublisher):
         else:
             new_range = old_range
         self.set_source(base_filter)
+        # UNION of old and new ranges (the reference's documented
+        # contract; its code takes min() for the end — a bug that was
+        # harmless while any signal cleared every cache, but the
+        # planner's ranged invalidation would under-invalidate frames
+        # the swap added/removed past the shorter range's end).
         start = None if (old_range[0] is None or new_range[0] is None) \
             else min(old_range[0], new_range[0])
         end = None if (old_range[1] is None or new_range[1] is None) \
-            else min(old_range[1], new_range[1])
+            else max(old_range[1], new_range[1])
         self.frames_updated(self, start, end)
 
     def get_static_stream(self):
@@ -316,10 +321,15 @@ class AudioStream(audio_mod.AudioPassThroughFilter, AlertPublisher):
         else:
             new_range = old_range
         self.set_source(base_filter)
+        # UNION of old and new ranges (the reference's documented
+        # contract; its code takes min() for the end — a bug that was
+        # harmless while any signal cleared every cache, but the
+        # planner's ranged invalidation would under-invalidate frames
+        # the swap added/removed past the shorter range's end).
         start = None if (old_range[0] is None or new_range[0] is None) \
             else min(old_range[0], new_range[0])
         end = None if (old_range[1] is None or new_range[1] is None) \
-            else min(old_range[1], new_range[1])
+            else max(old_range[1], new_range[1])
         self.frames_updated(self, start, end)
 
     def get_static_stream(self):

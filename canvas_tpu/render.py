@@ -971,13 +971,27 @@ def _trace_env_key(key):
     return (key, tuple(tags)) if tags else key
 
 
+def _param_sharding(mesh, axis, op, key):
+    """The ONE rule for how a param shards: frame-declared params split
+    over *axis* at their op's batch dim, everything else replicates.
+    Used by BOTH the compiled program's in_shardings and the
+    prepare-thread device_put — if these ever disagreed, pre-placed
+    arrays would be resharded (or rejected) on every dispatch, silently
+    re-introducing the per-batch placement cost."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    if key in _frame_params(op):
+        ax = _BATCH_AXIS.get(op, 0)
+        return NamedSharding(mesh,
+                             PartitionSpec(*((None,) * ax + (axis,))))
+    return NamedSharding(mesh, PartitionSpec())
+
+
 def _get_sharded_program(signature, node, mesh, axis, N, post=None):
     """Compiled program whose frame-axis params shard over *axis* of
     *mesh* (in_shardings ingest host arrays directly). A param is
     frame-sharded iff its op declares it per-frame (_FRAME_PARAMS) —
     mirroring iter_batches' slicing rule. ``post`` fuses the u8 export
     conversion like _get_program's."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
     key = _trace_env_key((signature, 'sharded', mesh, axis, post))
     with _program_lock:
         fn = _program_cache.get(key)
@@ -985,20 +999,10 @@ def _get_sharded_program(signature, node, mesh, axis, N, post=None):
         return fn
     jax, jnp = _jx()
 
-    repl = NamedSharding(mesh, P())
     ops = node.flat_ops([])
-    shardings = []
-    for p, op in zip(node.flat_params([]), ops):
-        ax = _BATCH_AXIS.get(op, 0)
-        fp = _frame_params(op)
-        entry = {}
-        for k, v in p.items():
-            if k in fp:
-                entry[k] = NamedSharding(
-                    mesh, P(*((None,) * ax + (axis,))))
-            else:
-                entry[k] = repl
-        shardings.append(entry)
+    shardings = [
+        {k: _param_sharding(mesh, axis, op, k) for k in p}
+        for p, op in zip(node.flat_params([]), ops)]
 
     def run(params_list):
         it = iter(params_list)
@@ -1364,25 +1368,17 @@ class RenderPlanner:
                 # sharded streaming measured ~2x faster on the
                 # 8-virtual-device canary shapes (11.9k -> 21-23k fps).
                 # CANVAS_PREPARE_PUT=0 disables for A/B.
-                specs = None
-                if mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec
-                    repl = NamedSharding(mesh, PartitionSpec())
-                    specs = []
+                specs = [] if mesh is not None else None
                 host_leaves = []
                 for (_pos, _tk, plist) in batches:
                     for p, op in zip(plist, ops):
-                        fp = _frame_params(op)
-                        ax = _BATCH_AXIS.get(op, 0)
                         for k, v in p.items():
                             if backend.is_jax_array(v):
                                 continue
                             host_leaves.append((p, k, v))
                             if specs is not None:
-                                specs.append(NamedSharding(
-                                    mesh, PartitionSpec(
-                                        *((None,) * ax + (axis,))))
-                                    if k in fp else repl)
+                                specs.append(
+                                    _param_sharding(mesh, axis, op, k))
                 if host_leaves:
                     vals = [v for (_p, _k, v) in host_leaves]
                     put = (jax.device_put(vals, specs)
@@ -1697,7 +1693,11 @@ class RenderPlanner:
             cache.clear()
         plans = getattr(self, '_plan_cache', None)
         if plans is not None:
-            lock = getattr(self, '_plan_cache_lock', None) or threading.Lock()
+            # created together with _plan_cache in iter_batches; create
+            #-and-ASSIGN if ever absent so all mutators share one lock
+            lock = getattr(self, '_plan_cache_lock', None)
+            if lock is None:
+                lock = self._plan_cache_lock = threading.Lock()
             with lock:
                 if lo is None:
                     plans.clear()

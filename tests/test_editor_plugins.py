@@ -209,3 +209,31 @@ def test_editor_app_full_workflow(media_file, tmp_path):
     assert not f_in.current_window.empty()
     px = f_in.pixel(32, 24)
     assert px.b > px.r        # media frame is blue-dominant
+
+
+def test_set_base_filter_signals_range_union():
+    """set_base_filter's frames_updated range is the UNION of old and
+    new defined ranges (the reference's documented contract; its code
+    took min() for the end — under-invalidating grown ranges, which
+    matters now that the planner honors ranged signals)."""
+    from canvas_tpu.editor.plugins._source import AudioStream, VideoStream
+    from canvas_tpu.sources import SolidColorVideoSource
+
+    vs = VideoStream(SolidColorVideoSource((1, 0, 0, 1)), range=(0, 99))
+    seen = []
+    vs.frames_updated.connect(lambda _s, a, b: seen.append((a, b)))
+    vs.set_base_filter(SolidColorVideoSource((0, 1, 0, 1)),
+                       new_range=(10, 199))
+    assert seen == [(0, 199)]
+
+    # shrink: the union still covers the frames that just went away
+    vs.set_base_filter(SolidColorVideoSource((0, 0, 1, 1)),
+                       new_range=(0, 49))
+    assert seen[-1] == (0, 199)
+
+    # unbounded end stays None (planner falls back to a full clear)
+    aus = AudioStream(None, range=(0, None))
+    seen_a = []
+    aus.frames_updated.connect(lambda _s, a, b: seen_a.append((a, b)))
+    aus.set_base_filter(None, new_range=(0, 500))
+    assert seen_a == [(0, None)]
