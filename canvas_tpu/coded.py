@@ -302,7 +302,7 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=()):
         # replay hit: a loop/scrub over an already-staged segment keeps
         # its device plane stacks alive — zero decode, zero H2D
         got_p = persist.get(key + (tuple(sorted(set(needed) | hinted)),),
-                            source)
+                            source, serving=ctx.root_range)
         if got_p is not None:
             cache[key] = got_p
             return got_p['stacks'], got_p['rows']
@@ -310,7 +310,7 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=()):
     frames = sorted(set(needed) | hinted |
                     (set(entry['rows']) if entry else set()))
     pkey = key + (tuple(frames),)
-    got_p = persist.get(pkey, source)
+    got_p = persist.get(pkey, source, serving=ctx.root_range)
     if got_p is not None:
         cache[key] = got_p
         return got_p['stacks'], got_p['rows']
@@ -355,7 +355,8 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=()):
     stacks = tuple(backend.stage_to_device(s, mesh) for s in host)
     row_of = {f: i for i, f in enumerate(frames)}
     entry = cache[key] = {'stacks': stacks, 'rows': row_of}
-    persist.put(pkey, source, entry, sum(s.nbytes for s in host))
+    persist.put(pkey, source, entry, sum(s.nbytes for s in host),
+                serving=ctx.root_range)
     return stacks, row_of
 
 

@@ -230,8 +230,11 @@ class StageLRU:
     evicted LRU by device bytes. A weakref guards against id() reuse:
     an entry only hits while its source object is still alive.
 
-    Invalidation: the planner clears the cache on the source's
-    ``frames_updated`` signal (a graph edit re-stages everything).
+    Invalidation: the planner clears the cache on an un-ranged
+    ``frames_updated`` signal; ranged signals drop only entries that
+    ever served a root segment touching the range
+    (``invalidate_range`` — entries record their serving root ranges
+    at get/put time via ``PlanContext.root_range``).
     """
 
     def __init__(self, budget_bytes):
@@ -240,7 +243,7 @@ class StageLRU:
         self.budget = int(budget_bytes)
         self.bytes = 0
 
-    def get(self, key, source):
+    def get(self, key, source, serving=None):
         entry = self._entries.get(key)
         if entry is None:
             return None
@@ -249,10 +252,12 @@ class StageLRU:
             self.bytes -= entry['nbytes']
             del self._entries[key]
             return None
+        if serving is not None:
+            entry['served'].add(tuple(serving))
         self._entries.move_to_end(key)
         return entry['value']
 
-    def put(self, key, source, value, nbytes):
+    def put(self, key, source, value, nbytes, serving=None):
         import weakref
         nbytes = int(nbytes)
         if nbytes > self.budget:
@@ -269,12 +274,27 @@ class StageLRU:
             _k, dropped = self._entries.popitem(last=False)
             self.bytes -= dropped['nbytes']
         self._entries[key] = {'ref': weakref.ref(source),
-                              'value': value, 'nbytes': nbytes}
+                              'value': value, 'nbytes': nbytes,
+                              'served': (set() if serving is None
+                                         else {tuple(serving)})}
         self.bytes += nbytes
 
     def clear(self):
         self._entries.clear()
         self.bytes = 0
+
+    def invalidate_range(self, lo, hi):
+        """Drop entries that ever served a ROOT frame range touching
+        [lo, hi] (hi inclusive) — a ranged frames_updated means content
+        inside the range may have mutated in place, and staged planes
+        are keyed in child-frame space that can't be mapped back from
+        root frames. Entries with no recorded serving range drop too
+        (conservative)."""
+        for key in [k for k, e in self._entries.items()
+                    if not e['served']
+                    or any(s0 <= hi and lo < s1 for (s0, s1) in e['served'])]:
+            self.bytes -= self._entries[key]['nbytes']
+            del self._entries[key]
 
     def __len__(self):
         return len(self._entries)
@@ -287,16 +307,25 @@ class PlanContext:
     window: the target full_window (box2i) this node must render into.
     """
 
-    def __init__(self, planner, frames, window):
+    def __init__(self, planner, frames, window, root_range=None):
         self.planner = planner
         self.frames = frames
         self.window = window
+        # The ROOT segment this plan serves, in root frame space —
+        # derived contexts (with_frames remaps to child frames) keep
+        # the original, so staged entries can record which root ranges
+        # they served (StageLRU.invalidate_range).
+        if root_range is None and len(frames):
+            root_range = (int(frames[0]), int(frames[-1]) + 1)
+        self.root_range = root_range
 
     def with_frames(self, frames):
-        return PlanContext(self.planner, np.asarray(frames), self.window)
+        return PlanContext(self.planner, np.asarray(frames), self.window,
+                           root_range=self.root_range)
 
     def with_window(self, window):
-        return PlanContext(self.planner, self.frames, window)
+        return PlanContext(self.planner, self.frames, window,
+                           root_range=self.root_range)
 
     # --- node constructors used by sources ------------------------------
 
@@ -345,7 +374,7 @@ class PlanContext:
                 # H2D on a loop/scrub-over)
                 entry = persist.get(key + (tuple(sorted(set(needed)
                                                         | hinted)),),
-                                    source)
+                                    source, serving=self.root_range)
                 if entry is not None:
                     cache[key] = entry
             if entry is None or not all(f in entry['rows']
@@ -353,7 +382,7 @@ class PlanContext:
                 frames = sorted(set(needed) | hinted |
                                 (set(entry['rows']) if entry else set()))
                 pkey = key + (tuple(frames),)
-                got_p = persist.get(pkey, source)
+                got_p = persist.get(pkey, source, serving=self.root_range)
                 if got_p is not None:
                     entry = cache[key] = got_p
                 else:
@@ -382,7 +411,8 @@ class PlanContext:
                         'rows': {f: i for i, f in enumerate(frames)},
                         'windows': windows,
                     }
-                    persist.put(pkey, source, entry, host.nbytes)
+                    persist.put(pkey, source, entry, host.nbytes,
+                                serving=self.root_range)
             B = len(self.frames)
             rows = np.asarray([entry['rows'][f] for f in needed], np.int32)
             win_arr = np.asarray([entry['windows'][f] for f in needed],
@@ -1668,16 +1698,15 @@ class RenderPlanner:
         call this — or use a fresh planner — before re-rendering.
 
         When called with a frame range (the graph managers emit
-        ``frames_updated(lo, hi)``, hi inclusive), prepared plans for
-        segments that do NOT touch the range survive: an edit on one
-        part of the timeline keeps a loop/scrub elsewhere replaying
-        with zero planning and zero re-staging (surviving plans pin
-        their staged device arrays). The stage LRU itself always
-        clears — a leaf source's own content change arrives through
-        the same signal and its staged planes key by child frames,
-        which can't be mapped back from the root range; entries for
-        untouched content re-stage on next use. No-range calls clear
-        everything."""
+        ``frames_updated(lo, hi)``, hi inclusive), caches for ranges
+        that do NOT touch it survive: prepared plans for untouched
+        segments keep replaying with zero planning, and staged device
+        stacks that only ever served untouched root segments stay
+        resident (each StageLRU entry records the root ranges it
+        served — content inside the edit range may have mutated in
+        place, so anything that served it drops). An edit on one part
+        of the timeline keeps a loop/scrub elsewhere at full cached
+        speed. No-range calls clear everything."""
         lo = hi = None
         ints = [a for a in args if isinstance(a, (int, np.integer))]
         if len(ints) >= 2:
@@ -1690,7 +1719,10 @@ class RenderPlanner:
                 self._display_seg = None
         cache = getattr(self, '_persistent_cache', None)
         if cache is not None:
-            cache.clear()
+            if lo is None:
+                cache.clear()
+            else:
+                cache.invalidate_range(lo, hi)
         plans = getattr(self, '_plan_cache', None)
         if plans is not None:
             # created together with _plan_cache in iter_batches; create

@@ -1106,6 +1106,53 @@ def test_persistent_cache_replay_zero_h2d():
                                   np.asarray(first[8:16]))
 
 
+def test_persistent_cache_ranged_edit_keeps_untouched_stages():
+    """A ranged frames_updated drops only staged stacks that served
+    root segments touching the range: editing one part of the timeline
+    keeps loops elsewhere at zero-pull/zero-H2D even when plans must
+    re-prepare (plan cache disabled here to isolate the stage cache)."""
+    from canvas_tpu import backend
+    from canvas_tpu.frames import VideoSource
+
+    pulls = []
+
+    class Custom(VideoSource):
+        def _render_f16(self, frame_index, frame):
+            pulls.append(frame_index)
+            data = np.zeros((4, frame.full_window.height,
+                             frame.full_window.width), np.float16)
+            data[0] = (frame_index % 5) * 0.2
+            data[3] = 1.0
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    src = Custom()
+    window = box2i(0, 0, 15, 15)
+    planner = render.RenderPlanner(src, window)
+    planner.pipeline_chunk = 8
+    planner.plan_cache_segments = 0
+    planner.render(0, 24)
+    assert sorted(pulls) == list(range(24))
+
+    # edit touching only [16, 24): stages serving [0, 16) survive
+    pulls.clear()
+    planner.invalidate_display_cache(16, 23)
+    before = dict(backend.transfer_stats)
+    planner.render(0, 16)
+    assert pulls == []
+    assert backend.transfer_stats == before
+
+    # the edited range re-pulls (its stage entries dropped)
+    planner.render(16, 24)
+    assert sorted(set(pulls)) == list(range(16, 24))
+
+    # un-ranged invalidation still clears everything
+    pulls.clear()
+    planner.invalidate_display_cache()
+    planner.render(0, 8)
+    assert sorted(set(pulls)) == list(range(0, 8))
+
+
 def test_persistent_cache_coded_replay_zero_decode():
     """The coded plane-stack staging is persistent too: a replay skips
     both decode and H2D."""
