@@ -728,3 +728,51 @@ def test_plugin_source_alert_keeps_traceback():
     finally:
         plugins.PluginManager.plugins.pop('urn:test:boom', None)
         plugins.PluginManager.enabled_plugins.pop('urn:test:boom', None)
+
+
+def test_edit_ranged_invalidation_reaches_planner():
+    """End-to-end: a model edit propagates a RANGED frames_updated
+    through SpaceVideoManager to a connected RenderPlanner, which keeps
+    prepared plans for untouched segments and re-renders the dirty
+    range correctly (render.py ranged invalidation x graph dirty
+    ranges)."""
+    import numpy as np
+
+    from canvas_tpu import render
+
+    slist = make_asset_list()
+    space = model.Space('test', vidformat, plugins.AudioFormat())
+    clip_red = model.Clip(type='video', x=0, y=0.0, length=64, height=1.0,
+                          source=model.AssetStreamRef('red', 'video'),
+                          offset=0)
+    clip_blue = model.Clip(type='video', x=40, y=1.0, length=20, height=1.0,
+                           source=model.AssetStreamRef('blue', 'video'),
+                           offset=0)
+    space[0:0] = [clip_red, clip_blue]
+    manager = SpaceVideoManager(space, slist)
+
+    window = box2i(0, 0, 31, 23)
+    planner = render.RenderPlanner(manager, window)
+    planner.pipeline_chunk = 64
+    for (_s, _n, o) in planner.iter_batches(0, 64, batch=8):
+        np.asarray(o)
+    segs_before = sorted(k[0] for k in planner._plan_cache)
+    assert (0, 40) in segs_before          # red-only segment
+
+    # edit touches only the blue clip's span: the red-only segment's
+    # plan must survive, the overlapping ones must drop
+    clip_blue.update(offset=5)           # dirty range: [40, 59]
+    segs_after = sorted(k[0] for k in planner._plan_cache)
+    assert (0, 40) in segs_after
+    assert all(s1 <= 40 or s0 >= 60 for (s0, s1) in segs_after)
+
+    # re-render both ranges and compare against the eager pull
+    got = {s: np.asarray(o)[:n] for (s, n, o) in
+           planner.iter_batches(0, 64, batch=8)}
+    for i in (3, 45):
+        want = manager.get_frame_f16(i, window)
+        expect = (np.zeros((4, 24, 32), np.float16)
+                  if want.current_window.empty()
+                  else np.asarray(want.data, np.float16))
+        np.testing.assert_array_equal(got[(i // 8) * 8][i % 8], expect,
+                                      err_msg='frame %d' % i)
