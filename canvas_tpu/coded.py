@@ -356,7 +356,7 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=()):
     row_of = {f: i for i, f in enumerate(frames)}
     entry = cache[key] = {'stacks': stacks, 'rows': row_of}
     persist.put(pkey, source, entry, sum(s.nbytes for s in host),
-                serving=ctx.root_range)
+                serving=ctx.root_range, gen=ctx.stage_gen)
     return stacks, row_of
 
 

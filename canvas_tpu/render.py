@@ -242,46 +242,61 @@ class StageLRU:
         self._entries = OrderedDict()
         self.budget = int(budget_bytes)
         self.bytes = 0
+        # get/put run on the prepare worker while invalidation arrives
+        # from UI/model threads via frames_updated — one lock guards
+        # _entries and the byte budget.
+        self._lock = threading.Lock()
+        # Invalidation generation: puts stamped with an older gen are
+        # rejected (a prepare that started BEFORE an edit must not
+        # insert pre-edit stages AFTER the invalidation ran — the
+        # ranged semantics would keep them forever).
+        self.gen = 0
 
     def get(self, key, source, serving=None):
-        entry = self._entries.get(key)
-        if entry is None:
-            return None
-        if entry['ref']() is not source:
-            # id() reuse after the original source died: stale entry
-            self.bytes -= entry['nbytes']
-            del self._entries[key]
-            return None
-        if serving is not None:
-            entry['served'].add(tuple(serving))
-        self._entries.move_to_end(key)
-        return entry['value']
+        with self._lock:
+            entry = self._entries.get(key)
+            if entry is None:
+                return None
+            if entry['ref']() is not source:
+                # id() reuse after the original source died: stale entry
+                self.bytes -= entry['nbytes']
+                del self._entries[key]
+                return None
+            if serving is not None:
+                entry['served'].add(tuple(serving))
+            self._entries.move_to_end(key)
+            return entry['value']
 
-    def put(self, key, source, value, nbytes, serving=None):
+    def put(self, key, source, value, nbytes, serving=None, gen=None):
         import weakref
         nbytes = int(nbytes)
-        if nbytes > self.budget:
-            # an uncacheable entry must not flush the whole cache on
-            # its way to being rejected
+        with self._lock:
+            if gen is not None and gen != self.gen:
+                return            # invalidated while this plan prepared
+            if nbytes > self.budget:
+                # an uncacheable entry must not flush the whole cache on
+                # its way to being rejected
+                old = self._entries.pop(key, None)
+                if old is not None:
+                    self.bytes -= old['nbytes']
+                return
             old = self._entries.pop(key, None)
             if old is not None:
                 self.bytes -= old['nbytes']
-            return
-        old = self._entries.pop(key, None)
-        if old is not None:
-            self.bytes -= old['nbytes']
-        while self._entries and self.bytes + nbytes > self.budget:
-            _k, dropped = self._entries.popitem(last=False)
-            self.bytes -= dropped['nbytes']
-        self._entries[key] = {'ref': weakref.ref(source),
-                              'value': value, 'nbytes': nbytes,
-                              'served': (set() if serving is None
-                                         else {tuple(serving)})}
-        self.bytes += nbytes
+            while self._entries and self.bytes + nbytes > self.budget:
+                _k, dropped = self._entries.popitem(last=False)
+                self.bytes -= dropped['nbytes']
+            self._entries[key] = {'ref': weakref.ref(source),
+                                  'value': value, 'nbytes': nbytes,
+                                  'served': (set() if serving is None
+                                             else {tuple(serving)})}
+            self.bytes += nbytes
 
     def clear(self):
-        self._entries.clear()
-        self.bytes = 0
+        with self._lock:
+            self.gen += 1
+            self._entries.clear()
+            self.bytes = 0
 
     def invalidate_range(self, lo, hi):
         """Drop entries that ever served a ROOT frame range touching
@@ -290,11 +305,14 @@ class StageLRU:
         are keyed in child-frame space that can't be mapped back from
         root frames. Entries with no recorded serving range drop too
         (conservative)."""
-        for key in [k for k, e in self._entries.items()
-                    if not e['served']
-                    or any(s0 <= hi and lo < s1 for (s0, s1) in e['served'])]:
-            self.bytes -= self._entries[key]['nbytes']
-            del self._entries[key]
+        with self._lock:
+            self.gen += 1
+            for key in [k for k, e in self._entries.items()
+                        if not e['served']
+                        or any(s0 <= hi and lo < s1
+                               for (s0, s1) in e['served'])]:
+                self.bytes -= self._entries[key]['nbytes']
+                del self._entries[key]
 
     def __len__(self):
         return len(self._entries)
@@ -307,7 +325,8 @@ class PlanContext:
     window: the target full_window (box2i) this node must render into.
     """
 
-    def __init__(self, planner, frames, window, root_range=None):
+    def __init__(self, planner, frames, window, root_range=None,
+                 stage_gen=None):
         self.planner = planner
         self.frames = frames
         self.window = window
@@ -318,14 +337,22 @@ class PlanContext:
         if root_range is None and len(frames):
             root_range = (int(frames[0]), int(frames[-1]) + 1)
         self.root_range = root_range
+        # Invalidation generation at plan START: cache inserts stamped
+        # with it are rejected if an edit invalidated mid-plan (the
+        # ranged semantics would otherwise keep pre-edit data forever).
+        if stage_gen is None:
+            stage_gen = planner.persistent_cache.gen if planner else 0
+        self.stage_gen = stage_gen
 
     def with_frames(self, frames):
         return PlanContext(self.planner, np.asarray(frames), self.window,
-                           root_range=self.root_range)
+                           root_range=self.root_range,
+                           stage_gen=self.stage_gen)
 
     def with_window(self, window):
         return PlanContext(self.planner, self.frames, window,
-                           root_range=self.root_range)
+                           root_range=self.root_range,
+                           stage_gen=self.stage_gen)
 
     # --- node constructors used by sources ------------------------------
 
@@ -412,7 +439,8 @@ class PlanContext:
                         'windows': windows,
                     }
                     persist.put(pkey, source, entry, host.nbytes,
-                                serving=self.root_range)
+                                serving=self.root_range,
+                                gen=self.stage_gen)
             B = len(self.frames)
             rows = np.asarray([entry['rows'][f] for f in needed], np.int32)
             win_arr = np.asarray([entry['windows'][f] for f in needed],
@@ -1001,19 +1029,33 @@ def _trace_env_key(key):
     return (key, tuple(tags)) if tags else key
 
 
+_param_sharding_cache = {}
+
+
 def _param_sharding(mesh, axis, op, key):
     """The ONE rule for how a param shards: frame-declared params split
     over *axis* at their op's batch dim, everything else replicates.
     Used by BOTH the compiled program's in_shardings and the
     prepare-thread device_put — if these ever disagreed, pre-placed
     arrays would be resharded (or rejected) on every dispatch, silently
-    re-introducing the per-batch placement cost."""
-    from jax.sharding import NamedSharding, PartitionSpec
-    if key in _frame_params(op):
-        ax = _BATCH_AXIS.get(op, 0)
-        return NamedSharding(mesh,
-                             PartitionSpec(*((None,) * ax + (axis,))))
-    return NamedSharding(mesh, PartitionSpec())
+    re-introducing the per-batch placement cost. Memoized: the prepare
+    thread asks per host leaf per batch (~thousands per segment) and a
+    NamedSharding construction is not free on its millisecond
+    budget."""
+    ck = (mesh, axis, op if key in _frame_params(op) else None)
+    got = _param_sharding_cache.get(ck)
+    if got is None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        if ck[2] is not None:
+            ax = _BATCH_AXIS.get(op, 0)
+            got = NamedSharding(mesh,
+                                PartitionSpec(*((None,) * ax + (axis,))))
+        else:
+            got = NamedSharding(mesh, PartitionSpec())
+        if len(_param_sharding_cache) > 512:
+            _param_sharding_cache.clear()
+        _param_sharding_cache[ck] = got
+    return got
 
 
 def _get_sharded_program(signature, node, mesh, axis, N, post=None):
@@ -1444,6 +1486,14 @@ class RenderPlanner:
                 budget = self.persistent_cache.budget
                 if pinned <= budget:
                     with plan_lock:
+                        # An edit that invalidated mid-plan (gen moved
+                        # since PlanContext creation) must not insert
+                        # the now-stale plan. Checked under plan_lock:
+                        # invalidation bumps gen BEFORE pruning plans,
+                        # so either this check fails or the prune runs
+                        # after the insert and removes it.
+                        if self.persistent_cache.gen != ctx.stage_gen:
+                            return result
                         plan_cache[pkey] = (result, pinned)
                         total = sum(b for (_r, b) in plan_cache.values())
                         while len(plan_cache) > 1 and (
@@ -1708,7 +1758,12 @@ class RenderPlanner:
         of the timeline keeps a loop/scrub elsewhere at full cached
         speed. No-range calls clear everything."""
         lo = hi = None
-        ints = [a for a in args if isinstance(a, (int, np.integer))]
+        # bools are ints in Python — a trailing positional flag must
+        # not masquerade as the range's end (it would parse as an
+        # empty range and silently invalidate nothing)
+        ints = [a for a in args
+                if isinstance(a, (int, np.integer))
+                and not isinstance(a, (bool, np.bool_))]
         if len(ints) >= 2:
             lo, hi = int(ints[-2]), int(ints[-1])
         if lo is None:

@@ -1153,6 +1153,70 @@ def test_persistent_cache_ranged_edit_keeps_untouched_stages():
     assert sorted(set(pulls)) == list(range(0, 8))
 
 
+def test_invalidation_mid_plan_rejects_stale_inserts():
+    """An edit that fires WHILE a segment is being planned must not let
+    the in-flight plan/stages enter the caches after the invalidation
+    ran (they hold pre-edit content the ranged semantics would then
+    keep forever)."""
+    from canvas_tpu.frames import VideoSource
+
+    pulls = []
+    planner_box = []
+
+    class Custom(VideoSource):
+        def _render_f16(self, frame_index, frame):
+            pulls.append(frame_index)
+            if frame_index == 3 and planner_box:
+                # edit lands mid-plan, covering this very segment
+                planner_box[0].invalidate_display_cache(0, 7)
+            data = np.zeros((4, frame.full_window.height,
+                             frame.full_window.width), np.float16)
+            data[0] = (frame_index % 5) * 0.2
+            data[3] = 1.0
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    planner = render.RenderPlanner(Custom(), box2i(0, 0, 15, 15))
+    planner.pipeline_chunk = 8
+    planner_box.append(planner)
+    planner.render(0, 8)
+    assert sorted(pulls) == list(range(8))
+
+    # nothing stale was cached: the replay must re-pull
+    pulls.clear()
+    planner_box.clear()
+    planner.render(0, 8)
+    assert sorted(set(pulls)) == list(range(8))
+    assert not getattr(planner, '_plan_cache', None)
+
+
+def test_invalidation_ignores_bool_args():
+    """A trailing positional bool in a frames_updated payload must not
+    be mistaken for the range's end (bool is an int subclass); the
+    range still parses and invalidates correctly."""
+    from canvas_tpu.frames import VideoSource
+
+    pulls = []
+
+    class Custom(VideoSource):
+        def _render_f16(self, frame_index, frame):
+            pulls.append(frame_index)
+            data = np.zeros((4, frame.full_window.height,
+                             frame.full_window.width), np.float16)
+            data[3] = 1.0
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    planner = render.RenderPlanner(Custom(), box2i(0, 0, 15, 15))
+    planner.pipeline_chunk = 8
+    planner.plan_cache_segments = 0
+    planner.render(0, 16)
+    pulls.clear()
+    planner.invalidate_display_cache(0, 7, True)
+    planner.render(0, 16)
+    assert sorted(set(pulls)) == list(range(0, 8))   # [8,16) stayed cached
+
+
 def test_persistent_cache_coded_replay_zero_decode():
     """The coded plane-stack staging is persistent too: a replay skips
     both decode and H2D."""
