@@ -420,6 +420,33 @@ def config7b():
     return run_range       # subsequent passes replay from HBM
 
 
+def config7c():
+    """Mixed-content replay WHILE EDITING ELSEWHERE: before each timed
+    pass an edit signal invalidates a range outside the loop
+    (frames_updated(500, 600) vs the [0, 128) loop). Ranged
+    invalidation keeps the loop's plans and staged stacks — this
+    should match config7b; a full-clear regression collapses it to
+    config7's cold fps."""
+    from canvas_tpu import render
+    from canvas_tpu.basetypes import box2i
+
+    ws = _mixed_timeline()
+    planner = render.RenderPlanner(ws, box2i(0, 0, 1919, 1079))
+    probe = _probe()
+
+    def run_range():
+        planner.invalidate_display_cache(500, 600)
+        t0 = time.perf_counter()
+        last = None
+        for (_s, _n, out) in planner.iter_batches(0, 128, batch=16):
+            last = out
+        float(probe(last))
+        return 128 / (time.perf_counter() - t0)
+
+    run_range()            # first pass: stages everything + compiles
+    return run_range
+
+
 def config8(tmp='/tmp/canvas_bench_1080p.avi'):
     """Real decoded 1080p playback through the planar staging path
     (decode on host -> YCbCr planes staged once per segment to device
@@ -479,6 +506,7 @@ def main():
     measure('config6b_4k_export_yuv420_transport_fps', config6b)
     measure('config7_mixed_content_10layer_fps', config7)
     measure('config7b_mixed_content_cached_replay_fps', config7b())
+    measure('config7c_replay_while_editing_elsewhere_fps', config7c())
     measure('config8_1080p_decoded_planar_fps', config8)
 
     print(json.dumps({k: v[0] for k, v in results.items()}, indent=1))
