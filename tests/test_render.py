@@ -1217,6 +1217,57 @@ def test_invalidation_ignores_bool_args():
     assert sorted(set(pulls)) == list(range(0, 8))   # [8,16) stayed cached
 
 
+def test_concurrent_edit_storm_no_races():
+    """Ranged invalidations firing from another thread while streaming
+    must not race the prepare worker's cache access (StageLRU lock +
+    generation): no exceptions, correct content, sane byte budget."""
+    import threading
+    import time as time_mod
+
+    from canvas_tpu.frames import VideoSource
+
+    class Custom(VideoSource):
+        def _render_f16(self, frame_index, frame):
+            data = np.zeros((4, frame.full_window.height,
+                             frame.full_window.width), np.float16)
+            data[0] = (frame_index % 7) * 0.1
+            data[3] = 1.0
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    planner = render.RenderPlanner(Custom(), box2i(0, 0, 15, 15))
+    planner.pipeline_chunk = 8
+    stop = threading.Event()
+    errs = []
+
+    def editor():
+        rng = np.random.RandomState(0)
+        while not stop.is_set():
+            try:
+                planner.invalidate_display_cache(
+                    int(rng.randint(0, 60)), int(rng.randint(60, 120)))
+            except Exception as e:       # pragma: no cover - the assert
+                errs.append(e)
+                return
+            time_mod.sleep(0.001)
+
+    t = threading.Thread(target=editor)
+    t.start()
+    try:
+        for _rep in range(4):
+            for (_s, _n, o) in planner.iter_batches(0, 120, batch=8):
+                np.asarray(o)
+    finally:
+        stop.set()
+        t.join()
+    assert not errs, errs
+    out = np.asarray(planner.render(13, 14))[0]
+    want = np.asarray(planner.source.get_frame_f16(
+        13, box2i(0, 0, 15, 15)).data)
+    np.testing.assert_array_equal(out, want)
+    assert planner.persistent_cache.bytes >= 0
+
+
 def test_persistent_cache_coded_replay_zero_decode():
     """The coded plane-stack staging is persistent too: a replay skips
     both decode and H2D."""
