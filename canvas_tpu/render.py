@@ -1258,6 +1258,63 @@ class RenderPlanner:
     #: chunk-invariant).
     pipeline_chunk = 64
 
+    def explain(self, start, stop):
+        """Human-readable plan report for [start, stop): per segment,
+        the IR tree (op, static geometry, param shapes with
+        device-resident markers, per-frame window coverage) plus
+        program/plan/stage cache status. The vocabulary is documented
+        in docs/api.md §3. Planning is REAL (same host work and staging
+        a first render would do), so on a remote device `explain` of a
+        coded range pays its H2D staging; results land in the same
+        caches a render would use."""
+        lines = []
+        for (s0, s1) in self.segments(start, stop):
+            frames = np.arange(s0, s1, dtype=np.int64)
+            self._stage_cache = {}
+            self._frame_hints = {}
+            self._plan_mesh = None
+            ctx = PlanContext(self, frames, self.window)
+            node = ctx.plan(self.source)
+            sig = node.signature()
+            with _program_lock:
+                compiled = _trace_env_key(sig) in _program_cache
+            lines.append('segment [%d, %d)  %d frames  program %s'
+                         % (s0, s1, s1 - s0,
+                            'COMPILED' if compiled else 'not compiled'))
+            area = float(self.window.width * self.window.height)
+
+            def walk(n, depth):
+                parts = [n.op]
+                if n.static:
+                    parts.append('static=%r' % (n.static,))
+                if n.params:
+                    ps = []
+                    for k in sorted(n.params):
+                        v = n.params[k]
+                        shape = tuple(np.shape(v))
+                        ps.append('%s%s%s' % (
+                            k, shape if shape else '',
+                            '@dev' if backend.is_jax_array(v) else ''))
+                    parts.append(' '.join(ps))
+                if n.windows is not None and area:
+                    w = windows_to_array(n.windows)
+                    ww = np.maximum(w[:, 2] - w[:, 0] + 1, 0)
+                    hh = np.maximum(w[:, 3] - w[:, 1] + 1, 0)
+                    cov = float(np.mean(ww * hh)) / area
+                    parts.append('cover=%.0f%%' % (100.0 * cov))
+                lines.append('  ' * (depth + 1) + '  '.join(parts))
+                for c in n.children:
+                    walk(c, depth + 1)
+
+            walk(node, 0)
+        cache = self.persistent_cache
+        lines.append('stage cache: %d entries, %.1f MB of %.1f MB'
+                     % (len(cache), cache.bytes / 1e6, cache.budget / 1e6))
+        plans = getattr(self, '_plan_cache', None)
+        lines.append('plan cache: %d prepared segments'
+                     % (len(plans) if plans else 0))
+        return '\n'.join(lines)
+
     def segments(self, start, stop):
         """Split [start, stop) at graph-structure boundaries (and the
         planning-span/pipeline-chunk caps)."""

@@ -415,6 +415,35 @@ def test_iter_batches_matches_render(any_backend):
     assert covered == list(range(0, 50))
 
 
+def test_explain_reports_plan_tree():
+    """planner.explain() renders the IR tree with ops, shapes, window
+    coverage and cache status — and planning through it must not
+    disturb a subsequent render (same caches as a real render)."""
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.render import RenderPlanner
+    from canvas_tpu.sources import SolidColorVideoSource, VideoWorkspace
+
+    window = box2i(0, 0, 159, 119)
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource(
+        LerpFunc((0.2, 0.3, 0.4, 1.0), (0.4, 0.1, 0.2, 1.0), 40)),
+        x=0, length=40, z=0)
+    ws.add(source=SolidColorVideoSource((1, 0, 0, 0.5),
+                                        window=box2i(5, 5, 90, 90)),
+           x=10, length=20, z=1)
+
+    planner = RenderPlanner(ws, window)
+    text = planner.explain(0, 40)
+    assert 'segment [0, 10)' in text
+    assert 'solid' in text
+    assert 'cover=' in text
+    assert 'stage cache:' in text and 'plan cache:' in text
+
+    out = np.asarray(planner.render(12, 13))[0]
+    want = np.asarray(ws.get_frame_f16(12, window).data)
+    np.testing.assert_array_equal(out, want)
+
+
 def test_region_sep_flag_recompiles_and_matches(monkeypatch):
     """CANVAS_REGION_SEP=1 (fused rank-1 region kernel; XLA fallback off
     TPU) must compile a DISTINCT program for the same signature — the
