@@ -291,6 +291,18 @@ class PluginManager:
         return plugin.plugin_urn in cls.enabled_plugins
 
     @classmethod
+    def enable_all_for_session(cls):
+        """Activate every discovered plugin IN MEMORY ONLY — no settings
+        write. For headless one-shot tools (scripts/explain.py, batch
+        exports) that need media refs to resolve without mutating the
+        user's persisted plugin choices."""
+        cls.load_all()
+        for key, plugin in cls.plugins.items():
+            if key not in cls.enabled_plugins:
+                cls._activate(key, plugin)
+        cls.reset_codecs()
+
+    @classmethod
     def set_plugin_enabled(cls, plugin, enable):
         cls.load_all()
         settings = get_settings()

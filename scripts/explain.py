@@ -49,12 +49,10 @@ def main():
     from canvas_tpu.editor import model, plugins
     from canvas_tpu.editor.ui.app import EditorApp
 
-    # A headless one-shot: enable every discovered plugin so media
-    # refs resolve (the editor persists enablement in its settings;
-    # this CLI has none).
-    plugins.PluginManager.load_all()
-    for p in plugins.PluginManager.find_plugins(enabled_only=False):
-        plugins.PluginManager.set_plugin_enabled(p, True)
+    # A headless one-shot: enable every discovered plugin IN MEMORY so
+    # media refs resolve without touching the user's persisted plugin
+    # choices.
+    plugins.PluginManager.enable_all_for_session()
 
     app = EditorApp()
     app.open_file(args.project)
