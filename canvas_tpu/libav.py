@@ -174,6 +174,16 @@ def available():
         return False
 
 
+def _as_frame_rate(value):
+    """Fraction from any rate spec; floats snap to a sane ratio
+    (Fraction(30000/1001) is an exact binary fraction with a ~10^15
+    denominator avcodec rejects)."""
+    from fractions import Fraction
+    if isinstance(value, float):
+        return Fraction(value).limit_denominator(65535)
+    return Fraction(value)
+
+
 def _err_buf():
     return ctypes.create_string_buffer(512)
 
@@ -433,9 +443,13 @@ class AVAudioDecoder(_AudioSourceBase):
         count = max_sample - min_sample + 1
         buf = np.zeros((count, self.channels), np.float32)
         with self._lock:
-            _load().cav_audio_decode(
+            rc = _load().cav_audio_decode(
                 self._handle, int(min_sample), int(max_sample),
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc < 0:
+            # mid-stream read/decode error (NOT eof): don't hand the
+            # mixdown silence where there should be audio
+            raise IOError('audio decode failed: %d' % rc)
         data = np.zeros((count, channels), np.float32)
         n = min(channels, self.channels)
         data[:, :n] = buf[:, :n]
@@ -483,7 +497,7 @@ class AVMuxer:
         AVVideoEncoder kwargs (src/libav/AVVideoEncoder.c)."""
         err = _err_buf()
         from fractions import Fraction
-        rate = Fraction(frame_rate)
+        rate = _as_frame_rate(frame_rate)
         sar_num = sar_den = 0
         if sample_aspect_ratio is not None:
             sar = Fraction(sample_aspect_ratio)
@@ -560,6 +574,14 @@ class AVMuxer:
             if rc < 0:
                 raise IOError('finish failed: %d' % rc)
 
+    def __del__(self):
+        # every other handle-owning class reclaims in __del__; a
+        # dropped muxer additionally leaves the file without a trailer
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def __enter__(self):
         return self
 
@@ -604,8 +626,21 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
 
     if frame_rate is None:
         frame_rate = Fraction(30000, 1001)
+    # normalize up front: the audio sample math below needs
+    # numerator/denominator, which a float frame_rate lacks. Floats
+    # must snap to a sane ratio (Fraction(30000/1001) is an exact
+    # binary fraction with a ~10^15 denominator avcodec rejects).
+    frame_rate = _as_frame_rate(frame_rate)
     if window is None:
         window = box2i(0, 0, frame_size[0] - 1, frame_size[1] - 1)
+    elif (window.width, window.height) != tuple(frame_size):
+        # the native mux writers stride buffers by the CODEC's
+        # frame_size; a mismatched render window would read past each
+        # frame's rows (use the window's size as the frame size, or
+        # scale in the graph)
+        raise ValueError('window %dx%d does not match frame_size %dx%d'
+                         % (window.width, window.height,
+                            frame_size[0], frame_size[1]))
     if transport not in ('rgba_u8', 'yuv420'):
         raise ValueError('unknown transport: %r' % (transport,))
     if transport == 'yuv420' and not use_batch:
@@ -821,7 +856,7 @@ class AVVideoEncoder(_EncoderBase):
         lib = self._setup()
         if frame_rate is None:
             frame_rate = Fraction(30000, 1001)
-        frame_rate = Fraction(frame_rate)
+        frame_rate = _as_frame_rate(frame_rate)
         err = _err_buf()
         self._handle = lib.cav_video_encoder_open(
             codec.encode(), int(frame_size[0]), int(frame_size[1]),
@@ -929,8 +964,11 @@ class AVAudioEncoder(_EncoderBase):
         self._next_to_send = self.start_sample
         self._flushed = False
         self._pending = []
-        self._chunk = max(1024, lib.cav_encoder_frame_size(self._handle) or
-                          1024)
+        # Fixed-frame-size codecs reject short non-final frames, so the
+        # pull chunk must be EXACTLY the codec frame size (aac 1024,
+        # opus 960) — max(1024, fs) split sub-1024 frames and killed
+        # the encode on the second chunk. 0 = variable size: any chunk.
+        self._chunk = lib.cav_encoder_frame_size(self._handle) or 1024
 
     def _send_more(self):
         lib = _load()
@@ -990,7 +1028,7 @@ class AVPlanarVideoEncoder(_EncoderBase):
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
         if frame_rate is None:
             frame_rate = Fraction(30000, 1001)
-        frame_rate = Fraction(frame_rate)
+        frame_rate = _as_frame_rate(frame_rate)
         err = _err_buf()
         self._handle = lib.cav_video_encoder_open_planar(
             codec.encode(), pix_fmt.encode(), int(frame_size[0]),

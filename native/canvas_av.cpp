@@ -231,6 +231,7 @@ struct CavVideoDec {
     int64_t next_frame = -1;     // next frame index decode will produce
     bool eof = false;
     int out_w = 0, out_h = 0;
+    int src_w = 0, src_h = 0;    // dims the cached sws was built for
     AVPixelFormat out_fmt = AV_PIX_FMT_NONE;
 };
 
@@ -348,13 +349,10 @@ int decode_next(CavVideoDec *d) {
     }
 }
 
-}  // namespace
-
-// Decode frame by index into caller-provided RGBA8 buffer (h*w*4).
+// Seek (when going backward or far forward, AVVideoDecoder.c:182-219)
+// and decode forward until *frame_index* is in d->frame.
 // Returns 1 ok, 0 past-eof, <0 error.
-CAV_EXPORT int cav_video_decode_rgba(CavVideoDec *d, int64_t frame_index,
-                                     uint8_t *out, int out_w, int out_h) {
-    // Seek when going backward or far forward (AVVideoDecoder.c:182-219)
+int decode_to_index(CavVideoDec *d, int64_t frame_index) {
     if (frame_index < d->next_frame || frame_index > d->next_frame + 64) {
         int64_t target_pts = frame_to_pts(d, frame_index);
         int rc = av_seek_frame(d->fmt, d->stream, target_pts,
@@ -363,19 +361,32 @@ CAV_EXPORT int cav_video_decode_rgba(CavVideoDec *d, int64_t frame_index,
         avcodec_flush_buffers(d->codec);
         d->next_frame = -1;  // unknown until first decoded pts
     }
-
     while (true) {
         int rc = decode_next(d);
         if (rc <= 0) return rc;
-        int64_t pts = d->frame->best_effort_timestamp;
-        int64_t got = pts_to_frame(d, pts);
+        int64_t got = pts_to_frame(d, d->frame->best_effort_timestamp);
         if (got < 0) got = d->next_frame < 0 ? 0 : d->next_frame;
         d->next_frame = got + 1;
-        if (got >= frame_index) break;
+        if (got >= frame_index) return 1;
         av_frame_unref(d->frame);
     }
+}
 
+}  // namespace
+
+// Decode frame by index into caller-provided RGBA8 buffer (h*w*4).
+// Returns 1 ok, 0 past-eof, <0 error.
+CAV_EXPORT int cav_video_decode_rgba(CavVideoDec *d, int64_t frame_index,
+                                     uint8_t *out, int out_w, int out_h) {
+    int rc = decode_to_index(d, frame_index);
+    if (rc <= 0) return rc;
+
+    // Cache key must include the SOURCE dims: media is untrusted input
+    // and decoded dimensions can change mid-stream (SPS change); a sws
+    // built for the old size fed a taller frame writes past the
+    // caller's (h, w, 4) buffer.
     if (!d->sws || d->out_w != out_w || d->out_h != out_h ||
+        d->src_w != d->frame->width || d->src_h != d->frame->height ||
         d->out_fmt != (AVPixelFormat)d->frame->format) {
         if (d->sws) sws_freeContext(d->sws);
         d->sws = sws_getContext(d->frame->width, d->frame->height,
@@ -384,6 +395,8 @@ CAV_EXPORT int cav_video_decode_rgba(CavVideoDec *d, int64_t frame_index,
                                 nullptr, nullptr);
         d->out_w = out_w;
         d->out_h = out_h;
+        d->src_w = d->frame->width;
+        d->src_h = d->frame->height;
         d->out_fmt = (AVPixelFormat)d->frame->format;
     }
     uint8_t *dst[4] = {out, nullptr, nullptr, nullptr};
@@ -408,23 +421,8 @@ CAV_EXPORT int cav_video_decode_planar(CavVideoDec *d, int64_t frame_index,
                                        uint8_t *y, uint8_t *cb, uint8_t *cr,
                                        int *dims, int64_t y_cap,
                                        int64_t c_cap) {
-    if (frame_index < d->next_frame || frame_index > d->next_frame + 64) {
-        int64_t target_pts = frame_to_pts(d, frame_index);
-        int rc = av_seek_frame(d->fmt, d->stream, target_pts,
-                               AVSEEK_FLAG_BACKWARD);
-        if (rc < 0) return rc;
-        avcodec_flush_buffers(d->codec);
-        d->next_frame = -1;
-    }
-    while (true) {
-        int rc = decode_next(d);
-        if (rc <= 0) return rc;
-        int64_t got = pts_to_frame(d, d->frame->best_effort_timestamp);
-        if (got < 0) got = d->next_frame < 0 ? 0 : d->next_frame;
-        d->next_frame = got + 1;
-        if (got >= frame_index) break;
-        av_frame_unref(d->frame);
-    }
+    int drc = decode_to_index(d, frame_index);
+    if (drc <= 0) return drc;
     const AVPixFmtDescriptor *desc =
         av_pix_fmt_desc_get((AVPixelFormat)d->frame->format);
     // Require truly planar 8-bit YCbCr: semi-planar formats (NV12)
@@ -574,7 +572,10 @@ CAV_EXPORT int64_t cav_audio_decode(CavAudioDec *d, int64_t min_sample,
                 avcodec_send_packet(d->codec, nullptr);
                 continue;
             }
-            if (rc < 0) return filled;
+            // A real mid-stream read error (truncated/corrupt file) is
+            // NOT end-of-stream: report it instead of silently handing
+            // the caller zero-filled (silent) samples.
+            if (rc < 0) return rc;
             if (d->pkt->stream_index != d->stream) {
                 av_packet_unref(d->pkt);
                 continue;
@@ -582,7 +583,8 @@ CAV_EXPORT int64_t cav_audio_decode(CavAudioDec *d, int64_t min_sample,
             avcodec_send_packet(d->codec, d->pkt);
             av_packet_unref(d->pkt);
         }
-        if (rc == AVERROR_EOF || rc < 0) return filled;
+        if (rc == AVERROR_EOF) return filled;
+        if (rc < 0) return rc;
 
         // Position: prefer pts; fall back to running counter
         int64_t pos;
@@ -627,6 +629,10 @@ struct CavMuxStream {
     AVFrame *frame = nullptr;
     int64_t next_pts = 0;
     int is_video = 0;
+    // Interleaved f32 samples not yet forming a full codec frame:
+    // fixed-frame-size codecs (aac: 1024) reject a short non-final
+    // frame, so call tails buffer here until the next write or finish.
+    std::vector<float> pending_audio;
 };
 
 struct CavMuxer {
@@ -876,28 +882,64 @@ CAV_EXPORT int cav_muxer_write_video_planar(CavMuxer *m, int stream,
     return drain_packets(m, s);
 }
 
+namespace {
+
+// Convert+encode one chunk of interleaved f32 samples (chunk <= the
+// frame's allocated nb_samples). Restores frame->nb_samples after.
+int mux_send_audio_chunk(CavMuxer *m, CavMuxStream *s, const float *samples,
+                         int chunk) {
+    av_frame_make_writable(s->frame);
+    int full = s->frame->nb_samples;
+    const uint8_t *in[1] = {(const uint8_t *)samples};
+    int conv = swr_convert(s->swr, s->frame->data, chunk, in, chunk);
+    if (conv < 0) return conv;
+    s->frame->nb_samples = conv;
+    s->frame->pts = s->next_pts;
+    s->next_pts += conv;
+    int rc = avcodec_send_frame(s->codec, s->frame);
+    s->frame->nb_samples = full;
+    if (rc < 0) return rc;
+    return drain_packets(m, s);
+}
+
+}  // namespace
+
 // Encode interleaved float32 audio samples (n_samples * channels).
+// Fixed-frame-size codecs (aac) reject short non-final frames, so a
+// call tail that doesn't fill a codec frame buffers until the next
+// call (or cav_muxer_finish, where a short FINAL frame is legal).
 CAV_EXPORT int cav_muxer_write_audio(CavMuxer *m, int stream,
                                      const float *samples, int n_samples) {
     CavMuxStream *s = m->streams[stream];
+    int ch = s->codec->ch_layout.nb_channels;
+    int fixed = s->codec->frame_size > 0;
     int done = 0;
+    if (fixed && !s->pending_audio.empty()) {
+        // top up the buffered tail to one full frame
+        int need = s->frame->nb_samples -
+                   (int)(s->pending_audio.size() / ch);
+        if (need > n_samples) need = n_samples;
+        s->pending_audio.insert(s->pending_audio.end(), samples,
+                                samples + (size_t)need * ch);
+        done = need;
+        if ((int)(s->pending_audio.size() / ch) < s->frame->nb_samples)
+            return 0;                    // still short: keep buffering
+        int rc = mux_send_audio_chunk(m, s, s->pending_audio.data(),
+                                      s->frame->nb_samples);
+        if (rc < 0) return rc;
+        s->pending_audio.clear();
+    }
     while (done < n_samples) {
         int chunk = s->frame->nb_samples;
         if (chunk > n_samples - done) chunk = n_samples - done;
-        av_frame_make_writable(s->frame);
-        const uint8_t *in[1] = {
-            (const uint8_t *)(samples +
-                              (size_t)done * s->codec->ch_layout.nb_channels)};
-        int conv = swr_convert(s->swr, s->frame->data, chunk, in, chunk);
-        if (conv < 0) return conv;
-        s->frame->nb_samples = conv;
-        s->frame->pts = s->next_pts;
-        s->next_pts += conv;
-        int rc = avcodec_send_frame(s->codec, s->frame);
-        s->frame->nb_samples = s->codec->frame_size > 0 ? s->codec->frame_size
-                                                        : 1024;
-        if (rc < 0) return rc;
-        rc = drain_packets(m, s);
+        if (fixed && chunk < s->frame->nb_samples) {
+            s->pending_audio.assign(
+                samples + (size_t)done * ch,
+                samples + (size_t)n_samples * ch);
+            return 0;                    // tail: buffer for later
+        }
+        int rc = mux_send_audio_chunk(
+            m, s, samples + (size_t)done * ch, chunk);
         if (rc < 0) return rc;
         done += chunk;
     }
@@ -907,6 +949,14 @@ CAV_EXPORT int cav_muxer_write_audio(CavMuxer *m, int stream,
 CAV_EXPORT int cav_muxer_finish(CavMuxer *m) {
     int rc = 0;
     for (auto *s : m->streams) {
+        if (!s->pending_audio.empty()) {
+            // a short FINAL audio frame is legal for fixed-size codecs
+            mux_send_audio_chunk(
+                m, s, s->pending_audio.data(),
+                (int)(s->pending_audio.size() /
+                      s->codec->ch_layout.nb_channels));
+            s->pending_audio.clear();
+        }
         avcodec_send_frame(s->codec, nullptr);  // flush
         rc = drain_packets(m, s);
     }
@@ -1184,19 +1234,29 @@ CAV_EXPORT int cav_encoder_send_planar(CavEncoder *e, const uint8_t *y,
                                        int y_stride, const uint8_t *cb,
                                        int cb_stride, const uint8_t *cr,
                                        int cr_stride) {
+    if (y_stride < 0 || cb_stride < 0 || cr_stride < 0) return -1;
     av_frame_make_writable(e->frame);
     const AVPixFmtDescriptor *desc =
         av_pix_fmt_desc_get((AVPixelFormat)e->frame->format);
     int h = e->codec->height;
     int ch = AV_CEIL_RSHIFT(h, desc->log2_chroma_h);
+    // Clamp each row copy to BOTH the caller's stride and the frame's
+    // plane width: planes wider than the encoder geometry must not
+    // write past linesize, and narrower ones must not over-read the
+    // caller's buffer (frame sources are untrusted input).
+    int yw = e->codec->width;
+    int cw = AV_CEIL_RSHIFT(e->codec->width, desc->log2_chroma_w);
+    int ny = y_stride < yw ? y_stride : yw;
+    int nc = cb_stride < cw ? cb_stride : cw;
+    int nr = cr_stride < cw ? cr_stride : cw;
     for (int r = 0; r < h; r++)
         memcpy(e->frame->data[0] + r * e->frame->linesize[0],
-               y + r * y_stride, y_stride);
+               y + (size_t)r * y_stride, ny);
     for (int r = 0; r < ch; r++) {
         memcpy(e->frame->data[1] + r * e->frame->linesize[1],
-               cb + r * cb_stride, cb_stride);
+               cb + (size_t)r * cb_stride, nc);
         memcpy(e->frame->data[2] + r * e->frame->linesize[2],
-               cr + r * cr_stride, cr_stride);
+               cr + (size_t)r * cr_stride, nr);
     }
     e->frame->pts = e->next_pts++;
     return avcodec_send_frame(e->codec, e->frame);

@@ -392,3 +392,51 @@ def test_decoded_planar_path_matches_rgba_path(tmp_path):
                      for i in range(3)])
     np.testing.assert_allclose(got.astype(np.float32),
                                want.astype(np.float32), atol=1e-2)
+
+
+def test_write_video_aac_audio_partial_frames(tmp_path):
+    """write_video with a FIXED-frame-size audio codec (aac, 1024):
+    per-batch sample counts that don't divide 1024 must buffer tails
+    across batches instead of sending short non-final frames (which
+    ffmpeg rejects on the next send). Regression: the default NTSC
+    frame rate makes every batch a non-multiple."""
+    from canvas_tpu.audio import AudioFrame
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.sources import SolidColorVideoSource
+
+    class Tone:
+        def get_frame(self, lo, hi, ch):
+            t = np.arange(lo, hi + 1, dtype=np.float32)
+            data = np.repeat(np.sin(2 * np.pi * 440 * t / 48000)[:, None],
+                             ch, 1) * 0.5
+            return AudioFrame(lo, hi, ch, data)
+
+    path = str(tmp_path / 'aac.mkv')
+    src = SolidColorVideoSource(
+        LerpFunc((0.0, 0.0, 0.0, 1.0), (1.0, 1.0, 1.0, 1.0), 40))
+    # float frame rate exercises the Fraction normalization too
+    libav.write_video(path, src, Tone(), 0, 40, frame_size=(64, 48),
+                      frame_rate=30000 / 1001, video_codec='ffv1',
+                      audio_codec='aac', sample_rate=48000,
+                      channels=2, format='matroska')
+    container = libav.AVContainer(path)
+    audio = next(s for s in container.streams if s.type == 'audio')
+    assert audio.codec == 'aac'
+    container.close()
+    # all batches' samples made it through (aac pads the final frame;
+    # 40 NTSC frames at 48 kHz is ~64064 samples)
+    adec = libav.AVAudioDecoder(path, channels=2)
+    got = adec.get_frame(60000, 63000, 2)
+    assert np.abs(np.asarray(got.data)).max() > 0.1
+    adec.close()
+
+
+def test_write_video_window_mismatch_rejected(tmp_path):
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.sources import SolidColorVideoSource
+
+    with pytest.raises(ValueError):
+        libav.write_video(str(tmp_path / 'x.avi'),
+                          SolidColorVideoSource((1, 0, 0, 1)), None, 0, 4,
+                          frame_size=(64, 48),
+                          window=box2i(0, 0, 31, 23))
