@@ -297,6 +297,14 @@ class AudioPlayer(PresentationClock):
         self._quit = True
         self._wake.set()
         self._thread.join(timeout=5)
+        if self._thread.is_alive():
+            # thread stuck in a slow decode/back-pressure sleep:
+            # closing the sink under it would hand a freed ALSA handle
+            # to its next write (libasound UB); leak instead
+            import logging
+            logging.getLogger('canvas_tpu.audioout').warning(
+                'audio thread did not exit; leaving sink open')
+            return
         self.sink.close()
 
     # -- playback thread (AlsaPlayer.c:56-233) -----------------------------

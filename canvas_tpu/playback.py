@@ -19,12 +19,15 @@ argb_u8 is an (H, W, 4) uint8 BGRA array. Qt/GTK widget layers plug in
 on top (the reference's GtkVideoWidget/VideoWidget equivalents).
 """
 
+import logging
 import os
 import threading
 import time
 from fractions import Fraction
 
 import numpy as np
+
+log = logging.getLogger('canvas_tpu.playback')
 
 from canvas_tpu import process
 from canvas_tpu.basetypes import box2i
@@ -103,8 +106,6 @@ class VideoPlaybackEngine:
             self._watch_thread.start()
 
     def _watch_stalls(self):
-        import logging
-        log = logging.getLogger('canvas_tpu.playback')
         while not self._watch_stop.wait(min(5.0, self.stall_timeout / 4)):
             started = self._batch_started
             stalled = (started is not None
@@ -133,8 +134,15 @@ class VideoPlaybackEngine:
     # -- clock integration (widget_gl.c:841 _clock_callback) -------------
 
     def _clock_changed(self, speed, time_ns, data):
-        with self._lock:
-            self._cache.clear()     # seek invalidates the ring
+        # Only a genuine position discontinuity (seek) invalidates the
+        # ring: frame content doesn't depend on speed, and clearing on
+        # every play/pause notification re-rendered a full batch
+        # through the link on each resume.
+        frame = self._frame_at(time_ns)
+        playhead = getattr(self, '_playhead', None)
+        if playhead is None or abs(frame - playhead) > max(self.batch, 4):
+            with self._lock:
+                self._cache.clear()
         self._wake.set()
 
     def _frames_updated(self, *args):
@@ -213,10 +221,16 @@ class VideoPlaybackEngine:
         self._watch_stop.set()
         self._thread.join(timeout=5)
         self._clock_handle.unregister()
-        with self._render_lock:
-            if self._planner is not None:
-                self._planner.close()
-                self._planner = None
+        # A render thread stuck in a dead-transport fetch holds
+        # _render_lock indefinitely; stop() must not hang the UI
+        # thread behind it (the stall watchdog's whole point).
+        if self._render_lock.acquire(timeout=1.0):
+            try:
+                if self._planner is not None:
+                    self._planner.close()
+                    self._planner = None
+            finally:
+                self._render_lock.release()
 
     # -- render loop -----------------------------------------------------
 
@@ -327,9 +341,11 @@ class VideoPlaybackEngine:
                 packed = np.asarray(
                     color_ops.yuv420_pack_device(data, intent))
                 h, w = data.shape[2], data.shape[3]
-                bgra = np.stack([
-                    color_ops.yuv420_unpack(packed[i], h, w)
-                    for i in range(packed.shape[0])])
+                # prealloc+assign: np.stack over many medium arrays is
+                # pathologically slow on this host (CLAUDE.md)
+                bgra = np.empty((packed.shape[0], h, w, 4), np.uint8)
+                for i in range(packed.shape[0]):
+                    bgra[i] = color_ops.yuv420_unpack(packed[i], h, w)
             else:
                 flat = np.asarray(
                     color_ops.display_u8_device(data, intent))
@@ -357,9 +373,16 @@ class VideoPlaybackEngine:
                 return
             for i, idx in enumerate(range(start, stop)):
                 self._cache[idx] = bgra[i]
-            # Evict behind the playhead
+            # Evict BEHIND the playhead — direction-aware: reverse
+            # playback must drop the highest indices (already played),
+            # not the upcoming low ones it just rendered (which
+            # livelocked: every batch evicted itself and re-rendered).
             if len(self._cache) > self.ring_frames * 2:
-                for k in sorted(self._cache)[:-self.ring_frames * 2]:
+                keys = sorted(self._cache)
+                drop = (keys[:-self.ring_frames * 2]
+                        if getattr(self, '_play_dir', 1) >= 0
+                        else keys[self.ring_frames * 2:])
+                for k in drop:
                     del self._cache[k]
 
     def set_video_source(self, source):
@@ -415,16 +438,30 @@ class VideoPlaybackEngine:
             speed = self.clock.get_speed()
             now = self.clock.get_presentation_time()
             current = self._clamp(self._frame_at(now))
+            self._playhead = current
+            self._play_dir = 1 if speed >= 0 else -1
 
             with self._lock:
                 have = current in self._cache
 
             if not have:
-                if speed >= 0:
-                    self._render_batch(current, current + self.batch)
-                else:
-                    # Reverse playback renders the batch *behind*
-                    self._render_batch(current - self.batch + 1, current + 1)
+                try:
+                    if speed >= 0:
+                        self._render_batch(current, current + self.batch)
+                    else:
+                        # Reverse playback renders the batch *behind*
+                        self._render_batch(current - self.batch + 1,
+                                           current + 1)
+                except Exception:
+                    # A transient render failure (decode I/O, device
+                    # hiccup) must not kill the render thread — that
+                    # froze playback silently and even the stall
+                    # watchdog couldn't see it. Log, back off, retry.
+                    log.warning('render batch failed; retrying',
+                                exc_info=True)
+                    self._wake.wait(0.25)
+                    self._wake.clear()
+                    continue
 
             with self._lock:
                 frame = self._cache.get(current)
@@ -457,7 +494,10 @@ class VideoPlaybackEngine:
 
             next_time = process.get_frame_time(self.frame_rate, next_frame)
             now = self.clock.get_presentation_time()
-            delta_ns = (next_time - now) / float(abs(speed))
+            # signed division: reverse playback approaches next_time
+            # from above (both terms negative -> positive wait); the
+            # old abs() made the delta negative and busy-spun a core
+            delta_ns = (next_time - now) / float(speed)
             if delta_ns > 0:
                 self._wake.wait(min(delta_ns / 1e9, 0.25))
                 self._wake.clear()

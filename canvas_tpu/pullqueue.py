@@ -57,7 +57,14 @@ class VideoPullQueue:
         else:
             self._dispatch_queue = None
         self._dispatch = dispatch
-        self._planners = {}
+        # planner cache: OrderedDict LRU + one lock per planner —
+        # RenderPlanner.render mutates shared per-call state
+        # (_stage_cache/_frame_hints), so two pool workers pulling the
+        # same (source, window) must serialize on it (playback.py
+        # documents the same constraint for its _render_lock)
+        from collections import OrderedDict
+        self._planners = OrderedDict()
+        self._planners_lock = threading.Lock()
         self._closed = False
 
     def _dispatch_loop(self):
@@ -81,7 +88,16 @@ class VideoPullQueue:
     def _work(self, item):
         if item.cancelled:
             return
-        frame = self._render(item)
+        try:
+            frame = self._render(item)
+        except Exception:
+            # the future is never read: an escaped exception would be
+            # silently swallowed and the callback never fire, leaving
+            # the UI waiting forever — deliver None instead
+            from canvas_tpu.logging import getLogger
+            getLogger(__name__).warning('frame pull failed',
+                                        exc_info=True)
+            frame = None
         if item.cancelled:
             return
 
@@ -104,15 +120,26 @@ class VideoPullQueue:
                 from canvas_tpu import render
                 from canvas_tpu.frames import RgbaFrameF16
                 key = (id(source), window)
-                planner = self._planners.get(key)
-                if planner is None:
-                    if len(self._planners) > 32:
-                        self._planners.clear()
-                    planner = render.RenderPlanner(source, window)
-                    self._planners[key] = planner
-                data, wins = planner.render(item.frame_index,
-                                            item.frame_index + 1,
-                                            with_windows=True)
+                with self._planners_lock:
+                    entry = self._planners.get(key)
+                    if entry is None:
+                        while len(self._planners) > 32:
+                            # evict ONE cold planner (close() for
+                            # deterministic device-cache teardown);
+                            # wholesale clear dumped every warm one
+                            _k, (old_p, _l) = self._planners.popitem(
+                                last=False)
+                            old_p.close()
+                        entry = (render.RenderPlanner(source, window),
+                                 threading.Lock())
+                        self._planners[key] = entry
+                    else:
+                        self._planners.move_to_end(key)
+                planner, plock = entry
+                with plock:
+                    data, wins = planner.render(item.frame_index,
+                                                item.frame_index + 1,
+                                                with_windows=True)
                 from canvas_tpu.basetypes import EMPTY_BOX2I, box2i
                 frame = RgbaFrameF16(window)
                 x0, y0, x1, y1 = (int(v) for v in wins[0])
@@ -142,5 +169,9 @@ class VideoPullQueue:
     def close(self):
         self._closed = True
         self._pool.shutdown(wait=False)
+        with self._planners_lock:
+            for (planner, _l) in self._planners.values():
+                planner.close()
+            self._planners.clear()
         if self._dispatch_queue is not None:
             self._dispatch_queue.put(None)

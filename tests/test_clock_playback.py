@@ -586,3 +586,45 @@ def test_mainwindow_playback_stall_alert():
             window.closeEvent(None)
     finally:
         qt_mod._qt = old
+
+
+def test_reverse_eviction_keeps_upcoming_frames():
+    """Ring eviction is direction-aware: in reverse playback the
+    HIGHEST (already-played) indices evict, never the lower batch just
+    rendered ahead of the playhead — the old lowest-first rule evicted
+    each reverse batch immediately after rendering it (permanent
+    livelock once the cache passed 2x ring_frames)."""
+    from canvas_tpu.playback import VideoPlaybackEngine
+    from canvas_tpu.sources import SolidColorVideoSource
+
+    clock = SystemPresentationClock()
+    engine = VideoPlaybackEngine(
+        SolidColorVideoSource((0.5, 0.2, 0.1, 1.0)), clock,
+        Fraction(10, 1), box2i(0, 0, 63, 47),
+        lambda idx, bgra: None, batch=4, ring_frames=4)
+    try:
+        engine._play_dir = -1
+        for hi in range(100, 80, -4):         # 100..84 descending batches
+            engine._render_batch(hi - 3, hi + 1)
+        cached = sorted(engine._cache)
+        # the most recent (lowest) reverse batch SURVIVES (the old
+        # lowest-first eviction deleted it -> livelock) and eviction
+        # trimmed from the HIGH end (frame 100 gone)
+        assert {81, 82, 83, 84} <= set(cached), cached
+        assert 100 not in cached, cached
+        assert len(cached) <= engine.ring_frames * 2
+
+        # forward direction still evicts from the LOW end
+        engine._play_dir = 1
+        with engine._lock:
+            engine._cache.clear()
+        for lo in range(0, 20, 4):
+            engine._render_batch(lo, lo + 4)
+        cached = sorted(engine._cache)
+        # the most recent (highest) forward batch survives; low end
+        # evicted
+        assert {16, 17, 18, 19} <= set(cached), cached
+        assert 0 not in cached, cached
+        assert len(cached) <= engine.ring_frames * 2
+    finally:
+        engine.stop()
