@@ -5,6 +5,7 @@ Behavioral rebuild of /root/reference/fluggo/editor/graph/audio.py:23-103.
 
 from canvas_tpu import process
 from canvas_tpu.editor import plugins
+from canvas_tpu.editor.graph.common import apply_geometry_update
 from canvas_tpu.editor.model import items as model_items
 from canvas_tpu.editor.model.connectors import AudioSourceRefConnector
 
@@ -92,7 +93,6 @@ class SpaceAudioManager(plugins.AudioStream):
             self.stream = stream
 
         def handle_updated(self, **kw):
-            from canvas_tpu.editor.graph.common import apply_geometry_update
             apply_geometry_update(self.workspace_item,
                                   self.owner.frames_updated, **kw)
 

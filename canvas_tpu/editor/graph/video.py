@@ -190,10 +190,8 @@ class SequenceVideoManager(plugins.VideoStream):
         self._handle_item_updated(item, offset=item.offset,
                                   source=item.source, length=item.length,
                                   transition_length=item.transition_length)
-
-        follower = self._watcher_at(item.index + 1)
-        if follower:
-            self.watchers[item.index].source_b.set_source(follower.connector)
+        # (_handle_item_updated's 'following' branch already aimed this
+        # item's source_b at the next clip's connector + offset)
 
     def _handle_items_removed(self, start, stop):
         dirty_lo = self.watchers[start].seq_item.x
@@ -225,7 +223,7 @@ class SequenceVideoManager(plugins.VideoStream):
             return
 
         watcher = self.watchers[item.index]
-        prev = self._watcher_at(item.index - 1) if item.index > 0 else None
+        prev = self._watcher_at(item.index - 1)
         following = self._watcher_at(item.index + 1)
 
         start_frame = item.x + item.transition_length

@@ -385,7 +385,11 @@ class Sequence(Item, ezlist.EZList):
         for item in self._items[start:]:
             item.fixup()
 
-        for item in (new_set - old_set):
+        # Emit in INDEX order: listeners (SequenceVideoManager) insert
+        # watcher lists by item.index, so a frozenset-ordered emission
+        # that delivers index N before its lower siblings exist crashes
+        # a multi-item splice (paste / undo-restore) mid-signal.
+        for item in sorted(new_set - old_set, key=lambda it: it.index):
             self._length += item.length - item.transition_length
             if item.index == 0:
                 self._length += item.transition_length

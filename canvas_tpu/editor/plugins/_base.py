@@ -88,6 +88,10 @@ class AlertPublisher:
         return list(self._alerts.values())
 
     def follow_alerts(self, publisher):
+        if publisher is None:
+            # source-less items (placeholders) have no stream to track;
+            # weakref.ref(None) would raise
+            return
         if self._tracked_publishers is None:
             self._tracked_publishers = weakref.WeakKeyDictionary()
         if publisher not in self._tracked_publishers:
@@ -95,7 +99,7 @@ class AlertPublisher:
                                                                 self)
 
     def unfollow_alerts(self, publisher):
-        if self._tracked_publishers is None:
+        if publisher is None or self._tracked_publishers is None:
             return
         tracker = self._tracked_publishers.pop(publisher, None)
         if tracker is not None:

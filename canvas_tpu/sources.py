@@ -496,10 +496,13 @@ class _WorkspaceBase:
         return self._items[i]
 
     def _composite_items(self, start, end):
-        """Items overlapping [start, end], bottom-to-top."""
+        """Items overlapping [start, end], bottom-to-top. Items with no
+        source (placeholders, unresolvable refs the graph layer adds as
+        None) contribute nothing."""
         with self._lock:
             active = [item for item in self._items
-                      if item._x <= end and start < item._x + item._length]
+                      if item._source is not None
+                      and item._x <= end and start < item._x + item._length]
         # cmpz sorts descending z (stable in insertion order), then the
         # composite loop walks the list in reverse: ascending z, and for
         # equal z, reverse insertion order (later-added below).

@@ -776,3 +776,44 @@ def test_edit_ranged_invalidation_reaches_planner():
                   else np.asarray(want.data, np.float16))
         np.testing.assert_array_equal(got[(i // 8) * 8][i % 8], expect,
                                       err_msg='frame %d' % i)
+
+
+def test_multi_item_splice_signals_in_index_order():
+    """A multi-item sequence splice (paste / undo-restore) must emit
+    item_added in INDEX order: the video manager inserts watcher lists
+    by item.index, and frozenset-ordered emission that delivered a high
+    index before its siblings crashed mid-signal (confirmed 166/200
+    trials before the fix)."""
+    slist = make_asset_list()
+    for _trial in range(50):
+        seq = model.Sequence(type='video', x=0, y=0.0, height=1.0, items=[
+            model.SequenceItem(source=model.AssetStreamRef('red', 'video'),
+                               length=10, offset=0, transition_length=0)])
+        manager = SequenceVideoManager(seq, slist, vidformat)
+        new = [model.SequenceItem(source=model.AssetStreamRef('green',
+                                                              'video'),
+                                  length=8, offset=0, transition_length=0)
+               for _ in range(3)]
+        seq[1:1] = new                       # crashes pre-fix
+        assert len(manager.watchers) == 4
+    # rendered output stays consistent with the model
+    color = getcolor(manager, 12)
+    assert color is not None
+
+
+def test_sourceless_video_item_degrades_to_empty():
+    """An item with neither Sequence type nor a source attribute (the
+    placeholder shape) must add as an EMPTY layer, not crash
+    follow_alerts with a weakref-to-None TypeError."""
+    space = model.Space('s', vidformat, plugins.AudioFormat())
+    mgr = SpaceVideoManager(space, make_asset_list())
+
+    class Bare(model.Item):
+        def type(self):
+            return 'video'
+
+    item = Bare(x=0, y=0.0, length=10, height=1.0)
+    space[0:0] = [item]                      # crashed pre-fix
+    assert getcolor(mgr, 5) is None          # renders empty
+    del space[0]
+    assert len(mgr.watchers) == 0
