@@ -129,8 +129,15 @@ class PlanarReconstructionFilter(VideoSource):
 
     def _geometry(self):
         if self._size is None:
+            if getattr(self, '_probe_failed', False):
+                return None
             image = self.source.get_frame(0, self.quality)
             if image is None:
+                # remember: re-probing per plan re-seeks+decodes on the
+                # prepare thread forever (a None frame 0 stays None for
+                # any real stream; pass width/height explicitly for
+                # streams that start late)
+                self._probe_failed = True
                 return None
             self._size = (image[0].shape[1], image[0].shape[0])
         return self._size
@@ -274,7 +281,8 @@ def _effective_quality(ctx, quality):
     return min(q, int(getattr(ctx.planner, 'quality', 10)))
 
 
-def _device_plane_stack(ctx, source, quality, cache, hint_ids=()):
+def _device_plane_stack(ctx, source, quality, cache, hint_ids=(),
+                        expect_y=None):
     """Segment-level device staging of coded planes.
 
     Returns ``((py, pcb, pcr), row_of)`` where the stacks are
@@ -298,18 +306,11 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=()):
         hinted.update(int(h) for h in all_hints.get(hid, ()))
 
     persist = ctx.planner.persistent_cache
-    if entry is None:
-        # replay hit: a loop/scrub over an already-staged segment keeps
-        # its device plane stacks alive — zero decode, zero H2D
-        got_p = persist.get(key + (tuple(sorted(set(needed) | hinted)),),
-                            source, serving=ctx.root_range)
-        if got_p is not None:
-            cache[key] = got_p
-            return got_p['stacks'], got_p['rows']
-
     frames = sorted(set(needed) | hinted |
                     (set(entry['rows']) if entry else set()))
     pkey = key + (tuple(frames),)
+    # replay hit: a loop/scrub over an already-staged segment keeps its
+    # device plane stacks alive — zero decode, zero H2D
     got_p = persist.get(pkey, source, serving=ctx.root_range)
     if got_p is not None:
         cache[key] = got_p
@@ -325,6 +326,12 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=()):
             planes = (np.asarray(image[0]), np.asarray(image[1]),
                       np.asarray(image[2]))
             cache[fkey] = planes
+        if not ys and expect_y is not None \
+                and tuple(planes[0].shape) != tuple(expect_y):
+            # declared geometry disagrees with the stream's actual
+            # decoded size: bail after ONE decode, before decoding and
+            # shipping the whole stack a post-hoc check would discard
+            return None
         if ys and (planes[0].shape != ys[0].shape
                    or planes[1].shape != cbs[0].shape
                    or planes[2].shape != crs[0].shape):
@@ -442,7 +449,8 @@ def _planar_emit(self, ctx):
         cache = ctx.planner._stage_cache = {}
     staged = _device_plane_stack(ctx, self.source,
                                  _effective_quality(ctx, self.quality),
-                                 cache, hint_ids=(id(self),))
+                                 cache, hint_ids=(id(self),),
+                                 expect_y=(yh, yw))
     if staged is None:
         return None
     (py, pcb, pcr), row_of = staged

@@ -11,7 +11,6 @@ Evaluation happens host-side; the batched render path calls
 the compiled device program.
 """
 
-import bisect
 
 import numpy as np
 
@@ -82,11 +81,18 @@ class LerpFunc(FrameFunction):
         s, e = list(start)[:4], list(end)[:4]
         self.start[:len(s)] = s
         self.end[:len(e)] = e
+        # The reference stores the endpoints as box2f (FLOAT32,
+        # basicframefuncs.c:105-167) and lerps those in double; keeping
+        # full-precision doubles here diverged by ~1e-8 — enough to
+        # flip a get_i32 at a half-integer boundary.
+        self.start = self.start.astype(np.float32).astype(np.float64)
+        self.end = self.end.astype(np.float32).astype(np.float64)
         self.length = float(length)
 
     def get_values_array(self, frames):
-        t = (frames / self.length)[:, None]
-        return t * (self.end - self.start) + self.start
+        f = np.asarray(frames, np.float64)[:, None]
+        # reference op order: frame * (e - s) / length + s
+        return f * (self.end - self.start) / self.length + self.start
 
 
 class AnimationPoint:
@@ -148,6 +154,12 @@ class AnimationFunc(FrameFunction):
     def __init__(self):
         self._points = []
         self._dirty = False
+        # The reference guards the curve with a reader/writer lock
+        # (AnimationFunc.c g_rw_lock): planning evaluates on the
+        # prepare thread while the editor mutates keyframes on the UI
+        # thread. get_values_array snapshots under this lock.
+        import threading
+        self._lock = threading.Lock()
 
     def add(self, type_or_point, frame=None, values=None):
         if isinstance(type_or_point, AnimationPoint):
@@ -155,21 +167,24 @@ class AnimationFunc(FrameFunction):
         else:
             point = AnimationPoint(type_or_point, frame, values)
         point._func = self
-        self._points.append(point)
-        self._dirty = True
+        with self._lock:
+            self._points.append(point)
+            self._dirty = True
         return point
 
     def remove(self, point):
-        self._points.remove(point)
+        with self._lock:
+            self._points.remove(point)
+            self._dirty = True
         point._func = None
-        self._dirty = True
 
     def __len__(self):
         return len(self._points)
 
     def __getitem__(self, index):
-        self._ensure_sorted()
-        return self._points[index]
+        with self._lock:
+            self._ensure_sorted()
+            return self._points[index]
 
     def _ensure_sorted(self):
         if self._dirty or any(
@@ -179,34 +194,42 @@ class AnimationFunc(FrameFunction):
             self._dirty = False
 
     def get_values_array(self, frames):
-        self._ensure_sorted()
+        frames = np.asarray(frames, np.float64)
         out = np.zeros((len(frames), 4), dtype=np.float64)
+        # Snapshot under the lock (concurrent editor mutations), then
+        # evaluate VECTORIZED — the per-frame bisect loop ran under the
+        # GIL on the prepare thread for every animated param of every
+        # batch.
+        with self._lock:
+            self._ensure_sorted()
+            if not self._points:
+                return out
+            keys = np.asarray([p._frame for p in self._points], np.float64)
+            vals = np.asarray([p._values for p in self._points], np.float64)
+            types = np.asarray([p.type for p in self._points])
+        P = len(keys)
 
-        if not self._points:
-            return out
+        idx = np.searchsorted(keys, frames, side='right') - 1
+        before = idx < 0
+        idxc = np.clip(idx, 0, P - 1)
+        has_right = idxc + 1 < P
+        ridx = np.minimum(idxc + 1, P - 1)
+        left_v, right_v = vals[idxc], vals[ridx]
+        left_f, right_f = keys[idxc], keys[ridx]
+        left_t = types[idxc]
 
-        keys = [p._frame for p in self._points]
-
-        for i, f in enumerate(frames):
-            # left = last point with point.frame <= f; right = the next one
-            idx = bisect.bisect_right(keys, f) - 1
-            if idx < 0:
-                out[i] = self._points[0]._values
-                continue
-            left = self._points[idx]
-            right = self._points[idx + 1] if idx + 1 < len(self._points) else None
-
-            if right is None or left.type == POINT_HOLD:
-                out[i] = left._values
-            elif left.type == POINT_LINEAR:
-                span = right._frame - left._frame
-                if span == 0:
-                    out[i] = right._values
-                else:
-                    t = (f - left._frame) / span
-                    out[i] = left._values * (1.0 - t) + right._values * t
-            # unknown type -> zeros (reference behavior)
-
+        hold = (~has_right) | (left_t == POINT_HOLD)
+        out[hold] = left_v[hold]
+        lin = has_right & (left_t == POINT_LINEAR)
+        span = right_f - left_f
+        zspan = lin & (span == 0)
+        out[zspan] = right_v[zspan]
+        lin &= span != 0
+        t = ((frames - left_f) / np.where(span == 0, 1.0, span))[:, None]
+        lerped = left_v * (1.0 - t) + right_v * t
+        out[lin] = lerped[lin]
+        # unknown types stay zeros (reference behavior)
+        out[before] = vals[0]
         return out
 
 

@@ -143,7 +143,7 @@ class _RgbaFrame(VideoSource):
             return None
         r = y - self.full_window.min.y
         c = x - self.full_window.min.x
-        vals = backend.asnumpy(self.data[:, r, c]).astype(np.float64)
+        vals = self._host_data()[:, r, c].astype(np.float64)
         return rgba(vals[0], vals[1], vals[2], vals[3])
 
     def to_numpy(self):
@@ -156,11 +156,24 @@ class _RgbaFrame(VideoSource):
     def __len__(self):
         return self.width * self.height
 
+    def _host_data(self):
+        """Host view of .data, fetched ONCE for device-resident frames
+        (each device element read costs a full round trip; iterating
+        the pixel protocol per-element was ~WxH round trips)."""
+        d = self.data
+        if isinstance(d, np.ndarray):
+            return d
+        cache = getattr(self, '_host_cache', None)
+        if cache is None or cache[0] is not d:
+            cache = (d, backend.asnumpy(d))
+            self._host_cache = cache
+        return cache[1]
+
     def __getitem__(self, i):
         if i < 0 or i >= len(self):
             raise IndexError('Index was out of range.')
         r, c = divmod(i, self.width)
-        vals = backend.asnumpy(self.data[:, r, c]).astype(np.float64)
+        vals = self._host_data()[:, r, c].astype(np.float64)
         return rgba(vals[0], vals[1], vals[2], vals[3])
 
     def to_argb_string(self):
@@ -168,11 +181,10 @@ class _RgbaFrame(VideoSource):
 
         Matches the reference's gamma45 LUT: u8 = clamp(x ** 0.45 * 255).
         """
-        arr = backend.asnumpy(self.data).astype(np.float32)
-        with np.errstate(invalid='ignore'):
-            ramped = np.clip(np.power(np.maximum(arr, 0.0), 0.45) * 255.0,
-                             0.0, 255.0)
-        ramped = np.nan_to_num(ramped, nan=0.0).astype(np.uint8)
+        from canvas_tpu.ops import color as color_ops
+        # one ramp implementation repo-wide (the LUT-parity contract;
+        # thumbnails and libav exports use the same helper)
+        ramped = color_ops.apply_gamma45_u8(backend.asnumpy(self.data))
         r, g, b, a = ramped[0], ramped[1], ramped[2], ramped[3]
         # ARGB32 little-endian byte order: B, G, R, A
         out = np.stack([b, g, r, a], axis=-1)
@@ -183,9 +195,16 @@ class _RgbaFrame(VideoSource):
     def _render_self(self, frame):
         copy_box = box2i_intersect(self.current_window, frame.full_window)
         src = self.data
-        frame.data = window_ops.convert(
+        out = window_ops.convert(
             window_ops.place(src, self.full_window, frame.full_window, copy_box),
             frame.dtype)
+        if out is src:
+            # place/convert are identity when windows and dtype match:
+            # the pulled frame must NOT alias this frame's stored array
+            # (callers may mutate their pull in place)
+            out = np.array(out, copy=True) if isinstance(out, np.ndarray) \
+                else out
+        frame.data = out
         frame.current_window = copy_box if not copy_box.empty() else EMPTY_BOX2I
 
     def __repr__(self):
