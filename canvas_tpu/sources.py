@@ -214,8 +214,8 @@ def _mask_outside(data, full_window, current_window):
 
 
 def _trunc(x):
-    """C (int) cast: truncate toward zero."""
-    return int(x) if x >= 0 else -int(-x)
+    """C-cast truncation toward zero (int() already truncates)."""
+    return int(x)
 
 
 class VideoScaler(VideoSource):
@@ -364,19 +364,29 @@ class VideoSequence(VideoSource):
         self.insert(len(self._items), value)
 
     def get_start_frame(self, i):
-        if i < 0 or i >= len(self._items):
-            raise IndexError('Index was out of range.')
-        return self._starts[i]
+        with self._lock:
+            if i < 0 or i >= len(self._items):
+                raise IndexError('Index was out of range.')
+            return self._starts[i]
 
     def __len__(self):
         return len(self._items)
 
     def __getitem__(self, i):
-        return self._items[i]
+        with self._lock:
+            return self._items[i]
 
     def __setitem__(self, i, value):
         value = self._check(value)
         with self._lock:
+            if i < 0:
+                # normalize BEFORE _recompute: a raw negative index
+                # rebuilt the prefix sums from range(-1, N) — starting
+                # the scan from the LAST item's start and corrupting
+                # every entry
+                i += len(self._items)
+            if not 0 <= i < len(self._items):
+                raise IndexError('Index was out of range.')
             self._items[i] = value
             self._recompute(i)
 
@@ -579,6 +589,15 @@ SolidColorVideoSource.emit = _solid_emit
 EmptyVideoSource.emit = lambda self, ctx: _emit_empty(ctx)
 
 
+def _cuts_of(source, start, stop):
+    """Child structure cuts; sources without plan_cuts (host-staged
+    custom VideoSources) contribute none — matching the hasattr guards
+    the sequence/workspace/scaler emitters already use."""
+    if source is None or not hasattr(source, 'plan_cuts'):
+        return ()
+    return source.plan_cuts(start, stop)
+
+
 def _pass_plan_cuts(self, start, stop):
     cuts = set()
     if self.start_frame is not None:
@@ -586,8 +605,8 @@ def _pass_plan_cuts(self, start, stop):
     if self.end_frame is not None:
         cuts.add(int(self.end_frame))
     if self._source is not None:
-        for c in self._source.plan_cuts(start + self.offset,
-                                        stop + self.offset):
+        for c in _cuts_of(self._source, start + self.offset,
+                          stop + self.offset):
             cuts.add(int(c) - self.offset)
     return cuts
 
@@ -609,8 +628,8 @@ VideoPassThroughFilter.emit = _pass_emit
 
 
 def _mix_plan_cuts(self, start, stop):
-    cuts = set(self.src_a.plan_cuts(start, stop))
-    cuts.update(self.src_b.plan_cuts(start, stop))
+    cuts = set(_cuts_of(self.src_a, start, stop))
+    cuts.update(_cuts_of(self.src_b, start, stop))
     return cuts
 
 
@@ -684,7 +703,7 @@ VideoMixFilter.emit = _mix_emit
 
 
 def _gain_plan_cuts(self, start, stop):
-    return self.source.plan_cuts(start, stop)
+    return _cuts_of(self.source, start, stop)
 
 
 def _gain_emit(self, ctx):
@@ -1139,14 +1158,27 @@ def _scaler_emit(self, ctx):
     constant = (not lq
                 and (tp_arr == tp_arr[0]).all()
                 and (sp_arr == sp_arr[0]).all()
-                and (f_arr == f_arr[0]).all())
+                and (f_arr == f_arr[0]).all()
+                and (rects == rects[0]).all())
 
     from canvas_tpu.render import tile_window, windows_to_array
+    # Taps must clip to content WITHIN the per-frame source_rect: the
+    # child is planned over the (quantized) fetch-union window, so its
+    # content windows can extend past a frame's rect — clipping taps
+    # only to content leaked cropped-away pixels into the output
+    # (diverging from the eager pull, which pulls a rect-clipped
+    # child).
     cwin = windows_to_array(child.windows)
+    cwin = np.stack([np.maximum(cwin[:, 0], rects[:, 0]),
+                     np.maximum(cwin[:, 1], rects[:, 1]),
+                     np.minimum(cwin[:, 2], rects[:, 2]),
+                     np.minimum(cwin[:, 3], rects[:, 3])], axis=1)
 
     if constant and (cwin == cwin[0]).all():
         cw0 = box2i(int(cwin[0, 0]), int(cwin[0, 1]),
                     int(cwin[0, 2]), int(cwin[0, 3]))
+        if cw0.empty():
+            return _emit_empty(ctx)
         plan = scale_ops.scale_plan(full, v2f(*tp_arr[0]), cw0,
                                     v2f(*sp_arr[0]), v2f(*f_arr[0]))
         if plan is None:
@@ -1249,11 +1281,15 @@ VideoScaler.emit = _scaler_emit
 
 
 def _transfer_plan_cuts(self, start, stop):
-    return self.source.plan_cuts(start, stop)
+    return _cuts_of(self.source, start, stop)
 
 
 def _transfer_emit(self, ctx):
     from canvas_tpu.render import Node
+    if self.source is None:
+        # the eager path renders empty for a None source; planning must
+        # agree instead of raising
+        return _emit_empty(ctx)
     child = ctx.plan(self.source)
     windows = child.windows
 

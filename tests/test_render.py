@@ -1516,3 +1516,26 @@ def test_iter_batches_yuv420_post_odd_dims():
     assert (y == y[0, 0]).all()
     cb = flat[:, h * w:h * w + h2 * w2]
     assert (cb == cb[0, 0]).all()
+
+
+def test_scaler_source_rect_crops_like_pull(any_backend):
+    """source_rect smaller than the child's content window must CROP in
+    the batched path exactly like the eager pull (taps clip to
+    content INTERSECT rect; the quantized fetch-union window previously
+    leaked cropped-away content — core-invariant regression)."""
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.sources import SolidColorVideoSource, VideoScaler
+
+    window = box2i(0, 0, 63, 63)
+    solid = SolidColorVideoSource((0.8, 0.2, 0.1, 1.0),
+                                  window=box2i(0, 0, 29, 29))
+    const = VideoScaler(solid, (0.0, 0.0), (0.0, 0.0), (0.25, 0.25),
+                        source_rect=box2i(0, 0, 9, 9))
+    assert_matches_pull(const, window=window, start=0, stop=2)
+
+    anim = VideoScaler(solid,
+                       target_point=LerpFunc((0, 0), (10, 8), 12),
+                       source_point=(0.0, 0.0),
+                       scale_factors=LerpFunc((0.25, 0.25), (0.8, 0.8), 12),
+                       source_rect=box2i(2, 3, 9, 9))
+    assert_matches_pull(anim, window=window, start=0, stop=8, atol=4e-3)

@@ -87,6 +87,15 @@ def random_source(rng, depth=0):
         h = rng.randint(16, 64)
         base = SolidColorVideoSource(random_color(rng),
                                      window=box2i(0, 0, w - 1, h - 1))
+        # sometimes CROP with source_rect smaller than the content
+        # window — the case that caught the tap-clip divergence
+        if rng.rand() < 0.4:
+            rect = box2i(int(rng.randint(0, w // 2)),
+                         int(rng.randint(0, h // 2)),
+                         int(rng.randint(w // 2, w)),
+                         int(rng.randint(h // 2, h)))
+        else:
+            rect = box2i(0, 0, w - 1, h - 1)
         return VideoScaler(
             base,
             target_point=LerpFunc(
@@ -98,7 +107,7 @@ def random_source(rng, depth=0):
                 (float(0.5 + rng.rand()), float(0.5 + rng.rand())),
                 (float(0.5 + rng.rand()), float(0.5 + rng.rand())),
                 LENGTH),
-            source_rect=box2i(0, 0, w - 1, h - 1))
+            source_rect=rect)
     if r < 0.95:
         seq = VideoSequence()
         for _ in range(rng.randint(1, 4)):

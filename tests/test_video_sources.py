@@ -245,3 +245,38 @@ class TestVideoSequence:
         check_color(f.pixel(0, 0), (0, 20, 0, 1))
         with pytest.raises(ValueError):
             seq.append((red, 0, -1))
+
+
+def test_sequence_setitem_negative_index():
+    """seq[-1] = ... must normalize the index before rebuilding the
+    prefix sums (a raw -1 rebuilt _starts from the last item's start,
+    corrupting every later lookup; on a 1-item sequence it raised)."""
+    from canvas_tpu.sources import SolidColorVideoSource, VideoSequence
+
+    s = SolidColorVideoSource((1, 0, 0, 1))
+    seq = VideoSequence([(s, 0, 5), (s, 0, 5)])
+    seq[-1] = (s, 0, 7)
+    assert [seq.get_start_frame(i) for i in range(2)] == [0, 5]
+    assert seq[1][2] == 7
+
+    one = VideoSequence([(s, 0, 5)])
+    one[-1] = (s, 0, 9)                     # raised IndexError pre-fix
+    assert one.get_start_frame(0) == 0
+
+    import pytest
+    with pytest.raises(IndexError):
+        seq[5] = (s, 0, 1)
+
+
+def test_transfer_filter_none_source_plans_empty(any_backend):
+    """VideoColorTransferFilter(None, ...) renders empty on the eager
+    path; planning the same graph must agree instead of raising."""
+    from canvas_tpu import render
+    from canvas_tpu.sources import (VideoColorTransferFilter,
+                                    VideoWorkspace)
+
+    ws = VideoWorkspace()
+    ws.add(source=VideoColorTransferFilter(None, 'linear_to_srgb'),
+           x=0, length=8, z=0)
+    out = np.asarray(render.render_frames(ws, box2i(0, 0, 31, 23), 0, 4))
+    assert (out == 0).all()
