@@ -118,6 +118,9 @@ def build_half_lut(fn, out_dtype=np.float16):
         return np.asarray(fn(_all_half_values())).astype(out_dtype)
 
 
+_device_tables = {}
+
+
 def apply_half_lut(arr, table):
     """Gather table[bits(x)] over an f16 array (half_lookup, half.c:98-107).
 
@@ -126,10 +129,17 @@ def apply_half_lut(arr, table):
     if backend.is_jax_array(arr):
         jax = backend.jax
         jnp = backend.jnp
-        table_j = jnp.asarray(table)
+        # device-resident table cache: re-uploading the 64K LUT per
+        # call cost a 128 KB H2D through the tunnel on every eager
+        # device-path transfer application
+        key = id(table)
+        got = _device_tables.get(key)
+        if got is None or got[0] is not table:
+            got = (table, jnp.asarray(table))
+            _device_tables[key] = got
         bits = jax.lax.bitcast_convert_type(
             arr.astype(jnp.float16), jnp.uint16).astype(jnp.int32)
-        return jnp.take(table_j, bits, axis=0)
+        return jnp.take(got[1], bits, axis=0)
     arr = np.asarray(arr, dtype=np.float16)
     return table[arr.view(np.uint16)]
 

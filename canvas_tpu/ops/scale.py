@@ -95,10 +95,14 @@ def axis_matrix(factor, t_lo, t_hi, s_lo, s_hi, t_point, s_point):
     """
     T = t_hi - t_lo + 1
     S = s_hi - s_lo + 1
+    if T <= 0 or S <= 0 or factor <= 0.0:
+        # guard BEFORE allocation: negative extents (intersections of
+        # disjoint boxes) must return the documented empty result, not
+        # raise from np.zeros
+        return (np.zeros((max(T, 0), max(S, 0)), dtype=np.float32),
+                np.zeros(max(T, 0), dtype=bool))
     W = np.zeros((T, S), dtype=np.float32)
     touched = np.zeros(T, dtype=bool)
-    if T <= 0 or S <= 0 or factor <= 0.0:
-        return W, touched
 
     # Both the upsample scatter (one filter per source sample,
     # video_scale.c:62-90) and downsample gather (one filter per target
@@ -125,18 +129,17 @@ def axis_taps(factor, t_lo, t_hi, s_lo, s_hi, t_point, s_point):
     support before clipping, filter.c:62-75).
     """
     T = t_hi - t_lo + 1
+    if T <= 0 or factor <= 0.0:
+        return (np.zeros((max(T, 0), 1), np.int32),
+                np.zeros((max(T, 0), 1), np.float32),
+                np.zeros(max(T, 0), bool))
     t = np.arange(t_lo, t_hi + 1, dtype=np.float64)
-    if factor > 1.0:
-        width = 1.0
-        g = (t - t_point) / factor + s_point
-        norm = False
-    else:
-        width = 1.0 / factor
-        g = (t - t_point) / factor + s_point
-        norm = True
+    width = 1.0 if factor > 1.0 else 1.0 / factor
+    norm = factor <= 1.0
+    g = (t - t_point) / factor + s_point
     left = np.floor(g - width).astype(np.int64) + 1
     right = np.ceil(g + width).astype(np.int64) - 1
-    K = int(max(1, (right - left).max() + 1)) if T else 1
+    K = int(max(1, (right - left).max() + 1))
     pos = left[:, None] + np.arange(K)[None, :]
     in_support = pos <= right[:, None]
     dist = np.abs(pos - g[:, None]) / width
@@ -148,39 +151,6 @@ def axis_taps(factor, t_lo, t_hi, s_lo, s_hi, t_point, s_point):
     w = np.where(in_window, w, 0.0).astype(np.float32)
     touched = (in_window & in_support & (np.where(in_support, 1.0 - dist, 0.0) != 0.0)).any(axis=1)
     pos = np.clip(pos, s_lo, s_hi).astype(np.int32)
-    return pos, w, touched
-
-
-def axis_taps_batch(factors, t_lo, t_hi, s_los, s_his, t_points, s_points):
-    """Vectorized :func:`axis_taps` over a batch of per-frame parameters.
-
-    factors/s_los/s_his/t_points/s_points: arrays of shape (B,). Returns
-    (pos (B, T, K) int32, w (B, T, K) f32, touched (B, T) bool) with one
-    shared K = max over the batch (extra taps have weight 0).
-    """
-    factors = np.asarray(factors, np.float64)
-    t = np.arange(t_lo, t_hi + 1, dtype=np.float64)[None, :]   # (1, T)
-    f = factors[:, None]
-    width = np.where(f > 1.0, 1.0, 1.0 / f)
-    g = (t - np.asarray(t_points, np.float64)[:, None]) / f + \
-        np.asarray(s_points, np.float64)[:, None]              # (B, T)
-    left = np.floor(g - width).astype(np.int64) + 1
-    right = np.ceil(g + width).astype(np.int64) - 1
-    K = int(max(1, (right - left).max() + 1))
-    pos = left[:, :, None] + np.arange(K)[None, None, :]
-    in_support = pos <= right[:, :, None]
-    dist = np.abs(pos - g[:, :, None]) / width[:, :, None]
-    w = np.where(in_support, 1.0 - dist, 0.0).astype(np.float32)
-    norm = (factors <= 1.0)[:, None, None]
-    sums = w.sum(axis=2, keepdims=True)
-    w = np.where(norm & (sums != 0.0),
-                 w / np.where(sums != 0.0, sums, 1.0), w)
-    lo = np.asarray(s_los, np.int64)[:, None, None]
-    hi = np.asarray(s_his, np.int64)[:, None, None]
-    in_window = (pos >= lo) & (pos <= hi)
-    w = np.where(in_window, w, 0.0).astype(np.float32)
-    touched = (in_window & in_support).any(axis=2)
-    pos = np.clip(pos, lo, hi).astype(np.int32)
     return pos, w, touched
 
 

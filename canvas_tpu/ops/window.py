@@ -112,6 +112,12 @@ def place(src, src_window, dst_window, copy_box):
         return np.zeros(dst_shape, dtype=src.dtype)
 
     if src_window == dst_window:
+        # Identity mapping (value-correct under the caller contract:
+        # copy_box == intersect(current, dst) and data is zero outside
+        # current). Return a COPY for mutable numpy arrays so a pulled
+        # frame never aliases a stored one; jax arrays are immutable.
+        if isinstance(src, np.ndarray):
+            return src.copy()
         return src
 
     src_sl = window_slices(src_window, copy_box)

@@ -182,3 +182,16 @@ def test_lanczos_weights_basic():
     # downsampling normalizes to unit sum
     coeff, _ = scale.lanczos_weights(0.5, 2, 0.3)
     assert coeff.sum() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_axis_matrix_empty_ranges_return_empty():
+    """Negative-extent ranges (intersections of disjoint boxes) return
+    the documented empty result instead of raising from np.zeros."""
+    from canvas_tpu.ops import scale
+
+    W, touched = scale.axis_matrix(2.0, 5, 0, 0, 9, 0.0, 0.0)
+    assert W.shape == (0, 10) and touched.shape == (0,)
+    pos, w, t = scale.axis_taps(2.0, 5, 0, 0, 9, 0.0, 0.0)
+    assert pos.shape[0] == 0 and w.shape[0] == 0 and t.shape == (0,)
+    W2, t2 = scale.axis_matrix(2.0, 0, 5, 9, 0, 0.0, 0.0)
+    assert W2.shape == (6, 0) and not t2.any()

@@ -280,3 +280,17 @@ def test_transfer_filter_none_source_plans_empty(any_backend):
            x=0, length=8, z=0)
     out = np.asarray(render.render_frames(ws, box2i(0, 0, 31, 23), 0, 4))
     assert (out == 0).all()
+
+
+def test_over_stack_matches_sequential_over():
+    """mix.over_stack (the public fold kernel) == folding mix.over
+    pairwise — golden for the otherwise-unexercised stack form."""
+    from canvas_tpu.ops import mix as mix_ops
+
+    rng = np.random.RandomState(3)
+    layers = rng.rand(4, 4, 6, 8).astype(np.float32)
+    got = np.asarray(mix_ops.over_stack(layers))
+    acc = layers[0]
+    for i in range(1, layers.shape[0]):
+        acc = np.asarray(mix_ops.over(acc, layers[i], 1.0))
+    np.testing.assert_allclose(got, acc, atol=1e-5)
