@@ -430,12 +430,20 @@ def mix_add_pull_direct(ghost, source, offset):
     source._render(ghost)
     if ghost.data is not view:
         # the source ASSIGNED frame.data, severing the parent view;
-        # copy its samples back through the view (same fix as
-        # mix_add_pull)
-        data = np.asarray(ghost.data, np.float32)
-        view[:, :data.shape[1]] = data[:view.shape[0]]
-        if data.shape[1] < view.shape[1]:
-            view[:, data.shape[1]:] = 0.0
+        # copy its samples back through the view, window-bounded and
+        # channel-adapted like mix_add_pull (a source assigning more
+        # channels or fewer rows than pulled crashed the raw slice
+        # assignment here)
+        rendered = np.asarray(ghost.data, np.float32)
+        view[:] = 0.0
+        if not ghost.empty:
+            lo = max(ghost.current_min_sample, ghost.full_min_sample)
+            hi = min(ghost.current_max_sample, ghost.full_max_sample)
+            if hi >= lo:
+                view[ghost._row(lo):ghost._row(hi) + 1] = \
+                    _adapt_channels(rendered[ghost._row(lo):
+                                             ghost._row(hi) + 1],
+                                    ghost.channels)
         ghost.data = view
     # zero anything the source didn't provide
     if ghost.empty:

@@ -112,10 +112,17 @@ def probe_device(timeout=None):
     import subprocess
     import sys
     try:
+        # The child must probe the SAME platform the parent will use:
+        # an in-process jax.config.update('jax_platforms', ...) is not
+        # inherited through the environment, and a child probing jax's
+        # default CPU would report a down tunnel as reachable.
+        env = dict(os.environ)
+        if platforms:
+            env['JAX_PLATFORMS'] = platforms
         _probe_result = subprocess.run(
             [sys.executable, '-c', 'import jax; jax.devices()'],
             timeout=timeout, stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL).returncode == 0
+            stderr=subprocess.DEVNULL, env=env).returncode == 0
     except Exception:
         _probe_result = False
     return _probe_result
@@ -201,9 +208,13 @@ def use_jax_for(shape):
 
 
 def is_jax_array(arr):
-    if _jax is None:
+    # load on demand: jax may have been imported outside this module
+    # (sitecustomize imports it at interpreter start on this rig), and
+    # a stale None here silently routed device arrays down numpy paths
+    jax = _jax if _jax is not None else _load_jax()
+    if jax is None:
         return False
-    return isinstance(arr, _jax.Array)
+    return isinstance(arr, jax.Array)
 
 
 def asnumpy(arr):
@@ -220,6 +231,7 @@ def asnumpy(arr):
 #: the render planner). Tests use this to assert that cached replays
 #: cross the link zero times; benchmarks report it per config.
 transfer_stats = {'h2d_bytes': 0, 'h2d_calls': 0}
+_stats_lock = threading.Lock()
 
 
 def stage_to_device(host_array, mesh=None):
@@ -229,11 +241,19 @@ def stage_to_device(host_array, mesh=None):
     here so `transfer_stats` reflects real H2D traffic; replicates over
     *mesh* when sharded programs will consume the array."""
     ensure_initialized()
-    _load_jax()
-    transfer_stats['h2d_bytes'] += int(host_array.nbytes)
-    transfer_stats['h2d_calls'] += 1
+    jax = _load_jax()
+    if jax is None:
+        raise RuntimeError('JAX is not available')
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
-        return _jax.device_put(
+        out = jax.device_put(
             host_array, NamedSharding(mesh, PartitionSpec()))
-    return _jax.device_put(host_array)
+    else:
+        out = jax.device_put(host_array)
+    # count AFTER device_put succeeds (a failed staging must not leave
+    # phantom traffic in the zero-H2D replay assertions), under the
+    # stats lock (prepare thread and main thread both stage)
+    with _stats_lock:
+        transfer_stats['h2d_bytes'] += int(host_array.nbytes)
+        transfer_stats['h2d_calls'] += 1
+    return out

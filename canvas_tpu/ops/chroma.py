@@ -230,10 +230,14 @@ def _up_matrix_generic(n_full, n_sub, siting=0.0):
                     i = x * factor + (k - center)
                     if 0 <= i < n_full:
                         W[i, x] += w
-            if siting != 0.0:
-                sums = W.sum(axis=1, keepdims=True)
-                W = np.where(sums > 0.0, W / np.where(sums > 0.0, sums, 1.0),
-                             W).astype(np.float32)
+            # Renormalize EVERY geometry's edge rows (not just sited
+            # ones): co-sited factor>1 matrices lose triangle support
+            # past the last chroma sample, which halved Cb/Cr toward
+            # gray at the right/bottom edge of decoded 4:2:0/4:2:2
+            # frames. (The DV path has its own reference-exact matrix.)
+            sums = W.sum(axis=1, keepdims=True)
+            W = np.where(sums > 0.0, W / np.where(sums > 0.0, sums, 1.0),
+                         W).astype(np.float32)
         _matrix_cache[key] = W
     return W
 

@@ -390,13 +390,29 @@ def test_reconstruct_planar_geometries(any_backend):
                                        reconstruct_planar_full)
 
     rng = np.random.RandomState(11)
-    # 4:1:1 equivalence with the DV kernel (identity vertical factor)
+    # 4:1:1 equivalence with the DV kernel AWAY FROM THE RIGHT EDGE
+    # (identity vertical factor). At the edge the two intentionally
+    # differ: the DV kernel is reference-exact (clipped taps lose
+    # weight, video_reconstruct.c:85-109) while the generic path
+    # renormalizes like the swscale pipeline it replaced — without it,
+    # decoded 4:2:0/4:2:2 frames desaturated toward gray along the
+    # last columns/rows.
     y = rng.randint(16, 236, (480, 720)).astype(np.uint8)
     cb = rng.randint(16, 241, (480, 180)).astype(np.uint8)
     cr = rng.randint(16, 241, (480, 180)).astype(np.uint8)
     np.testing.assert_array_equal(
-        reconstruct_planar_full(y, cb, cr).view(np.uint16),
-        reconstruct_dv_full(y, cb, cr).view(np.uint16))
+        reconstruct_planar_full(y, cb, cr)[:, :, :-3].view(np.uint16),
+        reconstruct_dv_full(y, cb, cr)[:, :, :-3].view(np.uint16))
+    # full chroma weight at the edge: CONSTANT y+chroma input must
+    # reconstruct constant color all the way to the last column (the
+    # un-renormalized matrix halved the final columns' chroma toward
+    # gray)
+    y_c = np.full((8, 720), 128, np.uint8)
+    cb_c = np.full((8, 180), 200, np.uint8)
+    out_c = reconstruct_planar_full(y_c, cb_c, cb_c).astype(np.float32)
+    for ch in range(3):
+        np.testing.assert_allclose(out_c[ch, :, -1], out_c[ch, :, 360],
+                                   rtol=1e-3, atol=1e-3)
 
     # other geometries produce full-size output with sane values
     for (cs, name) in (((24, 32), '420'), ((48, 32), '422'),
