@@ -323,6 +323,9 @@ class AddOverlapItemsToSequenceCommand(UndoCommand):
                 return None
             return _Placement(_min, _max, index)
 
+        if not len(self.sequence):
+            # empty sequence: anything fits at index 0 anywhere
+            return _Placement(None, None, 0)
         prev_item = self.sequence[-1]
         prev_prev_item = prev_item and prev_item.previous_item()
         _min = max(
@@ -587,7 +590,13 @@ class RemoveItemsFromSequenceCommand(UndoCommand):
                               self)
         else:
             items = sorted(items, key=lambda a: a.index)
-            for group in _split_sequence_items_by_adjacency(items):
+            # Remove groups in DESCENDING index order: children cache
+            # original_sequence_index at construction, and removing an
+            # earlier group first shifts later groups' indexes — the
+            # reference's ascending order silently skipped later groups
+            # and duplicated items on undo.
+            for group in reversed(
+                    _split_sequence_items_by_adjacency(items)):
                 RemoveAdjacentItemsFromSequenceCommand(group, parent=self)
 
 

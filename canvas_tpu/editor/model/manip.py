@@ -145,7 +145,12 @@ class _SpaceToSequenceMixin:
         if self.seq_add_op:
             self.seq_add_op.undo()
             self.seq_add_op = None
-        if self.swap_anchor_op:
+        # The anchor swap belongs WITH the space removal (both exist
+        # iff the item left the space, and followers' anchors target
+        # self.seq_item, which every re-add reuses): undoing it on a
+        # partial back-out (undo_remove=False) left followers anchored
+        # to a space-less item, and nothing recreated the swap.
+        if undo_remove and self.swap_anchor_op:
             self.swap_anchor_op.undo()
             self.swap_anchor_op = None
         if undo_remove and self.space_remove_op:
@@ -426,7 +431,13 @@ class ItemManipulator:
         if isinstance(primary, SequenceItem) and primary not in items:
             primary = primary.sequence
 
-        items.remove(primary)
+        # A SequenceItem primary stays in the set so the per-sequence
+        # grouping below includes it in its OWN adjacency group —
+        # removing it built the group from its siblings only, and the
+        # grabbed item never moved (and a split selection produced a
+        # non-adjacent group that raised mid-gesture).
+        if not isinstance(primary, SequenceItem):
+            items.remove(primary)
 
         seq_items = set(i for i in items if isinstance(i, SequenceItem))
         items = set(i for i in items if isinstance(i, Item))

@@ -171,6 +171,7 @@ def _space_represent(dumper, data):
     # there loses them); serialize both so round trips keep the
     # space's frame/sample rates.
     return dumper.represent_mapping('!CanvasSpace', {
+        'name': data.name,
         'items': data._items,
         'video_format': data._video_format,
         'audio_format': data._audio_format})
@@ -178,7 +179,7 @@ def _space_represent(dumper, data):
 
 def _space_construct(loader, node):
     mapping = loader.construct_mapping(node)
-    result = Space('', mapping.get('video_format'),
+    result = Space(mapping.get('name', ''), mapping.get('video_format'),
                    mapping.get('audio_format'))
     result._items = mapping['items']
     return result

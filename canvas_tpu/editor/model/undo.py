@@ -59,6 +59,7 @@ class UndoStack:
         self.clean_changed = Signal()
 
     def push(self, command):
+        was_clean = self.is_clean()
         # Drop the redo tail
         del self._commands[self._index:]
         if self._clean_index > self._index:
@@ -66,7 +67,11 @@ class UndoStack:
 
         command.redo()
 
-        if (self._commands and self._index > 0):
+        # Merging is forbidden AT the clean index (QUndoStack): merging
+        # into the saved-state command would make a dirty document
+        # report clean and undo past the save point in one step.
+        if (self._commands and self._index > 0
+                and self._index != self._clean_index):
             prev = self._commands[self._index - 1]
             if (prev.id() != -1 and prev.id() == command.id() and
                     prev.mergeWith(command) is not False):
@@ -76,6 +81,8 @@ class UndoStack:
         self._commands.append(command)
         self._index += 1
         self.index_changed(self._index)
+        if was_clean:
+            self.clean_changed(False)
 
     def can_undo(self):
         return self._index > 0
@@ -86,18 +93,26 @@ class UndoStack:
     def undo(self):
         if not self.can_undo():
             return
+        was_clean = self.is_clean()
         self._index -= 1
         self._commands[self._index].undo()
         self.index_changed(self._index)
         if self._index == self._clean_index:
             self.clean_changed(True)
+        elif was_clean:
+            self.clean_changed(False)
 
     def redo(self):
         if not self.can_redo():
             return
+        was_clean = self.is_clean()
         self._commands[self._index].redo()
         self._index += 1
         self.index_changed(self._index)
+        if self._index == self._clean_index:
+            self.clean_changed(True)
+        elif was_clean:
+            self.clean_changed(False)
 
     def undo_text(self):
         return self._commands[self._index - 1].text() if self.can_undo() \
@@ -121,6 +136,9 @@ class UndoStack:
         self.clean_changed(True)
 
     def clear(self):
+        was_clean = self.is_clean()
         self._commands = []
         self._index = 0
         self._clean_index = 0
+        if not was_clean:
+            self.clean_changed(True)

@@ -990,3 +990,80 @@ def test_random_drag_gestures_undo_redo_roundtrip(seed):
     while stack.can_redo():
         stack.redo()
     assert snapshot(space) == done
+
+
+def test_item_manipulator_primary_in_own_group():
+    """Grabbing one of several selected ADJACENT sequence items must
+    include the grabbed item in its group manipulator: the old code
+    removed the primary from the set first, so dragging moved only the
+    siblings while the item under the cursor stayed put."""
+    space = make_space()
+    seq = make_sequence(x=0)
+    space[0:0] = [seq]
+
+    a, b = seq[0], seq[1]
+    xs_before = (a.x, b.x)
+    manip = ItemManipulator([b, a], grab_x=float(b.x), grab_y=0.0)
+    manip.set_space_item(space, 50.0, 2.0)
+    # BOTH items left the sequence together (a 2-item group extracts
+    # as a new sequence in the space)
+    assert len(seq) == 1
+    extracted = [i for i in space
+                 if i is not seq and i.type() == 'video']
+    assert extracted and sum(
+        len(i) if isinstance(i, model.Sequence) else 1
+        for i in extracted) == 2
+    command = manip.finish()
+    command.undo()
+    assert len(seq) == 3
+    assert (seq[0].x, seq[1].x) == xs_before
+
+
+def test_remove_nonadjacent_groups_round_trips():
+    """Removing non-adjacent groups from a sequence must remove ALL of
+    them and undo back to the original (ascending-order removal
+    silently skipped later groups and duplicated items on undo)."""
+    space = make_space()
+    seq = model.Sequence(type='video', x=0, y=0.0, height=1.0, items=[
+        model.SequenceItem(source=model.AssetStreamRef(n, 'video'),
+                           offset=0, length=10)
+        for n in ('red', 'green', 'blue', 'red', 'green')])
+    space[0:0] = [seq]
+
+    from canvas_tpu.editor.model.commands import \
+        RemoveItemsFromSequenceCommand
+    # remove indexes {0, 1, 3, 4}: two adjacency groups around 'blue'
+    cmd = RemoveItemsFromSequenceCommand([seq[0], seq[1], seq[3], seq[4]])
+    cmd.redo()
+    assert len(seq) == 1
+    assert seq[0].source.asset_path == 'blue'
+    cmd.undo()
+    assert [i.source.asset_path for i in seq] == \
+        ['red', 'green', 'blue', 'red', 'green']
+
+
+def test_undo_stack_clean_semantics():
+    """QUndoStack semantics: no merging at the clean index, and
+    clean_changed fires on every transition."""
+    from canvas_tpu.editor.model.undo import UndoStack
+
+    space = make_space()
+    clip = make_clip()
+    space[0:0] = [clip]
+
+    from canvas_tpu.editor.model.commands import AdjustClipLengthCommand
+    stack = UndoStack()
+    events = []
+    stack.clean_changed.connect(lambda v: events.append(v))
+
+    stack.push(AdjustClipLengthCommand(clip, 2))
+    stack.set_clean()
+    assert stack.is_clean() and events[-1] is True
+    stack.push(AdjustClipLengthCommand(clip, 3))   # same id: would merge
+    assert not stack.is_clean(), 'merged into the saved-state command'
+    assert events[-1] is False
+    stack.undo()
+    assert stack.is_clean() and events[-1] is True
+    assert clip.length == 12                       # back AT the save point
+    stack.redo()
+    assert not stack.is_clean() and events[-1] is False
