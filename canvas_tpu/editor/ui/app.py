@@ -89,8 +89,10 @@ class SpaceEditor:
             scale=_fractions.Fraction(transform.pixels_per_second) /
             _fractions.Fraction(rate),
             frame_rate=rate)
-        ruler.set_left_frame(process.get_time_frame(
-            rate, int(transform.scroll_x * 1_000_000_000)))
+        # fractional: ticks must align with content drawn at the
+        # un-quantized scroll offset (one frame-width of drift per
+        # fractional scroll otherwise, amplified by zoom)
+        ruler.set_left_frame(float(transform.scroll_x * rate))
         painter = CanvasPainter(self.scene, transform, ruler=ruler)
         playhead = process.get_time_frame(
             rate, self.app.clock.get_presentation_time())

@@ -128,18 +128,34 @@ class DragController:
     (ui/canvas/scene.py drag-drop role): start -> move(s) -> drop/cancel.
     """
 
-    def __init__(self, scene, undo_stack):
+    def __init__(self, scene, undo_stack, transform=None):
         self.scene = scene
         self.undo_stack = undo_stack
         self.manipulator = None
+        #: Optional ViewTransformModel: when set, space drags snap to
+        #: nearby item edges and show a SnapMarker (the reference
+        #: view's snap bars — previously built+painted but unwired).
+        self.transform = transform
 
     def start(self, item, grab_x_seconds, grab_y):
         items = [item] + [i for i in self.scene.selected_items if i != item]
+        self._dragged = frozenset(items)
         self.manipulator = ItemManipulator(items, grab_x_seconds, grab_y)
         self._moved = False
 
+    def _snap(self, x_seconds):
+        if self.transform is None:
+            return x_seconds
+        snapped = self.scene.snap_x(
+            x_seconds, exclude=getattr(self, '_dragged', ()))
+        self.transform.clear_markers()
+        if snapped != x_seconds:
+            self.transform.add_marker(SnapMarker('x', snapped))
+        return snapped
+
     def move_to_space(self, x_seconds, y):
         if self.manipulator:
+            x_seconds = self._snap(float(x_seconds))
             self.manipulator.set_space_item(self.scene.space, x_seconds, y)
             self._moved = True
 
@@ -158,8 +174,23 @@ class DragController:
             # an empty command (review find: crashed on clip click)
             self.cancel()
             return None
-        command = self.manipulator.finish()
+        try:
+            command = self.manipulator.finish()
+        except Exception:
+            # a finish() that cannot complete (e.g. removed-from-space
+            # without a valid add) must not leave the controller
+            # mid-drag: roll the gesture back and clear state so the
+            # next press starts clean
+            try:
+                self.manipulator.reset()
+            except Exception:
+                pass
+            self.manipulator = None
+            self._moved = False
+            raise
         self.manipulator = None
+        if self.transform is not None:
+            self.transform.clear_markers()
         if command is not None:
             # Already executed; the stack only records it
             from canvas_tpu.editor.model.undo import UndoCommand
@@ -186,6 +217,8 @@ class DragController:
         if self.manipulator:
             self.manipulator.reset()
             self.manipulator = None
+        if self.transform is not None:
+            self.transform.clear_markers()
 
 
 class ViewTransformModel:

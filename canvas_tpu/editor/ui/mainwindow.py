@@ -46,6 +46,9 @@ def create_main_window(app=None, binding=None):
             super().__init__(parent)
             self.editor = editor
             self.transform = ViewTransformModel()
+            # snap-to-edges: drags through this widget show snap bars
+            # and quantize to neighbor edges (DragController._snap)
+            editor.drag.transform = self.transform
             self._image = None
             self._drag_active = False
             self._thumb_painters = {}     # item -> ThumbnailPainter
@@ -57,6 +60,13 @@ def create_main_window(app=None, binding=None):
             clip; refresh as each thumbnail lands. The pull window
             comes from the stream format's full_frame unless given."""
             from canvas_tpu.editor.ui import ThumbnailPainter
+            # ONE shared pull queue for every clip's painter: a private
+            # queue per clip costs 3 threads + a device probe + its own
+            # planner cache each (50 clips -> ~150 threads)
+            queue = getattr(self, '_thumb_queue', None)
+            if queue is None:
+                from canvas_tpu.pullqueue import VideoPullQueue
+                queue = self._thumb_queue = VideoPullQueue()
             for item in self.editor.space:
                 if item in self._thumb_painters or \
                         item.type() != 'video':
@@ -69,7 +79,8 @@ def create_main_window(app=None, binding=None):
                     fmt = getattr(stream, 'format', None)
                     win = getattr(fmt, 'full_frame', None)
                 painter = ThumbnailPainter(stream=stream, size=size,
-                                           count=1, window=win)
+                                           count=1, window=win,
+                                           queue=queue)
                 painter.set_range(item.offset, max(1, item.length))
                 painter.thumbnail_ready.connect(
                     lambda *_a: self._thumbs_changed.emit())
@@ -186,9 +197,13 @@ def create_main_window(app=None, binding=None):
                 self.refresh()
                 return
             if self._drag_active:
-                self.editor.drag.drop()
-                self._drag_active = False
-                self.refresh()
+                try:
+                    self.editor.drag.drop()
+                finally:
+                    # a failed finish() rolls the gesture back inside
+                    # drop(); the widget must still leave drag mode
+                    self._drag_active = False
+                    self.refresh()
 
         def wheel(self, px, steps):
             """Zoom the timeline about the cursor (view.py:172-187
@@ -350,6 +365,8 @@ def create_main_window(app=None, binding=None):
 
         def _register_editor(self, name, editor):
             widget = TimelineWidget(editor)
+            self._timeline_widgets = getattr(self, '_timeline_widgets', [])
+            self._timeline_widgets.append(widget)
             # ruler scrubbing degrades the ACTIVE preview engine while
             # dragging (quality hint); resolved lazily since the
             # preview widget swaps with the active tab
@@ -509,6 +526,12 @@ def create_main_window(app=None, binding=None):
         def closeEvent(self, event):
             if self.video_widget is not None:
                 self.video_widget.close()
+            # tear down each timeline's shared thumbnail pull queue
+            for widget in getattr(self, '_timeline_widgets', []):
+                queue = getattr(widget, '_thumb_queue', None)
+                if queue is not None:
+                    queue.close()
+                    widget._thumb_queue = None
             # event is None when teardown is driven programmatically
             # (scripts/editor.py's finally, tests): a real Qt
             # super().closeEvent would dereference the null QCloseEvent

@@ -140,27 +140,41 @@ class CanvasPainter:
             x1, y1 = self.transform.scene_to_view(x + w, y + h)
             y0 += top
             y1 += top
-            y0 = max(y0, top)
             if x1 <= 0 or x0 >= width_px or y1 <= top or y0 >= height_px:
                 continue
+            # CLIP to the viewport instead of re-anchoring: cy0 is the
+            # clip's TRUE top (possibly above the ruler line) — the
+            # title bar scrolls out of view with the clip, and the
+            # thumbnail keeps its true geometry and crops (clamping
+            # before the blit made it re-anchor and re-scale while
+            # scrolling).
+            cy0 = y0
+            y0 = max(y0, top)
             kind = view.item.type() if callable(
                 getattr(view.item, 'type', None)) else 'video'
             body = t['clip_audio'] if kind == 'audio' else t['clip_video']
             _fill(buf, x0, y0, x1, y1, body)
-            _fill(buf, x0, y0, x1, min(y0 + self.title_height, y1),
+            _fill(buf, x0, max(cy0, top), x1,
+                  min(max(cy0 + self.title_height, top), y1),
                   t['clip_title'])
             thumb = (thumbnails or {}).get(view.item)
             if thumb is not None:
                 self._blit_thumb(buf, thumb,
-                                 x0, y0 + self.title_height, x1, y1)
+                                 x0, cy0 + self.title_height, x1, y1,
+                                 clip_top=top)
             _outline(buf, x0, y0, x1, y1,
                      t['selection'] if view.selected else t['clip_border'])
 
-        # Snap markers
+        # Snap markers ('x' = vertical bar at a time, 'y' = horizontal
+        # bar at a lane — the reference's Horizontal/VerticalSnapMarker
+        # pair; 'y' was silently dropped)
         for marker in getattr(self.transform, 'markers', ()):
             if marker.axis == 'x':
                 px = self.transform.scene_to_view(marker.position, 0)[0]
                 _fill(buf, px, top, px + 1, height_px, t['snap'])
+            elif marker.axis == 'y':
+                py = self.transform.scene_to_view(0, marker.position)[1]
+                _fill(buf, 0, top + py, width_px, top + py + 1, t['snap'])
 
         # Ruler strip
         if self.ruler is not None:
@@ -185,17 +199,28 @@ class CanvasPainter:
         return buf
 
     @staticmethod
-    def _blit_thumb(buf, thumb, x0, y0, x1, y1):
-        """Nearest-neighbor blit of a BGRA thumb into the clip body."""
-        x0, y0 = max(0, int(x0)), max(0, int(y0))
-        x1 = min(buf.shape[1], int(x1))
-        y1 = min(buf.shape[0], int(y1))
-        w, h = x1 - x0, y1 - y0
-        if w <= 1 or h <= 1:
-            return
+    def _blit_thumb(buf, thumb, x0, y0, x1, y1, clip_top=0):
+        """Nearest-neighbor blit of a BGRA thumb into the clip body.
+
+        x0/y0 are the thumb's TRUE anchor (may lie off-viewport); the
+        blit crops to the buffer instead of re-anchoring, so a clip
+        scrolling off-screen shows a cropped thumbnail at stable
+        scale."""
+        x0, y0, x1, y1 = int(x0), int(y0), int(x1), int(y1)
         th, tw = thumb.shape[:2]
-        # keep thumb aspect, anchor left
-        w = min(w, max(1, int(h * tw / th)))
+        h = y1 - y0
+        if h <= 1 or x1 - x0 <= 1:
+            return
+        w = max(1, int(h * tw / th))          # aspect from TRUE height
+        w = min(w, x1 - x0)
         ys = (np.arange(h) * th // h)
         xs = (np.arange(w) * tw // w)
-        buf[y0:y0 + h, x0:x0 + w] = thumb[ys][:, xs]
+        # crop source rows/cols for the off-viewport part
+        vy0 = max(y0, int(clip_top), 0)
+        vx0 = max(x0, 0)
+        vy1 = min(y0 + h, buf.shape[0])
+        vx1 = min(x0 + w, buf.shape[1])
+        if vy1 <= vy0 or vx1 <= vx0:
+            return
+        buf[vy0:vy1, vx0:vx1] = \
+            thumb[ys[vy0 - y0:vy1 - y0]][:, xs[vx0 - x0:vx1 - x0]]

@@ -51,7 +51,10 @@ class TimeRulerModel:
             self.minor_tick = self.medium_tick
 
     def set_left_frame(self, frame):
-        self.left_frame = int(frame)
+        # fractional frames supported: the timeline scrolls in float
+        # seconds, and quantizing here shifted every tick/label up to a
+        # frame-width off the content drawn at the unquantized offset
+        self.left_frame = frame if isinstance(frame, float) else int(frame)
 
     def frame_at_x(self, x):
         """Pixel x -> frame (ruler.py:56-60)."""
@@ -67,7 +70,9 @@ class TimeRulerModel:
         first = self.left_frame
         last = self.frame_at_x(width_px)
         result = []
-        frame = (first // self.minor_tick) * self.minor_tick
+        import math
+        frame = (int(math.floor(first)) // self.minor_tick) \
+            * self.minor_tick
         while frame <= last:
             if frame >= first:
                 x = self.x_at_frame(frame)

@@ -43,6 +43,10 @@ class ThumbnailPainter:
 
     def clear(self):
         with self._lock:
+            # epoch token: cancel() is best-effort (a delivery already
+            # past the cancelled check still lands), so stale deliveries
+            # from the old stream/range are rejected by generation
+            self._epoch = getattr(self, '_epoch', 0) + 1
             for item in self._items.values():
                 item.cancel()
             self._items.clear()
@@ -64,14 +68,25 @@ class ThumbnailPainter:
         with self._lock:
             if slot in self._thumbnails or slot in self._items:
                 return
+            epoch = getattr(self, '_epoch', 0)
             item = self._queue.enqueue(
                 self._stream, self.frame_for_slot(slot), self._window,
-                self._deliver, data=slot)
+                self._deliver, data=(slot, epoch))
             self._items[slot] = item
 
-    def _deliver(self, frame_index, frame, slot):
+    def _deliver(self, frame_index, frame, data):
         from canvas_tpu.ops import color as color_ops
         from canvas_tpu.ops import scale as scale_ops
+
+        slot, epoch = data
+        if frame is None:
+            # failed pull (the queue's documented None delivery):
+            # release the slot so a later request can RETRY instead of
+            # wedging blank forever
+            with self._lock:
+                if getattr(self, '_epoch', 0) == epoch:
+                    self._items.pop(slot, None)
+            return
 
         # Scale to thumbnail size then gamma-ramp to u8 BGRA
         tw, th = self._size
@@ -88,6 +103,8 @@ class ThumbnailPainter:
         u8 = color_ops.apply_gamma45_u8(np.asarray(data, np.float16))
         bgra = np.stack([u8[2], u8[1], u8[0], u8[3]], axis=-1)
         with self._lock:
+            if getattr(self, '_epoch', 0) != epoch:
+                return              # stale delivery from before clear()
             self._thumbnails[slot] = bgra
             self._items.pop(slot, None)
         self.thumbnail_ready(slot, bgra)

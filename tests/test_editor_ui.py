@@ -1082,3 +1082,33 @@ def test_timeline_wheel_zoom():
     finally:
         qt_mod._qt = old
         fake_qt.QPainter.instances.clear()
+
+
+def test_drag_snaps_to_neighbor_edge():
+    """Space drags snap to nearby item edges and show a SnapMarker when
+    a transform is attached (the reference view's snap bars; built and
+    painted but previously unwired from any drag path)."""
+    from canvas_tpu.editor import model, plugins
+    from canvas_tpu.editor.model.undo import UndoStack
+    from canvas_tpu.editor.ui.canvas_models import (CanvasSceneModel,
+                                                    DragController,
+                                                    ViewTransformModel)
+
+    vf = plugins.VideoFormat(frame_rate=1)
+    space = model.Space('s', vf, plugins.AudioFormat(sample_rate=1))
+    a = model.Clip(type='video', x=0, y=0.0, length=10, height=1.0,
+                   source=model.AssetStreamRef('red', 'video'), offset=0)
+    b = model.Clip(type='video', x=30, y=2.0, length=10, height=1.0,
+                   source=model.AssetStreamRef('red', 'video'), offset=0)
+    space[0:0] = [a, b]
+
+    scene = CanvasSceneModel(space)
+    transform = ViewTransformModel()
+    drag = DragController(scene, UndoStack(), transform=transform)
+    drag.start(b, grab_x_seconds=30.0, grab_y=2.0)
+    # drop near a's right edge (x=10s): within the 0.25 s threshold
+    drag.move_to_space(10.1, 2.0)
+    assert b.x == 10                        # snapped to the edge
+    assert transform.markers and transform.markers[0].axis == 'x'
+    drag.drop()
+    assert not transform.markers            # markers clear on drop
