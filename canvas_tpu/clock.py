@@ -85,9 +85,12 @@ class SystemPresentationClock(PresentationClock):
     def _set(self, seek_time, speed):
         with self._mutex:
             self._base_time = gettime()
-            self._seek_time = int(seek_time)
-            self._speed = Fraction(speed)
-        self._notify(self._speed, self._seek_time)
+            seek_time = self._seek_time = int(seek_time)
+            speed = self._speed = Fraction(speed)
+        # notify with the SNAPSHOT taken inside the lock: re-reading the
+        # attributes here could deliver another thread's concurrent
+        # _set state twice and drop this one's
+        self._notify(speed, seek_time)
 
     def set(self, speed, time_ns):
         """Set speed and position at once (clock.c:348-363)."""

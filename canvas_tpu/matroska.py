@@ -87,7 +87,7 @@ class ebml:
     skipping values equal to their schema default.
     """
 
-    def __init__(self, element_id, contents, size=None):
+    def __init__(self, element_id, contents):
         self.element_id = element_id
         self.contents = contents
         self.written_pos = None          # file offset of the element id
@@ -166,15 +166,25 @@ class ebml:
 
     def write(self, fd):
         """Write (or rewrite in place if previously written)."""
-        data = self.encode()
+        body = self.encode_body()
+        data = (encode_id(self.element_id) + encode_size(len(body))
+                + body)
         if self.written_pos is not None:
+            want = ((self.written_size or 0)
+                    + (self.written_header_size or 0))
+            if self.written_size is not None and len(data) != want:
+                # minimal-length encodings: a patched value that
+                # re-encodes shorter/longer would silently overwrite
+                # the neighboring element's bytes
+                raise Error(
+                    'in-place rewrite changed element size %d -> %d'
+                    % (want, len(data)))
             saved = fd.tell()
             fd.seek(self.written_pos)
             fd.write(data)
             fd.seek(saved)
         else:
             self.written_pos = fd.tell()
-            body = self.encode_body()
             self.written_header_size = len(data) - len(body)
             self.written_size = len(body)
             fd.write(data)
@@ -434,9 +444,18 @@ class CuePoint(ebml):
     Element = 0xBB
     CueTime = 0xB3
 
+    CueDuration = 0xB2
+
     def __init__(self, time, track_positions, duration=None):
+        if time < 0:
+            raise Error('negative cue time %d (unsigned in Matroska)'
+                        % time)
         ebml.__init__(self, self.Element, [])
         self.add_int(self.CueTime, time)
+        # duration was accepted and silently discarded; emit the
+        # optional CueDuration element when given
+        if duration is not None:
+            self.add_int(self.CueDuration, int(duration))
         self.contents.extend(track_positions)
 
 
@@ -535,6 +554,14 @@ class Cluster(ebml):
     Timecode = 0xE7
 
     def __init__(self, timecode):
+        if timecode < 0:
+            # Matroska Cluster Timecode is UNSIGNED: a negative pts
+            # would encode as a signed int a demuxer reads as a huge
+            # positive timecode — fail loudly instead of writing a
+            # file with garbage timestamps (shift the stream so
+            # presentation starts at >= 0)
+            raise Error('negative cluster timecode %d (unsigned in '
+                        'Matroska; shift the stream start)' % timecode)
         ebml.__init__(self, self.Element, [])
         self.add_int(self.Timecode, timecode)
 
@@ -641,9 +668,13 @@ class MatroskaWriter:
     def write_end(self, duration=None):
         self.finish_cluster()
 
-        self.cues.write(self.fd)
-        self.top_seek_head.contents.append(
-            Seek.from_element(self.segment, self.cues))
+        if self.cues.contents:
+            # Matroska requires >= 1 CuePoint inside Cues; audio-only
+            # files generate none, and strict validators reject an
+            # empty Cues element
+            self.cues.write(self.fd)
+            self.top_seek_head.contents.append(
+                Seek.from_element(self.segment, self.cues))
 
         if self.tags.contents:
             self.tags.write(self.fd)
@@ -652,9 +683,16 @@ class MatroskaWriter:
 
         self.top_seek_head.write(self.fd)
 
-        if duration is not None and self.segment_info.duration_element:
-            self.segment_info.duration_element.contents = float(duration)
-            self.segment_info.duration_element.write(self.fd)
+        if duration is not None:
+            if self.segment_info.duration_element:
+                self.segment_info.duration_element.contents = \
+                    float(duration)
+                self.segment_info.duration_element.write(self.fd)
+            else:
+                raise Error(
+                    'write_end(duration=...) needs a duration '
+                    'placeholder: pass duration= to write_start '
+                    '(the element is patched in place)')
 
         self.segment.write_close(self.fd)
 

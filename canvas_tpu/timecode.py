@@ -91,10 +91,20 @@ class NtscDropFrame(TimeAndFrames):
         TimeAndFrames.__init__(self, 30, frames_separator=frames_separator)
 
     def format(self, frame):
-        # Convert the true frame count into the drop-frame label space.
-        adjusted = frame + 2 * (frame // (30 * 60) - frame // (10 * 30 * 60))
+        # Canonical SMPTE drop-frame conversion (17982 frames per true
+        # ten-minute block, 1798 per dropping minute). The reference's
+        # naive frame//1800 boundaries produce INVALID dropped labels
+        # from minute 2 on (e.g. 00:02:00;00 for frame 3598, which
+        # drop-frame timecode skips; correct is 00:02:00;02) and drift
+        # ~16 frames per 10-minute block from any external deck/NLE —
+        # a deliberate reference-bug fix.
+        tens, m = divmod(frame, 17982)
+        if m < 2:
+            m = 2
+        adjusted = frame + 18 * tens + 2 * ((m - 2) // 1798)
         return TimeAndFrames.format(self, adjusted)
 
     def parse(self, timecode):
-        frame = TimeAndFrames.parse(self, timecode)
-        return frame - 2 * (frame // (30 * 60 + 2) - frame // (10 * 30 * 60 + 2))
+        label = TimeAndFrames.parse(self, timecode)
+        minutes = label // 1800
+        return label - 2 * (minutes - minutes // 10)

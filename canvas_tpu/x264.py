@@ -53,6 +53,21 @@ class X264EncoderParams:
             opts.append('crf=%g' % self.constant_ratefactor)
         if self.constant_quantizer is not None:
             opts.append('qp=%d' % self.constant_quantizer)
+        if self.vbv_max_bitrate:
+            # x264's unit is kbit/s (x264_param_t.rc.i_vbv_max_bitrate;
+            # scripts/encode_video.py documents --max-bitrate KBPS)
+            kbps = int(self.vbv_max_bitrate)
+            opts.append('vbv-maxrate=%d' % kbps)
+            opts.append('vbv-bufsize=%d' % kbps)
+        if self.annex_b is not None:
+            opts.append('annexb=%d' % (1 if self.annex_b else 0))
+        if self.repeat_headers:
+            opts.append('repeat-headers=1')
+        if self.sample_aspect_ratio:
+            sar = self.sample_aspect_ratio
+            opts.append('sar=%d:%d' % (sar.numerator, sar.denominator)
+                        if hasattr(sar, 'numerator')
+                        else 'sar=%s' % (sar,))
         if self.interlaced:
             opts.append('flags=+ildct+ilme')
         return ':'.join(opts)
@@ -87,6 +102,12 @@ def _split_nals(extradata):
             if not part:
                 continue
             part = part.lstrip(b'\x00')
+            if not part:
+                continue
+            # 4-byte start codes leave the NEXT code's leading zero on
+            # this part's tail; a NAL payload never ends in 0x00 (RBSP
+            # trailing-bit rule), so stripping is lossless
+            part = part.rstrip(b'\x00')
             if not part:
                 continue
             nal_type = part[0] & 0x1F

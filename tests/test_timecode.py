@@ -58,3 +58,20 @@ class TestNtscDropFrame:
         tc = NtscDropFrame()
         for frame in range(0, 30 * 60 * 30, 113):
             assert tc.parse(tc.format(frame)) == frame
+
+
+def test_drop_frame_canonical_smpte():
+    """Canonical SMPTE drop-frame (17982/1798 blocks): the reference's
+    naive 1800-frame boundaries produced invalid dropped labels from
+    minute 2 on and drifted from external decks (~16 frames per
+    10-minute block) — a deliberate reference-bug fix."""
+    tc = NtscDropFrame()
+    assert tc.format(1799) == '00:00:59;29'
+    assert tc.format(1800) == '00:01:00;02'     # minute 1 drops ;00 ;01
+    assert tc.format(3598) == '00:02:00;02'     # minute 2 drops too
+    assert tc.format(17982) == '00:10:00;00'    # minute 10 does not
+    assert tc.format(17983) == '00:10:00;01'
+    assert tc.format(107892) == '01:00:00;00'   # exact hour
+    for f in (0, 1, 1799, 1800, 3597, 3598, 17981, 17982, 107891,
+              107892, 999999):
+        assert tc.parse(tc.format(f)) == f, f
