@@ -87,6 +87,10 @@ class box2i(_box2i_base):
         if max_x is not None and max_y is not None:
             min = v2i(min, max)
             max = v2i(max_x, max_y)
+        elif (max_x is None) != (max_y is None):
+            # three positional args would otherwise silently discard
+            # the third and build a (0,0)-(0,0) box
+            raise TypeError('box2i takes 0, 1, 2 or 4 coordinates')
         elif isinstance(min, box2i):
             min, max = min
         return _box2i_base.__new__(cls, v2i(min), v2i(max))
@@ -142,6 +146,8 @@ class box2f(_box2f_base):
         if max_x is not None and max_y is not None:
             min = v2f(min, max)
             max = v2f(max_x, max_y)
+        elif (max_x is None) != (max_y is None):
+            raise TypeError('box2f takes 0, 1, 2 or 4 coordinates')
         elif isinstance(min, box2f):
             min, max = min
         return _box2f_base.__new__(cls, v2f(min), v2f(max))

@@ -64,7 +64,7 @@ class Asset:
 
     @classmethod
     def from_yaml(cls, loader, node):
-        return cls(name='', **loader.construct_mapping(node))
+        return cls(name='', **loader.construct_mapping(node, deep=True))
 
 
 class _SpaceSource(plugins.Source):
@@ -375,7 +375,7 @@ class AssetStreamRef:
 
     @classmethod
     def from_yaml(cls, loader, node):
-        return cls(**loader.construct_mapping(node))
+        return cls(**loader.construct_mapping(node, deep=True))
 
     def __eq__(self, other):
         return (isinstance(other, AssetStreamRef) and
@@ -460,7 +460,7 @@ class Project:
 
     @classmethod
     def from_yaml(cls, loader, node):
-        return cls(**loader.construct_mapping(node))
+        return cls(**loader.construct_mapping(node, deep=True))
 
 
 def _yamlreg(cls):
@@ -474,7 +474,7 @@ _yamlreg(Project)
 
 
 def _space_asset_construct(loader, node):
-    mapping = loader.construct_mapping(node)
+    mapping = loader.construct_mapping(node, deep=True)
     space = mapping.pop('space')
     return SpaceAsset(space, name='', **mapping)
 

@@ -83,7 +83,7 @@ class Anchor:
 
     @classmethod
     def from_yaml(cls, loader, node):
-        return cls(**loader.construct_mapping(node))
+        return cls(**loader.construct_mapping(node, deep=True))
 
     @classmethod
     def get_y_position(cls, item):
@@ -175,7 +175,7 @@ class Item:
 
     @classmethod
     def from_yaml(cls, loader, node):
-        return cls(**loader.construct_mapping(node))
+        return cls(**loader.construct_mapping(node, deep=True))
 
     tags = property(lambda self: frozenset(self._tags))
     x = property(lambda self: self._x)
@@ -550,7 +550,7 @@ class SequenceItem:
 
     @classmethod
     def from_yaml(cls, loader, node):
-        return cls(**loader.construct_mapping(node))
+        return cls(**loader.construct_mapping(node, deep=True))
 
     def kill(self):
         if self._anchor and self._sequence._space:

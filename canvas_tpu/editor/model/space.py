@@ -178,7 +178,7 @@ def _space_represent(dumper, data):
 
 
 def _space_construct(loader, node):
-    mapping = loader.construct_mapping(node)
+    mapping = loader.construct_mapping(node, deep=True)
     result = Space(mapping.get('name', ''), mapping.get('video_format'),
                    mapping.get('audio_format'))
     result._items = mapping['items']

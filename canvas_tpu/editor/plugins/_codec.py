@@ -124,8 +124,8 @@ class _DecoderConnector:
             else:
                 codecs = PluginManager.find_decoders(self._format_urn)
                 if not codecs:
-                    self._fail('No codecs found to handle format "' +
-                               self._format_urn + '".')
+                    self._fail('No codecs found to handle format '
+                               '"%s".' % (self._format_urn,))
                     return
                 for codec_class in codecs:
                     try:
@@ -144,9 +144,10 @@ class _DecoderConnector:
                         _log.warning('Error while trying codec {0}',
                                      codec.urn, exc_info=True)
                 if not self.decoder:
-                    self._fail('No codecs found to handle format "' +
-                               self._format_urn + '". All codecs that were '
-                               'tried failed. See log for details.')
+                    self._fail('No codecs found to handle format '
+                               '"%s". All codecs that were tried failed. '
+                               'See log for details.'
+                               % (self._format_urn,))
                     return
 
             self.follow_alerts(self.decoder)
@@ -155,10 +156,13 @@ class _DecoderConnector:
                                  new_range=self.decoder.defined_range)
             self.set_format(self.decoder.format)
         except Exception:
-            _log.warning('Error while finding codec for format "' +
-                         self._format_urn + '"', exc_info=True)
-            self._fail('Error while finding codec for format "' +
-                       self._format_urn + '"', exc_info=True)
+            # %-format, not concatenation: format_urn is legally None
+            # when codec_urn was supplied, and a raising error handler
+            # would mask the original failure instead of publishing it
+            _log.warning('Error while finding codec for format "%s"'
+                         % (self._format_urn,), exc_info=True)
+            self._fail('Error while finding codec for format "%s"'
+                       % (self._format_urn,), exc_info=True)
 
 
 class VideoDecoderConnector(_DecoderConnector, VideoStream):

@@ -183,7 +183,7 @@ def _VideoFormat_represent(dumper, data):
 
 
 def _VideoFormat_construct(loader, node):
-    return VideoFormat(**loader.construct_mapping(node))
+    return VideoFormat(**loader.construct_mapping(node, deep=True))
 
 
 yaml.add_representer(VideoFormat, _VideoFormat_represent)
@@ -211,30 +211,30 @@ def _AudioFormat_represent(dumper, data):
 
 
 def _AudioFormat_construct(loader, node):
-    return AudioFormat(**loader.construct_mapping(node))
+    return AudioFormat(**loader.construct_mapping(node, deep=True))
 
 
 yaml.add_representer(AudioFormat, _AudioFormat_represent)
 yaml.add_constructor('!AudioFormat', _AudioFormat_construct)
 
 
-class VideoStream(sources_mod.VideoPassThroughFilter, AlertPublisher):
-    """Live video stream wrapper (_source.py:399-492): usable directly as
-    a pull source; updates propagate. Signals: format_changed(stream),
-    frames_updated(stream, start, end), range_changed(stream)."""
+class _StreamMixin(AlertPublisher):
+    """Shared live-stream behavior for Video/AudioStream: format and
+    defined-range bookkeeping plus the base-filter swap. Signals:
+    format_changed(stream), frames_updated(stream, start, end),
+    range_changed(stream). ONE home for the invalidation-union
+    contract so the video and audio paths cannot drift."""
 
-    stream_type = 'video'
+    _default_format = None      # subclasses: VideoFormat / AudioFormat
 
-    def __init__(self, base_filter=None, format=None, range=(None, None),
-                 name=None):
-        self._format = format or VideoFormat()
+    def _init_stream(self, format, range, name):
+        self._format = format or self._default_format()
         self._defined_range = range
         self.format_changed = Signal()
         self.frames_updated = Signal()
         self.range_changed = Signal()
         self.name = name
         AlertPublisher.__init__(self)
-        sources_mod.VideoPassThroughFilter.__init__(self, base_filter)
 
     @property
     def format(self):
@@ -278,59 +278,26 @@ class VideoStream(sources_mod.VideoPassThroughFilter, AlertPublisher):
         raise NotImplementedError
 
 
-class AudioStream(audio_mod.AudioPassThroughFilter, AlertPublisher):
+class VideoStream(sources_mod.VideoPassThroughFilter, _StreamMixin):
+    """Live video stream wrapper (_source.py:399-492): usable directly as
+    a pull source; updates propagate."""
+
+    stream_type = 'video'
+    _default_format = staticmethod(lambda: VideoFormat())
+
+    def __init__(self, base_filter=None, format=None, range=(None, None),
+                 name=None):
+        self._init_stream(format, range, name)
+        sources_mod.VideoPassThroughFilter.__init__(self, base_filter)
+
+
+class AudioStream(audio_mod.AudioPassThroughFilter, _StreamMixin):
     """Live audio stream wrapper (_source.py:494-578)."""
 
     stream_type = 'audio'
+    _default_format = staticmethod(lambda: AudioFormat())
 
     def __init__(self, base_filter=None, format=None, range=(None, None),
                  name=None):
-        self._format = format or AudioFormat()
-        self._defined_range = range
-        self.format_changed = Signal()
-        self.frames_updated = Signal()
-        self.range_changed = Signal()
-        self.name = name
-        AlertPublisher.__init__(self)
+        self._init_stream(format, range, name)
         audio_mod.AudioPassThroughFilter.__init__(self, base_filter)
-
-    @property
-    def format(self):
-        return self._format
-
-    def set_format(self, format):
-        if self._format == format:
-            return
-        self._format = format
-        self.format_changed(self)
-
-    @property
-    def defined_range(self):
-        return self._defined_range
-
-    def set_defined_range(self, defined_range):
-        if self._defined_range == defined_range:
-            return
-        self._defined_range = defined_range
-        self.range_changed(self)
-
-    def set_base_filter(self, base_filter, new_range=None):
-        old_range = self._defined_range
-        if new_range:
-            self.set_defined_range(new_range)
-        else:
-            new_range = old_range
-        self.set_source(base_filter)
-        # UNION of old and new ranges (the reference's documented
-        # contract; its code takes min() for the end — a bug that was
-        # harmless while any signal cleared every cache, but the
-        # planner's ranged invalidation would under-invalidate frames
-        # the swap added/removed past the shorter range's end).
-        start = None if (old_range[0] is None or new_range[0] is None) \
-            else min(old_range[0], new_range[0])
-        end = None if (old_range[1] is None or new_range[1] is None) \
-            else max(old_range[1], new_range[1])
-        self.frames_updated(self, start, end)
-
-    def get_static_stream(self):
-        raise NotImplementedError

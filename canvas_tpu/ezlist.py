@@ -83,29 +83,50 @@ class EZList(MutableSequence):
     def insert(self, index, value):
         self[index:index] = [value]
 
+    def _check_index(self, key):
+        """Normalize an integer index with list semantics: negative
+        wraps once, out-of-range raises (the slice fallback used to
+        silently append/prepend on a bad index and stamp wrong
+        positions into the marks)."""
+        key = key.__index__()
+        n = len(self)
+        if key < 0:
+            key += n
+        if key < 0 or key >= n:
+            raise IndexError('EZList index out of range')
+        return key
+
     def __setitem__(self, key, value):
         if isinstance(key, slice):
             start, stop, step = key.indices(len(self))
             items = list(value)
-        else:
-            if key < 0:
-                key += len(self)
-            start, stop, step = key, key + 1, 1
-            items = [value]
-
-        if step == 1:
-            self._replace_range(start, stop, items)
-        else:
-            for i, j in enumerate(range(start, stop, step)):
-                if i < len(items):
-                    self._replace_range(j, j + 1, [items[i]])
-                else:
-                    self._replace_range(j, j + 1, [])
+            if step == 1:
+                self._replace_range(start, stop, items)
+                return
+            indices = range(start, stop, step)
+            if len(items) != len(indices):
+                # list semantics; the old pad-with-deletes loop shifted
+                # later indices mid-iteration and corrupted the list
+                raise ValueError(
+                    'attempt to assign sequence of size %d to extended '
+                    'slice of size %d' % (len(items), len(indices)))
+            # 1:1 replacement never shifts later indices
+            for j, item in zip(indices, items):
+                self._replace_range(j, j + 1, [item])
+            return
+        key = self._check_index(key)
+        self._replace_range(key, key + 1, [value])
 
     def __delitem__(self, key):
         if isinstance(key, slice):
-            self[key] = []
-        else:
-            if key < 0:
-                key += len(self)
-            self[key:key + 1] = []
+            start, stop, step = key.indices(len(self))
+            if step == 1:
+                self._replace_range(start, stop, [])
+                return
+            # descending order so earlier removals can't shift the
+            # indices still to be removed
+            for j in sorted(range(start, stop, step), reverse=True):
+                self._replace_range(j, j + 1, [])
+            return
+        key = self._check_index(key)
+        self._replace_range(key, key + 1, [])

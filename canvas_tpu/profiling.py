@@ -13,6 +13,7 @@ src/cprocess/clock.c:28-52). This build keeps those
 """
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 
@@ -20,6 +21,10 @@ __all__ = ['Timer', 'timed', 'trace', 'report', 'reset']
 
 _totals = defaultdict(float)
 _counts = defaultdict(int)
+# Timers run concurrently on the prepare worker and the dispatch thread
+# (render.plan vs render.dispatch); the read-modify-write accumulation
+# needs a lock or same-name timers lose counts.
+_agg_lock = threading.Lock()
 
 
 class Timer:
@@ -34,8 +39,9 @@ class Timer:
 
     def __exit__(self, *exc):
         dt = time.perf_counter() - self._t0
-        _totals[self.name] += dt
-        _counts[self.name] += 1
+        with _agg_lock:
+            _totals[self.name] += dt
+            _counts[self.name] += 1
         return False
 
 
@@ -56,11 +62,13 @@ def trace(log_dir='/tmp/canvas_tpu_trace'):
 
 def report():
     """Aggregated timings: {name: (total_seconds, count, mean_ms)}."""
-    return {name: (total, _counts[name],
-                   total / _counts[name] * 1e3 if _counts[name] else 0.0)
-            for name, total in _totals.items()}
+    with _agg_lock:
+        return {name: (total, _counts[name],
+                       total / _counts[name] * 1e3 if _counts[name] else 0.0)
+                for name, total in _totals.items()}
 
 
 def reset():
-    _totals.clear()
-    _counts.clear()
+    with _agg_lock:
+        _totals.clear()
+        _counts.clear()

@@ -32,9 +32,27 @@ class Signal:
 
     fire = __call__
 
+    @staticmethod
+    def _method_parts(slot):
+        """(func, obj) for a weakref-able bound method, else None.
+        Builtin bound methods (list.append) have __self__ but no
+        __func__, and __slots__ objects refuse weakrefs — both fall
+        back to being held strongly like plain functions."""
+        obj = getattr(slot, '__self__', None)
+        func = getattr(slot, '__func__', None)
+        if obj is None or func is None:
+            return None
+        try:
+            weakref.ref(obj)
+        except TypeError:
+            return None
+        return (func, obj)
+
     def connect(self, slot):
-        if hasattr(slot, '__self__') and slot.__self__ is not None:
-            key = (slot.__func__, id(slot.__self__))
+        parts = self._method_parts(slot)
+        if parts is not None:
+            func, obj = parts
+            key = (func, id(obj))
 
             def _cleanup(ref, self_ref=weakref.ref(self), key=key):
                 inst = self_ref()
@@ -46,14 +64,15 @@ class Signal:
                     if entry is not None and entry[1] is ref:
                         inst._slots.pop(key, None)
 
-            self._slots[key] = (slot.__func__, weakref.ref(slot.__self__, _cleanup))
+            self._slots[key] = (func, weakref.ref(obj, _cleanup))
         else:
             key = (slot, None)
             self._slots[key] = (slot, None)
 
     def disconnect(self, slot):
-        if hasattr(slot, '__self__') and slot.__self__ is not None:
-            key = (slot.__func__, id(slot.__self__))
+        parts = self._method_parts(slot)
+        if parts is not None:
+            key = (parts[0], id(parts[1]))
         else:
             key = (slot, None)
         self._slots.pop(key, None)

@@ -99,3 +99,15 @@ class TestYaml:
         assert loaded == box2i(0, 0, 719, 479)
         assert yaml.load('!rational [30000, 1001]', Loader=yaml.FullLoader) \
             == fractions.Fraction(30000, 1001)
+
+
+def test_three_coordinate_box_raises():
+    """box2i(0, 0, 3) is a typo for the 4-arg form; the old constructor
+    silently discarded the third value and built (0,0)-(0,0)."""
+    import pytest
+    from canvas_tpu.basetypes import box2f
+    with pytest.raises(TypeError):
+        box2i(0, 0, 3)
+    with pytest.raises(TypeError):
+        box2f(0.0, 0.0, 3.0)
+    assert box2i(0, 0, 3, 3).max == (3, 3)

@@ -817,3 +817,20 @@ def test_sourceless_video_item_degrades_to_empty():
     assert getcolor(mgr, 5) is None          # renders empty
     del space[0]
     assert len(mgr.watchers) == 0
+
+
+def test_yaml_round_trip_keywords():
+    """PyYAML fills nested sequences AFTER a shallow constructor runs;
+    the constructors must construct deep or frozenset(keywords) copies
+    the empty placeholder and every save/load strips keywords
+    (reference inherits this bug: fluggo/editor/model/sources.py:86)."""
+    from canvas_tpu.editor.model import assets as assets_mod
+
+    asset = assets_mod.Asset(name='a', keywords=['sunset', 'b-roll'])
+    loaded = yaml.load(yaml.dump(asset), Loader=yaml.Loader)
+    assert loaded.keywords == frozenset(['sunset', 'b-roll'])
+
+    space = model.Space('s', vidformat, plugins.AudioFormat())
+    sa = assets_mod.SpaceAsset(space, name='comp', keywords=['wip'])
+    loaded = yaml.load(yaml.dump(sa), Loader=yaml.Loader)
+    assert loaded.keywords == frozenset(['wip'])

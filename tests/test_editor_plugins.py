@@ -237,3 +237,38 @@ def test_set_base_filter_signals_range_union():
     aus.frames_updated.connect(lambda _s, a, b: seen_a.append((a, b)))
     aus.set_base_filter(None, new_range=(0, 500))
     assert seen_a == [(0, None)]
+
+
+def test_audio_format_yaml_round_trip():
+    """channel_assignment must survive a save/load: shallow YAML
+    construction handed over a not-yet-filled list and `or []` swapped
+    in a fresh one, so PyYAML's deferred fill landed in a discarded
+    object (reference inherits this: fluggo/editor/plugins/_source.py:393)."""
+    import yaml
+    fmt = plugins.AudioFormat(48000, ['FL', 'FR'])
+    loaded = yaml.load(yaml.dump(fmt), Loader=yaml.Loader)
+    assert loaded.channel_assignment == ['FL', 'FR']
+    assert loaded.sample_rate == 48000
+
+
+def test_decoder_connector_none_format_urn(media_file):
+    """format_urn=None with a codec_urn is legal; error paths that
+    %-formatted it with + concatenation used to raise TypeError from
+    inside the handler, escaping the constructor instead of publishing
+    the alert."""
+    PluginManager.load_all()
+    from canvas_tpu.editor.plugins.libav_plugin import LibavCodecPlugin
+    PluginManager.set_plugin_enabled(LibavCodecPlugin, True)
+    from canvas_tpu import libav
+
+    demux = libav.AVDemuxer(media_file, 0)
+    connector = plugins.VideoDecoderConnector(
+        demux, None, 0, 10, codec_urn='urn:does-not-exist')
+    assert connector.decoder is None
+    assert len(connector.alerts) == 1
+
+    # no codec_urn and no format_urn: find_decoders(None) probes every
+    # codec — the constructor must not crash on string concatenation;
+    # either a codec takes the stream or a degraded alert publishes
+    connector2 = plugins.VideoDecoderConnector(demux, None, 0, 10)
+    assert connector2.decoder is not None or len(connector2.alerts) == 1

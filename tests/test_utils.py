@@ -226,3 +226,78 @@ def test_device_probe_cpu_skip_and_fallback(monkeypatch, caplog):
     import jax
     assert jax.config.jax_platforms == 'cpu'
     assert len(jax.devices()) >= 1
+
+
+class TestEZListSemantics:
+    """list semantics for integer bounds and extended slices (the old
+    slice-fallback paths silently appended on out-of-range indices and
+    corrupted the list on step != 1 mutations)."""
+
+    def test_integer_bounds(self):
+        import pytest
+        lst = SimpleEZ([1, 2, 3])
+        with pytest.raises(IndexError):
+            lst[5] = 99
+        with pytest.raises(IndexError):
+            lst[-5] = 99
+        with pytest.raises(IndexError):
+            del lst[3]
+        with pytest.raises(IndexError):
+            del lst[-4]
+        assert list(lst) == [1, 2, 3]
+        lst[-1] = 30
+        assert list(lst) == [1, 2, 30]
+        del lst[-3]
+        assert list(lst) == [2, 30]
+
+    def test_extended_slice_delete(self):
+        lst = SimpleEZ(['a', 'b', 'c', 'd'])
+        del lst[::2]
+        assert list(lst) == ['b', 'd']
+        lst2 = SimpleEZ([0, 1, 2, 3, 4, 5])
+        del lst2[::-2]                       # indices 5, 3, 1
+        assert list(lst2) == [0, 2, 4]
+
+    def test_extended_slice_assign(self):
+        import pytest
+        lst = SimpleEZ([0, 1, 2, 3])
+        lst[::2] = [10, 20]
+        assert list(lst) == [10, 1, 20, 3]
+        with pytest.raises(ValueError):
+            lst[::2] = [1, 2, 3]
+
+    def test_marks_survive_extended_delete(self):
+        lst = SimpleEZ([0, 1, 2, 3, 4, 5])
+        mark = lst.create_mark(4, True)
+        del lst[1:6:2]                       # removes 1, 3, 5
+        assert list(lst) == [0, 2, 4]
+        assert mark.index == 2               # slid left past two removals
+
+
+def test_signal_builtin_bound_method():
+    """Builtin bound methods (list.append) have __self__ but no
+    __func__; __slots__ objects refuse weakrefs — both must connect
+    (held strongly) instead of raising."""
+    from canvas_tpu.signal import Signal
+    sig = Signal()
+    got = []
+    sig.connect(got.append)
+    sig(7)
+    assert got == [7]
+    sig.disconnect(got.append)
+    sig(8)
+    assert got == [7]
+
+    class Slotted:
+        __slots__ = ('hits',)
+
+        def __init__(self):
+            self.hits = 0
+
+        def bump(self, *a):
+            self.hits += 1
+
+    s = Slotted()
+    sig.connect(s.bump)
+    sig()
+    assert s.hits == 1
