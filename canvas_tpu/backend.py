@@ -146,6 +146,19 @@ def ensure_initialized(probe=False):
     if _initialized:
         return
     if _load_jax() is not None:
+        # Persistent compilation cache for EVERY entry point (scripts,
+        # playback, editor — not just the test suite's conftest): first
+        # compiles cost seconds on CPU and tens of seconds on the
+        # remote chip; the cache makes every later process start warm.
+        # config.update (not the env var): jax was already imported by
+        # this rig's sitecustomize, so its env snapshot is long taken.
+        try:
+            if not (_jax.config.jax_compilation_cache_dir
+                    or os.environ.get('JAX_COMPILATION_CACHE_DIR')):
+                _jax.config.update('jax_compilation_cache_dir',
+                                   '/tmp/canvas_tpu_jax_cache')
+        except Exception:
+            pass
         if probe and not probe_device():
             import logging
             logging.getLogger('canvas_tpu.backend').warning(

@@ -557,7 +557,6 @@ def _pulldown_emit(self, ctx):
     child_a = ctx.with_frames(frames_a).plan(self.source)
     if not mixed.any():
         return child_a
-    child_b = ctx.with_frames(frames_b).plan(self.source)
 
     # Even absolute rows >= (window.min.y + 1) & ~1, columns clipped to
     # frame a's window (the eager path clips b's temp frame to a's
@@ -566,6 +565,21 @@ def _pulldown_emit(self, ctx):
     # leaves the a-pull's current_window untouched).
     from canvas_tpu.render import windows_to_array
     aw = windows_to_array(child_a.windows)
+    semw = ctx.sem_windows
+    if semw is not None:
+        # Nested under a smaller semantic pull: the eager path's a-pull
+        # window is clipped by it, and everything below (the interleave
+        # rows, b's pull windows) follows the CLIPPED window.
+        s = np.asarray(semw)
+        aw = np.stack([np.maximum(aw[:, 0], s[:, 0]),
+                       np.maximum(aw[:, 1], s[:, 1]),
+                       np.minimum(aw[:, 2], s[:, 2]),
+                       np.minimum(aw[:, 3], s[:, 3])], axis=1)
+    # Frame b's pulls happen INSIDE a temp frame whose full_window is
+    # frame a's current_window (Pulldown23RemovalFilter.c:91-96), so
+    # b's window-sensitive children (scaler fetch clipping) follow a's
+    # per-frame windows — not this node's own pull window.
+    child_b = ctx.with_frames(frames_b).with_sem(aw).plan(self.source)
     a_empty = (aw[:, 2] < aw[:, 0]) | (aw[:, 3] < aw[:, 1])
     active = mixed & ~a_empty
     starts = np.where(active, (aw[:, 1] + 1) & ~1, 0).astype(np.int32)

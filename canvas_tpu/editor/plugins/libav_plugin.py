@@ -106,7 +106,13 @@ class _RgbaDecoderSource(VideoSource):
                                                self.height)
             if rgba is None:
                 rgba = np.zeros((self.height, self.width, 4), np.uint8)
-            frames_u8.append(np.moveaxis(rgba, -1, 0))
+            # Stage the decoder's INTERLEAVED (H, W, 4) layout as-is:
+            # the channel-planar transpose happens on device inside the
+            # compiled program ('u8_linearize'), because assigning
+            # moveaxis views into the stack is a pathological strided
+            # copy on this host (~45 ms per 4-frame 320x240 batch —
+            # the same host quirk as np.stack, CLAUDE.md).
+            frames_u8.append(rgba)
         B = len(ctx.frames)
 
         node = Node('u8_linearize', params={

@@ -261,12 +261,45 @@ def apply_display_u8(arr, intent=1.25):
     return apply_half_lut(srgb, display_ramp_u8(intent))
 
 
+_device_program_cache = {}
+
+
+def _run_device_conversion(key, make, data, *args):
+    """Run an eager device-conversion as ONE compiled program.
+
+    These conversions are chains of ~10 elementwise primitives; called
+    eagerly (playback/display/export paths) each primitive dispatches
+    and compiles separately — a multi-second first-frame stall on cold
+    caches (and every new shape repeats part of it). Jitting the chain
+    compiles one fused program, which the persistent compilation cache
+    can then keep across processes. Callers already inside a traced
+    program (render.py's fused post= programs) inline the math
+    directly — nesting a jit there would only add trace overhead."""
+    jax = backend.jax
+    if isinstance(data, jax.core.Tracer):
+        return make(key)(data, *args)
+    got = _device_program_cache.get(key)
+    if got is None:
+        if len(_device_program_cache) > 64:
+            _device_program_cache.clear()
+        got = _device_program_cache[key] = jax.jit(make(key))
+    return got(data, *args)
+
+
 def display_u8_device(data, intent=1.25, order=(2, 1, 0, 3)):
     """(B, 4, H, W) rgba f16 device array -> (B, H, W*4) interleaved u8
     display frames (reshape to (B, H, W, 4) host-side): the widget_gl
     soft-mode conversion computed ON DEVICE — sRGB transfer
     (f16-quantized to match the half-LUT) then the rendering-intent pow
     with lrint rounding, direct VPU math instead of 64K gathers."""
+    intent = float(intent)
+    order = tuple(order)
+    return _run_device_conversion(
+        ('display_u8', intent, order),
+        lambda key: lambda d: _display_u8_math(d, intent, order), data)
+
+
+def _display_u8_math(data, intent, order):
     jnp = backend.jnp
     x = data.astype(jnp.float32)
     # linear -> sRGB, f16-quantized like a table hit
@@ -290,6 +323,12 @@ def _u8_device(data, order):
     gammatab.c:8-10) instead of the 64K LUT gather — gathers are ~100x
     slower than a pow on TPU; the ramp table itself remains the
     contract for to_argb_string."""
+    order = tuple(order)
+    return _run_device_conversion(
+        ('u8', order), lambda key: lambda d: _u8_math(d, order), data)
+
+
+def _u8_math(data, order):
     jnp = backend.jnp
     x = data.astype(jnp.float32)
     y = jnp.power(x, 0.45) * 255.0
@@ -307,6 +346,13 @@ def yuv420_pack_device(data, intent=None):
     display-domain floats _u8_device/display_u8_device quantize, so Y
     of a solid region reconstructs within u8 rounding. intent follows
     render_display: None = gamma45 ramp, float = sRGB + intent pow."""
+    intent = None if intent is None else float(intent)
+    return _run_device_conversion(
+        ('yuv420_pack', intent),
+        lambda key: lambda d: _yuv420_pack_math(d, intent), data)
+
+
+def _yuv420_pack_math(data, intent):
     jnp = backend.jnp
     x = data.astype(jnp.float32)
     if intent is None:
@@ -352,6 +398,12 @@ def yuv420_pack_studio_device(data):
     chroma-phase filter (device uses the 2x2 mean; ±1-2 u8 on detail,
     exact-within-rounding on flat regions). Chroma of odd-sized frames
     edge-replicates the last row/column before the 2x2 mean."""
+    return _run_device_conversion(
+        ('yuv420_pack_studio',),
+        lambda key: _yuv420_pack_studio_math, data)
+
+
+def _yuv420_pack_studio_math(data):
     jnp = backend.jnp
     x = data.astype(jnp.float32)
     y = jnp.power(x, 0.45) * 255.0

@@ -34,6 +34,27 @@ from canvas_tpu.basetypes import box2i
 
 __all__ = ['VideoPlaybackEngine']
 
+_viewport_jit = None
+
+
+def _viewport_resample(dy, dx, data):
+    """Device viewport resample as ONE compiled program (eager einsums
+    pay per-primitive compiles on the first frame; jit re-specializes
+    per viewport shape automatically)."""
+    global _viewport_jit
+    if _viewport_jit is None:
+        from canvas_tpu import backend
+        jax, jnp = backend.jax, backend.jnp
+
+        def resample(dy, dx, data):
+            out = jnp.einsum('yh,bchw->bcyw', dy,
+                             data.astype(jnp.float32))
+            return jnp.einsum('xw,bcyw->bcyx', dx,
+                              out).astype(jnp.float16)
+
+        _viewport_jit = jax.jit(resample)
+    return _viewport_jit(dy, dx, data)
+
 
 class VideoPlaybackEngine:
     """Clock-driven playback of a video source.
@@ -215,11 +236,29 @@ class VideoPlaybackEngine:
             self._cache.clear()
         self._wake.set()
 
-    def stop(self):
+    def warm(self, frame=0):
+        """Synchronously render the batch at *frame* through the full
+        device pipeline, compiling every program playback will use
+        (render, viewport resample, display conversion). Call before
+        ``clock.play`` for stall-free first frames: first compiles cost
+        seconds on a cold cache, and a clock that is already running
+        skips every frame that falls inside them."""
+        frame = self._clamp(int(frame))
+        self._render_batch(frame, frame + self.batch)
+
+    def stop(self, timeout=5.0):
+        """Stop the render thread (joined up to *timeout* seconds) and
+        release the planner. A thread stuck in a first compile or a
+        dead-transport fetch can outlive the join — it exits on its
+        own; a warning records that it was left running."""
         self._quit = True
         self._wake.set()
         self._watch_stop.set()
-        self._thread.join(timeout=5)
+        self._thread.join(timeout=timeout)
+        if self._thread.is_alive():
+            log.warning('playback render thread still busy at stop '
+                        '(cold compile or dead transport?); leaving it '
+                        'to exit in the background')
         self._clock_handle.unregister()
         # A render thread stuck in a dead-transport fetch holds
         # _render_lock indefinitely; stop() must not hang the UI
@@ -326,13 +365,9 @@ class VideoPlaybackEngine:
             # the host link (half the f16 bytes; viewport-sized when a
             # viewport is set)
             if viewport is not None:
-                jnp = backend.jnp
                 with self._render_lock:
                     dy, dx = planner._display_matrices(viewport)
-                data = jnp.einsum('yh,bchw->bcyw', dy,
-                                  data.astype(jnp.float32))
-                data = jnp.einsum('xw,bcyw->bcyx', dx,
-                                  data).astype(jnp.float16)
+                data = _viewport_resample(dy, dx, data)
             if quality <= 5:
                 # Degraded scrub preview: lossy 4:2:0 packed transport
                 # (1.5 bytes/px vs BGRA's 4 — the fetch dominates a

@@ -326,10 +326,21 @@ class PlanContext:
     """
 
     def __init__(self, planner, frames, window, root_range=None,
-                 stage_gen=None):
+                 stage_gen=None, sem_windows=None):
         self.planner = planner
         self.frames = frames
         self.window = window
+        # Per-frame SEMANTIC pull windows, a (B, 4) [x0, y0, x1, y1]
+        # array (or None = every frame pulls at ``window``): the window
+        # the EAGER pull chain would hand each frame's get_frame call.
+        # Planner layout may render a node at a larger static window
+        # (fetch unions, quantized damage regions), but window-SENSITIVE
+        # semantics — the scaler's fetch-box tap clipping
+        # (video_scale.c:299-307: taps outside the pulled source rect
+        # are dropped, NOT renormalized), pulldown's interleave rows —
+        # must follow the eager per-frame windows or the batched path
+        # diverges from the pull path (round-3 fuzz find, seed 1034).
+        self.sem_windows = sem_windows
         # The ROOT segment this plan serves, in root frame space —
         # derived contexts (with_frames remaps to child frames) keep
         # the original, so staged entries can record which root ranges
@@ -345,14 +356,44 @@ class PlanContext:
         self.stage_gen = stage_gen
 
     def with_frames(self, frames):
+        # Frame remaps (pass-throughs, sequences, pulldown pulls) keep
+        # batch positions, so the per-frame semantic windows stay
+        # aligned and carry over.
         return PlanContext(self.planner, np.asarray(frames), self.window,
                            root_range=self.root_range,
-                           stage_gen=self.stage_gen)
+                           stage_gen=self.stage_gen,
+                           sem_windows=self.sem_windows)
 
-    def with_window(self, window):
+    def with_window(self, window, sem=None):
+        """Re-window. ``sem`` controls the semantic pull windows:
+        None resets them to follow *window* (a real re-window — the
+        eager chain pulls the child at this window), 'keep' preserves
+        the CURRENT effective semantics (planner-internal layout moves
+        like damage-region replans), or a (B, 4) array sets per-frame
+        windows explicitly (the scaler's per-frame fetch boxes)."""
+        if isinstance(sem, str) and sem == 'keep':
+            sem = self.sem_windows
+            if sem is None:
+                sem = tile_window(self.window, len(self.frames))
         return PlanContext(self.planner, self.frames, window,
                            root_range=self.root_range,
-                           stage_gen=self.stage_gen)
+                           stage_gen=self.stage_gen,
+                           sem_windows=sem)
+
+    def with_sem(self, sem_windows):
+        """Same frames/window with explicit per-frame semantic pull
+        windows ((B, 4) [x0, y0, x1, y1]; pulldown hands frame b's
+        pulls frame a's current windows, Pulldown23RemovalFilter.c:91)."""
+        return PlanContext(self.planner, self.frames, self.window,
+                           root_range=self.root_range,
+                           stage_gen=self.stage_gen,
+                           sem_windows=np.asarray(sem_windows))
+
+    def sem_array(self):
+        """(B, 4) [x0, y0, x1, y1] effective semantic windows."""
+        if self.sem_windows is not None:
+            return np.asarray(self.sem_windows)
+        return tile_window(self.window, len(self.frames))
 
     # --- node constructors used by sources ------------------------------
 
@@ -878,8 +919,12 @@ def _eval(node_sig, params_iter, jnp, jax):
 
     if op == 'u8_linearize':
         # Staged u8 RGBA -> f16 linear rec709 decode (generic decoded
-        # video path; u8 staging halves host->device bytes)
-        data = params['data'].astype(jnp.float32) / 255.0
+        # video path; u8 staging halves host->device bytes). Input is
+        # the decoder's INTERLEAVED (B, H, W, 4) layout: the
+        # channel-planar relayout fuses into the program here — doing
+        # it host-side was a pathological strided copy on this host.
+        data = jnp.transpose(params['data'],
+                             (0, 3, 1, 2)).astype(jnp.float32) / 255.0
         rgba16 = data.astype(jnp.float16)
         return _device_transfer('rec709_to_linear_scene', rgba16, jnp, jax)
 

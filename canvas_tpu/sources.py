@@ -1015,8 +1015,12 @@ def _ws_emit(self, ctx):
                 # future edit breaks the invariant instead of letting
                 # the kernel floor them silently.
                 assert dy0 % QR == 0 and dx0 % QC == 0, (dy0, dx0)
+                # sem='keep': the region box is planner LAYOUT, not a
+                # semantic re-window — window-sensitive children (scaler
+                # tap clipping) must still follow the original pull
+                # windows or the replan changes pixels vs the pull path.
                 replanned = sub.with_window(
-                    box2i(x0, y0, x1, y1)).plan(item._source)
+                    box2i(x0, y0, x1, y1), sem='keep').plan(item._source)
                 child = Node('placed',
                              static=(h_box, w_box),
                              params={'dy0': np.int32(dy0),
@@ -1118,24 +1122,36 @@ def _scaler_emit(self, ctx):
     if (f_arr == 1.0).all() and (tp_arr == sp_arr).all():
         return ctx.plan(self.source)
 
-    # Union of per-frame fetch windows -> one static child window
-    # (vectorized interval algebra over the (B, 4) window arrays)
+    # Per-frame fetch boxes from the SEMANTIC pull windows (the window
+    # the eager chain would hand each frame's pull — usually the layout
+    # window, but pulldown hands frame b's pulls frame a's windows):
+    # video_scale.c:299-307's target->source map with its ±1 margin,
+    # intersected with the per-frame source_rect. These boxes are the
+    # eager path's pulled-source bounds, and the reference DROPS taps
+    # outside the pulled rect without renormalizing (video_scale.c:
+    # 103-110) — so they clip the planner's taps below, or the batched
+    # path diverges from the pull path at fetch edges.
     full = ctx.window
     fx_a, fy_a = f_arr[:, 0], f_arr[:, 1]
     tx_a, ty_a = tp_arr[:, 0], tp_arr[:, 1]
     sx_a, sy_a = sp_arr[:, 0], sp_arr[:, 1]
-    b0 = np.trunc(sx_a - (tx_a - full.min.x) / fx_a).astype(np.int64) - 1
-    b1 = np.trunc(sy_a - (ty_a - full.min.y) / fy_a).astype(np.int64) - 1
-    b2 = np.trunc(sx_a + (full.max.x - tx_a) / fx_a).astype(np.int64) + 1
-    b3 = np.trunc(sy_a + (full.max.y - ty_a) / fy_a).astype(np.int64) + 1
-    fb = np.stack([np.maximum(b0, rects[:, 0]),
-                   np.maximum(b1, rects[:, 1]),
-                   np.minimum(b2, rects[:, 2]),
-                   np.minimum(b3, rects[:, 3])], axis=1)
-    ok = (fb[:, 2] >= fb[:, 0]) & (fb[:, 3] >= fb[:, 1])
+    sem = ctx.sem_array().astype(np.float64)
+    b0 = np.trunc(sx_a - (tx_a - sem[:, 0]) / fx_a).astype(np.int64) - 1
+    b1 = np.trunc(sy_a - (ty_a - sem[:, 1]) / fy_a).astype(np.int64) - 1
+    b2 = np.trunc(sx_a + (sem[:, 2] - tx_a) / fx_a).astype(np.int64) + 1
+    b3 = np.trunc(sy_a + (sem[:, 3] - ty_a) / fy_a).astype(np.int64) + 1
+    fb_all = np.stack([np.maximum(b0, rects[:, 0]),
+                       np.maximum(b1, rects[:, 1]),
+                       np.minimum(b2, rects[:, 2]),
+                       np.minimum(b3, rects[:, 3])], axis=1)
+    # frames whose semantic window is empty pull nothing (the eager
+    # path returns an empty frame before fetching)
+    fb_all[(sem[:, 2] < sem[:, 0]) | (sem[:, 3] < sem[:, 1])] = (
+        0, 0, -1, -1)
+    ok = (fb_all[:, 2] >= fb_all[:, 0]) & (fb_all[:, 3] >= fb_all[:, 1])
     if not ok.any():
         return _emit_empty(ctx)
-    fb = fb[ok]
+    fb = fb_all[ok]
     # Quantize the fetch SIZE up to a 64px multiple (origin exact):
     # animated parameters then reuse one compiled program while the
     # fetch region drifts (out-of-window taps carry zero weight, so the
@@ -1147,7 +1163,11 @@ def _scaler_emit(self, ctx):
     fh = -((int(fb[:, 3].max()) - fy0 + 1) // -Q) * Q
     fetch = box2i(fx0, fy0, fx0 + fw - 1, fy0 + fh - 1)
 
-    child = ctx.with_window(fetch).plan(self.source)
+    # The child renders at the (quantized) fetch UNION, but its
+    # semantic pull windows are the per-frame fetch boxes — a nested
+    # scaler must clip ITS taps the way the eager chain's per-frame
+    # child pull would.
+    child = ctx.with_window(fetch, sem=fb_all).plan(self.source)
 
     # Low-quality hint (reference scale 1-11, framework.h:510-513):
     # quality <= 5 degrades to bilinear taps + default-precision MXU
@@ -1162,17 +1182,17 @@ def _scaler_emit(self, ctx):
                 and (rects == rects[0]).all())
 
     from canvas_tpu.render import tile_window, windows_to_array
-    # Taps must clip to content WITHIN the per-frame source_rect: the
-    # child is planned over the (quantized) fetch-union window, so its
-    # content windows can extend past a frame's rect — clipping taps
-    # only to content leaked cropped-away pixels into the output
-    # (diverging from the eager pull, which pulls a rect-clipped
-    # child).
+    # Taps clip to content WITHIN each frame's fetch box (fb_all folds
+    # in the source_rect): the child is planned over the (quantized)
+    # fetch-union window, so its content windows can extend past a
+    # frame's rect or fetch bounds — the eager pull sees a
+    # fetch-clipped child and DROPS those taps unrenormalized
+    # (video_scale.c:103-110), so the planner must too.
     cwin = windows_to_array(child.windows)
-    cwin = np.stack([np.maximum(cwin[:, 0], rects[:, 0]),
-                     np.maximum(cwin[:, 1], rects[:, 1]),
-                     np.minimum(cwin[:, 2], rects[:, 2]),
-                     np.minimum(cwin[:, 3], rects[:, 3])], axis=1)
+    cwin = np.stack([np.maximum(cwin[:, 0], fb_all[:, 0]),
+                     np.maximum(cwin[:, 1], fb_all[:, 1]),
+                     np.minimum(cwin[:, 2], fb_all[:, 2]),
+                     np.minimum(cwin[:, 3], fb_all[:, 3])], axis=1)
 
     if constant and (cwin == cwin[0]).all():
         cw0 = box2i(int(cwin[0, 0]), int(cwin[0, 1]),

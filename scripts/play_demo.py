@@ -63,11 +63,21 @@ def main():
     clock = SystemPresentationClock()
     engine = VideoPlaybackEngine(workspace, clock, rate, window, present)
     try:
+        # Compile the full pipeline BEFORE starting the clock: first
+        # compiles cost seconds (tens through a remote transport), and
+        # a clock already running skips every frame inside them.
+        t0 = time.time()
+        engine.warm(0)
+        warm_s = time.time() - t0
+        if warm_s > 0.5:
+            print('warmed pipeline in %.1fs (compiles now cached)'
+                  % warm_s)
+        presented.clear()
         clock.play(1)
         time.sleep(seconds)
         clock.stop()
     finally:
-        engine.stop()
+        engine.stop(timeout=60)
 
     if len(presented) > 1:
         span = presented[-1][0] - presented[0][0]

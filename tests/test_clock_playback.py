@@ -130,6 +130,39 @@ def test_playback_engine_presents_frames():
         engine.stop()
 
 
+def test_playback_engine_warm_precompiles():
+    """warm() renders the first batch synchronously (compiling every
+    program playback uses) so a subsequent play starts with the frames
+    already in the ring — the first-compile stall fix."""
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.playback import VideoPlaybackEngine
+
+    presented = []
+    src = SolidColorVideoSource(LerpFunc((0, 0, 0, 1), (1, 1, 1, 1), 100))
+    clock = SystemPresentationClock()
+    engine = VideoPlaybackEngine(
+        src, clock, Fraction(100, 1), box2i(0, 0, 15, 15),
+        lambda idx, bgra: presented.append(idx), batch=4)
+    try:
+        engine.warm(0)
+        with engine._lock:
+            cached = sorted(engine._cache)
+        assert cached[:4] == [0, 1, 2, 3]
+        # The paused render thread presents the current frame once it's
+        # cached; wait for that so the count below is race-free.
+        deadline = time.time() + 5
+        while not presented and time.time() < deadline:
+            time.sleep(0.01)
+        n = len(presented)
+        # display_frame of a warmed frame presents from the ring
+        # (exactly one more present, no re-render)
+        engine.display_frame(0)
+        assert len(presented) == n + 1
+        assert set(presented) == {0}
+    finally:
+        engine.stop()
+
+
 def test_playback_seek_invalidates():
     from canvas_tpu.playback import VideoPlaybackEngine
 

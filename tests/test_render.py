@@ -329,6 +329,39 @@ def test_pulldown_batched_matches_pull():
                                want.astype(np.float32), atol=2e-3)
 
 
+def test_pulldown_over_scaler_matches_pull():
+    """Pulldown of an ANIMATED SCALER: the eager path pulls frame b
+    inside a temp frame whose full_window is frame a's current_window
+    (Pulldown23RemovalFilter.c:91-96), and the scaler drops taps
+    outside its pulled fetch rect WITHOUT renormalizing
+    (video_scale.c:103-110, :299-307) — so b's pixel values near its
+    window edges depend on a's window. The planner models this via
+    per-frame semantic pull windows (PlanContext.sem_windows); without
+    them, mixed frames diverged up to ~0.1 at b's clipped edges
+    (round-3 fuzz find, seed 1034 frame 11)."""
+    from canvas_tpu.coded import Pulldown23RemovalFilter
+    from canvas_tpu.framefuncs import ConstFrameFunc
+    from canvas_tpu.sources import VideoScaler
+
+    # The exact fuzz-found geometry (seed 1034): frame b's window
+    # extends one row past frame a's, and the scaler's fetch-edge tap
+    # renormalization makes b's clipped-pull values differ by ~0.09.
+    solid = SolidColorVideoSource((0.2, 0.9, 0.4, 1.0))
+    scaler = VideoScaler(
+        solid,
+        target_point=LerpFunc((95.0, 8.0), (83.0, 61.0), 64),
+        source_point=ConstFrameFunc((0.0, 0.0)),
+        scale_factors=LerpFunc((1.19501412, 0.72751164),
+                               (0.59656811, 1.02176046), 64),
+        source_rect=ConstFrameFunc((3.0, 1.0, 9.0, 12.0)))
+    big = box2i(0, 0, 191, 143)
+    filt = Pulldown23RemovalFilter(scaler, 2)
+    want, _ = pull_frames(filt, big, 8, 20)
+    got = render.render_frames(filt, big, 8, 20)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=8e-3)
+
+
 def test_render_sharded_spatial_axis_smoke():
     """Frames x rows 2-D sharding on the virtual mesh."""
     from canvas_tpu import backend
