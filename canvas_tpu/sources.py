@@ -1148,10 +1148,38 @@ def _scaler_emit(self, ctx):
     # path returns an empty frame before fetching)
     fb_all[(sem[:, 2] < sem[:, 0]) | (sem[:, 3] < sem[:, 1])] = (
         0, 0, -1, -1)
-    ok = (fb_all[:, 2] >= fb_all[:, 0]) & (fb_all[:, 3] >= fb_all[:, 1])
+    # The FETCH additionally intersects the layout-needed boxes: source
+    # pixels actually read by outputs inside the LAYOUT window
+    # (ctx.window). Taps live within width = max(1, 1/f) source pixels
+    # of an output's center (axis_taps), so the layout map expanded by
+    # ceil(width)+1 bounds every tap an in-layout output can read.
+    # Without this, region replans (layout ⊂ semantic window) fetched
+    # their child at full-frame extent — a measured ~5% device-time
+    # regression when sem_windows landed. Taps between this fetch and
+    # the semantic bounds are only used by out-of-layout outputs, which
+    # the node never materializes.
+    wx_f = np.maximum(1.0, 1.0 / fx_a)
+    wy_f = np.maximum(1.0, 1.0 / fy_a)
+    cx0 = sx_a + (full.min.x - tx_a) / fx_a
+    cx1 = sx_a + (full.max.x - tx_a) / fx_a
+    cy0 = sy_a + (full.min.y - ty_a) / fy_a
+    cy1 = sy_a + (full.max.y - ty_a) / fy_a
+    mx = np.ceil(wx_f).astype(np.int64) + 1
+    my = np.ceil(wy_f).astype(np.int64) + 1
+    fetch_fb = np.stack(
+        [np.maximum(fb_all[:, 0],
+                    np.floor(np.minimum(cx0, cx1)).astype(np.int64) - mx),
+         np.maximum(fb_all[:, 1],
+                    np.floor(np.minimum(cy0, cy1)).astype(np.int64) - my),
+         np.minimum(fb_all[:, 2],
+                    np.ceil(np.maximum(cx0, cx1)).astype(np.int64) + mx),
+         np.minimum(fb_all[:, 3],
+                    np.ceil(np.maximum(cy0, cy1)).astype(np.int64) + my)],
+        axis=1)
+    ok = (fetch_fb[:, 2] >= fetch_fb[:, 0]) & (fetch_fb[:, 3] >= fetch_fb[:, 1])
     if not ok.any():
         return _emit_empty(ctx)
-    fb = fb_all[ok]
+    fb = fetch_fb[ok]
     # Quantize the fetch SIZE up to a 64px multiple (origin exact):
     # animated parameters then reuse one compiled program while the
     # fetch region drifts (out-of-window taps carry zero weight, so the
