@@ -69,6 +69,15 @@ def main():
                             'detail': str(e)[:200]})
             print(json.dumps(results[-1]), flush=True)
             continue
+        finally:
+            # Release this cell's device buffers (staged stacks, program
+            # cache) BEFORE the next cell's health gate: an OOM'd cell
+            # otherwise leaves HBM full and even the gate's 256x256 ones
+            # fails (observed after the 256:3 row).
+            planner.close()
+            del planner
+            import gc
+            gc.collect()
         results.append({'batch': batch, 'inflight': inflight or 0,
                         'fps': round(fps, 1),
                         'wall_s': round(time.perf_counter() - t0, 1)})
