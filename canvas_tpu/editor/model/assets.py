@@ -4,7 +4,11 @@ Behavioral rebuild of /root/reference/fluggo/editor/model/sources.py:
 Asset (:31-86), _SpaceSource/SpaceAsset (:88-182), PluginSource/
 PluginSourceAsset (:233-388), RuntimeSource/RuntimeSourceAsset
 (:389-419), AssetStreamRef (:421-456), AssetList (:458-506), Project
-(:508-533), with YAML tags.
+(:508-533), with YAML tags. The class/method inventory and failure
+texts are the reference's public contract (tests assert them); the
+internal structure — staged resolution, the shared load-alert
+lifecycle, declarative definition fields, and the single YAML
+registry — is ours.
 """
 
 from collections.abc import MutableMapping
@@ -20,6 +24,34 @@ _log = _logging.getLogger(__name__)
 __all__ = ['Asset', 'SpaceAsset', 'PluginSource', 'PluginSourceAsset',
            'RuntimeSource', 'RuntimeSourceAsset', 'AssetStreamRef',
            'AssetList', 'Project']
+
+
+class _LoadAlertMixin:
+    """Shared lifecycle for a source's single retained load-failure
+    alert: publish on failure, retract before every retry. Used by both
+    _SpaceSource and PluginSource."""
+
+    _load_alert = None
+
+    def _clear_load_alert(self):
+        if self._load_alert:
+            self.hide_alert(self._load_alert)
+            self._load_alert = None
+
+    def _publish_load_alert(self, description, *, model_obj,
+                            actions=(), exc_info=False):
+        alert = plugins.Alert(description, icon=plugins.AlertIcon.Error,
+                              source=self.name, model_obj=model_obj,
+                              actions=list(actions), exc_info=exc_info)
+        self._load_alert = alert
+        self.show_alert(alert)
+
+
+def _unexpected(verb, ex):
+    """The reference's failure-text shape for exception alerts:
+    'Unexpected <Type> while <verb>: <message>'."""
+    return ('Unexpected ' + type(ex).__name__ + ' while '
+            + verb + ': ' + str(ex))
 
 
 class Asset:
@@ -38,91 +70,81 @@ class Asset:
         self.keywords_updated = Signal()
         self._asset_list = None
 
+    # Subclasses list (definition-key, callable) pairs here; the
+    # base get_definition folds them in so each subclass declares
+    # WHAT it persists, not another serialization method body.
+    definition_fields = ()
+
+    def get_definition(self):
+        d = {'keywords': list(self._keywords)}
+        for key, get in type(self).definition_fields:
+            d[key] = get(self)
+        return d
+
     def get_source(self):
         return None
 
     def create_composition_editor(self):
         raise NotImplementedError
 
-    def get_definition(self):
-        return {'keywords': list(self._keywords)}
-
     asset_list = property(lambda self: self._asset_list)
-
-    @property
-    def path(self):
-        return self.name
-
     keywords = property(lambda self: self._keywords)
+    # Full hierarchical paths are a reference TODO as well; the name is
+    # the path until assets nest.
+    path = property(lambda self: self.name)
 
     def fixup(self):
         pass
 
-    @classmethod
-    def to_yaml(cls, dumper, data):
-        return dumper.represent_mapping(cls.yaml_tag, data.get_definition())
 
-    @classmethod
-    def from_yaml(cls, loader, node):
-        return cls(name='', **loader.construct_mapping(node, deep=True))
-
-
-class _SpaceSource(plugins.Source):
+class _SpaceSource(_LoadAlertMixin, plugins.Source):
     """Source view of a Space: compiles it through the graph managers
     (sources.py:88-147)."""
+
+    #: (attribute, stream label, graph manager factory name) — the two
+    #: compiled stream views every space exposes.
+    _MANAGERS = (('_video', 'Video', 'SpaceVideoManager'),
+                 ('_audio', 'Audio', 'SpaceAudioManager'))
 
     def __init__(self, space, asset_list):
         plugins.Source.__init__(self, space.name)
         self._space = space
         self._asset_list = asset_list
-        self._video = None
-        self._audio = None
-        self._load_alert = None
+        for attr, _label, _factory in self._MANAGERS:
+            setattr(self, attr, None)
 
     def bring_online(self):
-        if self._load_alert:
-            self.hide_alert(self._load_alert)
-            self._load_alert = None
+        self._clear_load_alert()
         try:
             from canvas_tpu.editor import graph
-            self._video = graph.SpaceVideoManager(self._space,
+            for attr, label, factory in self._MANAGERS:
+                manager = getattr(graph, factory)(self._space,
                                                   self._asset_list)
-            self._video.name = 'Video'
-            self.follow_alerts(self._video)
-
-            self._audio = graph.SpaceAudioManager(self._space,
-                                                  self._asset_list)
-            self._audio.name = 'Audio'
-            self.follow_alerts(self._audio)
-
+                manager.name = label
+                self.follow_alerts(manager)
+                setattr(self, attr, manager)
             plugins.Source.bring_online(self)
         except Exception as ex:
             _log.debug('Error while creating source for space "{0}"',
                        self.name, exc_info=True)
             self.take_offline()
-            self._load_alert = plugins.Alert(
-                'Unexpected ' + type(ex).__name__ +
-                ' while creating source from space: ' + str(ex),
-                icon=plugins.AlertIcon.Error, source=self.name,
+            self._publish_load_alert(
+                _unexpected('creating source from space', ex),
                 model_obj=self._space, exc_info=True)
-            self.show_alert(self._load_alert)
 
     def take_offline(self):
-        if self._load_alert:
-            self.hide_alert(self._load_alert)
-            self._load_alert = None
-        if self._video:
-            self.unfollow_alerts(self._video)
-            self._video = None
-        if self._audio:
-            self.unfollow_alerts(self._audio)
-            self._audio = None
+        self._clear_load_alert()
+        for attr, _label, _factory in self._MANAGERS:
+            manager = getattr(self, attr)
+            if manager:
+                self.unfollow_alerts(manager)
+                setattr(self, attr, None)
         plugins.Source.take_offline(self)
 
     def get_streams(self):
         if self.offline:
             raise plugins.SourceOfflineError
-        return [self._video, self._audio]
+        return [getattr(self, attr) for attr, _l, _f in self._MANAGERS]
 
 
 class SpaceAsset(Asset):
@@ -136,11 +158,7 @@ class SpaceAsset(Asset):
         self._source = None
 
     space = property(lambda self: self._space)
-
-    def get_definition(self):
-        d = Asset.get_definition(self)
-        d['space'] = self._space
-        return d
+    definition_fields = (('space', lambda self: self._space),)
 
     def get_source(self):
         if not self._asset_list:
@@ -154,7 +172,7 @@ class SpaceAsset(Asset):
         self._space.fixup()
 
 
-class PluginSource(plugins.Source):
+class PluginSource(_LoadAlertMixin, plugins.Source):
     """A source loaded through a plugin by URN + definition, with
     alert-based retry on failure (sources.py:233-368)."""
 
@@ -164,17 +182,14 @@ class PluginSource(plugins.Source):
         self.plugin_urn = plugin_urn
         self._plugin = None
         self._source = None
-        self._load_alert = None
 
     def _handle_offline_changed(self, source):
         self.offline = self._source.offline
 
-    def _alert_and_stay_offline(self, description, exc_info=False):
-        self._load_alert = plugins.Alert(
-            description, icon=plugins.AlertIcon.Error, source=self.name,
-            model_obj=self, actions=[('Retry', self._retry_load)],
-            exc_info=exc_info)
-        self.show_alert(self._load_alert)
+    def _fail(self, description, exc_info=False):
+        self._publish_load_alert(
+            description, model_obj=self,
+            actions=[('Retry', self._retry_load)], exc_info=exc_info)
 
     # bring_online is a staged resolution pipeline: each stage either
     # completes (returns True) or publishes its failure alert and
@@ -193,8 +208,8 @@ class PluginSource(plugins.Source):
             return True
         _log.debug("Couldn't find plugin {0} for source {1}",
                    self.plugin_urn, self.name)
-        self._alert_and_stay_offline(
-            'Plugin ' + self.plugin_urn + ' unavailable or disabled')
+        self._fail('Plugin ' + self.plugin_urn
+                   + ' unavailable or disabled')
         return False
 
     def _stage_create_source(self):
@@ -219,10 +234,8 @@ class PluginSource(plugins.Source):
                     pass
             _log.debug('Error while creating source {0} from plugin',
                        self.name, exc_info=True)
-            self._alert_and_stay_offline(
-                'Unexpected ' + type(ex).__name__ +
-                ' while creating source from plugin: ' + str(ex),
-                exc_info=True)
+            self._fail(_unexpected('creating source from plugin', ex),
+                       exc_info=True)
             return False
         return True
 
@@ -234,19 +247,15 @@ class PluginSource(plugins.Source):
         except Exception as ex:
             _log.debug('Error while bringing source {0} online',
                        self.name, exc_info=True)
-            self._alert_and_stay_offline(
-                'Unexpected ' + type(ex).__name__ +
-                ' while bringing source online: ' + str(ex),
-                exc_info=True)
+            self._fail(_unexpected('bringing source online', ex),
+                       exc_info=True)
             return False
         return True
 
     def bring_online(self):
         if not self.offline:
             return
-        if self._load_alert:
-            self.hide_alert(self._load_alert)
-            self._load_alert = None
+        self._clear_load_alert()
         for stage in (self._stage_find_plugin, self._stage_create_source,
                       self._stage_activate):
             if not stage():
@@ -266,11 +275,8 @@ class PluginSource(plugins.Source):
             pass
         self.offline = True
 
-    @property
-    def file_path(self):
-        if self._source:
-            return self._source.file_path
-        return None
+    file_path = property(
+        lambda self: self._source.file_path if self._source else None)
 
     def get_definition(self):
         return {'plugin_urn': self.plugin_urn,
@@ -309,11 +315,11 @@ class PluginSourceAsset(Asset):
         Asset.__init__(self, name=name, **kw)
         self._source = PluginSource(name, plugin_urn, definition)
 
-    def get_definition(self):
-        d = Asset.get_definition(self)
-        d['plugin_urn'] = self._source.plugin_urn
-        d['definition'] = self._source.get_definition()['definition']
-        return d
+    definition_fields = (
+        ('plugin_urn', lambda self: self._source.plugin_urn),
+        ('definition',
+         lambda self: self._source.get_definition()['definition']),
+    )
 
     def get_source(self):
         return self._source
@@ -327,19 +333,20 @@ class RuntimeSource(plugins.Source):
         plugins.Source.__init__(self, name)
         self._streams = streams
 
+    def _live_streams(self):
+        if self.offline:
+            raise plugins.SourceOfflineError
+        return self._streams
+
     def get_stream_formats(self):
         return [(stream.name, stream.format)
                 for stream in self._streams.values()]
 
     def get_streams(self):
-        if self.offline:
-            raise plugins.SourceOfflineError
-        return list(self._streams.values())
+        return list(self._live_streams().values())
 
     def get_stream(self, name):
-        if self.offline:
-            raise plugins.SourceOfflineError
-        return self._streams[name]
+        return self._live_streams()[name]
 
     def get_definition(self):
         raise RuntimeError("Runtime sources can't be written to a file.")
@@ -357,7 +364,8 @@ class RuntimeSourceAsset(Asset):
 
 
 class AssetStreamRef:
-    """Reference to (asset path, stream name) (sources.py:421-456)."""
+    """Reference to (asset path, stream name) (sources.py:421-456).
+    Value semantics: equality and hash follow the pair."""
 
     yaml_tag = '!AssetStreamRef'
 
@@ -368,22 +376,18 @@ class AssetStreamRef:
     asset_path = property(lambda self: self._asset_path)
     stream = property(lambda self: self._stream)
 
-    @classmethod
-    def to_yaml(cls, dumper, data):
-        return dumper.represent_mapping(cls.yaml_tag, {
-            'asset_path': data._asset_path, 'stream': data._stream})
+    def _key(self):
+        return (self._asset_path, self._stream)
 
-    @classmethod
-    def from_yaml(cls, loader, node):
-        return cls(**loader.construct_mapping(node, deep=True))
+    def get_definition(self):
+        return {'asset_path': self._asset_path, 'stream': self._stream}
 
     def __eq__(self, other):
-        return (isinstance(other, AssetStreamRef) and
-                other._asset_path == self._asset_path and
-                other._stream == self._stream)
+        return (isinstance(other, AssetStreamRef)
+                and other._key() == self._key())
 
     def __hash__(self):
-        return hash((self._asset_path, self._stream))
+        return hash(self._key())
 
 
 class AssetList(MutableMapping):
@@ -393,25 +397,31 @@ class AssetList(MutableMapping):
         self.renamed = Signal()
         self.removed = Signal()
 
+    def _adopt(self, name, asset):
+        self.assets[name] = asset
+        asset._asset_list = self
+        asset.name = name
+
+    def _orphan(self, name):
+        """Announce removal, then detach — the removed() handlers are
+        the last to see the asset still named and listed."""
+        asset = self.assets[name]
+        self.removed(name)
+        asset._asset_list = None
+        asset.name = None
+        return asset
+
     def __getitem__(self, name):
         return self.assets[name]
 
     def __setitem__(self, name, value):
-        old = self.assets.get(name)
-        if old:
-            self.removed(name)
-            old._asset_list = None
-            old.name = None
-        self.assets[name] = value
-        value._asset_list = self
-        value.name = name
+        if self.assets.get(name):
+            self._orphan(name)
+        self._adopt(name, value)
         self.added(name)
 
     def __delitem__(self, name):
-        old = self.assets[name]
-        self.removed(name)
-        old._asset_list = None
-        old.name = None
+        self._orphan(name)
         del self.assets[name]
 
     def __len__(self):
@@ -424,6 +434,8 @@ class AssetList(MutableMapping):
         return self.assets
 
     def fixup(self):
+        # Re-bind names/backlinks first so every asset's fixup sees a
+        # consistent list, then let each asset repair itself.
         for name, asset in self.assets.items():
             asset.name = name
             asset._asset_list = self
@@ -436,11 +448,10 @@ class Project:
 
     def __init__(self, known_formats=None, assets=None,
                  project_settings=None):
-        self._known_formats = known_formats if known_formats is not None \
-            else {}
-        self._assets = assets if assets is not None else {}
-        self._project_settings = project_settings if project_settings \
-            is not None else {}
+        self._known_formats = {} if known_formats is None else known_formats
+        self._assets = {} if assets is None else assets
+        self._project_settings = ({} if project_settings is None
+                                  else project_settings)
 
     def fixup(self):
         if isinstance(self._assets, dict):
@@ -449,38 +460,31 @@ class Project:
 
     assets = property(lambda self: self._assets)
 
-    @classmethod
-    def to_yaml(cls, dumper, data):
-        assets = data._assets.get_asset_list() \
-            if isinstance(data._assets, AssetList) else data._assets
-        return dumper.represent_mapping(cls.yaml_tag, {
-            'known_formats': data._known_formats,
-            'assets': assets,
-            'project_settings': data._project_settings})
-
-    @classmethod
-    def from_yaml(cls, loader, node):
-        return cls(**loader.construct_mapping(node, deep=True))
+    def get_definition(self):
+        assets = (self._assets.get_asset_list()
+                  if isinstance(self._assets, AssetList) else self._assets)
+        return {'known_formats': self._known_formats,
+                'assets': assets,
+                'project_settings': self._project_settings}
 
 
-def _yamlreg(cls):
-    yaml.add_representer(cls, cls.to_yaml)
-    yaml.add_constructor(cls.yaml_tag, cls.from_yaml)
+# --- YAML registry -----------------------------------------------------------
+# One representer shape for everything: dump = tagged get_definition()
+# mapping; load = constructor over the mapping. Classes whose __init__
+# takes a required positional (name, space) register a construct
+# adapter instead of a second classmethod per type.
 
-
-_yamlreg(Asset)
-_yamlreg(AssetStreamRef)
-_yamlreg(Project)
+def _construct_kwargs(cls, **fixed):
+    def construct(loader, node):
+        mapping = loader.construct_mapping(node, deep=True)
+        mapping.update(fixed)
+        return cls(**mapping)
+    return construct
 
 
 def _space_asset_construct(loader, node):
     mapping = loader.construct_mapping(node, deep=True)
-    space = mapping.pop('space')
-    return SpaceAsset(space, name='', **mapping)
-
-
-yaml.add_representer(SpaceAsset, SpaceAsset.to_yaml)
-yaml.add_constructor('!SpaceAsset', _space_asset_construct)
+    return SpaceAsset(mapping.pop('space'), name='', **mapping)
 
 
 def _plugin_source_asset_construct(loader, node):
@@ -491,5 +495,22 @@ def _plugin_source_asset_construct(loader, node):
         keywords=mapping.get('keywords', ()))
 
 
-yaml.add_representer(PluginSourceAsset, PluginSourceAsset.to_yaml)
-yaml.add_constructor('!PluginSourceAsset', _plugin_source_asset_construct)
+def _yamlreg(cls, construct):
+    def represent(dumper, data):
+        return dumper.represent_mapping(cls.yaml_tag,
+                                        data.get_definition())
+    # to_yaml/from_yaml remain as the public per-class hooks the rest
+    # of the model layer expects on yaml-tagged types.
+    cls.to_yaml = classmethod(lambda _cls, dumper, data:
+                              represent(dumper, data))
+    cls.from_yaml = classmethod(lambda _cls, loader, node:
+                                construct(loader, node))
+    yaml.add_representer(cls, represent)
+    yaml.add_constructor(cls.yaml_tag, construct)
+
+
+_yamlreg(Asset, _construct_kwargs(Asset, name=''))
+_yamlreg(AssetStreamRef, _construct_kwargs(AssetStreamRef))
+_yamlreg(Project, _construct_kwargs(Project))
+_yamlreg(SpaceAsset, _space_asset_construct)
+_yamlreg(PluginSourceAsset, _plugin_source_asset_construct)

@@ -724,9 +724,12 @@ def _eval(node_sig, params_iter, jnp, jax):
                 if (inner[0] in ('scale_solid', 'scale_solid_dyn')
                         and os.environ.get('CANVAS_REGION_SEP',
                                            '0') == '1'):
-                    # Default OFF until the Mosaic kernel is validated
-                    # on a real chip (tunnel outage at authoring time);
-                    # CPU fallback is tested either way.
+                    # Validated on chip 2026-08-18: bit-identical to the
+                    # materialized path (scripts/region_sep_check.py) but
+                    # device-time NEUTRAL (16.05 vs 16.10 ms/b32,
+                    # device_loop_probe A/B) — XLA already keeps the
+                    # outer product fused, so the kernel saves no HBM
+                    # traffic. Stays opt-in; CPU falls back either way.
                     # Rank-1 region layer: hand the factored
                     # (color, ry, rx) straight to the fused region
                     # kernel — the (B, 4, h, w) outer product never

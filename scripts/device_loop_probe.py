@@ -34,6 +34,9 @@ def main():
     ap.add_argument('--r2', type=int, default=22)
     ap.add_argument('--batch', type=int, default=32)
     ap.add_argument('--length', type=int, default=1024)
+    ap.add_argument('--sig-filter', default='',
+                    help='time the largest signature group whose repr '
+                         'contains this substring (e.g. scale_solid)')
     args = ap.parse_args()
 
     import jax
@@ -77,7 +80,18 @@ def main():
         node = ctx.plan(ws)
         by_sig.setdefault(node.signature(), []).append(
             [dict(p) for p in node.flat_params([])])
-    sig, plists = max(by_sig.items(), key=lambda kv: len(kv[1]))
+    candidates = by_sig
+    if args.sig_filter:
+        candidates = {s: p for s, p in by_sig.items()
+                      if args.sig_filter in repr(s)}
+        if not candidates:
+            raise RuntimeError('no signature matches %r (ops seen: %s)'
+                               % (args.sig_filter,
+                                  sorted({s[0] for s in by_sig})))
+    sig, plists = max(candidates.items(), key=lambda kv: len(kv[1]))
+    print('sig group: %d batches, ops=%s' % (
+        len(plists), sorted(set(
+            m for m in repr(sig).split("'") if m.isidentifier()))[:12]))
     if len(plists) < args.r2:
         raise RuntimeError(
             'largest signature group has %d < %d batches '
