@@ -75,8 +75,6 @@ def health_gate(max_wait=600.0):
     import jax
     import jax.numpy as jnp
 
-    a = jnp.ones((256, 256), jnp.float32)
-
     @jax.jit
     def mm(x):
         return jnp.sum(x @ x)
@@ -93,6 +91,9 @@ def health_gate(max_wait=600.0):
     deadline = time.time() + max_wait
     while True:
         try:
+            # Even this 256 KB ones() can RESOURCE_EXHAUST right after
+            # an OOM'd measurement — allocate INSIDE the retry.
+            a = jnp.ones((256, 256), jnp.float32)
             float(mm(a))         # compile (cached after first call)
             float(touch(jax.device_put(probe_host)))
             np.asarray(make(jnp.float32(1.0)))  # compile D2H producer

@@ -274,6 +274,19 @@ def region_over(jnp, jax, P, A, layer, dy0, dx0):
             'region_over region (%d, %d) must be a multiple of the '
             '(64, 128) block grid' % (h, w))
     if jax.default_backend() != 'tpu':
+        # The region box may overhang the frame's bottom/right edge
+        # (planner quantization rounds sizes up within the frame's
+        # 64x128-aligned envelope). dynamic_slice/update CLAMP
+        # out-of-range starts — that would silently SLIDE the box — so
+        # pad the accumulator to the envelope first and slice back.
+        # (The TPU kernel instead masks the partial edge blocks on
+        # store; validated on chip, tests/test_render.py overhang test.)
+        H, W = P.shape[2], P.shape[3]
+        Hp, Wp = -(-H // 64) * 64, -(-W // 128) * 128
+        pad = ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W))
+        if Hp != H or Wp != W:
+            P = jnp.pad(P, pad)
+            A = jnp.pad(A, pad)
         zero = jnp.int32(0)
         subP = jax.lax.dynamic_slice(P, (zero, zero, dy0, dx0),
                                      (B, 3, h, w))
@@ -284,6 +297,9 @@ def region_over(jnp, jax, P, A, layer, dy0, dx0):
         nA = la + subA * (1.0 - la)
         P = jax.lax.dynamic_update_slice(P, nP, (zero, zero, dy0, dx0))
         A = jax.lax.dynamic_update_slice(A, nA, (zero, zero, dy0, dx0))
+        if Hp != H or Wp != W:
+            P = P[:, :, :H, :W]
+            A = A[:, :, :H, :W]
         return P, A
 
     from jax.experimental import pallas as pl

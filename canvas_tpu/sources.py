@@ -1005,8 +1005,17 @@ def _ws_emit(self, ctx):
             x1 = x0 + w_box - 1
             y1 = y0 + h_box - 1
             area = h_box * w_box
-            fits = (x1 <= full.max.x and y1 <= full.max.y)
-            if fits and area < 0.7 * full.height * full.width:
+            # The quantized box may overhang the frame's bottom/right
+            # edge: origin aligns down and size rounds up, but content
+            # was clipped to the frame first, so the end always lands
+            # within the frame's 64x128-aligned envelope — exactly the
+            # partial-last-block case the region kernels handle (Pallas
+            # masks the store; the XLA fallback pads to the envelope).
+            # Rejecting overhang here used to drop every motion phase
+            # that touches a frame edge into the full-frame fused
+            # chain, measured 2.8x slower device-side (16 vs 5.8 ms/b32
+            # on the headline graph's late phases).
+            if area < 0.7 * full.height * full.width:
                 dy0 = y0 - full.min.y
                 dx0 = x0 - full.min.x
                 # region_over requires block-aligned offsets; the

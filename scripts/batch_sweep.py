@@ -31,58 +31,73 @@ if os.environ.get('CANVAS_FORCE_CPU'):
     jax.config.update('jax_platforms', 'cpu')
 
 
-def main():
+def run_cell(batch, inflight, frames_mult):
+    """One health-gated cold measurement; prints one JSON row."""
     import threading
 
     # A fully-down tunnel hangs the first device op with no in-process
-    # recovery; bound the sweep so it can't hang a driving session
+    # recovery; bound the cell so it can't hang the driving sweep
     # (CANVAS_BENCH_WATCHDOG seconds, 0 disables).
     from bench import _start_watchdog
     done = threading.Event()
     _start_watchdog(done)
-    ap = argparse.ArgumentParser()
-    ap.add_argument('--frames-mult', type=int, default=3,
-                    help='timed frames = mult * batch')
-    ap.add_argument('--cells', default='64:0,128:0,128:3,192:3,256:3,256:2',
-                    help='comma list of batch:inflight (0 = unbounded)')
-    args = ap.parse_args()
 
     from benchmarks import health_gate, timeit_batches
     from bench import build_timeline
     from canvas_tpu import render
     from canvas_tpu.basetypes import box2i
 
-    win = box2i(0, 0, 1919, 1079)
+    health_gate()
+    planner = render.RenderPlanner(build_timeline(4096),
+                                   box2i(0, 0, 1919, 1079))
+    t0 = time.perf_counter()
+    fps = timeit_batches(planner, batch, frames_mult * batch,
+                         max_inflight=inflight or None)
+    row = {'batch': batch, 'inflight': inflight,
+           'fps': round(fps, 1),
+           'wall_s': round(time.perf_counter() - t0, 1)}
+    done.set()
+    print(json.dumps(row), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--frames-mult', type=int, default=3,
+                    help='timed frames = mult * batch')
+    ap.add_argument('--cells', default='64:0,128:0,128:3,192:3,256:3,256:2',
+                    help='comma list of batch:inflight (0 = unbounded)')
+    ap.add_argument('--one-cell', default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.one_cell:
+        batch_s, inflight_s = args.one_cell.split(':')
+        run_cell(int(batch_s), int(inflight_s), args.frames_mult)
+        return
+
+    # Each cell runs in its OWN subprocess: a big-batch cell that OOMs
+    # poisons that client's HBM beyond in-process recovery (observed
+    # twice on 256:3 — even a 256 KB ones() stayed RESOURCE_EXHAUSTED
+    # through 10 min of drain retries); the client disconnect on process
+    # exit is the only reliable release.
+    import subprocess
     results = []
     for cell in args.cells.split(','):
         batch_s, inflight_s = cell.split(':')
-        batch, inflight = int(batch_s), int(inflight_s) or None
-        health_gate()
-        planner = render.RenderPlanner(build_timeline(4096), win)
-        t0 = time.perf_counter()
-        try:
-            fps = timeit_batches(planner, batch, args.frames_mult * batch,
-                                 max_inflight=inflight)
-        except Exception as e:  # OOM rows are data, not failures
-            results.append({'batch': batch, 'inflight': inflight or 0,
-                            'error': type(e).__name__,
-                            'detail': str(e)[:200]})
-            print(json.dumps(results[-1]), flush=True)
-            continue
-        finally:
-            # Release this cell's device buffers (staged stacks, program
-            # cache) BEFORE the next cell's health gate: an OOM'd cell
-            # otherwise leaves HBM full and even the gate's 256x256 ones
-            # fails (observed after the 256:3 row).
-            planner.close()
-            del planner
-            import gc
-            gc.collect()
-        results.append({'batch': batch, 'inflight': inflight or 0,
-                        'fps': round(fps, 1),
-                        'wall_s': round(time.perf_counter() - t0, 1)})
-        print(json.dumps(results[-1]), flush=True)
-    done.set()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             '--one-cell', cell, '--frames-mult', str(args.frames_mult)],
+            capture_output=True, text=True)
+        row = None
+        for line in proc.stdout.splitlines():
+            if line.startswith('{'):
+                row = json.loads(line)
+        if row is None:  # OOM rows are data, not failures
+            tail = (proc.stderr or proc.stdout).strip().splitlines()
+            row = {'batch': int(batch_s), 'inflight': int(inflight_s),
+                   'error': 'cell_failed_rc%d' % proc.returncode,
+                   'detail': (tail[-1][:200] if tail else '')}
+        results.append(row)
+        print(json.dumps(row), flush=True)
     print(json.dumps({'sweep': results}))
 
 

@@ -642,6 +642,52 @@ def test_damage_region_layers(any_backend):
     assert_matches_pull(ws2, window=window, start=0, stop=4)
 
 
+def test_damage_region_overhangs_frame_edge(any_backend):
+    """A region layer whose tile-quantized box rounds past the frame's
+    bottom/right edge stays REGION-PLACED (the kernels clip the partial
+    edge blocks; the XLA fallback pads to the 64x128 envelope) instead
+    of dropping the whole batch into the full-frame fused chain. The
+    placement must still match the pull path exactly."""
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.render import PlanContext, RenderPlanner
+    from canvas_tpu.sources import (SolidColorVideoSource, VideoScaler,
+                                    VideoWorkspace)
+
+    # 320x240 frame: envelope 384x256, so a layer near the bottom-right
+    # corner quantizes past BOTH edges (cols 256..383 > 319,
+    # rows 192..255 > 239).
+    window = box2i(0, 0, 319, 239)
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource((0.15, 0.1, 0.2, 1.0)),
+           x=0, length=16, z=0)
+    corner = VideoScaler(
+        SolidColorVideoSource((0.9, 0.3, 0.1, 0.7),
+                              window=box2i(0, 0, 39, 29)),
+        target_point=LerpFunc((270, 205), (290, 215), 16),
+        source_point=(0.0, 0.0),
+        scale_factors=LerpFunc((1.4, 1.4), (1.6, 1.6), 16),
+        source_rect=box2i(0, 0, 39, 29))
+    ws.add(source=corner, x=0, length=16, z=1)
+
+    planner = RenderPlanner(ws, window)
+    try:
+        ctx = PlanContext(planner, np.arange(0, 8), window)
+        node = ctx.plan(ws)
+        placed = [c for c in node.children if c.op == 'placed']
+        assert placed, 'corner layer must stay region-placed'
+        h_box, w_box = placed[0].static
+        dy0 = int(placed[0].params['dy0'])
+        dx0 = int(placed[0].params['dx0'])
+        assert dy0 + h_box > 240 or dx0 + w_box > 320, \
+            'box should overhang the frame edge in this geometry'
+        assert dy0 + h_box <= 256 and dx0 + w_box <= 384, \
+            'quantized box must stay within the aligned envelope'
+    finally:
+        planner.close()
+
+    assert_matches_pull(ws, window=window, start=0, stop=8)
+
+
 def test_opaque_hint_prunes_hidden_layers(any_backend):
     """Layers below a provably-opaque full-frame layer drop out of the
     batched program (the planner-time form of the reference's opaque
