@@ -121,8 +121,11 @@ class _SpaceSource(_LoadAlertMixin, plugins.Source):
                 manager = getattr(graph, factory)(self._space,
                                                   self._asset_list)
                 manager.name = label
-                self.follow_alerts(manager)
+                # Assign BEFORE following: if follow_alerts raises, the
+                # except-path take_offline only unfollows managers it
+                # finds in the attributes.
                 setattr(self, attr, manager)
+                self.follow_alerts(manager)
             plugins.Source.bring_online(self)
         except Exception as ex:
             _log.debug('Error while creating source for space "{0}"',

@@ -280,8 +280,11 @@ def _run_device_conversion(key, make, data, *args):
         return make(key)(data, *args)
     got = _device_program_cache.get(key)
     if got is None:
-        if len(_device_program_cache) > 64:
-            _device_program_cache.clear()
+        while len(_device_program_cache) > 64:
+            # Evict oldest-inserted, not clear(): wiping the whole dict
+            # would recompile every hot conversion after one burst of
+            # distinct keys.
+            _device_program_cache.pop(next(iter(_device_program_cache)))
         got = _device_program_cache[key] = jax.jit(make(key))
     return got(data, *args)
 
@@ -292,11 +295,14 @@ def display_u8_device(data, intent=1.25, order=(2, 1, 0, 3)):
     soft-mode conversion computed ON DEVICE — sRGB transfer
     (f16-quantized to match the half-LUT) then the rendering-intent pow
     with lrint rounding, direct VPU math instead of 64K gathers."""
-    intent = float(intent)
+    # intent is a TRACED argument: a UI intent slider produces a stream
+    # of distinct values, and baking each into the jit closure would
+    # compile a fresh program per tick (seconds each on a remote chip).
     order = tuple(order)
     return _run_device_conversion(
-        ('display_u8', intent, order),
-        lambda key: lambda d: _display_u8_math(d, intent, order), data)
+        ('display_u8', order),
+        lambda key: lambda d, it: _display_u8_math(d, it, order), data,
+        backend.jnp.float32(float(intent)))
 
 
 def _display_u8_math(data, intent, order):
@@ -306,7 +312,7 @@ def _display_u8_math(data, intent, order):
     s = jnp.where(x <= 0.0031308, x * 12.92,
                   1.055 * jnp.power(x, 1.0 / 2.4) - 0.055)
     s = s.astype(jnp.float16).astype(jnp.float32)
-    y = jnp.power(s, jnp.float32(intent)) * 255.0
+    y = jnp.power(s, intent) * 255.0
     y = jnp.clip(jnp.nan_to_num(y, nan=0.0), 0.0, 255.0)
     u8 = jnp.rint(y).astype(jnp.uint8)[:, list(order)]
     t = jnp.transpose(u8, (0, 2, 3, 1))

@@ -34,26 +34,25 @@ from canvas_tpu.basetypes import box2i
 
 __all__ = ['VideoPlaybackEngine']
 
-_viewport_jit = None
-
-
 def _viewport_resample(dy, dx, data):
     """Device viewport resample as ONE compiled program (eager einsums
     pay per-primitive compiles on the first frame; jit re-specializes
-    per viewport shape automatically)."""
-    global _viewport_jit
-    if _viewport_jit is None:
-        from canvas_tpu import backend
-        jax, jnp = backend.jax, backend.jnp
+    per viewport shape automatically). Shares color.py's keyed device-
+    program cache rather than growing a second jit-memo idiom."""
+    from canvas_tpu import backend
+    from canvas_tpu.ops import color as color_ops
+    jnp = backend.jnp
 
-        def resample(dy, dx, data):
+    def make(_key):
+        def resample(data, dy, dx):
             out = jnp.einsum('yh,bchw->bcyw', dy,
                              data.astype(jnp.float32))
             return jnp.einsum('xw,bcyw->bcyx', dx,
                               out).astype(jnp.float16)
+        return resample
 
-        _viewport_jit = jax.jit(resample)
-    return _viewport_jit(dy, dx, data)
+    return color_ops._run_device_conversion(('viewport',), make,
+                                            data, dy, dx)
 
 
 class VideoPlaybackEngine:
@@ -90,7 +89,7 @@ class VideoPlaybackEngine:
         self.on_stall = on_stall
         self.stall_timeout = float(os.environ.get('CANVAS_STALL_TIMEOUT',
                                                   '60'))
-        self._batch_started = None
+        self._batches_started = {}   # thread ident -> monotonic start
         self._stalled = False
         self._watch_stop = threading.Event()
 
@@ -128,7 +127,8 @@ class VideoPlaybackEngine:
 
     def _watch_stalls(self):
         while not self._watch_stop.wait(min(5.0, self.stall_timeout / 4)):
-            started = self._batch_started
+            started_all = list(self._batches_started.values())
+            started = min(started_all) if started_all else None
             stalled = (started is not None
                        and time.monotonic() - started > self.stall_timeout)
             if stalled == self._stalled:
@@ -334,11 +334,16 @@ class VideoPlaybackEngine:
         self._wake.set()
 
     def _render_batch(self, start, stop):
-        self._batch_started = time.monotonic()
+        # Per-thread start registry: warm()/display_frame() callers and
+        # the render thread can be in _render_batch concurrently, and a
+        # single shared scalar would be cleared by whichever finishes
+        # first — blinding the stall watchdog to the survivor.
+        ident = threading.get_ident()
+        self._batches_started[ident] = time.monotonic()
         try:
             self._render_batch_inner(start, stop)
         finally:
-            self._batch_started = None
+            self._batches_started.pop(ident, None)
 
     def _render_batch_inner(self, start, stop):
         from canvas_tpu import backend, render
@@ -351,6 +356,13 @@ class VideoPlaybackEngine:
         intent = self._rendering_intent
         viewport = self._viewport
         quality = self._quality
+        with self._lock:
+            # Already rendered (warm() racing the render thread's own
+            # first batch, or display_frame over a cached range): the
+            # ring is cleared on every display-state change, so a full
+            # cache hit is current — don't render and fetch it twice.
+            if all(idx in self._cache for idx in range(start, stop)):
+                return
         with self._render_lock:
             if self._quit:
                 # stop() may have closed the planner while this thread

@@ -90,7 +90,13 @@ def main():
         row = None
         for line in proc.stdout.splitlines():
             if line.startswith('{'):
-                row = json.loads(line)
+                # A cell's watchdog can os._exit mid-print, leaving a
+                # truncated JSON line; treat it as a failed cell, don't
+                # lose the completed cells.
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    pass
         if row is None:  # OOM rows are data, not failures
             tail = (proc.stderr or proc.stdout).strip().splitlines()
             row = {'batch': int(batch_s), 'inflight': int(inflight_s),
