@@ -261,6 +261,31 @@ def apply_display_u8(arr, intent=1.25):
     return apply_half_lut(srgb, display_ramp_u8(intent))
 
 
+def quantize_f16(x, jnp=None, jax=None):
+    """f32 -> f16 -> f32 round-trip quantize that a fusing compiler
+    cannot fold away.
+
+    The TPU compiler's algebraic simplifier eliminates
+    convert(convert(x, f16), f32) pairs inside fused programs, which
+    silently skips the mid-chain quantize the bit-exact contract
+    depends on (measured on chip: a transfer curve under a composite
+    diverged from the pull path by one f16 ulp on 25% of pixels; the
+    CPU compiler does not fold, so CPU suites cannot catch this).
+    ``lax.reduce_precision(5, 10)`` is fold-proof but flushes f16
+    subnormals to zero, so |x| below the f16 min normal quantizes on
+    the 2^-24 subnormal grid explicitly (round ties-to-even, same as
+    the hardware convert — verified elementwise on chip against the
+    eager cast over subnormals/negatives/overflow/nan)."""
+    if jnp is None:
+        jnp, jax = backend.jnp, backend.jax
+    if isinstance(x, np.ndarray):
+        return x.astype(np.float16).astype(np.float32)
+    x = x.astype(jnp.float32)
+    rp = jax.lax.reduce_precision(x, 5, 10)
+    sub = jnp.round(x * np.float32(2.0 ** 24)) * np.float32(2.0 ** -24)
+    return jnp.where(jnp.abs(x) < np.float32(2.0 ** -14), sub, rp)
+
+
 _device_program_cache = {}
 
 
@@ -295,14 +320,17 @@ def display_u8_device(data, intent=1.25, order=(2, 1, 0, 3)):
     soft-mode conversion computed ON DEVICE — sRGB transfer
     (f16-quantized to match the half-LUT) then the rendering-intent pow
     with lrint rounding, direct VPU math instead of 64K gathers."""
-    # intent is a TRACED argument: a UI intent slider produces a stream
-    # of distinct values, and baking each into the jit closure would
-    # compile a fresh program per tick (seconds each on a remote chip).
+    # intent stays STATIC in the jit closure (one compiled program per
+    # value, bounded by the cache's oldest-eviction + the persistent
+    # compile cache across processes). A traced exponent was measured
+    # on chip to lower pow to exp*log and regress host-LUT parity
+    # (off-by-one fraction 0.9% -> 2.7%, past the <=2% contract);
+    # static 1.25 constant-folds to the exact x*sqrt(sqrt(x)) chain.
+    intent = float(intent)
     order = tuple(order)
     return _run_device_conversion(
-        ('display_u8', order),
-        lambda key: lambda d, it: _display_u8_math(d, it, order), data,
-        backend.jnp.float32(float(intent)))
+        ('display_u8', intent, order),
+        lambda key: lambda d: _display_u8_math(d, intent, order), data)
 
 
 def _display_u8_math(data, intent, order):
@@ -311,8 +339,8 @@ def _display_u8_math(data, intent, order):
     # linear -> sRGB, f16-quantized like a table hit
     s = jnp.where(x <= 0.0031308, x * 12.92,
                   1.055 * jnp.power(x, 1.0 / 2.4) - 0.055)
-    s = s.astype(jnp.float16).astype(jnp.float32)
-    y = jnp.power(s, intent) * 255.0
+    s = quantize_f16(s)
+    y = jnp.power(s, jnp.float32(intent)) * 255.0
     y = jnp.clip(jnp.nan_to_num(y, nan=0.0), 0.0, 255.0)
     u8 = jnp.rint(y).astype(jnp.uint8)[:, list(order)]
     t = jnp.transpose(u8, (0, 2, 3, 1))
@@ -366,7 +394,7 @@ def _yuv420_pack_math(data, intent):
     else:
         s = jnp.where(x <= 0.0031308, x * 12.92,
                       1.055 * jnp.power(x, 1.0 / 2.4) - 0.055)
-        s = s.astype(jnp.float16).astype(jnp.float32)
+        s = quantize_f16(s)
         y = jnp.power(s, jnp.float32(intent)) * 255.0
     y = jnp.clip(jnp.nan_to_num(y, nan=0.0), 0.0, 255.0)
     R, G, Bl = y[:, 0], y[:, 1], y[:, 2]

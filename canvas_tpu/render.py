@@ -325,11 +325,21 @@ class PlanContext:
     window: the target full_window (box2i) this node must render into.
     """
 
+    _MESH_UNSET = object()
+
     def __init__(self, planner, frames, window, root_range=None,
-                 stage_gen=None, sem_windows=None):
+                 stage_gen=None, sem_windows=None, mesh=_MESH_UNSET):
         self.planner = planner
         self.frames = frames
         self.window = window
+        # Mesh snapshot at context creation: prepare() runs on a worker
+        # thread, and reading planner._plan_mesh lazily at stage() time
+        # raced with render()/render_display() resetting it on the main
+        # thread mid-plan (staged stacks could commit with the wrong
+        # sharding and get cached under the mesh pkey).
+        if mesh is PlanContext._MESH_UNSET:
+            mesh = getattr(planner, '_plan_mesh', None)
+        self.mesh = mesh
         # Per-frame SEMANTIC pull windows, a (B, 4) [x0, y0, x1, y1]
         # array (or None = every frame pulls at ``window``): the window
         # the EAGER pull chain would hand each frame's get_frame call.
@@ -362,7 +372,7 @@ class PlanContext:
         return PlanContext(self.planner, np.asarray(frames), self.window,
                            root_range=self.root_range,
                            stage_gen=self.stage_gen,
-                           sem_windows=self.sem_windows)
+                           sem_windows=self.sem_windows, mesh=self.mesh)
 
     def with_window(self, window, sem=None):
         """Re-window. ``sem`` controls the semantic pull windows:
@@ -378,7 +388,7 @@ class PlanContext:
         return PlanContext(self.planner, self.frames, window,
                            root_range=self.root_range,
                            stage_gen=self.stage_gen,
-                           sem_windows=sem)
+                           sem_windows=sem, mesh=self.mesh)
 
     def with_sem(self, sem_windows):
         """Same frames/window with explicit per-frame semantic pull
@@ -387,7 +397,8 @@ class PlanContext:
         return PlanContext(self.planner, self.frames, self.window,
                            root_range=self.root_range,
                            stage_gen=self.stage_gen,
-                           sem_windows=np.asarray(sem_windows))
+                           sem_windows=np.asarray(sem_windows),
+                           mesh=self.mesh)
 
     def sem_array(self):
         """(B, 4) [x0, y0, x1, y1] effective semantic windows."""
@@ -428,7 +439,7 @@ class PlanContext:
             if cache is None:
                 cache = self.planner._stage_cache = {}
             persist = self.planner.persistent_cache
-            mesh = getattr(self.planner, '_plan_mesh', None)
+            mesh = self.mesh
             key = ('framestack', id(source),
                    (self.window.min.x, self.window.min.y,
                     self.window.max.x, self.window.max.y), mesh)
@@ -515,12 +526,16 @@ def _combine_over(jnp, under, over):
 
 
 def _device_transfer(name, x16, jnp, jax):
-    """Transfer curve applied to an f16 array (all four channels, the
-    reference's LUT quirk), computed DIRECTLY on the VPU instead of a
-    65536-entry gather — gathers are ~100x slower than transcendentals on
-    TPU. Matches the half-LUT tables (ops/color.build_half_lut) to the
-    f16 rounding of f(float32(x)); output is f16-quantized like a table
-    hit, returned as f32."""
+    """Transfer curve applied to f16-quantized values (all four
+    channels, the reference's LUT quirk), computed DIRECTLY on the VPU
+    instead of a 65536-entry gather — gathers are ~100x slower than
+    transcendentals on TPU. Matches the half-LUT tables
+    (ops/color.build_half_lut) to the f16 rounding of f(float32(x));
+    output is f16-quantized like a table hit, returned as f32. Callers
+    pass either a real f16 array or f32 already quantized via
+    color.quantize_f16 — a plain ``.astype(f16)`` of f32 math would be
+    a foldable convert pair inside the fused program (see
+    quantize_f16's docstring)."""
     x = x16.astype(jnp.float32)
     if name == 'rec709_to_linear_scene':
         lo = x / 4.5
@@ -536,7 +551,8 @@ def _device_transfer(name, x16, jnp, jax):
                       1.055 * jnp.power(x, 1.0 / 2.4) - 0.055)
     else:
         raise ValueError('unknown transfer: %r' % (name,))
-    return y.astype(jnp.float16).astype(jnp.float32)
+    from canvas_tpu.ops import color as color_ops
+    return color_ops.quantize_f16(y, jnp, jax)
 
 
 def _dyn_axis_taps(jnp, jax, fv, tp, sp, lo, hi, t_lo, T, K, lq, S=None):
@@ -908,8 +924,10 @@ def _eval(node_sig, params_iter, jnp, jax):
             child[:, :, sy0:sy0 + h, sx0:sx0 + w])
 
     if op == 'transfer':
+        from canvas_tpu.ops import color as color_ops
         child = _eval(child_sigs[0], params_iter, jnp, jax)
-        return _device_transfer(static[0], child.astype(jnp.float16),
+        return _device_transfer(static[0],
+                                color_ops.quantize_f16(child, jnp, jax),
                                 jnp, jax)
 
     if op == 'matrix':
@@ -928,7 +946,8 @@ def _eval(node_sig, params_iter, jnp, jax):
         # it host-side was a pathological strided copy on this host.
         data = jnp.transpose(params['data'],
                              (0, 3, 1, 2)).astype(jnp.float32) / 255.0
-        rgba16 = data.astype(jnp.float16)
+        from canvas_tpu.ops import color as color_ops
+        rgba16 = color_ops.quantize_f16(data, jnp, jax)
         return _device_transfer('rec709_to_linear_scene', rgba16, jnp, jax)
 
     if op == 'dv_recon':
@@ -962,7 +981,9 @@ def _eval(node_sig, params_iter, jnp, jax):
                          precision='highest',
                          preferred_element_type=jnp.float32)
         alpha = jnp.ones_like(y)[:, None]
-        rgba16 = jnp.concatenate([rgb, alpha], axis=1).astype(jnp.float16)
+        from canvas_tpu.ops import color as color_ops
+        rgba16 = color_ops.quantize_f16(
+            jnp.concatenate([rgb, alpha], axis=1), jnp, jax)
         return _device_transfer('rec709_to_linear_scene', rgba16, jnp, jax)
 
     if op == 'dv_recon_rows':
@@ -1019,7 +1040,9 @@ def _dv_recon_math(y8, cb8, cr8, U, M, jnp, jax):
     rgb = jnp.einsum('ij,bjhw->bihw', M, ycc, precision='highest',
                      preferred_element_type=jnp.float32)
     alpha = jnp.ones_like(y)[:, None]
-    rgba16 = jnp.concatenate([rgb, alpha], axis=1).astype(jnp.float16)
+    from canvas_tpu.ops import color as color_ops
+    rgba16 = color_ops.quantize_f16(
+        jnp.concatenate([rgb, alpha], axis=1), jnp, jax)
     return _device_transfer('rec709_to_linear_scene', rgba16, jnp, jax)
 
 
@@ -1132,9 +1155,10 @@ def _get_sharded_program(signature, node, mesh, axis, N, post=None):
         from canvas_tpu.ops import color as color_ops
         if post == 'yuv420':
             return color_ops.yuv420_pack_studio_device(
-                out.astype(jnp.float16))
+                color_ops.quantize_f16(out, jnp, jax))
         order = (2, 1, 0, 3) if post == 'bgra_u8' else (0, 1, 2, 3)
-        return color_ops._u8_device(out.astype(jnp.float16), order)
+        return color_ops._u8_device(color_ops.quantize_f16(out, jnp, jax),
+                                    order)
 
     fn = jax.jit(run, in_shardings=(shardings,))
     with _program_lock:
@@ -1208,9 +1232,10 @@ def _get_program(signature, post=None):
         from canvas_tpu.ops import color as color_ops
         if post == 'yuv420':
             return color_ops.yuv420_pack_studio_device(
-                out.astype(jnp.float16))
+                color_ops.quantize_f16(out, jnp, jax))
         order = (2, 1, 0, 3) if post == 'bgra_u8' else (0, 1, 2, 3)
-        return color_ops._u8_device(out.astype(jnp.float16), order)
+        return color_ops._u8_device(color_ops.quantize_f16(out, jnp, jax),
+                                    order)
 
     fn = jax.jit(run)
     with _program_lock:
@@ -1783,7 +1808,7 @@ class RenderPlanner:
                                      preferred_element_type=jnp.float32)
                     out = jnp.einsum('xw,bcyw->bcyx', dx, out,
                                      preferred_element_type=jnp.float32)
-                out = out.astype(jnp.float16)
+                out = color_ops.quantize_f16(out, jnp, jax)
                 if transport == 'yuv420':
                     return color_ops.yuv420_pack_device(
                         out, None if intent is None else float(intent))

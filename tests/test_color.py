@@ -139,3 +139,34 @@ def test_transfer_filter_source():
     assert abs(px.r - float(want)) < 1e-6
     # outside the window: undefined pixel -> None
     assert frame.pixel(5, 5) is None
+
+
+def test_quantize_f16_matches_cast_pair():
+    """ops.color.quantize_f16 must equal the f32->f16->f32 cast pair
+    elementwise — including f16 subnormals (reduce_precision alone
+    flushes them), negatives, overflow-to-inf, and nan — both eagerly
+    and under jit (on TPU the plain cast pair gets FOLDED AWAY inside
+    fused programs; the helper is the fold-proof replacement)."""
+    from canvas_tpu import backend
+
+    rng = np.random.RandomState(11)
+    vals = np.concatenate([
+        np.array([0.0, -0.0, 1e-8, -1e-8, 5.96e-8, 6.0e-5, 6.2e-5,
+                  2.0 ** -24, 2.0 ** -25, 65504.0, 65520.0, 70000.0,
+                  -70000.0, np.inf, -np.inf, np.nan], np.float32),
+        np.linspace(-2, 2, 20001, dtype=np.float32),
+        (rng.rand(20000).astype(np.float32) * 2.0 ** -14),
+        rng.randn(20000).astype(np.float32) * 100.0,
+    ])
+    want = vals.astype(np.float16).astype(np.float32)
+    with backend.force_backend('jax'):
+        jnp, jax = backend.jnp, backend.jax
+        d = jnp.asarray(vals)
+        for got in (np.asarray(color.quantize_f16(d)),
+                    np.asarray(jax.jit(color.quantize_f16)(d))):
+            both_nan = np.isnan(want) & np.isnan(got)
+            assert np.array_equal(want[~both_nan], got[~both_nan])
+    # numpy arrays take the plain-cast path
+    got_np = color.quantize_f16(vals)
+    both_nan = np.isnan(want) & np.isnan(got_np)
+    assert np.array_equal(want[~both_nan], got_np[~both_nan])

@@ -1618,3 +1618,25 @@ def test_scaler_source_rect_crops_like_pull(any_backend):
                        scale_factors=LerpFunc((0.25, 0.25), (0.8, 0.8), 12),
                        source_rect=box2i(2, 3, 9, 9))
     assert_matches_pull(anim, window=window, start=0, stop=8, atol=4e-3)
+
+
+def test_transfer_under_composite_bit_exact(any_backend):
+    """A transfer curve whose output feeds FURTHER composite math must
+    stay f16-quantized mid-program. The TPU compiler folds
+    convert(f16)->convert(f32) pairs away inside fused programs
+    (the CPU compiler does not — this bug was only visible on chip:
+    one f16 ulp on 25% of pixels), so the planner quantizes through
+    the fold-proof ops.color.quantize_f16. Bit-exact, not allclose."""
+    from canvas_tpu.sources import VideoColorTransferFilter
+
+    base = SolidColorVideoSource((0.2317, 0.4421, 0.613, 1.0))
+    xfer = VideoColorTransferFilter(base, 'rgb_to_xyz_sdtv')
+    top = SolidColorVideoSource((0.9, 0.1, 0.2, 0.5),
+                                window=box2i(100, 100, 180, 160))
+    ws = VideoWorkspace()
+    ws.add(source=xfer, x=0, length=8, z=0)
+    ws.add(source=top, x=0, length=8, z=1)
+    win = box2i(0, 0, 255, 255)
+    want, _ = pull_frames(ws, win, 2, 4)
+    got = render.render_frames(ws, win, 2, 4)
+    np.testing.assert_array_equal(got, want)
