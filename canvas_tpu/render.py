@@ -426,26 +426,41 @@ class PlanContext:
                     windows=clipped_arr)
 
     def stage(self, source):
-        """Host-pull fallback: pull every UNIQUE frame once, ship the
-        stack to the device once per segment, and gather rows per batch
-        ('stage_rows' — the same device-resident staging the coded path
-        uses, so pulldown's double pulls of an arbitrary source don't
-        double the host work or the transfer)."""
+        """Host-pull fallback: pull every UNIQUE (frame, pull-window)
+        once, ship the stack to the device once per segment, and gather
+        rows per batch ('stage_rows' — the same device-resident staging
+        the coded path uses, so pulldown's double pulls of an arbitrary
+        source don't double the host work or the transfer).
+
+        Pulls honor the per-frame SEMANTIC windows (sem_windows): the
+        eager chain hands window-sensitive sources the per-frame pull
+        window (pulldown pulls frame b inside frame a's window), so a
+        staged source must be pulled at the same windows or the batched
+        path diverges for window-sensitive content (the scaler's
+        unrenormalized tap clipping). Frames whose semantic window
+        matches the layout window pull whole-frame, exactly as before;
+        others pull at their window and embed in a layout-sized canvas
+        (the eager temp-frame clip, zero outside)."""
         from canvas_tpu import profiling
-        self._stage_timer = profiling.Timer('render.stage')
-        self._stage_timer.__enter__()
-        try:
+        with profiling.Timer('render.stage'):
             cache = getattr(self.planner, '_stage_cache', None)
             if cache is None:
                 cache = self.planner._stage_cache = {}
             persist = self.planner.persistent_cache
             mesh = self.mesh
-            key = ('framestack', id(source),
-                   (self.window.min.x, self.window.min.y,
-                    self.window.max.x, self.window.max.y), mesh)
-            needed = [int(f) for f in self.frames]
+            lay = (self.window.min.x, self.window.min.y,
+                   self.window.max.x, self.window.max.y)
+            key = ('framestack', id(source), lay, mesh)
+            sem = self.sem_array()
+            pw = np.stack([np.maximum(sem[:, 0], lay[0]),
+                           np.maximum(sem[:, 1], lay[1]),
+                           np.minimum(sem[:, 2], lay[2]),
+                           np.minimum(sem[:, 3], lay[3])], axis=1)
+            needed = [(int(f), tuple(int(v) for v in pw[b]))
+                      for b, f in enumerate(self.frames)]
             hints = getattr(self.planner, '_frame_hints', {})
-            hinted = set(int(h) for h in hints.get(id(source), ()))
+            hinted = set((int(h), lay)
+                         for h in hints.get(id(source), ()))
             entry = cache.get(key)
             if entry is None:
                 # replay hit: the same segment staged on an earlier
@@ -456,8 +471,8 @@ class PlanContext:
                                     source, serving=self.root_range)
                 if entry is not None:
                     cache[key] = entry
-            if entry is None or not all(f in entry['rows']
-                                        for f in needed):
+            if entry is None or not all(fw in entry['rows']
+                                        for fw in needed):
                 frames = sorted(set(needed) | hinted |
                                 (set(entry['rows']) if entry else set()))
                 pkey = key + (tuple(frames),)
@@ -465,21 +480,32 @@ class PlanContext:
                 if got_p is not None:
                     entry = cache[key] = got_p
                 else:
+                    if entry is not None and 'host' in entry:
+                        # Grow from a persistent hit: seed the per-frame
+                        # host cache from the retained host stack so
+                        # only the MISSING frames decode (a full
+                        # re-decode of the segment otherwise).
+                        for fw_old, i in entry['rows'].items():
+                            fkey = (('stagedframe', id(source), fw_old)
+                                    + key[2:3])
+                            if fkey not in cache and i < len(entry['host']):
+                                cache[fkey] = (entry['host'][i],
+                                               entry['windows'][fw_old])
                     datas = []
                     windows = {}
+                    Hn = self.window.height
+                    Wn = self.window.width
                     with backend.force_backend('numpy'):
-                        for f in frames:
-                            fkey = ('stagedframe', id(source), f) + key[2:3]
+                        for fw in frames:
+                            f, w = fw
+                            fkey = ('stagedframe', id(source), fw) + key[2:3]
                             got = cache.get(fkey)
                             if got is None:
-                                frame = source.get_frame_f16(f, self.window)
-                                w = frame.current_window
-                                got = (np.asarray(frame.data, np.float16),
-                                       (w.min.x, w.min.y, w.max.x, w.max.y)
-                                       if not w.empty() else (0, 0, -1, -1))
+                                got = self._pull_staged(source, f, w, lay,
+                                                        Hn, Wn)
                                 cache[fkey] = got
                             datas.append(got[0])
-                            windows[f] = got[1]
+                            windows[fw] = got[1]
                     pad = (-len(frames)) % 8
                     if pad:
                         datas.extend([datas[-1]] * pad)
@@ -487,22 +513,47 @@ class PlanContext:
                     stack = backend.stage_to_device(host, mesh)
                     entry = cache[key] = {
                         'stack': stack,
-                        'rows': {f: i for i, f in enumerate(frames)},
+                        # host stack retained so a later grow of this
+                        # persistent entry re-decodes only new frames
+                        'host': host,
+                        'rows': {fw: i for i, fw in enumerate(frames)},
                         'windows': windows,
                     }
                     persist.put(pkey, source, entry, host.nbytes,
                                 serving=self.root_range,
                                 gen=self.stage_gen)
             B = len(self.frames)
-            rows = np.asarray([entry['rows'][f] for f in needed], np.int32)
-            win_arr = np.asarray([entry['windows'][f] for f in needed],
+            rows = np.asarray([entry['rows'][fw] for fw in needed],
+                              np.int32)
+            win_arr = np.asarray([entry['windows'][fw] for fw in needed],
                                  np.int64).reshape(B, 4)
             return Node('stage_rows',
                         static=(self.window.height, self.window.width),
                         params={'data': entry['stack'], 'rows': rows},
                         windows=win_arr)
-        finally:
-            self._stage_timer.__exit__(None, None, None)
+
+    def _pull_staged(self, source, f, w, lay, Hn, Wn):
+        """One staged pull: whole layout window when w == lay, else a
+        semantic-window pull embedded in a layout-sized canvas."""
+        if w == lay:
+            frame = source.get_frame_f16(f, self.window)
+            cw = frame.current_window
+            return (np.asarray(frame.data, np.float16),
+                    (cw.min.x, cw.min.y, cw.max.x, cw.max.y)
+                    if not cw.empty() else (0, 0, -1, -1))
+        canvas = np.zeros((4, Hn, Wn), np.float16)
+        if w[2] < w[0] or w[3] < w[1]:       # empty semantic window
+            return (canvas, (0, 0, -1, -1))
+        frame = source.get_frame_f16(f, box2i(w[0], w[1], w[2], w[3]))
+        cw = frame.current_window
+        if cw.empty():
+            return (canvas, (0, 0, -1, -1))
+        data = np.asarray(frame.data, np.float16)
+        # place the pulled window region into the layout canvas
+        y0 = w[1] - lay[1]
+        x0 = w[0] - lay[0]
+        canvas[:, y0:y0 + data.shape[1], x0:x0 + data.shape[2]] = data
+        return (canvas, (cw.min.x, cw.min.y, cw.max.x, cw.max.y))
 
     def plan(self, source):
         """Plan *source*: its emit() if traceable, else staged."""
@@ -1100,6 +1151,33 @@ def _trace_env_key(key):
     return (key, tuple(tags)) if tags else key
 
 
+#: Full-segment signatures whose SLICED/batched program form compiled
+#: this session (iter_batches/render_display key programs by sliced
+#: signature + post tags, which explain() can't reconstruct without
+#: knowing the batch; this records "some compiled form exists").
+_compiled_families = set()
+
+
+def _note_compiled_family(node):
+    if len(_compiled_families) > 512:
+        _compiled_families.clear()
+    _compiled_families.add(_trace_env_key(node.signature()))
+
+
+def _plan_env_key(key):
+    """Append PLAN-time env gates to a cached-PLAN key. These gates
+    (read at plan time, sources.py) change the node tree for an
+    unchanged source graph — a cached plan replayed after an A/B flip
+    would run the other arm's ops. Program caches don't need this: the
+    ops land in the node signature."""
+    tags = []
+    if os.environ.get('CANVAS_SCALE_SOLID', '1') == '0':
+        tags.append('no_scale_solid')
+    if os.environ.get('CANVAS_SOLID_CELLS', '') == '1':
+        tags.append('solid_cells')
+    return (key, tuple(tags)) if tags else key
+
+
 _param_sharding_cache = {}
 
 
@@ -1129,7 +1207,7 @@ def _param_sharding(mesh, axis, op, key):
     return got
 
 
-def _get_sharded_program(signature, node, mesh, axis, N, post=None):
+def _get_sharded_program(signature, node, mesh, axis, post=None):
     """Compiled program whose frame-axis params shard over *axis* of
     *mesh* (in_shardings ingest host arrays directly). A param is
     frame-sharded iff its op declares it per-frame (_FRAME_PARAMS) —
@@ -1147,20 +1225,8 @@ def _get_sharded_program(signature, node, mesh, axis, N, post=None):
         {k: _param_sharding(mesh, axis, op, k) for k in p}
         for p, op in zip(node.flat_params([]), ops)]
 
-    def run(params_list):
-        it = iter(params_list)
-        out = _eval(signature, it, jnp, jax)
-        if post is None:
-            return out.astype(jnp.float16)
-        from canvas_tpu.ops import color as color_ops
-        if post == 'yuv420':
-            return color_ops.yuv420_pack_studio_device(
-                color_ops.quantize_f16(out, jnp, jax))
-        order = (2, 1, 0, 3) if post == 'bgra_u8' else (0, 1, 2, 3)
-        return color_ops._u8_device(color_ops.quantize_f16(out, jnp, jax),
-                                    order)
-
-    fn = jax.jit(run, in_shardings=(shardings,))
+    fn = jax.jit(_make_run(signature, post, jnp, jax),
+                 in_shardings=(shardings,))
     with _program_lock:
         _program_cache[key] = fn
     return fn
@@ -1224,6 +1290,17 @@ def _get_program(signature, post=None):
         return fn
     jax, jnp = _jx()
 
+    fn = jax.jit(_make_run(signature, post, jnp, jax))
+    with _program_lock:
+        _program_cache[key] = fn
+    return fn
+
+
+def _make_run(signature, post, jnp, jax):
+    """The shared eval + fused post-conversion body for compiled
+    programs — ONE definition so sharded and unsharded exports can't
+    drift (the bgra order tuple / pack selection lives here only)."""
+
     def run(params_list):
         it = iter(params_list)
         out = _eval(signature, it, jnp, jax)
@@ -1237,10 +1314,7 @@ def _get_program(signature, post=None):
         return color_ops._u8_device(color_ops.quantize_f16(out, jnp, jax),
                                     order)
 
-    fn = jax.jit(run)
-    with _program_lock:
-        _program_cache[key] = fn
-    return fn
+    return run
 
 
 _pace_probe_fn = None
@@ -1349,8 +1423,10 @@ class RenderPlanner:
             ctx = PlanContext(self, frames, self.window)
             node = ctx.plan(self.source)
             sig = node.signature()
+            skey = _trace_env_key(sig)
             with _program_lock:
-                compiled = _trace_env_key(sig) in _program_cache
+                compiled = (skey in _program_cache
+                            or skey in _compiled_families)
             lines.append('segment [%d, %d)  %d frames  program %s'
                          % (s0, s1, s1 - s0,
                             'COMPILED' if compiled else 'not compiled'))
@@ -1388,10 +1464,17 @@ class RenderPlanner:
                      % (len(plans) if plans else 0))
         return '\n'.join(lines)
 
-    def segments(self, start, stop):
+    def segments(self, start, stop, min_span=0):
         """Split [start, stop) at graph-structure boundaries (and the
-        planning-span/pipeline-chunk caps)."""
-        span = min(self.max_plan_frames, self.pipeline_chunk)
+        planning-span/pipeline-chunk caps). Empty/reversed ranges are
+        empty, not a zero-length segment. ``min_span`` raises the
+        chunk cap so a caller's batch size is honored without every
+        caller mutating pipeline_chunk (still bounded by
+        max_plan_frames, the memory cap)."""
+        if stop <= start:
+            return []
+        span = min(self.max_plan_frames,
+                   max(self.pipeline_chunk, min_span))
         cuts = sorted(set(
             c for c in self.source.plan_cuts(start, stop) if start < c < stop))
         edges = [start] + cuts + [stop]
@@ -1485,7 +1568,8 @@ class RenderPlanner:
             pass, matching the persistent staging cache's zero-decode
             guarantee. Invalidated with the other caches on
             frames_updated / set_quality / close."""
-            pkey = (seg, batch, mesh, axis, post, self.quality)
+            pkey = _plan_env_key((seg, batch, mesh, axis, post,
+                                  self.quality))
             if cache_plans:
                 with plan_lock:
                     got = plan_cache.get(pkey)
@@ -1641,7 +1725,12 @@ class RenderPlanner:
             max_inflight = None
         pending = deque() if (max_inflight and device_out) else None
 
-        segs = self.segments(start, stop)
+        # Honor the requested batch in segment sizing: the default
+        # pipeline chunk (64) would otherwise silently cap the
+        # effective batch for every caller that didn't mutate
+        # pipeline_chunk (write_video(batch=256) streamed 64-frame
+        # dispatches).
+        segs = self.segments(start, stop, min_span=batch)
         pool = ThreadPoolExecutor(max_workers=1,
                                   thread_name_prefix='canvas-plan')
         try:
@@ -1653,8 +1742,9 @@ class RenderPlanner:
                 if mesh is None:
                     fn = _get_program(sig, post=post)
                 else:
-                    fn = _get_sharded_program(sig, node, mesh, axis, N,
+                    fn = _get_sharded_program(sig, node, mesh, axis,
                                               post=post)
+                _note_compiled_family(node)
                 for (pos, take, cut_params) in batches:
                     if pending is not None and len(pending) >= max_inflight:
                         # Wait for the oldest pending batch (FIFO device
@@ -1710,6 +1800,15 @@ class RenderPlanner:
             outs.append(fn(params))
             if with_windows:
                 windows.append(windows_to_array(node.windows))
+        if not outs:
+            # empty/reversed range: a (0, 4, H, W) result, not a crash
+            out = np.zeros((0, 4, self.window.height, self.window.width),
+                           np.float16)
+            if device_out:
+                out = jnp.asarray(out)
+            if with_windows:
+                return out, np.zeros((0, 4), np.int64)
+            return out
         if len(outs) == 1:
             out = outs[0]
         else:
@@ -1765,7 +1864,8 @@ class RenderPlanner:
         jax, jnp = _jx()
 
         seg = getattr(self, '_display_seg', None)
-        if seg is None or not (seg['lo'] <= frame_index < seg['hi']):
+        if (seg is None or not (seg['lo'] <= frame_index < seg['hi'])
+                or seg.get('env') != _plan_env_key(())):
             self._watch_frames_updated()
             self._stage_cache = {}
             self._frame_hints = {}
@@ -1783,6 +1883,7 @@ class RenderPlanner:
             _commit_replicated_params(node)
             seg = self._display_seg = {
                 'lo': lo, 'hi': hi, 'node': node,
+                'env': _plan_env_key(()),
                 'params': node.flat_params([]),
                 'ops': node.flat_ops([]),
                 'sig1': _sliced_signature(node, hi - lo, 1),
@@ -1820,6 +1921,7 @@ class RenderPlanner:
             fn = jax.jit(run)
             with _program_lock:
                 _program_cache[key] = fn
+            _note_compiled_family(seg['node'])
 
         pos = frame_index - seg['lo']
 

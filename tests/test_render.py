@@ -1640,3 +1640,79 @@ def test_transfer_under_composite_bit_exact(any_backend):
     want, _ = pull_frames(ws, win, 2, 4)
     got = render.render_frames(ws, win, 2, 4)
     np.testing.assert_array_equal(got, want)
+
+
+def test_pulldown_over_staged_scaler_matches_pull(any_backend):
+    """Same seed-1034 geometry, but with the scaler wrapped in an
+    UNTRACEABLE pass-through so the planner host-stages it: ctx.stage
+    must pull each frame at its per-frame SEMANTIC window (pulldown
+    pulls frame b inside frame a's window, and the scaler's
+    unrenormalized tap clipping is window-sensitive), not at the
+    static layout window."""
+    from canvas_tpu.coded import Pulldown23RemovalFilter
+    from canvas_tpu.frames import VideoSource
+    from canvas_tpu.framefuncs import ConstFrameFunc
+    from canvas_tpu.sources import VideoScaler
+
+    class Opaque(VideoSource):
+        """No emit(): forces ctx.stage for the whole subtree."""
+
+        def __init__(self, src):
+            self._src = src
+
+        def _render_f16(self, frame_index, frame):
+            self._src.render_f16(frame_index, frame)
+
+        def _render_f32(self, frame_index, frame):
+            self._src.render_f32(frame_index, frame)
+
+    solid = SolidColorVideoSource((0.2, 0.9, 0.4, 1.0))
+    scaler = VideoScaler(
+        solid,
+        target_point=LerpFunc((95.0, 8.0), (83.0, 61.0), 64),
+        source_point=ConstFrameFunc((0.0, 0.0)),
+        scale_factors=LerpFunc((1.19501412, 0.72751164),
+                               (0.59656811, 1.02176046), 64),
+        source_rect=ConstFrameFunc((3.0, 1.0, 9.0, 12.0)))
+    big = box2i(0, 0, 191, 143)
+    filt = Pulldown23RemovalFilter(Opaque(scaler), 2)
+    want, wins = pull_frames(filt, big, 8, 20)
+    got = render.render_frames(filt, big, 8, 20)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_empty_and_reversed_ranges():
+    """Empty/reversed ranges are empty results, not internal crashes
+    (stack_frames IndexError / negative-length signature)."""
+    from canvas_tpu.frames import VideoSource
+
+    class Opaque(VideoSource):
+        def _render_f16(self, frame_index, frame):
+            SolidColorVideoSource((1, 0, 0, 1)).render_f16(frame_index,
+                                                           frame)
+
+    planner = render.RenderPlanner(Opaque(), WINDOW)
+    try:
+        out = planner.render(10, 10)
+        assert out.shape == (0, 4, WINDOW.height, WINDOW.width)
+        out, wins = planner.render(10, 5, with_windows=True)
+        assert out.shape[0] == 0 and wins.shape == (0, 4)
+        assert list(planner.iter_batches(10, 10)) == []
+        assert planner.segments(7, 7) == []
+    finally:
+        planner.close()
+
+
+def test_iter_batches_honors_batch_above_pipeline_chunk():
+    """batch > pipeline_chunk must stream batch-sized dispatches
+    (write_video(batch=) was silently capped at the 64-frame default
+    chunk)."""
+    src = SolidColorVideoSource(LerpFunc((1, 0, 0, 1), (0, 1, 0, 1), 256))
+    planner = render.RenderPlanner(src, WINDOW)
+    assert planner.pipeline_chunk < 96
+    try:
+        sizes = [n for (_s, n, _o) in planner.iter_batches(0, 192,
+                                                           batch=96)]
+        assert sizes == [96, 96]
+    finally:
+        planner.close()
