@@ -377,6 +377,14 @@ class VideoSequence(VideoSource):
             return self._items[i]
 
     def __setitem__(self, i, value):
+        if isinstance(i, slice):
+            # slice assignment, like __getitem__/__delitem__ accept
+            # slices (list semantics)
+            items = [self._check(v) for v in value]
+            with self._lock:
+                self._items[i] = items
+                self._recompute(0)
+            return
         value = self._check(value)
         with self._lock:
             if i < 0:
@@ -459,15 +467,19 @@ class WorkspaceItem:
         ws = self._workspace
         if ws is None:
             raise ValueError('Item was removed from its workspace.')
+        fields = ('source', 'x', 'length', 'offset', 'z', 'tag')
+        unknown = set(kwargs) - set(fields)
+        if unknown:
+            # validate BEFORE mutating: "atomically" means a bad kwarg
+            # must not leave the item half-updated
+            raise TypeError('unexpected arguments: %r' % sorted(unknown))
         with ws._lock:
-            for key in ('source', 'x', 'length', 'offset', 'z', 'tag'):
+            for key in fields:
                 if key in kwargs:
-                    value = kwargs.pop(key)
+                    value = kwargs[key]
                     if key in ('x', 'length', 'offset', 'z'):
                         value = int(value)
                     setattr(self, '_' + key, value)
-            if kwargs:
-                raise TypeError('unexpected arguments: %r' % sorted(kwargs))
 
     def __repr__(self):
         return ('WorkspaceItem(x={0._x}, length={0._length}, '
@@ -580,6 +592,9 @@ def _solid_emit(self, ctx):
     frames = np.asarray(ctx.frames, dtype=np.float64)
     vals = self._color.get_values_array(frames).astype(np.float32)
     colors = vals.copy()
+    # Alpha clamps to [0, 1] at the FRAMEFUNC level, matching the
+    # reference (basicframefuncs.c:335-346 clampf on component 3) and
+    # the eager path (framefuncs.get_rgba_f32).
     colors[:, 3] = np.clip(colors[:, 3], 0.0, 1.0)
     wins = framefuncs.get_box2i_array(self._window, frames)
     return ctx.solid(colors, wins)
@@ -630,6 +645,18 @@ VideoPassThroughFilter.emit = _pass_emit
 def _mix_plan_cuts(self, start, stop):
     cuts = set(_cuts_of(self.src_a, start, stop))
     cuts.update(_cuts_of(self.src_b, start, stop))
+    if stop > start:
+        # Cut at endpoint transitions of the clipped mix factor so a
+        # segment is uniformly dormant-at-0, dormant-at-1, or mixing —
+        # the emitter can then skip planning (and host-staging/decoding)
+        # the source the reference's per-frame short-circuit never
+        # pulls (video_mix.c:50-56).
+        frames = np.arange(start, stop, dtype=np.float64)
+        mix = np.clip(framefuncs.get_f32_array(self.mix_b, frames),
+                      0.0, 1.0)
+        for flags in (mix <= 0.0, mix >= 1.0):
+            idx = np.nonzero(flags[1:] != flags[:-1])[0]
+            cuts.update(int(start + 1 + i) for i in idx)
     return cuts
 
 
@@ -659,10 +686,18 @@ def _window_union_clip(wa, wb, full):
 
 def _mix_emit(self, ctx):
     from canvas_tpu.render import Node, windows_to_array
-    a = ctx.plan(self.src_a)
-    b = ctx.plan(self.src_b)
     mix = np.clip(framefuncs.get_f32_array(self.mix_b, ctx.frames),
                   0.0, 1.0)
+    # Whole-batch endpoint short-circuit (per-frame in the reference,
+    # video_mix.c:50-56; _mix_plan_cuts cuts segments at transitions):
+    # the dormant source is never planned, so a staged/coded child
+    # isn't decoded and shipped for frames that contribute nothing.
+    if (mix <= 0.0).all():
+        return ctx.plan(self.src_a)
+    if (mix >= 1.0).all():
+        return ctx.plan(self.src_b)
+    a = ctx.plan(self.src_a)
+    b = ctx.plan(self.src_b)
     # Window metadata honors the endpoint short-circuits
     # (video_mix.c:50-56): at mix 0/1 only one source's window counts.
     wa = windows_to_array(a.windows)
@@ -857,6 +892,20 @@ def _solid_cell_tables(colors, boxes, gains, offsets, H, W):
     return ey.astype(np.int32), ex.astype(np.int32), pt
 
 
+def _fold_over_windows(window_arrays, full):
+    """Fold per-frame window metadata with over semantics, vectorized
+    (mirrors VideoWorkspace._render_f32): under empty -> clipped over;
+    over empty -> under (unclipped); else clipped union."""
+    acc = window_arrays[0]
+    for over in window_arrays[1:]:
+        under_empty = (acc[:, 2] < acc[:, 0]) | (acc[:, 3] < acc[:, 1])
+        over_empty = (over[:, 2] < over[:, 0]) | (over[:, 3] < over[:, 1])
+        merged = _window_union_clip(acc, over, full)
+        keep_under = (~under_empty) & over_empty
+        acc = np.where(keep_under[:, None], acc, merged)
+    return acc
+
+
 def _compress_solid_runs(children, ctx):
     """Replace runs of >= 2 consecutive solid(/gain) layers with one
     fused node: 'solid_stack' (the hybrid Pallas/XLA fold,
@@ -889,15 +938,8 @@ def _compress_solid_runs(children, ctx):
         gains = np.stack([p[2] for (_n, p) in run])
         offsets = np.stack([p[3] for (_n, p) in run])
         # window metadata: fold the run's windows with over semantics
-        acc = run[0][1][4]
         full = ctx.window
-        for (_n, p) in run[1:]:
-            over = p[4]
-            under_empty = (acc[:, 2] < acc[:, 0]) | (acc[:, 3] < acc[:, 1])
-            over_empty = (over[:, 2] < over[:, 0]) | (over[:, 3] < over[:, 1])
-            merged = _window_union_clip(acc, over, full)
-            keep_under = (~under_empty) & over_empty
-            acc = np.where(keep_under[:, None], acc, merged)
+        acc = _fold_over_windows([p[4] for (_n, p) in run], full)
         if use_cells:
             ey, ex, pt = _solid_cell_tables(colors, boxes, gains,
                                             offsets, full.height,
@@ -926,9 +968,15 @@ def _compress_solid_runs(children, ctx):
 
 
 def _subtree_stages(node):
-    """True if the subtree pulls host data during planning (re-planning
-    would re-pull it)."""
-    if node.op == 'stage':
+    """True if the subtree HOST-PULLED data during planning keyed by the
+    plan window (ctx.stage): re-planning it at a damage-region window
+    would re-pull and re-ship every frame AND change pull semantics for
+    window-sensitive children. The coded staging ops (u8_linearize /
+    dv_recon* / planar_recon_rows) are deliberately NOT included: their
+    decode caches are frame-keyed and window-independent, so a region
+    replan is a cache hit — and region placement is a large win for
+    small coded layers."""
+    if node.op in ('stage', 'stage_rows'):
         return True
     return any(_subtree_stages(c) for c in node.children)
 
@@ -1053,19 +1101,10 @@ def _ws_emit(self, ctx):
     if len(children) == 1 and children[0].op != 'placed':
         return children[0]
 
-    # Window algebra mirrors VideoWorkspace._render_f32, vectorized:
-    # under empty -> clipped over; over empty -> under (unclipped);
-    # else clipped union
     from canvas_tpu.render import windows_to_array
     full = ctx.window
-    acc = windows_to_array(children[0].windows)
-    for child in children[1:]:
-        over = windows_to_array(child.windows)
-        under_empty = (acc[:, 2] < acc[:, 0]) | (acc[:, 3] < acc[:, 1])
-        over_empty = (over[:, 2] < over[:, 0]) | (over[:, 3] < over[:, 1])
-        merged = _window_union_clip(acc, over, full)
-        keep_under = (~under_empty) & over_empty
-        acc = np.where(keep_under[:, None], acc, merged)
+    acc = _fold_over_windows([windows_to_array(c.windows)
+                              for c in children], full)
     return Node('over_stack', static=(full.height, full.width),
                 children=children, windows=acc)
 
@@ -1075,9 +1114,28 @@ VideoWorkspace.emit = _ws_emit
 
 
 def _scaler_plan_cuts(self, start, stop):
-    if self.source is None or not hasattr(self.source, 'plan_cuts'):
-        return []
-    return self.source.plan_cuts(start, stop)
+    cuts = set()
+    if self.source is not None and hasattr(self.source, 'plan_cuts'):
+        cuts.update(self.source.plan_cuts(start, stop))
+    if self.source is not None and stop > start:
+        # Cut where the zero-factor or identity flag flips, so each
+        # segment is uniformly zero (EMPTY emit), uniformly identity
+        # (child pass-through — the reference's identity short-circuit
+        # ignores source_rect, video_scale.c:295-298), or uniformly
+        # scaling. Without these cuts a mixed batch either fell back to
+        # host staging (zero) or pushed identity frames down the tap
+        # path, which CLIPS to source_rect and diverged from the pull
+        # path.
+        frames = np.arange(start, stop, dtype=np.float64)
+        f_arr = framefuncs.get_v2f_array(self.scale_factors, frames)
+        tp = framefuncs.get_v2f_array(self.target_point, frames)
+        sp = framefuncs.get_v2f_array(self.source_point, frames)
+        zero = (f_arr == 0.0).any(axis=1)
+        ident = ((f_arr == 1.0).all(axis=1) & (tp == sp).all(axis=1))
+        for flags in (zero, ident):
+            idx = np.nonzero(flags[1:] != flags[:-1])[0]
+            cuts.update(int(start + 1 + i) for i in idx)
+    return sorted(cuts)
 
 
 def _as_scaled_solid(child):

@@ -1716,3 +1716,88 @@ def test_iter_batches_honors_batch_above_pipeline_chunk():
         assert sizes == [96, 96]
     finally:
         planner.close()
+
+
+def test_scaler_identity_frames_in_animated_range(any_backend):
+    """Frames where an ANIMATED scaler passes through exact identity
+    (factors (1,1), target==source) must bypass source_rect exactly
+    like the eager/reference identity short-circuit
+    (video_scale.c:295-298) — plan_cuts cuts segments at the
+    transitions so a mixed range can't push identity frames down the
+    tap path (which clips to source_rect)."""
+    from canvas_tpu.framefuncs import ConstFrameFunc
+    from canvas_tpu.sources import VideoScaler
+
+    base = SolidColorVideoSource((0.3, 0.7, 0.5, 1.0),
+                                 window=box2i(0, 0, 120, 90))
+    # factors lerp 1.0 -> 2.0 over 16 frames: frame 0 is exact identity
+    sc = VideoScaler(base,
+                     target_point=ConstFrameFunc((10.0, 10.0)),
+                     source_point=ConstFrameFunc((10.0, 10.0)),
+                     scale_factors=LerpFunc((1.0, 1.0), (2.0, 2.0), 16),
+                     source_rect=ConstFrameFunc((20.0, 20.0, 60.0, 50.0)))
+    win = box2i(0, 0, 191, 143)
+    want, _ = pull_frames(sc, win, 0, 8)
+    got = render.render_frames(sc, win, 0, 8)
+    # frame 0 (identity) must be BIT-exact incl. pixels outside
+    # source_rect; scaled frames within the usual scaler tolerance
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=8e-3)
+
+
+def test_scaler_zero_factor_frames_cut_segments(any_backend):
+    """Zero-factor frames inside an animated range emit EMPTY segments
+    (plan_cuts transitions) instead of dropping the whole range to the
+    host-staging fallback."""
+    from canvas_tpu.framefuncs import ConstFrameFunc
+    from canvas_tpu.sources import VideoScaler
+
+    base = SolidColorVideoSource((0.3, 0.7, 0.5, 1.0),
+                                 window=box2i(0, 0, 60, 40))
+    sc = VideoScaler(base,
+                     target_point=ConstFrameFunc((10.0, 10.0)),
+                     source_point=ConstFrameFunc((0.0, 0.0)),
+                     scale_factors=LerpFunc((-0.5, 1.0), (1.5, 1.0), 8),
+                     source_rect=ConstFrameFunc((0.0, 0.0, 60.0, 40.0)))
+    win = box2i(0, 0, 127, 95)
+    want, _ = pull_frames(sc, win, 0, 8)
+    got = render.render_frames(sc, win, 0, 8)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=8e-3)
+    planner = render.RenderPlanner(sc, win)
+    try:
+        segs = planner.segments(0, 8)
+        assert len(segs) >= 2    # cut at the zero-crossing
+    finally:
+        planner.close()
+
+
+def test_mix_dormant_child_not_planned(any_backend):
+    """A crossfade pinned at an endpoint never plans (stages/decodes)
+    the dormant source — reference's per-frame short-circuit
+    (video_mix.c:50-56) realized at plan time."""
+    from canvas_tpu.frames import VideoSource
+    from canvas_tpu.sources import VideoMixFilter
+
+    pulls = []
+
+    class Counting(VideoSource):
+        def _render_f16(self, frame_index, frame):
+            pulls.append(frame_index)
+            SolidColorVideoSource((1, 0, 0, 1)).render_f16(frame_index,
+                                                           frame)
+
+    live = SolidColorVideoSource((0.2, 0.4, 0.8, 1.0))
+    mix = VideoMixFilter(live, Counting(), 0.0)
+    want, _ = pull_frames(mix, WINDOW, 0, 4)
+    got = render.render_frames(mix, WINDOW, 0, 4)
+    np.testing.assert_array_equal(got, want)
+    assert pulls == []           # dormant b never pulled by the planner
+
+    # and mixed endpoint/mixing ranges still match via segment cuts
+    mix2 = VideoMixFilter(live, SolidColorVideoSource((0.9, 0.1, 0, 0.5)),
+                          LerpFunc((0.0,), (1.0,), 4))
+    want2, _ = pull_frames(mix2, WINDOW, 0, 8)
+    got2 = render.render_frames(mix2, WINDOW, 0, 8)
+    np.testing.assert_array_equal(got2, want2)

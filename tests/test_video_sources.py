@@ -294,3 +294,36 @@ def test_over_stack_matches_sequential_over():
     for i in range(1, layers.shape[0]):
         acc = np.asarray(mix_ops.over(acc, layers[i], 1.0))
     np.testing.assert_allclose(got, acc, atol=1e-5)
+
+
+def test_sequence_slice_assignment():
+    """__setitem__ accepts slices like __getitem__/__delitem__
+    (list semantics)."""
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.sources import SolidColorVideoSource, VideoSequence
+
+    a = SolidColorVideoSource((1, 0, 0, 1))
+    b = SolidColorVideoSource((0, 1, 0, 1))
+    c = SolidColorVideoSource((0, 0, 1, 1))
+    seq = VideoSequence()
+    seq.append((a, 0, 4))
+    seq.append((b, 0, 4))
+    seq[0:2] = [(c, 0, 3), (a, 0, 5)]
+    assert len(seq) == 2
+    assert seq.get_start_frame(1) == 3
+    win = box2i(0, 0, 3, 3)
+    px = seq.get_frame_f16(1, win).pixel(0, 0)
+    assert (px.r, px.g, px.b) == (0.0, 0.0, 1.0)
+
+
+def test_workspace_item_update_atomic():
+    """A bad kwarg leaves the item untouched (validate-then-apply)."""
+    import pytest
+    from canvas_tpu.sources import SolidColorVideoSource, VideoWorkspace
+
+    ws = VideoWorkspace()
+    item = ws.add(source=SolidColorVideoSource((1, 0, 0, 1)),
+                  x=3, length=10, z=0)
+    with pytest.raises(TypeError):
+        item.update(x=50, lenght=99)
+    assert item.x == 3 and item.length == 10
