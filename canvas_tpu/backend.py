@@ -68,6 +68,7 @@ def jax_available():
 
 
 _initialized = False
+_init_lock = threading.Lock()
 _probe_result = None
 
 
@@ -97,12 +98,17 @@ def probe_device(timeout=None):
     if _probe_result is not None:
         return _probe_result
     platforms = _configured_platforms()
-    if platforms.split(',')[0] in ('cpu', ''):
-        # explicit CPU (or jax's own default discovery): nothing remote
-        # to probe — but '' with a TPU lib present still probes below
-        if platforms:
-            _probe_result = True
-            return True
+    plist = [p for p in platforms.split(',') if p]
+    if plist and all(p == 'cpu' for p in plist):
+        # every configured platform is CPU: nothing remote to probe.
+        # (checking only the FIRST entry would skip the probe for
+        # 'cpu,axon', whose init still touches the tunnel)
+        _probe_result = True
+        return True
+    if not plist:
+        # jax's own default discovery: '' with a TPU lib present still
+        # probes below
+        pass
     if timeout is None:
         timeout = float(os.environ.get('CANVAS_DEVICE_PROBE_TIMEOUT',
                                        '45'))
@@ -145,6 +151,18 @@ def ensure_initialized(probe=False):
     global _initialized
     if _initialized:
         return
+    # Serialized: a worker thread racing past the flag while the main
+    # thread is still inside the (possibly 45 s) probe would first-touch
+    # jax off the main thread — the exact hang ensure_initialized
+    # exists to prevent. Late callers block here until init completes.
+    with _init_lock:
+        if _initialized:
+            return
+        _ensure_initialized_locked(probe)
+        _initialized = True
+
+
+def _ensure_initialized_locked(probe):
     if _load_jax() is not None:
         # Persistent compilation cache for EVERY entry point (scripts,
         # playback, editor — not just the test suite's conftest): first
@@ -175,7 +193,6 @@ def ensure_initialized(probe=False):
             jnp_mod.zeros(8).block_until_ready()
         except Exception:
             pass
-    _initialized = True
 
 
 def get_backend():

@@ -125,7 +125,12 @@ class PlanarReconstructionFilter(VideoSource):
         self.source = source
         self.quality = int(quality)
         self.matrix = matrix
-        self._size = (width, height) if width and height else None
+        if (width is None) != (height is None):
+            raise ValueError('width and height must be given together')
+        if width is not None and (int(width) <= 0 or int(height) <= 0):
+            raise ValueError('width/height must be positive')
+        self._size = ((int(width), int(height))
+                      if width is not None else None)
 
     def _geometry(self):
         if self._size is None:
@@ -278,7 +283,10 @@ def _effective_quality(ctx, quality):
     pull quality for degraded preview renders: the LOWER hint wins
     (0 means default-best = 10, framework.h:510-513)."""
     q = 10 if int(quality) == 0 else int(quality)
-    return min(q, int(getattr(ctx.planner, 'quality', 10)))
+    pq = int(getattr(ctx.planner, 'quality', 10))
+    if pq == 0:
+        pq = 10            # 0 = default-best on BOTH sides of the min
+    return min(q, pq)
 
 
 def _device_plane_stack(ctx, source, quality, cache, hint_ids=(),
@@ -293,7 +301,11 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=(),
     -> stack row. Returns None if any coded pull fails (callers fall
     back to host staging of the whole node).
     """
-    mesh = getattr(ctx.planner, '_plan_mesh', None)
+    # ctx.mesh SNAPSHOT, not planner._plan_mesh: prepare() runs on a
+    # worker thread and the live attribute races render()/
+    # render_display() resetting it mid-plan (same bug class
+    # PlanContext.mesh was added for).
+    mesh = ctx.mesh
     key = ('dvplanes', id(source), int(quality), mesh)
     needed = [int(f) for f in ctx.frames]
     entry = cache.get(key)
@@ -315,6 +327,16 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=(),
     if got_p is not None:
         cache[key] = got_p
         return got_p['stacks'], got_p['rows']
+    if entry is not None and 'host' in entry:
+        # seed the per-frame cache from the retained host stacks so a
+        # grow decodes only the frames the old entry lacks
+        hy, hcb, hcr = entry['host']
+        for f_old, i in entry['rows'].items():
+            if i >= entry.get('n_real', 0):
+                continue
+            fkey_old = ('dvframe', id(source), int(quality), f_old)
+            if fkey_old not in cache:
+                cache[fkey_old] = (hy[i], hcb[i], hcr[i])
     ys, cbs, crs = [], [], []
     for f in frames:
         fkey = ('dvframe', id(source), int(quality), f)
@@ -361,10 +383,31 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=(),
     # counts the H2D bytes.
     stacks = tuple(backend.stage_to_device(s, mesh) for s in host)
     row_of = {f: i for i, f in enumerate(frames)}
-    entry = cache[key] = {'stacks': stacks, 'rows': row_of}
+    # host copies retained: growing a replayed entry by a few frames
+    # then re-decodes ONLY the missing ones (the pre-pad rows seed the
+    # per-frame cache below on the next build)
+    entry = cache[key] = {'stacks': stacks, 'rows': row_of,
+                          'host': host, 'n_real': len(frames)}
     persist.put(pkey, source, entry, sum(s.nbytes for s in host),
                 serving=ctx.root_range, gen=ctx.stage_gen)
     return stacks, row_of
+
+
+def _emit_placed(ctx, recon, image_box, current, B):
+    """Crop *recon* (rendered at image_box geometry) to *current* and
+    place it into the plan window — shared by the DV and generic planar
+    emitters so the offset math cannot drift between them."""
+    from canvas_tpu.render import Node, tile_window
+    sy0 = current.min.y - image_box.min.y
+    sy1 = current.max.y - image_box.min.y
+    sx0 = current.min.x - image_box.min.x
+    sx1 = current.max.x - image_box.min.x
+    dy0 = current.min.y - ctx.window.min.y
+    dx0 = current.min.x - ctx.window.min.x
+    return Node('place',
+                static=(ctx.window.height, ctx.window.width,
+                        sy0, sy1, sx0, sx1, dy0, dx0),
+                children=[recon], windows=tile_window(current, B))
 
 
 def _dvrecon_emit(self, ctx):
@@ -408,16 +451,7 @@ def _dvrecon_emit(self, ctx):
     }, windows=tile_window(current, B))
 
     # Place image-coordinate output into the target window
-    sy0 = current.min.y - image_box.min.y
-    sy1 = current.max.y - image_box.min.y
-    sx0 = current.min.x - image_box.min.x
-    sx1 = current.max.x - image_box.min.x
-    dy0 = current.min.y - ctx.window.min.y
-    dx0 = current.min.x - ctx.window.min.x
-    return Node('place',
-                static=(ctx.window.height, ctx.window.width,
-                        sy0, sy1, sx0, sx1, dy0, dx0),
-                children=[recon], windows=tile_window(current, B))
+    return _emit_placed(ctx, recon, image_box, current, B)
 
 
 DVReconstructionFilter.emit = _dvrecon_emit
@@ -470,16 +504,7 @@ def _planar_emit(self, ctx):
         'm': chroma_ops.ycbcr_matrix(self.matrix),
     }, windows=tile_window(current, B))
 
-    sy0 = current.min.y - image_box.min.y
-    sy1 = current.max.y - image_box.min.y
-    sx0 = current.min.x - image_box.min.x
-    sx1 = current.max.x - image_box.min.x
-    dy0 = current.min.y - ctx.window.min.y
-    dx0 = current.min.x - ctx.window.min.x
-    return Node('place',
-                static=(ctx.window.height, ctx.window.width,
-                        sy0, sy1, sx0, sx1, dy0, dx0),
-                children=[recon], windows=tile_window(current, B))
+    return _emit_placed(ctx, recon, image_box, current, B)
 
 
 PlanarReconstructionFilter.emit = _planar_emit

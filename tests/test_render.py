@@ -1801,3 +1801,29 @@ def test_mix_dormant_child_not_planned(any_backend):
     want2, _ = pull_frames(mix2, WINDOW, 0, 8)
     got2 = render.render_frames(mix2, WINDOW, 0, 8)
     np.testing.assert_array_equal(got2, want2)
+
+
+def test_planner_quality_zero_means_best_for_coded_pulls():
+    """quality 0 = default-best (framework.h:510-513) on BOTH sides of
+    the planner/filter min(): RenderPlanner(quality=0) must not
+    override an explicit filter quality down to 0."""
+    from canvas_tpu.coded import (CodedImage, CodedImageSource,
+                                  DVReconstructionFilter)
+
+    seen = []
+
+    class Source(CodedImageSource):
+        def get_frame(self, frame_index, quality=0):
+            seen.append(quality)
+            y = np.full((480, 720), 128, np.uint8)
+            c = np.full((480, 180), 128, np.uint8)
+            return CodedImage([y, c, c])
+
+    filt = DVReconstructionFilter(Source(), quality=3)
+    win = box2i(0, 0, 719, 479)
+    planner = render.RenderPlanner(filt, win, quality=0)
+    try:
+        planner.render(0, 2)
+        assert seen and all(q == 3 for q in seen), seen
+    finally:
+        planner.close()
