@@ -24,6 +24,7 @@ The native library is built on demand from native/ (make) if missing.
 import ctypes
 import os
 import subprocess
+import errno
 import threading
 
 import numpy as np
@@ -331,10 +332,13 @@ class AVVideoDecoder(CodedImageSource):
         lib.cav_video_decoder_info(self._handle, ctypes.byref(info))
         self._alloc_planes(max(info.width * info.height, 1024))
 
-    def _alloc_planes(self, y_bytes):
+    def _alloc_planes(self, y_bytes, c_bytes=None):
+        # chroma starts at luma/2 (covers 4:1:1/4:2:0/4:2:2); a 4:4:4
+        # stream reports exact dims via the -1001 retry path and grows
         self._y = np.empty((int(y_bytes),), np.uint8)
-        self._cb = np.empty((int(y_bytes),), np.uint8)
-        self._cr = np.empty((int(y_bytes),), np.uint8)
+        c = int(c_bytes) if c_bytes is not None else (int(y_bytes) + 1) // 2
+        self._cb = np.empty((c,), np.uint8)
+        self._cr = np.empty((c,), np.uint8)
 
     def get_frame(self, frame_index, quality=0):
         """Planar YCbCr CodedImage for *frame_index*, or None at EOF."""
@@ -352,7 +356,8 @@ class AVVideoDecoder(CodedImageSource):
                     break
                 # Frame larger than our buffers: grow to the reported
                 # dims and retry (the frame was consumed; re-decode).
-                self._alloc_planes(dims[0] * dims[1])
+                self._alloc_planes(dims[0] * dims[1],
+                                   c_bytes=dims[2] * dims[3])
         if rc == 0:
             return None
         if rc == -1000:
@@ -401,9 +406,13 @@ class AVVideoDecoder(CodedImageSource):
         return out
 
     def close(self):
-        if self._handle:
-            _load().cav_video_decoder_close(self._handle)
-            self._handle = None
+        # under _lock: closing during an in-flight decode on another
+        # thread (editor source swap) would free the codec contexts out
+        # from under the native call — use-after-free
+        with self._lock:
+            if self._handle:
+                _load().cav_video_decoder_close(self._handle)
+                self._handle = None
 
     def __del__(self):
         try:
@@ -463,9 +472,10 @@ class AVAudioDecoder(_AudioSourceBase):
         frame.current_max_sample = frame.full_max_sample
 
     def close(self):
-        if self._handle:
-            _load().cav_audio_decoder_close(self._handle)
-            self._handle = None
+        with self._lock:
+            if self._handle:
+                _load().cav_audio_decoder_close(self._handle)
+                self._handle = None
 
     def __del__(self):
         try:
@@ -487,6 +497,8 @@ class AVMuxer:
         if not self._handle:
             raise IOError(err.value.decode())
         self._started = False
+        self._video_dims = {}       # stream idx -> (w, h)
+        self._audio_channels = {}   # stream idx -> channels
 
     def add_video_stream(self, codec, frame_size, frame_rate,
                          bit_rate=0, options='',
@@ -510,6 +522,7 @@ class AVMuxer:
             options.encode(), err, len(err))
         if idx < 0:
             raise IOError(err.value.decode())
+        self._video_dims[idx] = (int(frame_size[0]), int(frame_size[1]))
         return idx
 
     def add_audio_stream(self, codec, sample_rate, channels, bit_rate=0):
@@ -519,6 +532,7 @@ class AVMuxer:
             int(bit_rate), err, len(err))
         if idx < 0:
             raise IOError(err.value.decode())
+        self._audio_channels[idx] = int(channels)
         return idx
 
     def start(self):
@@ -533,6 +547,13 @@ class AVMuxer:
         if not self._started:
             self.start()
         rgba = np.ascontiguousarray(rgba, np.uint8)
+        want = self._video_dims.get(int(stream))
+        # shape validated HERE: the native layer reads h*w*4 bytes from
+        # the raw pointer and cannot know the array's real size
+        if want is not None and rgba.shape != (want[1], want[0], 4):
+            raise ValueError('frame shape %r does not match stream '
+                             'geometry (%d, %d, 4)'
+                             % (rgba.shape, want[1], want[0]))
         rc = _load().cav_muxer_write_video(
             self._handle, int(stream),
             rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
@@ -548,6 +569,16 @@ class AVMuxer:
         y = np.ascontiguousarray(y, np.uint8)
         cb = np.ascontiguousarray(cb, np.uint8)
         cr = np.ascontiguousarray(cr, np.uint8)
+        want = self._video_dims.get(int(stream))
+        if want is not None:
+            w, h = want
+            ch, cw = (h + 1) // 2, (w + 1) // 2
+            if (y.shape != (h, w) or cb.shape != (ch, cw)
+                    or cr.shape != (ch, cw)):
+                raise ValueError(
+                    'planar frame shapes y%r cb%r cr%r do not match '
+                    'stream geometry (%d, %d)/(%d, %d)'
+                    % (y.shape, cb.shape, cr.shape, h, w, ch, cw))
         u8p = ctypes.POINTER(ctypes.c_uint8)
         rc = _load().cav_muxer_write_video_planar(
             self._handle, int(stream), y.ctypes.data_as(u8p),
@@ -560,6 +591,12 @@ class AVMuxer:
         if not self._started:
             self.start()
         samples = np.ascontiguousarray(samples, np.float32)
+        want_ch = self._audio_channels.get(int(stream))
+        if (want_ch is not None
+                and (samples.ndim != 2 or samples.shape[1] != want_ch)):
+            raise ValueError('audio samples shape %r does not match '
+                             'stream channels %d'
+                             % (samples.shape, want_ch))
         rc = _load().cav_muxer_write_audio(
             self._handle, int(stream),
             samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -654,7 +691,11 @@ def write_video(filename, video_source, audio_source, start_frame, end_frame,
             sample_aspect_ratio=sample_aspect_ratio,
             interlaced=interlaced, top_field_first=top_field_first)
         astream = None
-        if audio_source is not None and audio_codec:
+        if audio_source is not None and not audio_codec:
+            raise ValueError('audio_source given without audio_codec: '
+                             "pass audio_codec (e.g. 'aac') or drop the "
+                             'audio source')
+        if audio_source is not None:
             astream = mux.add_audio_stream(audio_codec, sample_rate, channels)
         mux.start()
 
@@ -915,7 +956,7 @@ class AVVideoEncoder(_EncoderBase):
                 rc = lib.cav_encoder_send_video(
                     self._handle,
                     frame_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-                if rc == -11:           # -EAGAIN
+                if rc == -errno.EAGAIN:    # AVERROR(EAGAIN), platform value
                     continue
                 if rc < 0:
                     raise IOError('send_video failed: %d' % rc)
@@ -1023,9 +1064,9 @@ class AVPlanarVideoEncoder(_EncoderBase):
             ctypes.c_char_p, ctypes.c_int]
         lib.cav_encoder_send_planar.argtypes = [
             ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
         if frame_rate is None:
             frame_rate = Fraction(30000, 1001)
         frame_rate = _as_frame_rate(frame_rate)
@@ -1060,16 +1101,24 @@ class AVPlanarVideoEncoder(_EncoderBase):
         planes = [np.ascontiguousarray(p, np.uint8) for p in image]
         while True:
             self._drain()
+            if planes[1].shape != planes[2].shape:
+                raise ValueError('cb/cr plane shapes differ: %r vs %r'
+                                 % (planes[1].shape, planes[2].shape))
             rc = lib.cav_encoder_send_planar(
                 self._handle,
                 planes[0].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                planes[0].shape[1],
+                planes[0].shape[1], planes[0].shape[0],
                 planes[1].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 planes[1].shape[1],
                 planes[2].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                planes[2].shape[1])
-            if rc == -11:       # -EAGAIN: frame not consumed, resend
+                planes[2].shape[1], planes[1].shape[0])
+            if rc == -errno.EAGAIN:   # AVERROR(EAGAIN): not consumed, resend
                 continue
+            if rc == -2:
+                raise ValueError(
+                    'source planes have fewer rows than the encoder '
+                    'geometry requires (y %r, chroma %r)'
+                    % (planes[0].shape, planes[1].shape))
             if rc < 0:
                 raise IOError('send_planar failed: %d' % rc)
             break

@@ -229,6 +229,7 @@ struct CavVideoDec {
     AVRational frame_rate{};     // frames per second
     AVRational time_base{};
     int64_t next_frame = -1;     // next frame index decode will produce
+    bool saw_nopts = false;      // stream has produced a NOPTS frame
     bool eof = false;
     int out_w = 0, out_h = 0;
     int src_w = 0, src_h = 0;    // dims the cached sws was built for
@@ -297,7 +298,11 @@ CAV_EXPORT void cav_video_decoder_close(CavVideoDec *d) {
 }
 
 CAV_EXPORT void cav_video_decoder_info(CavVideoDec *d, CavStreamInfo *out) {
-    cav_stream_info(reinterpret_cast<CavFormat *>(&d->fmt), d->stream, out);
+    // a temp CavFormat view, not a reinterpret_cast of &d->fmt (which
+    // silently depended on member order)
+    CavFormat view;
+    view.ctx = d->fmt;
+    cav_stream_info(&view, d->stream, out);
 }
 
 // Color metadata for reconstruction-path selection:
@@ -354,18 +359,35 @@ int decode_next(CavVideoDec *d) {
 // Returns 1 ok, 0 past-eof, <0 error.
 int decode_to_index(CavVideoDec *d, int64_t frame_index) {
     if (frame_index < d->next_frame || frame_index > d->next_frame + 64) {
-        int64_t target_pts = frame_to_pts(d, frame_index);
-        int rc = av_seek_frame(d->fmt, d->stream, target_pts,
-                               AVSEEK_FLAG_BACKWARD);
-        if (rc < 0) return rc;
-        avcodec_flush_buffers(d->codec);
-        d->next_frame = -1;  // unknown until first decoded pts
+        if (d->saw_nopts) {
+            // Timestamp-less stream (elementary .m2v/.h264): a frame
+            // decoded after a mid-stream seek has no identifiable
+            // index, so indices only count from the stream head.
+            // Rewind for backward targets; decode forward otherwise.
+            if (frame_index < d->next_frame) {
+                int rc = av_seek_frame(d->fmt, d->stream, 0,
+                                       AVSEEK_FLAG_BACKWARD);
+                if (rc < 0) return rc;
+                avcodec_flush_buffers(d->codec);
+                d->next_frame = 0;   // counting restarts at the head
+            }
+        } else {
+            int64_t target_pts = frame_to_pts(d, frame_index);
+            int rc = av_seek_frame(d->fmt, d->stream, target_pts,
+                                   AVSEEK_FLAG_BACKWARD);
+            if (rc < 0) return rc;
+            avcodec_flush_buffers(d->codec);
+            d->next_frame = -1;  // unknown until first decoded pts
+        }
     }
     while (true) {
         int rc = decode_next(d);
         if (rc <= 0) return rc;
         int64_t got = pts_to_frame(d, d->frame->best_effort_timestamp);
-        if (got < 0) got = d->next_frame < 0 ? 0 : d->next_frame;
+        if (got < 0) {
+            d->saw_nopts = true;
+            got = d->next_frame < 0 ? 0 : d->next_frame;
+        }
         d->next_frame = got + 1;
         if (got >= frame_index) return 1;
         av_frame_unref(d->frame);
@@ -958,9 +980,13 @@ CAV_EXPORT int cav_muxer_finish(CavMuxer *m) {
             s->pending_audio.clear();
         }
         avcodec_send_frame(s->codec, nullptr);  // flush
-        rc = drain_packets(m, s);
+        int drc = drain_packets(m, s);
+        if (drc < 0 && rc == 0) rc = drc;   // keep the FIRST failure
     }
-    if (m->header_written) av_write_trailer(m->ctx);
+    if (m->header_written) {
+        int trc = av_write_trailer(m->ctx);
+        if (trc < 0 && rc == 0) rc = trc;
+    }
     for (auto *s : m->streams) {
         if (s->sws) sws_freeContext(s->sws);
         if (s->sws_planar) sws_freeContext(s->sws_planar);
@@ -1117,8 +1143,12 @@ CAV_EXPORT int cav_encoder_send_video(CavEncoder *e, const uint8_t *rgba) {
     int src_stride[4] = {e->codec->width * 4, 0, 0, 0};
     sws_scale(e->sws, src, src_stride, 0, e->codec->height, e->frame->data,
               e->frame->linesize);
-    e->frame->pts = e->next_pts++;
-    return avcodec_send_frame(e->codec, e->frame);
+    // pts advances only on a SUCCESSFUL send: the Python layer retries
+    // on EAGAIN, and incrementing here would skip a pts per retry.
+    e->frame->pts = e->next_pts;
+    int rc = avcodec_send_frame(e->codec, e->frame);
+    if (rc >= 0) e->next_pts++;
+    return rc;
 }
 
 // Push interleaved float samples (audio). Returns the number of samples
@@ -1231,9 +1261,10 @@ CAV_EXPORT CavEncoder *cav_video_encoder_open_planar(
 
 // Push one planar frame: three contiguous planes with given row strides.
 CAV_EXPORT int cav_encoder_send_planar(CavEncoder *e, const uint8_t *y,
-                                       int y_stride, const uint8_t *cb,
-                                       int cb_stride, const uint8_t *cr,
-                                       int cr_stride) {
+                                       int y_stride, int y_rows,
+                                       const uint8_t *cb, int cb_stride,
+                                       const uint8_t *cr, int cr_stride,
+                                       int c_rows) {
     if (y_stride < 0 || cb_stride < 0 || cr_stride < 0) return -1;
     av_frame_make_writable(e->frame);
     const AVPixFmtDescriptor *desc =
@@ -1249,6 +1280,10 @@ CAV_EXPORT int cav_encoder_send_planar(CavEncoder *e, const uint8_t *y,
     int ny = y_stride < yw ? y_stride : yw;
     int nc = cb_stride < cw ? cb_stride : cw;
     int nr = cr_stride < cw ? cr_stride : cw;
+    // Row counts are validated, not clamped: silently encoding short
+    // planes would hide a caller geometry bug, and reading past them
+    // is the overflow this guard exists to prevent.
+    if (y_rows < h || c_rows < ch) return -2;
     for (int r = 0; r < h; r++)
         memcpy(e->frame->data[0] + r * e->frame->linesize[0],
                y + (size_t)r * y_stride, ny);
@@ -1258,6 +1293,8 @@ CAV_EXPORT int cav_encoder_send_planar(CavEncoder *e, const uint8_t *y,
         memcpy(e->frame->data[2] + r * e->frame->linesize[2],
                cr + (size_t)r * cr_stride, nr);
     }
-    e->frame->pts = e->next_pts++;
-    return avcodec_send_frame(e->codec, e->frame);
+    e->frame->pts = e->next_pts;
+    int rc = avcodec_send_frame(e->codec, e->frame);
+    if (rc >= 0) e->next_pts++;
+    return rc;
 }

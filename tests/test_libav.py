@@ -440,3 +440,80 @@ def test_write_video_window_mismatch_rejected(tmp_path):
                           SolidColorVideoSource((1, 0, 0, 1)), None, 0, 4,
                           frame_size=(64, 48),
                           window=box2i(0, 0, 31, 23))
+
+
+def test_muxer_rejects_mismatched_shapes(tmp_path):
+    """The native layer reads geometry-sized buffers from raw pointers;
+    the Python face must reject wrong-shaped arrays instead of letting
+    C read out of bounds."""
+    import numpy as np
+    import pytest
+    from canvas_tpu import libav
+
+    path = str(tmp_path / 'shape.avi')
+    mux = libav.AVMuxer(path, 'avi')
+    v = mux.add_video_stream('mpeg4', (320, 240), 25)
+    a = mux.add_audio_stream('pcm_s16le', 48000, 2)
+    mux.start()
+    with pytest.raises(ValueError):
+        mux.write_video_frame(v, np.zeros((120, 160, 4), np.uint8))
+    with pytest.raises(ValueError):
+        mux.write_audio_frame(a, np.zeros((64, 1), np.float32))
+    mux.write_video_frame(v, np.zeros((240, 320, 4), np.uint8))
+    mux.write_audio_frame(a, np.zeros((64, 2), np.float32))
+    mux.close()
+
+
+def test_planar_muxer_rejects_short_planes(tmp_path):
+    import numpy as np
+    import pytest
+    from canvas_tpu import libav
+
+    path = str(tmp_path / 'planar.avi')
+    mux = libav.AVMuxer(path, 'avi')
+    v = mux.add_video_stream('mpeg4', (320, 240), 25)
+    mux.start()
+    with pytest.raises(ValueError):
+        mux.write_video_frame_planar(
+            v, np.zeros((240, 320), np.uint8),
+            np.zeros((60, 160), np.uint8),    # half the chroma rows
+            np.zeros((60, 160), np.uint8))
+    mux.write_video_frame_planar(
+        v, np.zeros((240, 320), np.uint8),
+        np.zeros((120, 160), np.uint8), np.zeros((120, 160), np.uint8))
+    mux.close()
+
+
+def test_write_video_requires_audio_codec(tmp_path):
+    import pytest
+    from canvas_tpu import libav
+    import numpy as np
+    from canvas_tpu.audio import AudioFrame
+    from canvas_tpu.sources import SolidColorVideoSource
+
+    silent = AudioFrame(0, 9600, 2, data=np.zeros((9601, 2), np.float32))
+    with pytest.raises(ValueError, match='audio_codec'):
+        libav.write_video(str(tmp_path / 'x.avi'),
+                          SolidColorVideoSource((1, 0, 0, 1)),
+                          silent, 0, 2,
+                          frame_size=(64, 48), format='avi')
+
+
+def test_planar_encoder_rejects_short_planes():
+    """cav_encoder_send_planar validates row counts (it reads
+    codec-geometry rows from the caller's buffers)."""
+    import numpy as np
+    import pytest
+    from canvas_tpu.coded import CodedImage, CodedImageSource
+    from canvas_tpu.libav import AVPlanarVideoEncoder
+
+    class Short(CodedImageSource):
+        def get_frame(self, frame_index, quality=0):
+            y = np.zeros((480, 720), np.uint8)
+            c = np.zeros((240, 180), np.uint8)   # half the 4:1:1 rows
+            return CodedImage([y, c, c])
+
+    enc = AVPlanarVideoEncoder(Short(), 0, 3, codec='dvvideo')
+    with pytest.raises(ValueError):
+        while enc.get_next_packet() is not None:
+            pass
