@@ -33,7 +33,7 @@ def main():
     ap.add_argument('--r1', type=int, default=2)
     ap.add_argument('--r2', type=int, default=22)
     ap.add_argument('--batch', type=int, default=32)
-    ap.add_argument('--length', type=int, default=1024)
+    ap.add_argument('--length', type=int, default=8192)
     ap.add_argument('--sig-filter', default='',
                     help='time the largest signature group whose repr '
                          'contains this substring (e.g. scale_solid)')
