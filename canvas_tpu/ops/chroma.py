@@ -221,6 +221,12 @@ def _up_matrix_generic(n_full, n_sub, siting=0.0):
         factor = max(1, round(n_full / n_sub))
         if factor == 1 and siting == 0.0:
             W = np.eye(n_full, n_sub, dtype=np.float32)
+            if n_full > n_sub:
+                # malformed/cropped geometry rounding to factor 1: the
+                # extra luma rows extend the LAST chroma sample instead
+                # of decoding desaturated (all-zero weight rows would
+                # bypass the triangle branch's edge renormalization)
+                W[n_sub:, n_sub - 1] = 1.0
         else:
             coeff, center = scale_ops.triangle_weights(float(factor),
                                                        float(siting))
@@ -251,7 +257,13 @@ def _vertical_siting(n_full, n_sub):
 
 
 def ycbcr_matrix(name):
-    return YCBCR_TO_RGB_REC601 if name == 'rec601' else YCBCR_TO_RGB_REC709
+    if name == 'rec601':
+        return YCBCR_TO_RGB_REC601
+    if name == 'rec709':
+        return YCBCR_TO_RGB_REC709
+    # raising beats silently decoding with the wrong primaries
+    raise ValueError("matrix must be 'rec709' or 'rec601', got %r"
+                     % (name,))
 
 
 def reconstruct_planar_full(y_plane, cb_plane, cr_plane, matrix='rec709'):
@@ -356,12 +368,67 @@ def reconstruct_planar(planes, full_window, use_jax=None,
 
 # --- DV subsampling ----------------------------------------------------------
 
+_jax_dv_sub = None
+
+
+def _jax_subsample_dv():
+    """Device DV 4:1:1 subsample: same math as the NumPy path below —
+    f16 LUT-gather transfer (bit-exact vs the eager contract), matrixed
+    YCbCr, triangle 4:1 chroma decimation, C-cast truncation — with
+    the window realized as traced masks (one compiled program for any
+    current_window) and the three planes PACKED into one u8 buffer so
+    a remote-attached export pays a single fetch (518 KB) instead of
+    shipping the whole f16 frame (2.8 MB) to subsample on the host."""
+    global _jax_dv_sub
+    if _jax_dv_sub is None:
+        jax = backend.jax
+        jnp = backend.jnp
+
+        @jax.jit
+        def sub(img, lut, M, D, row_mask, col_mask, tx_mask):
+            bits = jax.lax.bitcast_convert_type(
+                img.astype(jnp.float16), jnp.uint16).astype(jnp.int32)
+            img709 = jnp.take(lut, bits, axis=0).astype(jnp.float32)
+            ycc = jnp.einsum('ij,jhw->ihw', M, img709[:3],
+                             preferred_element_type=jnp.float32,
+                             precision='highest')
+            y = ycc[0] * jnp.float32(219.0) + jnp.float32(16.0)
+
+            def trunc(v):
+                return jnp.trunc(jnp.clip(jnp.nan_to_num(v, nan=0.0),
+                                          0.0, 255.0)).astype(jnp.uint8)
+
+            ym = row_mask[:, None] * col_mask[None, :]
+            y8 = jnp.where(ym > 0, trunc(y), 0)
+            cbcr = ycc[1:3] * col_mask[None, None, :]
+            cb = jnp.einsum('tx,hx->ht', D, cbcr[0],
+                            preferred_element_type=jnp.float32,
+                            precision='highest')
+            cr = jnp.einsum('tx,hx->ht', D, cbcr[1],
+                            preferred_element_type=jnp.float32,
+                            precision='highest')
+            cm = row_mask[:, None] * tx_mask[None, :]
+            cb8 = jnp.where(cm > 0,
+                            trunc(cb * jnp.float32(224.0)
+                                  + jnp.float32(128.0)), 0)
+            cr8 = jnp.where(cm > 0,
+                            trunc(cr * jnp.float32(224.0)
+                                  + jnp.float32(128.0)), 0)
+            return jnp.concatenate([y8.reshape(-1), cb8.reshape(-1),
+                                    cr8.reshape(-1)])
+
+        _jax_dv_sub = sub
+    return _jax_dv_sub
+
+
 def subsample_dv(data, full_window, current_window):
     """Linear RGBA f16 frame -> DV 4:1:1 planar u8 (video_subsample.c:95-187).
 
     data: (4, H, W) f16 at *full_window*. Returns (y, cb, cr) u8 planes of
     shapes (480, 720), (480, 180), (480, 180); rows/columns outside the
     frame's current_window are zero (the reference's alloc0 behavior).
+    Device-resident input subsamples ON DEVICE (one packed u8 fetch);
+    the NumPy path below is the golden.
     """
     ox, oy = DV_PIC_OFFSET
     image_box = box2i(ox, oy, DV_FULL_WIDTH + ox - 1, DV_FULL_HEIGHT + oy - 1)
@@ -374,6 +441,34 @@ def subsample_dv(data, full_window, current_window):
         return y8, cb8, cr8
 
     from canvas_tpu.ops import window as window_ops
+    if backend.is_jax_array(data) and backend.get_backend() != 'numpy':
+        jnp = backend.jnp
+        img_d = window_ops.place(data, full_window, image_box, window)
+        lut = color_ops._luts.get('linear_to_rec709',
+                                  color_ops.linear_to_rec709)
+        key = id(lut)
+        got = color_ops._device_tables.get(key)
+        if got is None or got[0] is not lut:
+            got = (lut, jnp.asarray(lut))
+            color_ops._device_tables[key] = got
+        row_mask = np.zeros(DV_FULL_HEIGHT, np.float32)
+        row_mask[window.min.y - oy:window.max.y - oy + 1] = 1.0
+        col_mask = np.zeros(DV_FULL_WIDTH, np.float32)
+        col_mask[window.min.x - ox:window.max.x - ox + 1] = 1.0
+        tx_mask = np.zeros(DV_FULL_WIDTH // 4, np.float32)
+        tx_mask[(window.min.x - ox) // 4:(window.max.x - ox) // 4 + 1] = 1.0
+        packed = np.asarray(_jax_subsample_dv()(
+            img_d, got[1], RGB_TO_YCBCR_REC709, _dv_down_matrix(),
+            row_mask, col_mask, tx_mask))
+        n_y = DV_FULL_HEIGHT * DV_FULL_WIDTH
+        n_c = DV_FULL_HEIGHT * (DV_FULL_WIDTH // 4)
+        y8 = packed[:n_y].reshape(DV_FULL_HEIGHT, DV_FULL_WIDTH)
+        cb8 = packed[n_y:n_y + n_c].reshape(DV_FULL_HEIGHT,
+                                            DV_FULL_WIDTH // 4)
+        cr8 = packed[n_y + n_c:].reshape(DV_FULL_HEIGHT,
+                                         DV_FULL_WIDTH // 4)
+        return y8, cb8, cr8
+
     # Re-window to image coordinates and compress the transfer curve.
     img = window_ops.place(backend.asnumpy(data), full_window, image_box,
                            window)
@@ -422,9 +517,9 @@ def _jax_subsample_mpeg2():
         @jax.jit
         def sub(arr, M):
             H, W = arr.shape[1], arr.shape[2]
+            from canvas_tpu.ops import color as color_ops
             x = arr[:3].astype(jnp.float32)
-            rgb709 = jnp.where(x < 0.018, x * 4.5,
-                               1.099 * jnp.power(x, 0.45) - 0.099)
+            rgb709 = color_ops.linear_to_rec709_xp(x, jnp)
             ycc = jnp.einsum('ij,jhw->ihw', M, rgb709,
                              preferred_element_type=jnp.float32,
                              precision='highest')

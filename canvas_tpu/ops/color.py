@@ -72,6 +72,16 @@ def linear_to_rec709(x):
                     x * np.float32(4.5), hi).astype(np.float32)
 
 
+def linear_to_rec709_xp(x, xp):
+    """linear -> Rec.709 OETF over an explicit array namespace (np or
+    jnp) — the ONE traced/golden-shared definition of the curve
+    constants (gammatab.c:88-106) for paths that inline the formula
+    (chroma subsample); the f32-cast NumPy golden above keeps its
+    errstate guards."""
+    return xp.where(x < 0.018, x * 4.5,
+                    1.099 * xp.power(x, 0.45) - 0.099)
+
+
 def linear_to_srgb(x):
     x = np.asarray(x, dtype=np.float32)
     a = np.float32(0.055)

@@ -102,7 +102,6 @@ def axis_matrix(factor, t_lo, t_hi, s_lo, s_hi, t_point, s_point):
         return (np.zeros((max(T, 0), max(S, 0)), dtype=np.float32),
                 np.zeros(max(T, 0), dtype=bool))
     W = np.zeros((T, S), dtype=np.float32)
-    touched = np.zeros(T, dtype=bool)
 
     # Both the upsample scatter (one filter per source sample,
     # video_scale.c:62-90) and downsample gather (one filter per target
@@ -135,7 +134,11 @@ def axis_taps(factor, t_lo, t_hi, s_lo, s_hi, t_point, s_point):
                 np.zeros(max(T, 0), bool))
     t = np.arange(t_lo, t_hi + 1, dtype=np.float64)
     width = 1.0 if factor > 1.0 else 1.0 / factor
-    norm = factor <= 1.0
+    # STRICT: the reference normalizes only for sub < 1.0 (filter.c:70);
+    # at factor exactly 1.0 with a fractional offset, dividing the
+    # (1-f, f) taps by their float32 sum perturbs each by an ulp and
+    # breaks bit-parity with triangle_weights-built matrices.
+    norm = factor < 1.0
     g = (t - t_point) / factor + s_point
     left = np.floor(g - width).astype(np.int64) + 1
     right = np.ceil(g + width).astype(np.int64) - 1
@@ -143,13 +146,14 @@ def axis_taps(factor, t_lo, t_hi, s_lo, s_hi, t_point, s_point):
     pos = left[:, None] + np.arange(K)[None, :]
     in_support = pos <= right[:, None]
     dist = np.abs(pos - g[:, None]) / width
-    w = np.where(in_support, 1.0 - dist, 0.0).astype(np.float32)
+    w_raw = np.where(in_support, 1.0 - dist, 0.0).astype(np.float32)
+    w = w_raw
     if norm:
         sums = w.sum(axis=1, keepdims=True)
         w = np.where(sums != 0.0, w / np.where(sums != 0.0, sums, 1.0), 0.0)
     in_window = (pos >= s_lo) & (pos <= s_hi)
     w = np.where(in_window, w, 0.0).astype(np.float32)
-    touched = (in_window & in_support & (np.where(in_support, 1.0 - dist, 0.0) != 0.0)).any(axis=1)
+    touched = (in_window & (w_raw != 0.0)).any(axis=1)
     pos = np.clip(pos, s_lo, s_hi).astype(np.int32)
     return pos, w, touched
 

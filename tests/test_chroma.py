@@ -614,3 +614,26 @@ def test_planner_quality_caps_coded_pulls():
     asked.clear()
     render.RenderPlanner(filt, window).render(0, 2)
     assert asked and all(q == 10 for q in asked)
+
+
+def test_dv_subsample_jax_matches_numpy():
+    """Device DV 4:1:1 subsample (packed single-fetch path) agrees with
+    the NumPy golden like the MPEG-2 sibling: <=1 code value at the
+    round boundary, on few pixels."""
+    rng = np.random.RandomState(7)
+    data = (rng.rand(4, 480, 720) * 0.9).astype(np.float16)
+    win = box2i(3, 2, 700, 470)
+    with backend.force_backend('numpy'):
+        y_np, cb_np, cr_np = chroma.subsample_dv(
+            data, box2i(0, -1, 719, 478), win)
+    with backend.force_backend('jax'):
+        jnp = backend.jnp
+        y_j, cb_j, cr_j = chroma.subsample_dv(
+            jnp.asarray(data), box2i(0, -1, 719, 478), win)
+    for a, b in ((y_np, y_j), (cb_np, cb_j), (cr_np, cr_j)):
+        diff = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 0.02
+    # zero-outside-window invariant holds on the device path
+    assert np.asarray(y_j)[:, 701:].max() == 0
+    assert np.asarray(y_j)[:2 - (-1) - 1, :].max() == 0
