@@ -790,13 +790,18 @@ def _eval(node_sig, params_iter, jnp, jax):
                 inner = cs[3][0]
                 if (inner[0] in ('scale_solid', 'scale_solid_dyn')
                         and os.environ.get('CANVAS_REGION_SEP',
-                                           '0') == '1'):
-                    # Validated on chip 2026-08-18: bit-identical to the
-                    # materialized path (scripts/region_sep_check.py) but
-                    # device-time NEUTRAL (16.05 vs 16.10 ms/b32,
-                    # device_loop_probe A/B) — XLA already keeps the
-                    # outer product fused, so the kernel saves no HBM
-                    # traffic. Stays opt-in; CPU falls back either way.
+                                           '1') == '1'):
+                    # Validated on chip: bit-identical to the
+                    # materialized path (scripts/region_sep_check.py).
+                    # Default ON since 2026-08-19: a bracketed
+                    # device_loop_probe A/B on the headline program
+                    # measured 8.04/8.08 (off) vs 6.96 (on) ms/b32 — a
+                    # 14% device-time win (an earlier 2026-08-18 A/B at
+                    # different program geometry read neutral; the
+                    # fold-proof quantize + semantic-window changes
+                    # since shifted the balance). CANVAS_REGION_SEP=0
+                    # restores the materialized path; CPU falls back
+                    # either way.
                     # Rank-1 region layer: hand the factored
                     # (color, ry, rx) straight to the fused region
                     # kernel — the (B, 4, h, w) outer product never
@@ -1143,8 +1148,8 @@ def _trace_env_key(key):
     (CANVAS_SCALE_SOLID, CANVAS_SOLID_CELLS) change node ops and are
     already in the signature."""
     tags = []
-    if os.environ.get('CANVAS_REGION_SEP', '0') == '1':
-        tags.append('region_sep')
+    if os.environ.get('CANVAS_REGION_SEP', '1') != '1':
+        tags.append('no_region_sep')
     fold = os.environ.get('CANVAS_FOLD_MODE', 'hybrid')
     if fold != 'hybrid':
         tags.append('fold_' + fold)

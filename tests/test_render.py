@@ -478,11 +478,11 @@ def test_explain_reports_plan_tree():
 
 
 def test_region_sep_flag_recompiles_and_matches(monkeypatch):
-    """CANVAS_REGION_SEP=1 (fused rank-1 region kernel; XLA fallback off
-    TPU) must compile a DISTINCT program for the same signature — the
-    flag is read at trace time, so keying the program cache on it is
-    what keeps an A/B flip from replaying the other arm's program — and
-    its output must match the flag-off path."""
+    """CANVAS_REGION_SEP (fused rank-1 region kernel, default ON; XLA
+    fallback off TPU) must compile a DISTINCT program per flag arm for
+    the same signature — the flag is read at trace time, so keying the
+    program cache on it is what keeps an A/B flip from replaying the
+    other arm's program — and the arms' outputs must match."""
     from canvas_tpu.framefuncs import LerpFunc
     from canvas_tpu.render import RenderPlanner
     from canvas_tpu.sources import (SolidColorVideoSource, VideoScaler,
@@ -507,7 +507,7 @@ def test_region_sep_flag_recompiles_and_matches(monkeypatch):
     ops = _plan_ops(ws, window)
     assert 'placed' in ops and ops & {'scale_solid', 'scale_solid_dyn'}
 
-    monkeypatch.delenv('CANVAS_REGION_SEP', raising=False)
+    monkeypatch.setenv('CANVAS_REGION_SEP', '0')
     base = np.asarray(RenderPlanner(ws, window).render(2, 6))
 
     cache_before = len(render._program_cache)

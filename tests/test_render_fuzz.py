@@ -384,3 +384,107 @@ def test_persistent_cache_random_replay_sequences(seed, any_backend):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
                                       err_msg='seed %d range %d:%d'
                                       % (seed, start, stop))
+
+
+@pytest.mark.parametrize('seed', range(max(6, _SEEDS)))
+def test_ranged_invalidation_random_edit_replay(seed, any_backend):
+    """Fuzz the ranged-invalidation machinery end-to-end: interleave
+    random CONTENT edits (mutate an untraceable source's pixels, fire
+    ``frames_updated(lo, hi)`` on the root) with replayed renders
+    through ONE long-lived planner whose plan cache and persistent
+    stage cache stay enabled. Every render must equal a fresh planner
+    with all caches off — a cached plan or staged device stack that
+    survives an invalidation it should not have can leak pre-edit
+    pixels, and an over-dropped cache can only cost speed, never
+    pixels. Exercises both the streaming path (iter_batches: prepared
+    plans + staged stacks) and the persistent-cache path (render)."""
+    from canvas_tpu.frames import VideoSource
+    from canvas_tpu.signal import Signal
+
+    rng = np.random.RandomState(3000 + seed)
+    window = box2i(0, 0, 127, 95)
+
+    class Versioned(VideoSource):
+        """Untraceable leaf whose content depends on (frame, version):
+        the stage_rows machinery must re-pull edited frames."""
+
+        def __init__(self, key):
+            self.key = key
+            self.versions = {}
+
+        def _render_f16(self, frame_index, frame):
+            v = self.versions.get(frame_index, 0)
+            r = np.random.RandomState(
+                (self.key * 131 + frame_index * 31 + v * 7919 + 1)
+                % (2 ** 31))
+            h, w = frame.full_window.height, frame.full_window.width
+            data = (r.rand(4, h, w) * 0.9).astype(np.float16)
+            data[3] = np.float16(1.0)
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    ws = VideoWorkspace()
+    ws.frames_updated = Signal()
+    edit_targets = []          # (leaf, item_x, item_offset, item_length)
+    for z in range(int(rng.randint(2, 5))):
+        x = int(rng.randint(0, 8))
+        offset = int(rng.randint(0, 4))
+        length = int(rng.randint(16, 40))
+        if rng.rand() < 0.6:
+            leaf = Versioned(z)
+            src = leaf
+            if rng.rand() < 0.5:
+                src = VideoGainOffsetFilter(
+                    src, gain=LinearFrameFunc(0.01, 0.8), offset=0.0)
+            edit_targets.append((leaf, x, offset, length))
+        else:
+            src = SolidColorVideoSource(
+                LerpFunc(random_color(rng), random_color(rng), LENGTH),
+                window=random_window(rng))
+        ws.add(source=src, x=x, offset=offset, length=length, z=z)
+    if not edit_targets:
+        leaf = Versioned(99)
+        edit_targets.append((leaf, 0, 0, 24))
+        ws.add(source=leaf, x=0, offset=0, length=24, z=10)
+
+    planner = render.RenderPlanner(ws, window)
+    planner.pipeline_chunk = 8
+
+    def render_long_lived(start, stop):
+        if rng.rand() < 0.5:
+            outs = []
+            for (_s, nv, out) in planner.iter_batches(start, stop,
+                                                      batch=4):
+                outs.append(np.asarray(out)[:nv])
+            return np.concatenate(outs, axis=0)
+        return np.asarray(planner.render(start, stop))
+
+    did_edit = False
+    for _round in range(10):
+        if rng.rand() < 0.4 or (_round == 9 and not did_edit):
+            # EDIT: bump versions on a leaf frame range, fire the
+            # mapped root range (root = leaf + x - offset, hi incl.)
+            leaf, x, offset, length = edit_targets[
+                int(rng.randint(len(edit_targets)))]
+            a = int(rng.randint(0, 30))
+            b = a + int(rng.randint(0, 8))
+            for f in range(a, b + 1):
+                leaf.versions[f] = leaf.versions.get(f, 0) + 1
+            lo = max(a + x - offset, x)
+            hi = min(b + x - offset, x + length - 1)
+            if lo <= hi:
+                ws.frames_updated.fire(lo, hi)
+            did_edit = True
+        else:
+            start = int(rng.randint(0, 24))
+            stop = start + int(rng.randint(3, 14))
+            got = render_long_lived(start, stop)
+            fresh = render.RenderPlanner(ws, window)
+            fresh.stage_cache_mb = 0
+            fresh.plan_cache_segments = 0
+            want = np.asarray(fresh.render(start, stop))
+            fresh.close()
+            np.testing.assert_array_equal(
+                got, want, err_msg='seed %d round %d range %d:%d'
+                % (seed, _round, start, stop))
+    planner.close()
