@@ -1572,6 +1572,85 @@ def test_stage_lru_unit():
     assert len(lru) == 2
 
 
+def test_long_edit_session_soak_caches_bounded(any_backend):
+    """Soak: hundreds of interleaved edits, streamed renders, and
+    scrubs through ONE planner must leave every cache bounded and
+    consistent — the plan cache within its segment cap, the StageLRU
+    byte ledger equal to the sum of its entries and within budget,
+    the global program cache grown by a small structure-keyed set
+    (not per-edit), and exactly one frames_updated subscription (no
+    handler leak across the session)."""
+    from canvas_tpu.frames import VideoSource
+    from canvas_tpu.signal import Signal
+    from canvas_tpu.sources import SolidColorVideoSource, VideoWorkspace
+    from canvas_tpu.framefuncs import LerpFunc
+
+    rng = np.random.RandomState(42)
+    window = box2i(0, 0, 95, 63)
+
+    class Versioned(VideoSource):
+        def __init__(self):
+            self.versions = {}
+
+        def _render_f16(self, frame_index, frame):
+            v = self.versions.get(frame_index, 0)
+            r = np.random.RandomState((frame_index * 31 + v * 997 + 1)
+                                      % (2 ** 31))
+            h, w = frame.full_window.height, frame.full_window.width
+            data = (r.rand(4, h, w) * 0.9).astype(np.float16)
+            data[3] = np.float16(1.0)
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    leaf = Versioned()
+    ws = VideoWorkspace()
+    ws.frames_updated = Signal()
+    ws.add(source=leaf, x=0, length=64, z=0)
+    ws.add(source=SolidColorVideoSource(
+        LerpFunc((0.9, 0.2, 0.1, 0.5), (0.1, 0.2, 0.9, 0.7), 64),
+        window=box2i(10, 10, 60, 40)), x=0, length=64, z=1)
+
+    planner = render.RenderPlanner(ws, window)
+    planner.pipeline_chunk = 8
+    planner.stage_cache_mb = 2          # tiny budget: force evictions
+    programs_before = len(render._program_cache)
+    try:
+        for _round in range(250):
+            op = rng.rand()
+            if op < 0.35:
+                a = int(rng.randint(0, 60))
+                b = a + int(rng.randint(0, 6))
+                for f in range(a, b + 1):
+                    leaf.versions[f] = leaf.versions.get(f, 0) + 1
+                ws.frames_updated.fire(a, min(b, 63))
+            elif op < 0.75:
+                start = int(rng.randint(0, 56))
+                for (_s, _n, out) in planner.iter_batches(
+                        start, start + int(rng.randint(2, 8)), batch=4):
+                    np.asarray(out)
+            else:
+                planner.render_display(int(rng.randint(0, 63)))
+
+        cache = planner.persistent_cache
+        assert cache.budget == 2 * (1 << 20)
+        assert cache.bytes <= cache.budget
+        assert cache.bytes == sum(e['nbytes']
+                                  for e in cache._entries.values()), \
+            'StageLRU byte ledger out of sync with entries'
+        plans = getattr(planner, '_plan_cache', None)
+        if plans is not None:
+            assert len(plans) <= planner.plan_cache_segments + 1
+        assert len(ws.frames_updated) == 1, \
+            'planner must subscribe exactly once across the session'
+        grown = len(render._program_cache) - programs_before
+        assert grown < 40, \
+            'program cache must grow with structures, not rounds (%d)' \
+            % grown
+    finally:
+        planner.close()
+    assert len(ws.frames_updated) == 0
+
+
 def test_iter_batches_yuv420_post_odd_dims():
     """post='yuv420' packs H*W luma + 2 x ceil-dims chroma; odd window
     sizes edge-replicate before the 2x2 mean (shape contract for the
