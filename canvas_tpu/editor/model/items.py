@@ -342,6 +342,15 @@ class Sequence(Item, ezlist.EZList):
 
     expanded = property(lambda self: self._expanded)
 
+    def update(self, **kw):
+        # 'expanded' (the A/B-roll display flag) is updatable live; the
+        # reference stores it but only sets it at construction
+        # (items.py:444,471-472) — a live toggle is a strict extension,
+        # and views listening on `updated` re-render on the flip
+        if 'expanded' in kw:
+            self._expanded = bool(kw['expanded'])
+        Item.update(self, **kw)
+
     def __getitem__(self, index):
         return self._items[index]
 

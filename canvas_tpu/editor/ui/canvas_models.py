@@ -25,8 +25,18 @@ class CanvasItemView:
         self.item = item
         self.selected = False
         item.updated.connect(self._handle_updated)
+        # Sequences redraw when their inner chain changes (the
+        # reference's VideoSequence listens to the same three signals,
+        # canvas/sequence.py:215-217)
+        for name in ('item_added', 'items_removed', 'item_updated'):
+            sig = getattr(item, name, None)
+            if sig is not None:
+                sig.connect(self._handle_sequence_changed)
 
     def _handle_updated(self, **kw):
+        self.scene.item_changed(self)
+
+    def _handle_sequence_changed(self, *args, **kw):
         self.scene.item_changed(self)
 
     @property
@@ -40,8 +50,35 @@ class CanvasItemView:
         return (self.item.x / rate, self.item.y,
                 self.item.length / rate, self.item.height)
 
+    def sub_rects(self):
+        """A/B-roll layout for an EXPANDED sequence: list of
+        (sequence_item, (x_seconds, y, w_seconds, h)) in scene units,
+        or None when the item isn't an expanded sequence.
+
+        Geometry matches the reference's expanded VideoSequence
+        (canvas/sequence.py:166,234-238): sub-items sit at
+        sequence.x + item.x; even chain indices ride the TOP lane,
+        odd the BOTTOM, each 3/7 of the sequence height — transitions
+        show as the horizontal A/B overlap."""
+        item = self.item
+        if not getattr(item, 'expanded', False) or not hasattr(
+                item, '__len__'):
+            return None
+        rate = float(self.rate)
+        sub_h = item.height * 3.0 / 7.0
+        out = []
+        for i, sub in enumerate(item):
+            y = item.y if (i & 1) == 0 else item.y + item.height - sub_h
+            out.append((sub, ((item.x + sub.x) / rate, y,
+                              sub.length / rate, sub_h)))
+        return out
+
     def unwatch(self):
         self.item.updated.disconnect(self._handle_updated)
+        for name in ('item_added', 'items_removed', 'item_updated'):
+            sig = getattr(self.item, name, None)
+            if sig is not None:
+                sig.disconnect(self._handle_sequence_changed)
 
 
 class CanvasSceneModel:

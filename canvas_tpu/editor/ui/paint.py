@@ -27,6 +27,9 @@ THEME = {
     'clip_video': (96, 60, 36, 255),
     'clip_audio': (52, 96, 48, 255),
     'clip_title': (128, 84, 56, 255),
+    # expanded-sequence container: the reference's light fill behind
+    # the A/B roll (canvas/sequence.py:255, rgbf 0.9, 0.9, 0.8)
+    'sequence_bg': (204, 230, 230, 255),
     'clip_border': (16, 14, 13, 255),
     'selection': (64, 180, 255, 255),
     'snap': (0, 220, 255, 255),
@@ -153,6 +156,31 @@ class CanvasPainter:
             kind = view.item.type() if callable(
                 getattr(view.item, 'type', None)) else 'video'
             body = t['clip_audio'] if kind == 'audio' else t['clip_video']
+            subs = (view.sub_rects()
+                    if hasattr(view, 'sub_rects') else None)
+            if subs is not None:
+                # Expanded sequence: light container + A/B sub-clips
+                # (transitions visible as the horizontal overlap), the
+                # reference's expanded VideoSequence rendering
+                # (canvas/sequence.py:248-257)
+                _fill(buf, x0, y0, x1, y1, t['sequence_bg'])
+                for (_sub, (sx, sy, sw, sh)) in subs:
+                    sx0, sy0 = self.transform.scene_to_view(sx, sy)
+                    sx1, sy1 = self.transform.scene_to_view(sx + sw,
+                                                            sy + sh)
+                    sy0 = max(sy0 + top, top)
+                    sy1 += top
+                    if sx1 <= 0 or sx0 >= width_px or sy1 <= sy0:
+                        continue
+                    _fill(buf, sx0, sy0, sx1, sy1, body)
+                    _fill(buf, sx0, sy0, sx1,
+                          min(sy0 + self.title_height, sy1),
+                          t['clip_title'])
+                    _outline(buf, sx0, sy0, sx1, sy1, t['clip_border'])
+                _outline(buf, x0, y0, x1, y1,
+                         t['selection'] if view.selected
+                         else t['clip_border'])
+                continue
             _fill(buf, x0, y0, x1, y1, body)
             _fill(buf, x0, max(cy0, top), x1,
                   min(max(cy0 + self.title_height, top), y1),

@@ -553,6 +553,72 @@ def test_canvas_painter_thumbnails():
     assert tuple(buf[20, 10]) == (11, 22, 33, 255)
 
 
+def test_canvas_painter_expanded_sequence_ab_roll():
+    """An EXPANDED sequence paints as the reference's A/B roll
+    (canvas/sequence.py:248-257,166): light container fill, sub-clips
+    at sequence.x + item.x with even indices on the top lane and odd
+    on the bottom (3/7 height each), transitions visible as the
+    horizontal overlap; a live `expanded` toggle re-renders."""
+    from canvas_tpu.editor.ui import CanvasPainter
+    from canvas_tpu.editor.ui.canvas_models import ViewTransformModel
+    from canvas_tpu.editor.ui.paint import THEME
+
+    space = model.Space('s', plugins.VideoFormat(frame_rate=10),
+                        plugins.AudioFormat(sample_rate=48000))
+    seq = model.Sequence(type='video', x=0, y=0.0, height=1.0,
+                         expanded=True, items=[
+        model.SequenceItem(length=20),
+        model.SequenceItem(length=20, transition_length=10),
+        model.SequenceItem(length=20, transition_length=5),
+    ])
+    space[0:0] = [seq]
+    # chain x positions: 0, 10, 25 (transition overlaps)
+    assert [it.x for it in seq] == [0, 10, 25]
+
+    scene = CanvasSceneModel(space)
+    transform = ViewTransformModel(pixels_per_second=10.0,
+                                   pixels_per_lane=70.0)
+    painter = CanvasPainter(scene, transform)
+    buf = painter.paint(500, 80)
+
+    # sub-lane geometry: height 1.0 lane = 70 px, sub height 30 px;
+    # top lane rows 0..30, bottom lane rows 40..70. 10 fps, 10 px/s
+    # -> 1 frame = 1 px.
+    # item 0 (top lane): x 0..20, item 1 (bottom): 10..30, overlap
+    # 10..20 shows BOTH — A above, B below, container visible between
+    assert tuple(buf[15, 5]) == THEME['clip_video']       # A roll body
+    assert tuple(buf[55, 15]) == THEME['clip_video']      # B roll body
+    assert tuple(buf[35, 15]) == THEME['sequence_bg']     # middle gap
+    # transition overlap column (x=15): both lanes covered
+    assert tuple(buf[15, 15]) == THEME['clip_video']
+    assert tuple(buf[55, 15]) == THEME['clip_video']
+    # past item 1's start with no overlap (x=22): top lane is container
+    assert tuple(buf[15, 22]) == THEME['sequence_bg']
+    # item 2 back on the TOP lane (even index), x 25..45
+    assert tuple(buf[15, 30]) == THEME['clip_video']
+    # sub-clip title bars + borders
+    assert tuple(buf[2, 5]) == THEME['clip_title']
+    assert tuple(buf[42, 15]) == THEME['clip_title']  # below border row
+
+    # collapse live: updated(**kw) fires -> scene.changed -> repaint
+    # as a plain clip (full-height body, no light container)
+    changed = []
+    scene.changed.connect(lambda: changed.append(1))
+    seq.update(expanded=False)
+    assert changed
+    buf2 = painter.paint(500, 80)
+    assert tuple(buf2[35, 15]) == THEME['clip_video']
+    flat = buf2.reshape(-1, 4)
+    assert not (flat == np.array(THEME['sequence_bg'],
+                                 np.uint8)).all(1).any()
+
+    # sequence edits (append) also re-render via item_added
+    changed.clear()
+    seq.update(expanded=True)
+    seq[3:3] = [model.SequenceItem(length=8)]
+    assert changed
+
+
 def test_editor_paint_timeline():
     """SpaceEditor.paint_timeline: the app-level timeline view renders
     clips + ruler + clock playhead into a displayable buffer."""
