@@ -15,7 +15,8 @@ from canvas_tpu.clock import SystemPresentationClock
 from canvas_tpu.editor import model, plugins
 from canvas_tpu.editor.model.undo import UndoStack
 from canvas_tpu.editor.ui.canvas_models import (CanvasSceneModel,
-                                                DragController)
+                                                DragController,
+                                                HandleDragController)
 from canvas_tpu.editor.ui.notification import AlertListModel
 from canvas_tpu.signal import Signal
 
@@ -33,6 +34,7 @@ class SpaceEditor:
         self.undo_stack = UndoStack()
         self.scene = CanvasSceneModel(self.space)
         self.drag = DragController(self.scene, self.undo_stack)
+        self.handles = HandleDragController(self.scene, self.undo_stack)
         self._source = space_asset.get_source()
         self._source.bring_online()
 

@@ -11,9 +11,11 @@ layer can render.
 
 from canvas_tpu.signal import Signal
 from canvas_tpu.editor.model.manip import ItemManipulator
+from canvas_tpu.editor.model.undo import UndoCommand
 
 __all__ = ['CanvasItemView', 'CanvasSceneModel', 'DragController',
-           'ViewTransformModel', 'SnapMarker', 'z_order_commands']
+           'HandleDragController', 'ViewTransformModel', 'SnapMarker',
+           'z_order_commands']
 
 
 class CanvasItemView:
@@ -160,6 +162,26 @@ class CanvasSceneModel:
         return best[1] if best else x_seconds
 
 
+class _RecordedCommand(UndoCommand):
+    """Records an already-executed gesture command on an UndoStack:
+    push() re-runs redo(), so the first redo is a no-op (the gesture
+    applied the edits live, step by step)."""
+
+    def __init__(self, inner):
+        UndoCommand.__init__(self, inner.text())
+        self.inner = inner
+        self._first = True
+
+    def redo(self):
+        if self._first:
+            self._first = False
+            return
+        self.inner.redo()
+
+    def undo(self):
+        self.inner.undo()
+
+
 class DragController:
     """Drives an ItemManipulator through a pointer gesture
     (ui/canvas/scene.py drag-drop role): start -> move(s) -> drop/cancel.
@@ -230,24 +252,7 @@ class DragController:
             self.transform.clear_markers()
         if command is not None:
             # Already executed; the stack only records it
-            from canvas_tpu.editor.model.undo import UndoCommand
-
-            class _Recorded(UndoCommand):
-                def __init__(self, inner):
-                    UndoCommand.__init__(self, inner.text())
-                    self.inner = inner
-                    self._first = True
-
-                def redo(self):
-                    if self._first:
-                        self._first = False
-                        return
-                    self.inner.redo()
-
-                def undo(self):
-                    self.inner.undo()
-
-            self.undo_stack.push(_Recorded(command))
+            self.undo_stack.push(_RecordedCommand(command))
         return command
 
     def cancel(self):
@@ -256,6 +261,158 @@ class DragController:
             self.manipulator = None
         if self.transform is not None:
             self.transform.clear_markers()
+
+
+class HandleDragController:
+    """Edge-handle trim/resize gestures: the reference ClipItem's
+    Left/Right/Top/BottomController drags (clip.py:241-345) with the
+    handle zones of update_view_decorations (clip.py:446-451), plus
+    sequence-item start/length trims for expanded sequences
+    (sequence.py role), toolkit-independent.
+
+    Protocol mirrors DragController: ``hit_test`` classifies a press
+    into an edge zone, ``start``/``move`` apply incremental Adjust*
+    commands live (merged reference-style into one undo entry),
+    ``drop`` records the merged command on the stack, ``cancel`` rolls
+    the gesture back. Steps the model refuses (NoRoomError) are
+    skipped, leaving the item at the last legal position."""
+
+    #: handle zone thickness in view pixels (reference view.handle_width)
+    HANDLE_PX = 5.0
+    #: smallest height a top/bottom drag may leave (the reference clamps
+    #: at 20.0 of its pixel-scaled y units; our y units are lanes)
+    MIN_HEIGHT = 0.2
+
+    def __init__(self, scene, undo_stack, transform=None):
+        self.scene = scene
+        self.undo_stack = undo_stack
+        self.transform = transform
+        self.item = None
+        self.edge = None
+        self._command = None
+
+    # -- hit testing -----------------------------------------------------
+
+    def hit_test(self, x_seconds, y):
+        """Return ``(item, edge)`` when the point falls inside an edge
+        handle zone — edge in 'left'/'right'/'top'/'bottom' for space
+        items, 'seq_left'/'seq_right' for sub-items of an expanded
+        sequence (then item is the SequenceItem) — else None."""
+        if self.transform is None:
+            return None
+        hx = self.HANDLE_PX / float(self.transform.pixels_per_second)
+        hy = self.HANDLE_PX / float(self.transform.pixels_per_lane)
+        item = self.scene.item_at(x_seconds, y)
+        if item is None:
+            return None
+        view = self.scene.view_for(item)
+        subs = view.sub_rects() if hasattr(view, 'sub_rects') else None
+        if subs:
+            for sub, (sx, sy, sw, sh) in subs:
+                if sy <= y <= sy + sh:
+                    if sx <= x_seconds <= sx + hx:
+                        return (sub, 'seq_left')
+                    if sx + sw - hx <= x_seconds <= sx + sw:
+                        return (sub, 'seq_right')
+            return None
+        rx, ry, rw, rh = view.rect
+        if rx <= x_seconds <= rx + hx:
+            return (item, 'left')
+        if rx + rw - hx <= x_seconds <= rx + rw:
+            return (item, 'right')
+        if ry <= y <= ry + hy:
+            return (item, 'top')
+        if ry + rh - hy <= y <= ry + rh:
+            return (item, 'bottom')
+        return None
+
+    # -- gesture -----------------------------------------------------------
+
+    def start(self, item, edge, x_seconds, y):
+        self.item = item
+        self.edge = edge
+        self._x0 = float(x_seconds)
+        self._y0 = float(y)
+        self._command = None
+        if edge in ('seq_left', 'seq_right'):
+            seq = item.sequence
+            self._rate = float(self.scene.space.rate(seq.type()))
+        else:
+            self._rate = float(self.scene.space.rate(item.type()))
+        self._orig_x = item.x
+        self._orig_length = item.length
+        self._orig_y = getattr(item, 'y', 0.0)
+        self._orig_height = getattr(item, 'height', 0.0)
+
+    def _step(self, make_command):
+        """Build + apply one incremental command, merging it into the
+        gesture's command (the reference controllers' move() body)."""
+        from canvas_tpu.editor.model import commands as _commands
+        try:
+            command = make_command()
+        except _commands.NoRoomError:
+            return
+        if command is None:
+            return
+        command.redo()
+        if self._command is not None:
+            self._command.mergeWith(command)
+        else:
+            self._command = command
+
+    def move(self, x_seconds, y):
+        if self.item is None:
+            return
+        from canvas_tpu.editor import model
+        item, edge = self.item, self.edge
+        dxf = int(round((float(x_seconds) - self._x0) * self._rate))
+        dy = float(y) - self._y0
+
+        if edge == 'left':
+            # cumulative target minus already-applied steps, clamped so
+            # at least one frame of clip remains (clip.py:249-254)
+            offset = min(dxf + self._orig_x - item.x, item.length - 1)
+            self._step(lambda: model.AdjustClipStartCommand(item, offset)
+                       if offset else None)
+        elif edge == 'right':
+            offset = max(dxf + self._orig_length - item.length,
+                         1 - item.length)
+            self._step(lambda: model.AdjustClipLengthCommand(item, offset)
+                       if offset else None)
+        elif edge == 'top':
+            offset = min(dy + self._orig_y - item.y,
+                         item.height - self.MIN_HEIGHT)
+            self._step(lambda: model.AdjustClipTopCommand(item, offset)
+                       if offset else None)
+        elif edge == 'bottom':
+            offset = max(dy + self._orig_height - item.height,
+                         self.MIN_HEIGHT - item.height)
+            self._step(lambda: model.AdjustClipHeightCommand(item, offset)
+                       if offset else None)
+        elif edge == 'seq_left':
+            offset = min(dxf + self._orig_x - item.x, item.length - 1)
+            self._step(lambda: model.AdjustSequenceItemStartCommand(
+                item, offset) if offset else None)
+        elif edge == 'seq_right':
+            offset = max(dxf + self._orig_length - item.length,
+                         1 - item.length)
+            self._step(lambda: model.AdjustSequenceItemLengthCommand(
+                item, offset) if offset else None)
+
+    def drop(self):
+        """Finish the gesture: record the merged command for undo."""
+        command, self._command = self._command, None
+        self.item = self.edge = None
+        if command is not None:
+            self.undo_stack.push(_RecordedCommand(command))
+        return command
+
+    def cancel(self):
+        """Abort the gesture, rolling back every applied step."""
+        command, self._command = self._command, None
+        self.item = self.edge = None
+        if command is not None:
+            command.undo()
 
 
 class ViewTransformModel:

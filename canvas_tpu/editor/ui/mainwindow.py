@@ -49,8 +49,10 @@ def create_main_window(app=None, binding=None):
             # snap-to-edges: drags through this widget show snap bars
             # and quantize to neighbor edges (DragController._snap)
             editor.drag.transform = self.transform
+            editor.handles.transform = self.transform
             self._image = None
             self._drag_active = False
+            self._handle_active = False
             self._thumb_painters = {}     # item -> ThumbnailPainter
             self._thumbs_changed.connect(self.refresh)
 
@@ -157,6 +159,14 @@ def create_main_window(app=None, binding=None):
                 return
             x, y = self._scene_pos(px, py)
             scene = self.editor.scene
+            # Edge-handle zones win over body drags (the reference's
+            # Handle items sit on top of the clip body, clip.py:29-62)
+            hit = self.editor.handles.hit_test(x, y)
+            if hit is not None:
+                self.editor.handles.start(hit[0], hit[1], x, y)
+                self._handle_active = True
+                self.refresh()
+                return
             item = scene.item_at(x, y)
             scene.select([item] if item is not None else [])
             if item is not None:
@@ -167,6 +177,10 @@ def create_main_window(app=None, binding=None):
         def mouse_move(self, px, py):
             if getattr(self, '_scrub_active', False):
                 self._scrub_to(px)
+                self.refresh()
+                return
+            if self._handle_active:
+                self.editor.handles.move(*self._scene_pos(px, py))
                 self.refresh()
                 return
             if self._drag_active:
@@ -194,6 +208,11 @@ def create_main_window(app=None, binding=None):
                 engine = self._preview_engine_for_scrub()
                 if engine is not None:
                     engine.set_quality(10)
+                self.refresh()
+                return
+            if self._handle_active:
+                self._handle_active = False
+                self.editor.handles.drop()
                 self.refresh()
                 return
             if self._drag_active:

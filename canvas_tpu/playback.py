@@ -19,10 +19,12 @@ argb_u8 is an (H, W, 4) uint8 BGRA array. Qt/GTK widget layers plug in
 on top (the reference's GtkVideoWidget/VideoWidget equivalents).
 """
 
+import atexit
 import logging
 import os
 import threading
 import time
+import weakref
 from fractions import Fraction
 
 import numpy as np
@@ -33,6 +35,24 @@ from canvas_tpu import process
 from canvas_tpu.basetypes import box2i
 
 __all__ = ['VideoPlaybackEngine']
+
+# Engines whose owner never called stop(): the daemon render thread
+# must not be killed mid-device-call at interpreter shutdown (the
+# runtime aborts the process unwinding through native frames), so an
+# atexit hook stops any still-live engines first. Runs after
+# threading._shutdown joins non-daemon threads and before daemon
+# threads are frozen.
+_live_engines = weakref.WeakSet()
+
+
+@atexit.register
+def _stop_live_engines():
+    for engine in list(_live_engines):
+        try:
+            engine.stop(timeout=2.0)
+        except Exception:
+            log.warning('stopping playback engine at exit failed',
+                        exc_info=True)
 
 def _viewport_resample(dy, dx, data):
     """Device viewport resample as ONE compiled program (eager einsums
@@ -124,6 +144,7 @@ class VideoPlaybackEngine:
                 target=self._watch_stalls, daemon=True,
                 name='canvas-playback-stallwatch')
             self._watch_thread.start()
+        _live_engines.add(self)
 
     def _watch_stalls(self):
         while not self._watch_stop.wait(min(5.0, self.stall_timeout / 4)):
@@ -251,6 +272,7 @@ class VideoPlaybackEngine:
         release the planner. A thread stuck in a first compile or a
         dead-transport fetch can outlive the join — it exits on its
         own; a warning records that it was left running."""
+        _live_engines.discard(self)
         self._quit = True
         self._wake.set()
         self._watch_stop.set()

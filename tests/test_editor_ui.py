@@ -91,6 +91,134 @@ def test_drag_controller_undo():
     assert clip.x == 20
 
 
+def test_handle_controller_clip_edges():
+    """Edge-handle trims: the reference ClipItem's Left/Right/Top/
+    BottomController semantics (clip.py:241-345) — incremental Adjust*
+    commands merged into ONE undo entry, clamps at one frame /
+    MIN_HEIGHT, cancel rolls back."""
+    from canvas_tpu.editor.ui.canvas_models import (HandleDragController,
+                                                    ViewTransformModel)
+
+    space = model.Space('s', plugins.VideoFormat(frame_rate=10),
+                        audformat)
+    clip = model.Clip(type='video', x=10, y=0.0, length=20, height=1.0,
+                      offset=5)
+    space[0:0] = [clip]
+
+    from canvas_tpu.editor.model.undo import UndoStack
+    scene = CanvasSceneModel(space)
+    stack = UndoStack()
+    transform = ViewTransformModel(pixels_per_second=100.0,
+                                   pixels_per_lane=70.0)
+    handles = HandleDragController(scene, stack, transform)
+
+    # hit zones (5 view-px = 0.05 s / ~0.07 lane): rect x 1.0..3.0, y 0..1
+    assert handles.hit_test(1.02, 0.5) == (clip, 'left')
+    assert handles.hit_test(2.97, 0.5) == (clip, 'right')
+    assert handles.hit_test(1.5, 0.03) == (clip, 'top')
+    assert handles.hit_test(1.5, 0.97) == (clip, 'bottom')
+    assert handles.hit_test(1.5, 0.5) is None       # body
+    assert handles.hit_test(5.0, 0.5) is None       # outside
+
+    # trim start right by 5 frames over two steps
+    handles.start(clip, 'left', 1.0, 0.5)
+    handles.move(1.2, 0.5)
+    assert (clip.x, clip.offset, clip.length) == (12, 7, 18)
+    handles.move(1.5, 0.5)
+    assert (clip.x, clip.offset, clip.length) == (15, 10, 15)
+    handles.drop()
+    stack.undo()                       # ONE entry for the whole gesture
+    assert (clip.x, clip.offset, clip.length) == (10, 5, 20)
+    stack.redo()
+    assert (clip.x, clip.offset, clip.length) == (15, 10, 15)
+    stack.undo()
+
+    # trim start clamps at one remaining frame (clip.py:249)
+    handles.start(clip, 'left', 1.0, 0.5)
+    handles.move(9.9, 0.5)
+    assert (clip.x, clip.length) == (29, 1)
+    handles.drop()
+    stack.undo()
+
+    # length trim clamps at one frame; extend past source is allowed
+    handles.start(clip, 'right', 3.0, 0.5)
+    handles.move(0.0, 0.5)
+    assert clip.length == 1
+    handles.move(4.0, 0.5)             # same gesture, re-extend
+    assert clip.length == 30
+    handles.drop()
+    stack.undo()
+    assert clip.length == 20
+
+    # top/bottom adjust y+height with MIN_HEIGHT clamp
+    handles.start(clip, 'top', 1.5, 0.0)
+    handles.move(1.5, 0.3)
+    assert (clip.y, clip.height) == (0.3, 0.7)
+    handles.move(1.5, 2.0)             # clamped: height >= MIN_HEIGHT
+    assert clip.height == pytest.approx(handles.MIN_HEIGHT)
+    handles.drop()
+    stack.undo()
+    assert (clip.y, clip.height) == (0.0, 1.0)
+
+    handles.start(clip, 'bottom', 1.5, 1.0)
+    handles.move(1.5, 1.5)
+    assert (clip.y, clip.height) == (0.0, 1.5)
+    # cancel rolls the gesture back without an undo entry
+    n_before = clip.height
+    handles.cancel()
+    assert (clip.y, clip.height) == (0.0, 1.0)
+    assert n_before == 1.5
+
+
+def test_handle_controller_sequence_items():
+    """seq_left/seq_right trims on an expanded sequence's sub-items:
+    AdjustSequenceItemStart/LengthCommand semantics (start trim eats
+    into transition_length; length trim grows the next transition)."""
+    from canvas_tpu.editor.ui.canvas_models import (HandleDragController,
+                                                    ViewTransformModel)
+
+    space = model.Space('s', plugins.VideoFormat(frame_rate=10),
+                        audformat)
+    seq = model.Sequence(type='video', x=0, y=0.0, height=1.0,
+                         expanded=True, items=[
+        model.SequenceItem(length=20, offset=3),
+        model.SequenceItem(length=20, transition_length=10),
+    ])
+    space[0:0] = [seq]
+
+    from canvas_tpu.editor.model.undo import UndoStack
+    scene = CanvasSceneModel(space)
+    stack = UndoStack()
+    transform = ViewTransformModel(pixels_per_second=10.0,
+                                   pixels_per_lane=70.0)
+    handles = HandleDragController(scene, stack, transform)
+
+    # sub-item rects: item0 top lane x 0..2 s, item1 bottom lane 1..3 s
+    assert handles.hit_test(0.1, 0.2) == (seq[0], 'seq_left')
+    assert handles.hit_test(1.9, 0.2) == (seq[0], 'seq_right')
+    assert handles.hit_test(1.1, 0.8) == (seq[1], 'seq_left')
+    # middle gap of the A/B roll: not a handle
+    assert handles.hit_test(1.5, 0.5) is None
+
+    # trim item0's start by +4: offset/length move, sequence.x shifts
+    handles.start(seq[0], 'seq_left', 0.1, 0.2)
+    handles.move(0.5, 0.2)
+    assert (seq[0].offset, seq[0].length) == (7, 16)
+    assert seq.x == 4                  # no prev: the sequence start moves
+    handles.drop()
+    stack.undo()
+    assert (seq[0].offset, seq[0].length, seq.x) == (3, 20, 0)
+
+    # trim item1's length by -5: the next transition is unaffected
+    # (no next item); length just shrinks
+    handles.start(seq[1], 'seq_right', 3.0, 0.8)
+    handles.move(2.5, 0.8)
+    assert seq[1].length == 15
+    handles.drop()
+    stack.undo()
+    assert seq[1].length == 20
+
+
 def test_thumbnail_painter():
     solid = process.SolidColorVideoSource((1.0, 0.0, 0.0, 1.0))
     painter = ThumbnailPainter(stream=solid, window=box2i(0, 0, 31, 31),
@@ -724,6 +852,51 @@ def test_main_window_full_surface(tmp_path):
         fake_qt.QPainter.instances.clear()
 
 
+def test_widget_edge_trim_gesture():
+    """A right-edge drag through the TimelineWidget trims the clip via
+    HandleDragController — the reference's Handle overlay beats body
+    drags (clip.py:29-62) — and records ONE undo entry."""
+    import fake_qt
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+        editor = window.new_space('trim', plugins.VideoFormat(frame_rate=24),
+                                  plugins.AudioFormat(sample_rate=48000))
+        stream = plugins.VideoStream(
+            process.SolidColorVideoSource((1, 0, 0, 1)), range=(0, 95),
+            name='video')
+        app.asset_list['red'] = model.RuntimeSourceAsset(
+            model.RuntimeSource('red', {'video': stream}))
+        app.add_asset_to_space(editor, 'red', x=0, length=24)
+        clip = editor.space[0]
+        (_e, widget) = window.editors['trim']
+        widget.refresh()
+
+        # right edge of the 1-second clip sits at 64 px; press inside
+        # the 5-px handle zone, drag right 1 s (+24 frames at 24 fps)
+        widget.mouse_press(62, 30)
+        assert editor.scene.selected_items == []      # not a body drag
+        widget.mouse_move(126, 30)
+        widget.mouse_release(126, 30)
+        assert clip.length == 48
+        assert clip.x == 0                            # start untouched
+
+        window.act_undo.triggered.emit()
+        assert clip.length == 24
+        window.act_redo.triggered.emit()
+        assert clip.length == 48
+
+        window.closeEvent(None)
+    finally:
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()
+
+
 def test_timeline_widget_thumbnails():
     """TimelineWidget.enable_thumbnails paints async clip thumbnails
     into the timeline buffer (ui/canvas/thumbnails.py role)."""
@@ -990,7 +1163,9 @@ def test_sequence_drop_when_dragged_clip_is_topmost():
         assert clip.z < seq.z
 
         (_e, widget) = window.editors['ztop']
-        widget.mouse_press(16, 18 + 24 + 4)   # grab the clip (same lane)
+        # grab the clip mid-lane (4px below the lane top is now the
+        # TOP trim handle zone, as in the reference's Handle overlay)
+        widget.mouse_press(16, 18 + 24 + 12)
         assert editor.scene.selected_items == [clip]
         before = len(seq)
         widget.mouse_move(112, 18 + 24 + 12)  # across the middle cut
