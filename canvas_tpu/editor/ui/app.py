@@ -14,7 +14,8 @@ import yaml
 from canvas_tpu.clock import SystemPresentationClock
 from canvas_tpu.editor import model, plugins
 from canvas_tpu.editor.model.undo import UndoStack
-from canvas_tpu.editor.ui.canvas_models import (CanvasSceneModel,
+from canvas_tpu.editor.ui.canvas_models import (AssetDragController,
+                                                CanvasSceneModel,
                                                 DragController,
                                                 HandleDragController)
 from canvas_tpu.editor.ui.notification import AlertListModel
@@ -35,6 +36,8 @@ class SpaceEditor:
         self.scene = CanvasSceneModel(self.space)
         self.drag = DragController(self.scene, self.undo_stack)
         self.handles = HandleDragController(self.scene, self.undo_stack)
+        self.asset_drag = AssetDragController(self.scene, self.undo_stack,
+                                              app.asset_list)
         self._source = space_asset.get_source()
         self._source.bring_online()
 

@@ -13,9 +13,9 @@ from canvas_tpu.signal import Signal
 from canvas_tpu.editor.model.manip import ItemManipulator
 from canvas_tpu.editor.model.undo import UndoCommand
 
-__all__ = ['CanvasItemView', 'CanvasSceneModel', 'DragController',
-           'HandleDragController', 'ViewTransformModel', 'SnapMarker',
-           'z_order_commands']
+__all__ = ['AssetDragController', 'CanvasItemView', 'CanvasSceneModel',
+           'DragController', 'HandleDragController', 'ViewTransformModel',
+           'SnapMarker', 'z_order_commands']
 
 
 class CanvasItemView:
@@ -413,6 +413,164 @@ class HandleDragController:
         self.item = self.edge = None
         if command is not None:
             command.undo()
+
+
+class AssetDragController:
+    """Drag an asset from the asset list onto the canvas: the reference
+    Scene.AssetAddManipulator plus its dragMove/dragLeave/dropEvent
+    protocol (scene.py:36-105,219-353), toolkit-independent.
+
+    enter() resolves the asset (bringing it online if needed — failures
+    land in ``error``/``offline`` for the shell to report, the
+    QMessageBox role), building one Clip per default stream with
+    two-way anchors tying secondary streams to the first. move() places
+    the clips live in the space (or inserts into a hovered sequence);
+    leave() rolls everything back; drop() records one undo entry.
+
+    Divergence from the reference, on purpose: stream defined_range
+    endpoints are tested against None, not falsiness — the reference's
+    ``if not start_pos`` treats the common start==0 as "unknown" and
+    backs a 5-second clip off the END of the asset (x=-25 for a
+    96-frame source), which reads as a bug — and a fully-defined range
+    caps the default length at the asset's actual end."""
+
+    DEFAULT_LENGTH_SECONDS = 5.0
+    DEFAULT_HEIGHT = 1.0
+
+    def __init__(self, scene, undo_stack, asset_list):
+        self.scene = scene
+        self.undo_stack = undo_stack
+        self.asset_list = asset_list
+        self.items = None
+        self.error = None
+        self.offline = False
+        self._add_commands = None
+        self._add_op = None
+        self._manip = None
+
+    def enter(self, asset_path):
+        """Begin a drag of *asset_path*; True when clips are ready to
+        place. On failure sets ``offline`` or ``error`` and returns
+        False (the shell reports on drop, scene.py:314-330)."""
+        import traceback
+
+        from canvas_tpu import process
+        from canvas_tpu.editor import model
+
+        self.error = None
+        self.offline = False
+        self.items = None
+        try:
+            asset = self.asset_list[asset_path]
+            if not asset.is_source:
+                return False
+            source = asset.get_source()
+            if source.offline:
+                source.bring_online()
+                if source.offline:
+                    self.offline = True
+                    return False
+        except Exception:
+            self.error = traceback.format_exc()
+            return False
+
+        space = self.scene.space
+        items, commands = [], []
+        for i, stream in enumerate(source.get_default_streams()):
+            rate = space.rate(stream.stream_type)
+            start, end = stream.defined_range
+            default_len = int(round(float(rate)
+                                    * self.DEFAULT_LENGTH_SECONDS))
+            if start is None:
+                if end is None:
+                    start, end = 0, default_len
+                else:
+                    start = int(end) - default_len
+            elif end is None:
+                end = int(start) + default_len
+            else:
+                end = min(int(end), int(start) + default_len)
+            item = model.Clip(
+                type=stream.stream_type,
+                source=model.AssetStreamRef(asset_path=asset_path,
+                                            stream=stream.name),
+                x=int(start), offset=int(start),
+                length=int(end) - int(start) + 1,
+                y=i * self.DEFAULT_HEIGHT, height=self.DEFAULT_HEIGHT)
+            if i:
+                # secondary streams (audio under video) ride a two-way
+                # anchor so later drags move them as a group
+                offset_ns = (
+                    process.get_frame_time(space.rate(item.type()),
+                                           item.x)
+                    - process.get_frame_time(space.rate(items[0].type()),
+                                             items[0].x))
+                item.update(anchor=model.Anchor(target=items[0],
+                                                offset_ns=offset_ns,
+                                                two_way=True))
+            items.append(item)
+            commands.append(model.InsertItemCommand(space, item, i))
+        if not items:
+            return False
+        self.items = items
+        self._add_commands = commands
+        return True
+
+    def _ensure_added(self):
+        from canvas_tpu.editor import model
+        if self._add_op is None:
+            self._add_op = model.CompoundCommand('Add asset to space',
+                                                 self._add_commands)
+            self._add_op.redo()
+            rate = float(self.scene.space.rate(self.items[0].type()))
+            self._manip = ItemManipulator(self.items,
+                                          self.items[0].x / rate,
+                                          self.DEFAULT_HEIGHT * 0.5)
+
+    def move(self, x_seconds, y, sequence=None, operation='add'):
+        """Place the pending clips under the cursor; a hovered
+        *sequence* routes to sequence insertion (scene.py:268-276)."""
+        if self.items is None:
+            return
+        self._ensure_added()
+        if sequence is not None:
+            self._manip.set_sequence_item(sequence, x_seconds, y,
+                                          operation)
+        else:
+            self._manip.set_space_item(self.scene.space, x_seconds, y)
+
+    def leave(self):
+        """The drag left the canvas: roll back (scene.py:301-312)."""
+        if self._manip is not None:
+            self._manip.reset()
+        if self._add_op is not None:
+            self._add_op.undo()
+        self._clear()
+
+    def drop(self):
+        """Finish: one undo entry covering insert + placement."""
+        from canvas_tpu.editor import model
+        if self._add_op is None:
+            # entered but never moved over the canvas
+            self._clear()
+            return None
+        try:
+            command = model.CompoundCommand(
+                'Drag asset to canvas',
+                [self._add_op, self._manip.finish()], done=True)
+        except Exception:
+            self.leave()
+            raise
+        self._clear()
+        # already executed: CompoundCommand(done=True) makes push a no-op
+        self.undo_stack.push(command)
+        return command
+
+    def _clear(self):
+        self.items = None
+        self._add_commands = None
+        self._add_op = None
+        self._manip = None
 
 
 class ViewTransformModel:

@@ -53,6 +53,9 @@ def create_main_window(app=None, binding=None):
             self._image = None
             self._drag_active = False
             self._handle_active = False
+            accept_drops = getattr(self, 'setAcceptDrops', None)
+            if callable(accept_drops):
+                accept_drops(True)
             self._thumb_painters = {}     # item -> ThumbnailPainter
             self._thumbs_changed.connect(self.refresh)
 
@@ -224,6 +227,84 @@ def create_main_window(app=None, binding=None):
                     self._drag_active = False
                     self.refresh()
 
+        # -- asset drag-drop (scene.py:219-353 role) --------------------
+
+        def asset_drag_enter(self, asset_path):
+            """A drag from the asset dock entered the timeline."""
+            return self.editor.asset_drag.enter(asset_path)
+
+        def asset_drag_move(self, px, py):
+            x, y = self._scene_pos(px, py)
+            ctrl = self.editor.asset_drag
+            from canvas_tpu.editor import model as _model
+            dragged = set(ctrl.items or ())
+            target = self.editor.scene.item_at(x, y, exclude=dragged)
+            if isinstance(target, _model.Sequence):
+                try:
+                    ctrl.move(x, y, sequence=target)
+                    self.refresh()
+                    return
+                except (NotImplementedError, ValueError):
+                    pass
+            ctrl.move(x, y)
+            self.refresh()
+
+        def asset_drag_leave(self):
+            self.editor.asset_drag.leave()
+            self.refresh()
+
+        def asset_drop(self, px, py):
+            ctrl = self.editor.asset_drag
+            if ctrl.error or ctrl.offline:
+                # surface the reference's QMessageBox as an app alert
+                from canvas_tpu.editor import plugins as _plugins
+                self.editor.app.alert_model.show_alert(_plugins.Alert(
+                    'Could not bring the asset online',
+                    icon=_plugins.AlertIcon.Error, source='asset drag'))
+                ctrl.leave()
+                self.refresh()
+                return None
+            self.asset_drag_move(px, py)
+            command = ctrl.drop()
+            self.refresh()
+            return command
+
+        @staticmethod
+        def _drag_asset_name(event):
+            """Asset path from a Qt drag event: text mime, else the
+            dragged row of a source list widget."""
+            md = event.mimeData() if callable(
+                getattr(event, 'mimeData', None)) else None
+            text = md.text() if md is not None and callable(
+                getattr(md, 'text', None)) else ''
+            if text:
+                return text
+            src = event.source() if callable(
+                getattr(event, 'source', None)) else None
+            cur = getattr(src, 'currentItem', None)
+            if callable(cur):
+                item = cur()
+                if item is not None:
+                    return item.text()
+            return None
+
+        def dragEnterEvent(self, event):
+            name = self._drag_asset_name(event)
+            if name is not None and self.asset_drag_enter(name):
+                event.acceptProposedAction()
+
+        def dragMoveEvent(self, event):
+            if self.editor.asset_drag.items is not None:
+                self.asset_drag_move(*self._event_xy(event))
+                event.acceptProposedAction()
+
+        def dragLeaveEvent(self, event):
+            self.asset_drag_leave()
+
+        def dropEvent(self, event):
+            if self.asset_drop(*self._event_xy(event)) is not None:
+                event.acceptProposedAction()
+
         def wheel(self, px, steps):
             """Zoom the timeline about the cursor (view.py:172-187
             role; ViewTransformModel keeps the anchor stationary)."""
@@ -274,6 +355,12 @@ def create_main_window(app=None, binding=None):
             # Docks (qttest.py:527-544)
             self.asset_dock = QtWidgets.QDockWidget('Assets')
             self.asset_list_widget = QtWidgets.QListWidget()
+            # assets drag onto the timeline (scene.py drag-drop role);
+            # TimelineWidget._drag_asset_name reads the dragged row
+            drag_enable = getattr(self.asset_list_widget,
+                                  'setDragEnabled', None)
+            if callable(drag_enable):
+                drag_enable(True)
             self.asset_dock.setWidget(self.asset_list_widget)
             self.addDockWidget(QtCore.Qt.DockWidgetArea.BottomDockWidgetArea,
                                self.asset_dock)
@@ -312,6 +399,9 @@ def create_main_window(app=None, binding=None):
             self.edit_menu = bar.addMenu('&Edit')
             self.act_undo = self.edit_menu.addAction('&Undo')
             self.act_redo = self.edit_menu.addAction('&Redo')
+            self.act_bring_forward = self.edit_menu.addAction(
+                'Bring &forward')
+            self.act_send_back = self.edit_menu.addAction('Send &back')
             self.tools_menu = bar.addMenu('&Tools')
             self.act_edit_plugins = self.tools_menu.addAction(
                 'Edit &plugins...')
@@ -327,6 +417,9 @@ def create_main_window(app=None, binding=None):
 
             for action, slot in ((self.act_undo, self.undo),
                                  (self.act_redo, self.redo),
+                                 (self.act_bring_forward,
+                                  self.bring_forward),
+                                 (self.act_send_back, self.send_back),
                                  (self.act_play, self.play),
                                  (self.act_stop, self.stop),
                                  (self.act_rewind, self.rewind),
@@ -466,6 +559,28 @@ def create_main_window(app=None, binding=None):
             if editor is not None:
                 editor.undo_stack.undo()
                 self.editors_refresh()
+
+        def _restack_selection(self, direction):
+            # the reference view's canvas_bring_forward/send_backward
+            # (view.py:279-317): one undo entry per selection restack
+            from canvas_tpu.editor.ui.canvas_models import \
+                z_order_commands
+            editor = self.current_editor
+            if editor is None:
+                return
+            items = editor.scene.selected_items
+            if not items:
+                return
+            command = z_order_commands(items, direction)
+            if command is not None:
+                editor.undo_stack.push(command)
+                self.editors_refresh()
+
+        def bring_forward(self, *a):
+            self._restack_selection('forward')
+
+        def send_back(self, *a):
+            self._restack_selection('back')
 
         def redo(self, *a):
             editor = self.current_editor

@@ -36,13 +36,18 @@ from canvas_tpu.basetypes import box2i
 
 __all__ = ['VideoPlaybackEngine']
 
-# Engines whose owner never called stop(): the daemon render thread
-# must not be killed mid-device-call at interpreter shutdown (the
-# runtime aborts the process unwinding through native frames), so an
-# atexit hook stops any still-live engines first. Runs after
-# threading._shutdown joins non-daemon threads and before daemon
-# threads are frozen.
+# The daemon render thread must not be killed mid-device-call at
+# interpreter shutdown: CPython pthread_exit()s daemon threads when
+# they next touch the GIL during finalization, which force-unwinds
+# through the runtime's native frames and aborts the whole process
+# ("FATAL: exception not rethrown"). The atexit hook therefore stops
+# engines whose owner never called stop(), then gives any thread still
+# inside a device call (cold compile, slow transport) a bounded join
+# (CANVAS_EXIT_JOIN seconds, default 60, 0 disables) before teardown
+# proceeds. Runs after threading._shutdown joins non-daemon threads and
+# before daemon threads are frozen.
 _live_engines = weakref.WeakSet()
+_undead_threads = []     # threads that outlived their engine's stop()
 
 
 @atexit.register
@@ -53,6 +58,19 @@ def _stop_live_engines():
         except Exception:
             log.warning('stopping playback engine at exit failed',
                         exc_info=True)
+    budget = float(os.environ.get('CANVAS_EXIT_JOIN', '60') or 0)
+    deadline = time.monotonic() + budget
+    for thread in list(_undead_threads):
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
+        thread.join(timeout=remaining)
+    still = [t for t in _undead_threads if t.is_alive()]
+    if still:
+        log.warning(
+            '%d playback render thread(s) still inside device calls '
+            'after the %.0f s exit join (dead transport?); interpreter '
+            'teardown may abort', len(still), budget)
 
 def _viewport_resample(dy, dx, data):
     """Device viewport resample as ONE compiled program (eager einsums
@@ -281,6 +299,9 @@ class VideoPlaybackEngine:
             log.warning('playback render thread still busy at stop '
                         '(cold compile or dead transport?); leaving it '
                         'to exit in the background')
+            # it must still finish before interpreter teardown (see
+            # _stop_live_engines) or finalization aborts the process
+            _undead_threads.append(self._thread)
         self._clock_handle.unregister()
         # A render thread stuck in a dead-transport fetch holds
         # _render_lock indefinitely; stop() must not hang the UI

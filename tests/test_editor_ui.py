@@ -852,6 +852,113 @@ def test_main_window_full_surface(tmp_path):
         fake_qt.QPainter.instances.clear()
 
 
+def test_asset_drag_controller():
+    """Asset-list -> canvas drag: the reference AssetAddManipulator
+    (scene.py:36-105) — enter builds anchored clips per default stream,
+    move places live, leave rolls back, drop records ONE undo entry;
+    unknown/offline assets refuse with error/offline set."""
+    from canvas_tpu.editor.ui.canvas_models import AssetDragController
+
+    space = model.Space('s', plugins.VideoFormat(frame_rate=10),
+                        plugins.AudioFormat(sample_rate=48000))
+    from canvas_tpu.editor.model.undo import UndoStack
+    scene = CanvasSceneModel(space)
+    stack = UndoStack()
+
+    assets = model.AssetList()
+    vstream = plugins.VideoStream(
+        process.SolidColorVideoSource((1, 0, 0, 1)), range=(0, 95),
+        name='video')
+    astream = plugins.AudioStream(None, range=(0, 48000), name='audio')
+    assets['media'] = model.RuntimeSourceAsset(model.RuntimeSource(
+        'media', {'video': vstream, 'audio': astream}))
+
+    ctrl = AssetDragController(scene, stack, assets)
+    assert ctrl.enter('media')
+    assert len(ctrl.items) == 2
+    video, audio = ctrl.items
+    # defined range (0,95) caps the 5 s default (50 frames at 10 fps)
+    assert (video.x, video.offset, video.length) == (0, 0, 51)
+    assert audio.anchor is not None and audio.anchor.target is video
+
+    # nothing lands in the space until the drag moves over the canvas
+    assert len(space) == 0
+    ctrl.move(2.0, 0.0)
+    assert len(space) == 2
+    assert video.x == 20
+    ctrl.move(3.0, 1.0)
+    assert video.x == 30
+
+    # leave rolls everything back
+    ctrl.leave()
+    assert len(space) == 0
+
+    # enter again and drop: one undo entry restores an empty space
+    assert ctrl.enter('media')
+    ctrl.move(1.0, 0.0)
+    command = ctrl.drop()
+    assert command is not None
+    assert len(space) == 2 and space[0].x == 10
+    stack.undo()
+    assert len(space) == 0
+    stack.redo()
+    assert len(space) == 2
+
+    # unknown asset -> error recorded, no crash
+    assert not ctrl.enter('nope')
+    assert ctrl.error is not None
+
+
+def test_widget_asset_drop():
+    """TimelineWidget asset drag-drop flow: enter/move/drop through the
+    widget methods creates the clips with undo support (scene.py
+    dragMoveEvent/dropEvent role)."""
+    import fake_qt
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+        editor = window.new_space('d', plugins.VideoFormat(frame_rate=24),
+                                  plugins.AudioFormat(sample_rate=48000))
+        stream = plugins.VideoStream(
+            process.SolidColorVideoSource((0, 1, 0, 1)), range=(0, 239),
+            name='video')
+        app.asset_list['green'] = model.RuntimeSourceAsset(
+            model.RuntimeSource('green', {'video': stream}))
+        (_e, widget) = window.editors['d']
+        widget.refresh()
+
+        assert widget.asset_drag_enter('green')
+        widget.asset_drag_move(128, 30)        # 2 s at 64 px/s
+        assert len(editor.space) == 1
+        widget.asset_drop(128, 30)
+        clip = editor.space[0]
+        assert clip.x == 48                    # 2 s at 24 fps
+        assert clip.source.asset_path == 'green'
+        assert clip.length == 121              # 5 s default + 1
+
+        window.act_undo.triggered.emit()
+        assert len(editor.space) == 0
+        window.act_redo.triggered.emit()
+        assert len(editor.space) == 1
+
+        # a drag that leaves the widget leaves no trace
+        assert widget.asset_drag_enter('green')
+        widget.asset_drag_move(64, 30)
+        assert len(editor.space) == 2
+        widget.asset_drag_leave()
+        assert len(editor.space) == 1
+
+        window.closeEvent(None)
+    finally:
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()
+
+
 def test_widget_edge_trim_gesture():
     """A right-edge drag through the TimelineWidget trims the clip via
     HandleDragController — the reference's Handle overlay beats body
@@ -890,6 +997,42 @@ def test_widget_edge_trim_gesture():
         assert clip.length == 24
         window.act_redo.triggered.emit()
         assert clip.length == 48
+
+        window.closeEvent(None)
+    finally:
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()
+
+
+def test_menu_bring_forward_send_back():
+    """Edit-menu Bring forward / Send back restack the selection with
+    undo (the reference view's canvas_bring_forward/send_backward,
+    view.py:279-317)."""
+    import fake_qt
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+        editor = window.new_space('z', plugins.VideoFormat(frame_rate=24),
+                                  plugins.AudioFormat(sample_rate=48000))
+        a = model.Clip(type='video', x=0, y=0.0, length=10, height=1.0)
+        b = model.Clip(type='video', x=5, y=0.0, length=10, height=1.0)
+        editor.space[0:0] = [a, b]
+        assert (a.z, b.z) == (0, 1)
+
+        editor.scene.select([b])
+        window.act_bring_forward.triggered.emit()
+        assert (a.z, b.z) == (1, 0)
+        window.act_undo.triggered.emit()
+        assert (a.z, b.z) == (0, 1)
+
+        editor.scene.select([a])
+        window.act_send_back.triggered.emit()
+        assert (a.z, b.z) == (1, 0)
 
         window.closeEvent(None)
     finally:
