@@ -165,6 +165,12 @@ class Plugin:
     name = None
     description = None
     plugin_urn = None
+    #: URNs this plugin also answers to. Lets projects saved by other
+    #: builds (notably the reference's
+    #: 'urn:fluggo.com/canvas/plugins:libav-dv', dv.py:36) resolve their
+    #: plugin sources here. Aliases never claim a registry slot — a
+    #: plugin whose primary urn matches always wins.
+    plugin_urn_aliases = ()
 
     @classmethod
     def activate(cls):
@@ -287,7 +293,13 @@ class PluginManager:
     def find_plugin_by_urn(cls, urn, enabled_only=True):
         cls.load_all()
         source = cls.enabled_plugins if enabled_only else cls.plugins
-        return source.get(urn)
+        plugin = source.get(urn)
+        if plugin is not None:
+            return plugin
+        for plugin in source.values():
+            if urn in plugin.plugin_urn_aliases:
+                return plugin
+        return None
 
     @classmethod
     def is_plugin_enabled(cls, plugin):
@@ -355,6 +367,9 @@ class PluginManager:
         cls.load_all()
         for codec in cls.codecs:
             if codec.urn == urn:
+                return codec
+        for codec in cls.codecs:
+            if urn in codec.urn_aliases:
                 return codec
         return None
 

@@ -34,6 +34,9 @@ class Codec:
     name = None
     format_urns = frozenset()
     urn = None
+    #: URNs this codec also answers to (reference projects carry e.g.
+    #: 'urn:fluggo.com/canvas/codecs:libav-dv-codec', dv.py:71).
+    urn_aliases = frozenset()
     stream_type = None
     can_decode = False
     can_encode = False
@@ -123,6 +126,13 @@ class _DecoderConnector:
                     return
             else:
                 codecs = PluginManager.find_decoders(self._format_urn)
+                # An accepts_all_formats codec still only decodes its
+                # own stream kind — don't waste a failed open (and a
+                # warning) trying the audio codec on a video stream.
+                want_type = getattr(self, 'connector_stream_type', None)
+                if want_type:
+                    codecs = [c for c in codecs
+                              if c.stream_type in (None, want_type)]
                 if not codecs:
                     self._fail('No codecs found to handle format '
                                '"%s".' % (self._format_urn,))
@@ -166,12 +176,16 @@ class _DecoderConnector:
 
 
 class VideoDecoderConnector(_DecoderConnector, VideoStream):
+    connector_stream_type = 'video'
+
     def __init__(self, *args, **kw):
         VideoStream.__init__(self)
         _DecoderConnector.__init__(self, *args, **kw)
 
 
 class AudioDecoderConnector(_DecoderConnector, AudioStream):
+    connector_stream_type = 'audio'
+
     def __init__(self, *args, **kw):
         AudioStream.__init__(self)
         _DecoderConnector.__init__(self, *args, **kw)

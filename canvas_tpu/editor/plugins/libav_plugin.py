@@ -31,6 +31,10 @@ class _DVError(Exception):
 
 class LibavSourcePlugin(plugins.SourcePlugin):
     plugin_urn = 'urn:canvas-tpu/plugins:libav'
+    # The reference's DV source plugin (dv.py:36) saved projects with
+    # this urn and a {path: ...} definition — same shape as ours, so
+    # those projects bring their sources online here directly.
+    plugin_urn_aliases = ('urn:fluggo.com/canvas/plugins:libav-dv',)
     name = 'Libav Source'
     description = 'Reads media files through the native canvas_av layer'
 
@@ -136,6 +140,7 @@ class DVVideoCodec(plugins.Codec):
     (dv.py:71-113)."""
 
     urn = 'urn:canvas-tpu/codecs:libav-dv'
+    urn_aliases = frozenset(['urn:fluggo.com/canvas/codecs:libav-dv-codec'])
     format_urns = frozenset([FORMAT_URN_PREFIX + 'dvvideo',
                              REF_URN_PREFIX + 'dvvideo'])
     stream_type = 'video'
@@ -251,6 +256,7 @@ class GenericAudioCodec(plugins.Codec):
     (dv.py:115-151 generalized)."""
 
     urn = 'urn:canvas-tpu/codecs:libav-audio'
+    urn_aliases = frozenset(['urn:fluggo.com/canvas/codecs:libav-pcm-codec'])
     format_urns = frozenset([FORMAT_URN_PREFIX + 'pcm_s16le',
                              REF_URN_PREFIX + 'pcm_s16le'])
     accepts_all_formats = True    # any audio avcodec can decode
