@@ -5,7 +5,8 @@ Behavioral rebuild of /root/reference/fluggo/editor/graph/audio.py:23-103.
 
 from canvas_tpu import process
 from canvas_tpu.editor import plugins
-from canvas_tpu.editor.graph.common import apply_geometry_update
+from canvas_tpu.editor.graph.common import (apply_geometry_update,
+                                            forward_stream_dirty)
 from canvas_tpu.editor.model import items as model_items
 from canvas_tpu.editor.model.connectors import AudioSourceRefConnector
 
@@ -28,6 +29,14 @@ class SequenceAudioManager(plugins.AudioStream):
             self.seq_item = seq_item
             self.workspace_item = workspace_item
             self.stream = stream
+            stream.frames_updated.connect(self.handle_stream_frames)
+
+        def handle_stream_frames(self, *args):
+            forward_stream_dirty(self.owner.frames_updated,
+                                 self.workspace_item, *args)
+
+        def unwatch(self):
+            self.stream.frames_updated.disconnect(self.handle_stream_frames)
 
     def __init__(self, sequence, source_list, format):
         self.workspace = process.AudioWorkspace()
@@ -56,15 +65,28 @@ class SequenceAudioManager(plugins.AudioStream):
             x=item.x, length=item.length, offset=item.offset, source=stream)
         self.watchers[id(item)] = self.ItemWatcher(self, item,
                                                    workspace_item, stream)
+        self.frames_updated(item.x, item.x + item.length - 1)
 
     def _handle_items_removed(self, start, stop):
         live = {id(item) for item in self.sequence}
+        dirty_lo, dirty_hi = None, None
+        for watcher in self.watchers.values():
+            ws = watcher.workspace_item
+            hi = ws.x + ws.length - 1
+            dirty_hi = hi if dirty_hi is None else max(dirty_hi, hi)
         for key in list(self.watchers):
             if key not in live:
                 watcher = self.watchers.pop(key)
+                watcher.unwatch()
                 self.unfollow_alerts(watcher.stream)
-                self.workspace.remove(watcher.workspace_item)
+                ws = watcher.workspace_item
+                dirty_lo = ws.x if dirty_lo is None else min(dirty_lo, ws.x)
+                self.workspace.remove(ws)
         self._resync()
+        if dirty_lo is not None and dirty_hi is not None:
+            # Everything from the first removed clip to the old end of
+            # the sequence may have shifted.
+            self.frames_updated(dirty_lo, max(dirty_lo, dirty_hi))
 
     def _handle_item_updated(self, item, **kw):
         watcher = self.watchers.get(id(item))
@@ -91,13 +113,22 @@ class SpaceAudioManager(plugins.AudioStream):
             self.workspace_item = workspace_item
             self.canvas_item.updated.connect(self.handle_updated)
             self.stream = stream
+            if hasattr(stream, 'frames_updated'):
+                stream.frames_updated.connect(self.handle_stream_frames)
 
         def handle_updated(self, **kw):
             apply_geometry_update(self.workspace_item,
                                   self.owner.frames_updated, **kw)
 
+        def handle_stream_frames(self, *args):
+            forward_stream_dirty(self.owner.frames_updated,
+                                 self.workspace_item, *args)
+
         def unwatch(self):
             self.canvas_item.updated.disconnect(self.handle_updated)
+            if hasattr(self.stream, 'frames_updated'):
+                self.stream.frames_updated.disconnect(
+                    self.handle_stream_frames)
 
     def __init__(self, canvas_space, source_list):
         self.workspace = process.AudioWorkspace()
@@ -135,6 +166,7 @@ class SpaceAudioManager(plugins.AudioStream):
                                             offset=offset, source=stream)
         watcher = self.ItemWatcher(self, item, workspace_item, stream)
         self.watchers[id(item)] = watcher
+        self.frames_updated(item.x, item.x + item.length - 1)
 
     def handle_item_removed(self, item):
         if item.type() != 'audio':
@@ -142,4 +174,7 @@ class SpaceAudioManager(plugins.AudioStream):
         watcher = self.watchers.pop(id(item))
         watcher.unwatch()
         self.unfollow_alerts(watcher.stream)
-        self.workspace.remove(watcher.workspace_item)
+        ws_item = watcher.workspace_item
+        span = (ws_item.x, ws_item.x + ws_item.length - 1)
+        self.workspace.remove(ws_item)
+        self.frames_updated(*span)

@@ -5,7 +5,31 @@ edits (x, length, offset) into workspace updates plus dirty ranges; this
 module holds that translation so both managers stay small.
 """
 
-__all__ = ['apply_geometry_update']
+__all__ = ['apply_geometry_update', 'forward_stream_dirty']
+
+
+def forward_stream_dirty(notify, workspace_item, *args):
+    """Rebase a source stream's ``frames_updated`` range into composite
+    frames and re-fire it through *notify*.
+
+    Streams fire ``(stream, lo, hi)``; nested graph managers fire
+    ``(lo, hi)``; a ``None`` bound means unbounded. Composite frame
+    ``f`` shows source frame ``f - x + offset``, so source frame ``s``
+    surfaces at ``s + x - offset``; the result clips to the item's
+    span. The reference never forwards these (its caches were cleared
+    by any repaint), but the batched planner's RANGED invalidation
+    relies on every content edit reaching the top-level signal.
+    """
+    lo, hi = args[-2], args[-1]
+    x = workspace_item.x
+    length = workspace_item.length
+    offset = workspace_item.offset
+    lo = x if lo is None else int(lo) + x - offset
+    hi = x + length - 1 if hi is None else int(hi) + x - offset
+    lo = max(lo, x)
+    hi = min(hi, x + length - 1)
+    if lo <= hi:
+        notify(lo, hi)
 
 
 def apply_geometry_update(workspace_item, notify, **kw):

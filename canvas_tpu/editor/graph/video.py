@@ -9,9 +9,10 @@ transition through an AnimationFunc-driven VideoMixFilter. Both push
 model edits into the engine and publish ``frames_updated`` dirty ranges.
 """
 
-from canvas_tpu import process, sortlist
+from canvas_tpu import process
 from canvas_tpu.editor import plugins
-from canvas_tpu.editor.graph.common import apply_geometry_update
+from canvas_tpu.editor.graph.common import (apply_geometry_update,
+                                            forward_stream_dirty)
 from canvas_tpu.editor.model import items as model_items
 from canvas_tpu.editor.model.connectors import VideoSourceRefConnector
 
@@ -31,17 +32,26 @@ class _SpaceItemWatcher:
         self.stream = stream
         self._z_order = 0
         canvas_item.updated.connect(self.handle_updated)
+        if hasattr(stream, 'frames_updated'):
+            stream.frames_updated.connect(self.handle_stream_frames)
 
     def unwatch(self):
         self.canvas_item.updated.disconnect(self.handle_updated)
+        if hasattr(self.stream, 'frames_updated'):
+            self.stream.frames_updated.disconnect(self.handle_stream_frames)
+
+    def handle_stream_frames(self, *args):
+        # Content changed INSIDE the item's stream (a sequence edit, a
+        # source swap, an edit in a nested composition): rebase into
+        # space frames and re-fire.
+        forward_stream_dirty(self.owner.frames_updated,
+                             self.workspace_item, *args)
 
     def handle_updated(self, **kw):
         apply_geometry_update(self.workspace_item,
                               self.owner.frames_updated, **kw)
-        if 'y' in kw or 'z' in kw:
-            # Resorting assigns z_order, which pushes the new z into the
-            # workspace below
-            self.owner.watchers_sorted.move(self._z_order)
+        if 'z' in kw:
+            self.owner.resort_stack()
 
     @property
     def z_order(self):
@@ -58,7 +68,18 @@ class _SpaceItemWatcher:
 
 
 class SpaceVideoManager(plugins.VideoStream):
-    """Space -> VideoWorkspace, kept live."""
+    """Space -> VideoWorkspace, kept live.
+
+    Stacking order: the composite stacks items by model z alone
+    (larger z at the bottom). The reference incrementally maintained a
+    SortedList keyed by ``z_sort_key`` — z within a transitive overlap
+    group, else y — but that comparator is intransitive, so the
+    incremental order could drift from what a fresh compile of the
+    same document produces (found by tests/test_graph_fuzz.py: a saved
+    project rendered differently than the live session). Ordering by z
+    globally is pixel-identical to the reference's intent — the
+    relative order of items that never share a frame is invisible —
+    and is deterministic under any edit sequence."""
 
     ItemWatcher = _SpaceItemWatcher
 
@@ -70,15 +91,22 @@ class SpaceVideoManager(plugins.VideoStream):
         self.canvas_space = canvas_space
         self.source_list = source_list
         self.watchers = {}
-        self.watchers_sorted = sortlist.SortedList(
-            keyfunc=lambda w: w.canvas_item.z_sort_key(),
-            index_attr='z_order')
 
         canvas_space.item_added.connect(self.handle_item_added)
         canvas_space.item_removed.connect(self.handle_item_removed)
         for item in canvas_space:
             if item.type() == 'video':
                 self.handle_item_added(item)
+
+    def resort_stack(self):
+        """Reassign workspace z from model z (bottom = largest z).
+
+        The z_order setter only pushes (and only dirties) entries whose
+        position actually changed."""
+        ordered = sorted(self.watchers.values(),
+                         key=lambda w: w.canvas_item.z, reverse=True)
+        for index, watcher in enumerate(ordered):
+            watcher.z_order = index
 
     def _build_stream(self, item):
         """Stream + source offset for a model item."""
@@ -100,7 +128,10 @@ class SpaceVideoManager(plugins.VideoStream):
                                      offset=offset, source=stream)
         watcher = self.ItemWatcher(self, item, ws_item, stream)
         self.watchers[id(item)] = watcher
-        self.watchers_sorted.add(watcher)
+        self.resort_stack()
+        # The reference fires nothing here; ranged invalidation needs
+        # the new item's span reported (see forward_stream_dirty).
+        self.frames_updated(item.x, item.x + item.length - 1)
 
     def handle_item_removed(self, item):
         if item.type() != 'video':
@@ -108,8 +139,11 @@ class SpaceVideoManager(plugins.VideoStream):
         watcher = self.watchers.pop(id(item))
         watcher.unwatch()
         self.unfollow_alerts(watcher.stream)
-        self.watchers_sorted.remove(watcher)
-        self.workspace.remove(watcher.workspace_item)
+        ws_item = watcher.workspace_item
+        span = (ws_item.x, ws_item.x + ws_item.length - 1)
+        self.workspace.remove(ws_item)
+        self.resort_stack()
+        self.frames_updated(*span)
 
 
 class _SequenceClipStream(plugins.VideoStream):
@@ -148,6 +182,25 @@ class _SequenceClipStream(plugins.VideoStream):
                                        self.mix_curve)
         plugins.VideoStream.__init__(self, mixer)
         self.follow_alerts(self.connector)
+        self.connector.frames_updated.connect(self._forward_content_dirty)
+
+    def unwatch(self):
+        self.connector.frames_updated.disconnect(self._forward_content_dirty)
+
+    def _forward_content_dirty(self, *args):
+        """A content edit inside this clip's source: rebase into
+        sequence frames (f = s - offset + x; the clip is also visible
+        through the previous clip's transition region)."""
+        item = self.seq_item
+        lo, hi = args[-2], args[-1]
+        x0 = item.x - item.transition_length
+        x1 = item.x + item.length - 1
+        lo = x0 if lo is None else int(lo) - item.offset + item.x
+        hi = x1 if hi is None else int(hi) - item.offset + item.x
+        lo = max(lo, x0)
+        hi = min(hi, x1)
+        if lo <= hi:
+            self.owner.frames_updated(lo, hi)
 
 
 class SequenceVideoManager(plugins.VideoStream):
@@ -200,6 +253,7 @@ class SequenceVideoManager(plugins.VideoStream):
 
         for watcher in self.watchers[start:stop]:
             self.unfollow_alerts(watcher)
+            watcher.unwatch()
         del self.watchers[start:stop]
         for index in reversed(range(start, stop)):
             del self.seqfilter[index]
@@ -251,7 +305,12 @@ class SequenceVideoManager(plugins.VideoStream):
             self.frames_updated(start_frame - item.transition_length,
                                 start_frame + visible_len - 1)
         if 'source' in kw:
-            watcher.connector.set_ref(item.source)
+            # Reconnect only on a real change: set_ref re-resolves and
+            # fires an unbounded invalidation through the content
+            # forwarder, and the add path passes the ref the connector
+            # was just constructed with.
+            if watcher.connector.ref != item.source:
+                watcher.connector.set_ref(item.source)
             self.frames_updated(start_frame - item.transition_length,
                                 start_frame + visible_len - 1)
 

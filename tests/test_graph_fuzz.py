@@ -1,0 +1,211 @@
+"""Differential fuzz of the live graph layer (SpaceVideoManager).
+
+The graph layer's contract (reference graph/video.py:42-78,231-293):
+a SpaceVideoManager tracks the model *live* — after any sequence of
+edits its output must equal a manager compiled fresh from the current
+model state, and every frame whose pixels changed must fall inside the
+union of fired ``frames_updated`` dirty ranges (an under-reported range
+leaves stale frames in caches/displays downstream).
+
+Random edit scripts check both properties after every step, the same
+differential scheme test_render_fuzz.py uses for the batched planner.
+"""
+
+import os
+import random
+
+import pytest
+
+from canvas_tpu import process
+from canvas_tpu.basetypes import box2i
+from canvas_tpu.editor import model, plugins
+from canvas_tpu.editor.graph.video import SpaceVideoManager
+
+_SEEDS = int(os.environ.get('CANVAS_FUZZ_SEEDS', '0'))
+
+HORIZON = 100
+VIDFORMAT = plugins.VideoFormat()
+
+
+def make_asset_list():
+    slist = model.AssetList()
+    for name, color in (('red', (100, 0, 0)), ('green', (0, 100, 0)),
+                        ('blue', (0, 0, 100)), ('gray', (50, 50, 50))):
+        source = process.SolidColorVideoSource(
+            process.LerpFunc((0, 0, 0, 1),
+                             (color[0], color[1], color[2], 1), 100))
+        slist[name] = model.RuntimeSourceAsset(model.RuntimeSource(
+            name, {'video': plugins.VideoStream(source)}))
+    return slist
+
+
+class DirtyUnion:
+    """Accumulates frames_updated ranges as a set of dirty frames."""
+
+    def __init__(self, stream):
+        stream.frames_updated.connect(self._update)
+        self.frames = set()
+
+    def _update(self, *args):
+        lo, hi = args[-2], args[-1]
+        lo = 0 if lo is None else int(lo)           # None = unbounded
+        hi = HORIZON - 1 if hi is None else int(hi)
+        self.frames.update(range(max(0, lo), min(HORIZON, hi + 1)))
+
+    def reset(self):
+        self.frames = set()
+
+
+def snapshot(source):
+    """Pixel (0,0) color per frame over the horizon (solid sources fill
+    the probe window, so one pixel identifies the composite)."""
+    out = []
+    for f in range(HORIZON):
+        frame = source.get_frame_f32(f, box2i(0, 0, 0, 0))
+        px = frame.pixel(0, 0)
+        out.append(None if px is None else (round(px.r, 5), round(px.g, 5),
+                                            round(px.b, 5), round(px.a, 5)))
+    return out
+
+
+def random_clip(rng, names):
+    return model.Clip(type='video',
+                      x=rng.randrange(0, 70),
+                      y=rng.uniform(0.0, 3.0),
+                      length=rng.randrange(1, 30),
+                      height=1.0,
+                      offset=rng.randrange(0, 6),
+                      source=model.AssetStreamRef(rng.choice(names), 'video'))
+
+
+def random_seq_item(rng, names, first=False):
+    return model.SequenceItem(
+        source=model.AssetStreamRef(rng.choice(names), 'video'),
+        offset=rng.randrange(0, 6),
+        length=rng.randrange(2, 12),
+        transition_length=0 if first else rng.randrange(0, 2))
+
+
+def legal_transition_length(rng, seq, index, length=None):
+    """A transition_length that keeps every visible length positive:
+    bounded by this item's length and the previous item's visible
+    length (the model is loose here; manipulators enforce this)."""
+    if index == 0:
+        return 0
+    length = seq[index].length if length is None else length
+    prev = seq[index - 1]
+    bound = min(prev.length - prev.transition_length - 1, length - 1)
+    if bound < 1:
+        return 0
+    return rng.randrange(0, bound + 1)
+
+
+def clamp_following_transition(seq, index):
+    """After editing item *index*, the NEXT item's transition may
+    exceed the new visible length — clamp it back to legal."""
+    if index + 1 >= len(seq):
+        return
+    item, nxt = seq[index], seq[index + 1]
+    bound = max(0, min(item.length - item.transition_length - 1,
+                       nxt.length - 1))
+    if nxt.transition_length > bound:
+        nxt.update(transition_length=bound)
+
+
+def run_graph_fuzz(seed, n_ops=30):
+    rng = random.Random(seed)
+    names = ['red', 'green', 'blue', 'gray']
+    slist = make_asset_list()
+    space = model.Space('fuzz', VIDFORMAT, plugins.AudioFormat())
+
+    items = [random_clip(rng, names) for _ in range(3)]
+    seq = model.Sequence(type='video', x=rng.randrange(0, 40),
+                         y=rng.uniform(0.0, 3.0), height=1.0,
+                         items=[random_seq_item(rng, names, first=True),
+                                random_seq_item(rng, names),
+                                random_seq_item(rng, names)])
+    items.append(seq)
+    space[0:0] = items
+
+    live = SpaceVideoManager(space, slist)
+    assert not live.alerts, str(live.alerts[:1])
+    dirty = DirtyUnion(live)
+    baseline = snapshot(SpaceVideoManager(space, slist))
+    assert snapshot(live) == baseline
+
+    for step in range(n_ops):
+        dirty.reset()
+        clips = [it for it in space if not isinstance(it, model.Sequence)]
+        seqs = [it for it in space if isinstance(it, model.Sequence)]
+        ops = ['move', 'resize', 'restack']
+        if len(space) < 7:
+            ops.append('add')
+        if len(space) > 2 and clips:
+            ops.append('remove')
+        if seqs:
+            ops += ['seq_update', 'seq_insert']
+            if any(len(s) > 1 for s in seqs):
+                ops.append('seq_remove')
+        op = rng.choice(ops)
+
+        if op == 'move':
+            rng.choice(list(space)).update(x=rng.randrange(0, 70),
+                                           y=rng.uniform(0.0, 3.0))
+        elif op == 'resize':
+            target = rng.choice(clips) if clips else rng.choice(list(space))
+            if isinstance(target, model.Sequence):
+                target.update(x=rng.randrange(0, 70))
+            else:
+                target.update(length=rng.randrange(1, 30),
+                              offset=rng.randrange(0, 6))
+        elif op == 'restack':
+            # y drives the z sort among overlapping items
+            rng.choice(list(space)).update(y=rng.uniform(0.0, 3.0))
+        elif op == 'add':
+            k = rng.randrange(0, len(space) + 1)
+            space[k:k] = [random_clip(rng, names)]
+        elif op == 'remove':
+            del space[space.index(rng.choice(clips))]
+        elif op == 'seq_update':
+            s = rng.choice(seqs)
+            i = rng.randrange(len(s))
+            length = rng.randrange(2, 12)
+            s[i].update(offset=rng.randrange(0, 6), length=length,
+                        transition_length=legal_transition_length(
+                            rng, s, i, length=length))
+            clamp_following_transition(s, i)
+        elif op == 'seq_insert':
+            s = rng.choice(seqs)
+            k = rng.randrange(0, len(s) + 1)
+            s[k:k] = [random_seq_item(rng, names, first=(k == 0))]
+            clamp_following_transition(s, k)
+        elif op == 'seq_remove':
+            s = rng.choice([s for s in seqs if len(s) > 1])
+            k = rng.randrange(len(s))
+            del s[k]
+            if len(s) and s[0].transition_length:
+                s[0].update(transition_length=0)
+            if k > 0 and k < len(s):
+                clamp_following_transition(s, k - 1)
+
+        fresh = snapshot(SpaceVideoManager(space, slist))
+        live_colors = snapshot(live)
+        assert live_colors == fresh, (
+            'seed %d step %d op %s: live manager diverged from fresh '
+            'compile at frames %s' % (
+                seed, step, op,
+                [f for f in range(HORIZON)
+                 if live_colors[f] != fresh[f]][:10]))
+
+        changed = {f for f in range(HORIZON) if fresh[f] != baseline[f]}
+        missed = changed - dirty.frames
+        assert not missed, (
+            'seed %d step %d op %s: frames %s changed but were not in '
+            'any fired frames_updated range' % (
+                seed, step, op, sorted(missed)[:10]))
+        baseline = fresh
+
+
+@pytest.mark.parametrize('seed', range(max(4, _SEEDS)))
+def test_space_graph_differential_fuzz(seed):
+    run_graph_fuzz(seed)
