@@ -65,7 +65,7 @@ class SequenceAudioManager(plugins.AudioStream):
             x=item.x, length=item.length, offset=item.offset, source=stream)
         self.watchers[id(item)] = self.ItemWatcher(self, item,
                                                    workspace_item, stream)
-        self.frames_updated(item.x, item.x + item.length - 1)
+        self._resync_and_fire(item.x, item.x + item.length - 1)
 
     def _handle_items_removed(self, start, stop):
         live = {id(item) for item in self.sequence}
@@ -92,11 +92,31 @@ class SequenceAudioManager(plugins.AudioStream):
         watcher = self.watchers.get(id(item))
         if watcher is None:
             return
-        if 'source' in kw:
+        if 'source' in kw and watcher.stream.ref != item.source:
             watcher.stream.set_ref(item.source)
+        self._resync_and_fire(item.x, item.x + item.length - 1)
+
+    def _workspace_end(self):
+        return max((w.workspace_item.x + w.workspace_item.length - 1
+                    for w in self.watchers.values()), default=0)
+
+    def _resync_and_fire(self, anchor_lo, anchor_hi):
+        """Push model geometry into the workspace and fire ONE dirty
+        range covering everything that moved.
+
+        The model shifts following clips without firing item_updated
+        for them, so the shifted set is inferred by diffing each
+        watcher's workspace geometry (still pre-edit here) against its
+        model item; the range runs from the earliest difference to the
+        old-or-new end of the sequence."""
+        lo = anchor_lo
+        hi = max(anchor_hi, self._workspace_end())
+        for w in self.watchers.values():
+            ws, it = w.workspace_item, w.seq_item
+            if (ws.x, ws.length, ws.offset) != (it.x, it.length, it.offset):
+                lo = min(lo, ws.x, it.x)
         self._resync()
-        start = item.x
-        self.frames_updated(start, start + item.length - 1)
+        self.frames_updated(lo, max(hi, self._workspace_end()))
 
     def _resync(self):
         for watcher in self.watchers.values():

@@ -209,3 +209,175 @@ def run_graph_fuzz(seed, n_ops=30):
 @pytest.mark.parametrize('seed', range(max(4, _SEEDS)))
 def test_space_graph_differential_fuzz(seed):
     run_graph_fuzz(seed)
+
+
+# --- audio graph ------------------------------------------------------------
+
+AUDIO_HORIZON = 2000
+
+
+class RampAudio:
+    """Sample value == source sample index times an integer scale:
+    offsets are visible, and additive mixes of integer-valued float32
+    stay EXACT, so live-vs-fresh comparison is order-independent."""
+
+    def __init__(self, scale):
+        self.scale = scale
+
+    def _render(self, frame):
+        import numpy as np
+        lo, hi = frame.full_min_sample, frame.full_max_sample
+        ramp = np.arange(lo, hi + 1, dtype=np.float32) * float(self.scale)
+        frame.data = np.repeat(ramp[:, None], frame.channels, axis=1)
+        frame.current_min_sample = lo
+        frame.current_max_sample = hi
+
+
+def make_audio_asset_list():
+    from canvas_tpu.audio import AudioSource
+
+    class _Src(RampAudio, AudioSource):
+        pass
+
+    slist = model.AssetList()
+    for name, scale in (('a', 1), ('b', 1000), ('c', 64)):
+        slist[name] = model.RuntimeSourceAsset(model.RuntimeSource(
+            name, {'audio': plugins.AudioStream(_Src(scale))}))
+    return slist
+
+
+def audio_snapshot(source):
+    import numpy as np
+    frame = source.get_frame(0, AUDIO_HORIZON - 1, 1)
+    data = np.zeros(AUDIO_HORIZON, np.float32)
+    if frame.current_min_sample <= frame.current_max_sample:
+        lo = frame.current_min_sample - frame.full_min_sample
+        hi = frame.current_max_sample - frame.full_min_sample
+        data[frame.current_min_sample:frame.current_max_sample + 1] = (
+            np.asarray(frame.data)[lo:hi + 1, 0])
+    return data.tolist()
+
+
+def random_audio_clip(rng, names):
+    return model.Clip(type='audio',
+                      x=rng.randrange(0, 1500),
+                      y=rng.uniform(0.0, 3.0),
+                      length=rng.randrange(1, 400),
+                      height=1.0,
+                      offset=rng.randrange(0, 50),
+                      source=model.AssetStreamRef(rng.choice(names), 'audio'))
+
+
+def random_audio_seq_item(rng, names, first=False):
+    return model.SequenceItem(
+        source=model.AssetStreamRef(rng.choice(names), 'audio'),
+        offset=rng.randrange(0, 50),
+        length=rng.randrange(20, 300),
+        transition_length=0 if first else rng.randrange(0, 10))
+
+
+def run_audio_graph_fuzz(seed, n_ops=25):
+    from canvas_tpu.editor.graph.audio import SpaceAudioManager
+
+    rng = random.Random(seed)
+    names = ['a', 'b', 'c']
+    slist = make_audio_asset_list()
+    space = model.Space('afuzz', VIDFORMAT,
+                        plugins.AudioFormat(sample_rate=48000))
+
+    items = [random_audio_clip(rng, names) for _ in range(3)]
+    seq = model.Sequence(type='audio', x=rng.randrange(0, 800),
+                         y=rng.uniform(0.0, 3.0), height=1.0,
+                         items=[random_audio_seq_item(rng, names, first=True),
+                                random_audio_seq_item(rng, names)])
+    items.append(seq)
+    space[0:0] = items
+
+    live = SpaceAudioManager(space, slist)
+    assert not live.alerts, str(live.alerts[:1])
+
+    dirty = DirtyUnionSamples(live)
+    baseline = audio_snapshot(SpaceAudioManager(space, slist))
+    assert audio_snapshot(live) == baseline
+
+    for step in range(n_ops):
+        dirty.reset()
+        clips = [it for it in space if not isinstance(it, model.Sequence)]
+        seqs = [it for it in space if isinstance(it, model.Sequence)]
+        ops = ['move', 'resize']
+        if len(space) < 6:
+            ops.append('add')
+        if len(space) > 2 and clips:
+            ops.append('remove')
+        if seqs:
+            ops += ['seq_update', 'seq_insert']
+            if any(len(s) > 1 for s in seqs):
+                ops.append('seq_remove')
+        op = rng.choice(ops)
+
+        if op == 'move':
+            rng.choice(list(space)).update(x=rng.randrange(0, 1500),
+                                           y=rng.uniform(0.0, 3.0))
+        elif op == 'resize':
+            target = rng.choice(clips) if clips else rng.choice(list(space))
+            if isinstance(target, model.Sequence):
+                target.update(x=rng.randrange(0, 800))
+            else:
+                target.update(length=rng.randrange(1, 400),
+                              offset=rng.randrange(0, 50))
+        elif op == 'add':
+            k = rng.randrange(0, len(space) + 1)
+            space[k:k] = [random_audio_clip(rng, names)]
+        elif op == 'remove':
+            del space[space.index(rng.choice(clips))]
+        elif op == 'seq_update':
+            s = rng.choice(seqs)
+            i = rng.randrange(len(s))
+            length = rng.randrange(20, 300)
+            s[i].update(offset=rng.randrange(0, 50), length=length,
+                        transition_length=legal_transition_length(
+                            rng, s, i, length=length))
+            clamp_following_transition(s, i)
+        elif op == 'seq_insert':
+            s = rng.choice(seqs)
+            k = rng.randrange(0, len(s) + 1)
+            s[k:k] = [random_audio_seq_item(rng, names, first=(k == 0))]
+            clamp_following_transition(s, k)
+        elif op == 'seq_remove':
+            s = rng.choice([s for s in seqs if len(s) > 1])
+            k = rng.randrange(len(s))
+            del s[k]
+            if len(s) and s[0].transition_length:
+                s[0].update(transition_length=0)
+            if k > 0 and k < len(s):
+                clamp_following_transition(s, k - 1)
+
+        fresh = audio_snapshot(SpaceAudioManager(space, slist))
+        live_samples = audio_snapshot(live)
+        assert live_samples == fresh, (
+            'seed %d step %d op %s: live audio manager diverged at '
+            'samples %s' % (seed, step, op,
+                            [i for i in range(AUDIO_HORIZON)
+                             if live_samples[i] != fresh[i]][:10]))
+
+        changed = {i for i in range(AUDIO_HORIZON)
+                   if fresh[i] != baseline[i]}
+        missed = changed - dirty.frames
+        assert not missed, (
+            'seed %d step %d op %s: samples %s changed but were not in '
+            'any fired frames_updated range' % (
+                seed, step, op, sorted(missed)[:10]))
+        baseline = fresh
+
+
+class DirtyUnionSamples(DirtyUnion):
+    def _update(self, *args):
+        lo, hi = args[-2], args[-1]
+        lo = 0 if lo is None else int(lo)
+        hi = AUDIO_HORIZON - 1 if hi is None else int(hi)
+        self.frames.update(range(max(0, lo), min(AUDIO_HORIZON, hi + 1)))
+
+
+@pytest.mark.parametrize('seed', range(max(4, _SEEDS)))
+def test_space_audio_graph_differential_fuzz(seed):
+    run_audio_graph_fuzz(seed)
