@@ -22,6 +22,14 @@ _GEOMETRY_KEYS = frozenset(('offset', 'source', 'transition_length',
                             'length'))
 
 
+def _stack_z(item):
+    """Composite stacking key for a model item, as a workspace z value
+    (larger = on top): above anything in a lower lane (smaller y on
+    top), and within a lane by model z (smaller z on top). O(1) per
+    item, no ordering structure."""
+    return (-item.y, -item.z)
+
+
 class _SpaceItemWatcher:
     """Tracks one model item inside a SpaceVideoManager."""
 
@@ -30,7 +38,6 @@ class _SpaceItemWatcher:
         self.canvas_item = canvas_item
         self.workspace_item = workspace_item
         self.stream = stream
-        self._z_order = 0
         canvas_item.updated.connect(self.handle_updated)
         if hasattr(stream, 'frames_updated'):
             stream.frames_updated.connect(self.handle_stream_frames)
@@ -50,36 +57,32 @@ class _SpaceItemWatcher:
     def handle_updated(self, **kw):
         apply_geometry_update(self.workspace_item,
                               self.owner.frames_updated, **kw)
-        if 'z' in kw:
-            self.owner.resort_stack()
-
-    @property
-    def z_order(self):
-        return self._z_order
-
-    @z_order.setter
-    def z_order(self, value):
-        self._z_order = value
-        ws_item = self.workspace_item
-        if value != ws_item.z:
-            ws_item.update(z=value)
-            self.owner.frames_updated(ws_item.x,
-                                      ws_item.x + ws_item.length - 1)
+        if 'z' in kw or 'y' in kw:
+            ws_item = self.workspace_item
+            key = _stack_z(self.canvas_item)
+            if ws_item.z != key:
+                ws_item.update(z=key)
+                self.owner.frames_updated(ws_item.x,
+                                          ws_item.x + ws_item.length - 1)
 
 
 class SpaceVideoManager(plugins.VideoStream):
     """Space -> VideoWorkspace, kept live.
 
-    Stacking order: the composite stacks items by model z alone
-    (larger z at the bottom). The reference incrementally maintained a
-    SortedList keyed by ``z_sort_key`` — z within a transitive overlap
-    group, else y — but that comparator is intransitive, so the
-    incremental order could drift from what a fresh compile of the
-    same document produces (found by tests/test_graph_fuzz.py: a saved
-    project rendered differently than the live session). Ordering by z
-    globally is pixel-identical to the reference's intent — the
-    relative order of items that never share a frame is invisible —
-    and is deterministic under any edit sequence."""
+    Stacking order: items composite by the total key (y, z) — above
+    anything in a lower lane (smaller y on top), and by model z within
+    a lane — realized as workspace z = (-y, -z), an O(1) update per
+    edit with no ordering structure. The reference incrementally
+    maintained a SortedList keyed by ``z_sort_key`` — z within a
+    transitive x∧y-overlap group, else y — but that comparator is
+    intransitive (its pair rules admit cycles), so the incremental
+    order could drift from what a fresh compile of the same document
+    produces (found by tests/test_graph_fuzz.py: a saved project
+    rendered differently than the live session). The (y, z) key keeps
+    both intents — lane stacking between lanes, explicit z inside a
+    lane — and only diverges for rectangles that overlap while
+    straddling lanes, where it deterministically favors the higher
+    lane."""
 
     ItemWatcher = _SpaceItemWatcher
 
@@ -98,16 +101,6 @@ class SpaceVideoManager(plugins.VideoStream):
             if item.type() == 'video':
                 self.handle_item_added(item)
 
-    def resort_stack(self):
-        """Reassign workspace z from model z (bottom = largest z).
-
-        The z_order setter only pushes (and only dirties) entries whose
-        position actually changed."""
-        ordered = sorted(self.watchers.values(),
-                         key=lambda w: w.canvas_item.z, reverse=True)
-        for index, watcher in enumerate(ordered):
-            watcher.z_order = index
-
     def _build_stream(self, item):
         """Stream + source offset for a model item."""
         if isinstance(item, model_items.Sequence):
@@ -124,11 +117,11 @@ class SpaceVideoManager(plugins.VideoStream):
             return
         stream, offset = self._build_stream(item)
         self.follow_alerts(stream)
-        ws_item = self.workspace.add(x=item.x, length=item.length, z=item.z,
-                                     offset=offset, source=stream)
+        ws_item = self.workspace.add(x=item.x, length=item.length,
+                                     z=_stack_z(item), offset=offset,
+                                     source=stream)
         watcher = self.ItemWatcher(self, item, ws_item, stream)
         self.watchers[id(item)] = watcher
-        self.resort_stack()
         # The reference fires nothing here; ranged invalidation needs
         # the new item's span reported (see forward_stream_dirty).
         self.frames_updated(item.x, item.x + item.length - 1)
@@ -142,7 +135,6 @@ class SpaceVideoManager(plugins.VideoStream):
         ws_item = watcher.workspace_item
         span = (ws_item.x, ws_item.x + ws_item.length - 1)
         self.workspace.remove(ws_item)
-        self.resort_stack()
         self.frames_updated(*span)
 
 

@@ -437,6 +437,13 @@ class VideoSequence(VideoSource):
         source.render_f32(frame_index - start + offset, frame)
 
 
+def _coerce_z(value):
+    """Workspace z: an int like the reference's (workspace.c:62-69), or
+    any comparable tuple — the graph layer stacks by a composite
+    (lane, z) key. One workspace must not mix the two kinds."""
+    return value if isinstance(value, tuple) else int(value)
+
+
 class WorkspaceItem:
     """An item placed in a workspace: source at [x, x+length) with z-depth,
     source offset, and an arbitrary tag (workspace.c:62-69)."""
@@ -450,7 +457,7 @@ class WorkspaceItem:
         self._x = int(x)
         self._length = int(length)
         self._offset = int(offset)
-        self._z = int(z)
+        self._z = _coerce_z(z)
         self._tag = tag
         self._seq = seq        # insertion sequence number (z tie-break)
 
@@ -477,8 +484,10 @@ class WorkspaceItem:
             for key in fields:
                 if key in kwargs:
                     value = kwargs[key]
-                    if key in ('x', 'length', 'offset', 'z'):
+                    if key in ('x', 'length', 'offset'):
                         value = int(value)
+                    elif key == 'z':
+                        value = _coerce_z(value)
                     setattr(self, '_' + key, value)
 
     def __repr__(self):
@@ -527,9 +536,10 @@ class _WorkspaceBase:
                       and item._x <= end and start < item._x + item._length]
         # cmpz sorts descending z (stable in insertion order), then the
         # composite loop walks the list in reverse: ascending z, and for
-        # equal z, reverse insertion order (later-added below).
-        active.sort(key=lambda item: (-item._z, item._seq))
-        active.reverse()
+        # equal z, reverse insertion order (later-added below). Done as
+        # two stable passes so composite z-keys (tuples) work too.
+        active.sort(key=lambda item: item._seq, reverse=True)
+        active.sort(key=lambda item: item._z)
         return active
 
 
