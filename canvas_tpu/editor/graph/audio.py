@@ -4,6 +4,7 @@ Behavioral rebuild of /root/reference/fluggo/editor/graph/audio.py:23-103.
 """
 
 from canvas_tpu import process
+from canvas_tpu.audio import AudioSource
 from canvas_tpu.editor import plugins
 from canvas_tpu.editor.graph.common import (apply_geometry_update,
                                             forward_stream_dirty)
@@ -13,22 +14,67 @@ from canvas_tpu.editor.model.connectors import AudioSourceRefConnector
 __all__ = ['SpaceAudioManager', 'SequenceAudioManager']
 
 
+class _FadeEnvelope(AudioSource):
+    """Linear crossfade envelope for one sequence clip, applied in the
+    clip's SOURCE sample coordinates (the workspace item rebases before
+    pulling). ``fade_in = (start, length)`` scales sample start+k by
+    k/length; ``fade_out`` by 1 - k/length — the same LINEAR ramp the
+    video sequence's mix curve uses, so A/V transitions stay aligned
+    and simultaneous ramps sum to unity."""
+
+    def __init__(self, source):
+        self.source = source
+        self.fade_in = None
+        self.fade_out = None
+
+    def _render(self, frame):
+        import numpy as np
+        self.source._render(frame)
+        if (self.fade_in is None and self.fade_out is None) or frame.empty:
+            return
+        lo, hi = frame.current_min_sample, frame.current_max_sample
+        scaled = None
+        for region, rising in ((self.fade_in, True), (self.fade_out, False)):
+            if not region or region[1] <= 0:
+                continue
+            start, length = region
+            a = max(lo, start)
+            b = min(hi, start + length - 1)
+            if a > b:
+                continue
+            if scaled is None:
+                # copy-then-assign: upstream may have handed out a
+                # cached/aliased buffer (the pull path's ghost-view
+                # copy-back handles the re-assignment)
+                scaled = np.array(frame.data, dtype=np.float32, copy=True)
+            k = np.arange(a - start, b - start + 1, dtype=np.float32)
+            gain = k / length if rising else 1.0 - k / length
+            rows = slice(a - frame.full_min_sample,
+                         b - frame.full_min_sample + 1)
+            scaled[rows] *= gain[:, None]
+        if scaled is not None:
+            frame.data = scaled
+
+
 class SequenceAudioManager(plugins.AudioStream):
     """Compiles an audio model Sequence into an AudioWorkspace.
 
     The reference leaves this unimplemented
     (graph/audio.py:84 'Need a SequenceAudioManager here'); this build
     completes it: each sequence item is placed at its absolute sample
-    position and overlapping transitions mix additively
-    (audio_mix_add semantics).
+    position and transitions CROSSFADE — the outgoing clip ramps out
+    while the incoming clip ramps in over the overlap, matching the
+    video sequence's linear mix curve (additive sum of the two ramps).
     """
 
     class ItemWatcher:
-        def __init__(self, owner, seq_item, workspace_item, stream):
+        def __init__(self, owner, seq_item, workspace_item, stream,
+                     envelope):
             self.owner = owner
             self.seq_item = seq_item
             self.workspace_item = workspace_item
             self.stream = stream
+            self.envelope = envelope
             stream.frames_updated.connect(self.handle_stream_frames)
 
         def handle_stream_frames(self, *args):
@@ -61,10 +107,13 @@ class SequenceAudioManager(plugins.AudioStream):
         stream = AudioSourceRefConnector(self.source_list, item.source,
                                          model_obj=item)
         self.follow_alerts(stream)
+        envelope = _FadeEnvelope(stream)
         workspace_item = self.workspace.add(
-            x=item.x, length=item.length, offset=item.offset, source=stream)
+            x=item.x, length=item.length, offset=item.offset,
+            source=envelope)
         self.watchers[id(item)] = self.ItemWatcher(self, item,
-                                                   workspace_item, stream)
+                                                   workspace_item, stream,
+                                                   envelope)
         self._resync_and_fire(item.x, item.x + item.length - 1)
 
     def _handle_items_removed(self, start, stop):
@@ -119,10 +168,23 @@ class SequenceAudioManager(plugins.AudioStream):
         self.frames_updated(lo, max(hi, self._workspace_end()))
 
     def _resync(self):
-        for watcher in self.watchers.values():
-            item = watcher.seq_item
+        items = list(self.sequence)
+        for index, item in enumerate(items):
+            watcher = self.watchers.get(id(item))
+            if watcher is None:
+                continue
             watcher.workspace_item.update(x=item.x, length=item.length,
                                           offset=item.offset)
+            # Crossfade regions in SOURCE coordinates: ramp in over this
+            # item's own transition, ramp out over the NEXT item's.
+            tl = item.transition_length
+            watcher.envelope.fade_in = ((item.offset, tl) if tl > 0
+                                        else None)
+            next_tl = (items[index + 1].transition_length
+                       if index + 1 < len(items) else 0)
+            watcher.envelope.fade_out = (
+                (item.offset + item.length - next_tl, next_tl)
+                if next_tl > 0 else None)
 
 
 class SpaceAudioManager(plugins.AudioStream):

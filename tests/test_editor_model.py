@@ -410,8 +410,13 @@ def test_space_audio_manager_with_sequence():
     data = np.asarray(frame.data)[:, 0]
     # first clip alone
     assert data[10] == pytest.approx(0.5)
-    # transition overlap mixes additively
-    assert data[90] == pytest.approx(0.75)
+    # transition overlap CROSSFADES with linear ramps (matching the
+    # video mix curve): at overlap sample k=10 of tl=20, outgoing
+    # 0.5*(1-10/20) + incoming 0.25*(10/20) = 0.375
+    assert data[90] == pytest.approx(0.375)
+    # ramps sum to unity: equal signals would pass unchanged
+    assert data[80] == pytest.approx(0.5 * 1.0 + 0.25 * 0.0)
+    assert data[99] == pytest.approx(0.5 * (1 - 19 / 20) + 0.25 * (19 / 20))
     # second clip alone
     assert data[150] == pytest.approx(0.25)
 

@@ -214,12 +214,16 @@ def test_space_graph_differential_fuzz(seed):
 # --- audio graph ------------------------------------------------------------
 
 AUDIO_HORIZON = 2000
+AUDIO_EPS = 1e-2
 
 
 class RampAudio:
-    """Sample value == source sample index times an integer scale:
-    offsets are visible, and additive mixes of integer-valued float32
-    stay EXACT, so live-vs-fresh comparison is order-independent."""
+    """Sample value == (source sample index mod 509) times a small
+    integer scale: offsets are visible and magnitudes stay bounded
+    (~3.5k), so float32 addition-order noise between live and fresh
+    composites (their workspaces sum equal-z items in insertion order)
+    stays orders of magnitude below AUDIO_EPS while real edits move
+    samples by >= 1."""
 
     def __init__(self, scale):
         self.scale = scale
@@ -227,7 +231,8 @@ class RampAudio:
     def _render(self, frame):
         import numpy as np
         lo, hi = frame.full_min_sample, frame.full_max_sample
-        ramp = np.arange(lo, hi + 1, dtype=np.float32) * float(self.scale)
+        ramp = (np.arange(lo, hi + 1, dtype=np.int64) % 509).astype(
+            np.float32) * float(self.scale)
         frame.data = np.repeat(ramp[:, None], frame.channels, axis=1)
         frame.current_min_sample = lo
         frame.current_max_sample = hi
@@ -240,7 +245,7 @@ def make_audio_asset_list():
         pass
 
     slist = model.AssetList()
-    for name, scale in (('a', 1), ('b', 1000), ('c', 64)):
+    for name, scale in (('a', 1), ('b', 5), ('c', 7)):
         slist[name] = model.RuntimeSourceAsset(model.RuntimeSource(
             name, {'audio': plugins.AudioStream(_Src(scale))}))
     return slist
@@ -354,14 +359,18 @@ def run_audio_graph_fuzz(seed, n_ops=25):
 
         fresh = audio_snapshot(SpaceAudioManager(space, slist))
         live_samples = audio_snapshot(live)
-        assert live_samples == fresh, (
+        # tolerance, not equality: crossfade envelopes make transition
+        # samples non-integer, and the two workspaces sum equal-z items
+        # in different insertion orders (float32 ulp at these bounded
+        # magnitudes is ~1e-4; real edits move samples by >= ~1)
+        diverged = [i for i in range(AUDIO_HORIZON)
+                    if abs(live_samples[i] - fresh[i]) > AUDIO_EPS]
+        assert not diverged, (
             'seed %d step %d op %s: live audio manager diverged at '
-            'samples %s' % (seed, step, op,
-                            [i for i in range(AUDIO_HORIZON)
-                             if live_samples[i] != fresh[i]][:10]))
+            'samples %s' % (seed, step, op, diverged[:10]))
 
         changed = {i for i in range(AUDIO_HORIZON)
-                   if fresh[i] != baseline[i]}
+                   if abs(fresh[i] - baseline[i]) > AUDIO_EPS}
         missed = changed - dirty.frames
         assert not missed, (
             'seed %d step %d op %s: samples %s changed but were not in '
