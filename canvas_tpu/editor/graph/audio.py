@@ -102,6 +102,8 @@ class SequenceAudioManager(plugins.AudioStream):
         self.sequence.item_added.disconnect(self._handle_item_added)
         self.sequence.items_removed.disconnect(self._handle_items_removed)
         self.sequence.item_updated.disconnect(self._handle_item_updated)
+        for watcher in self.watchers.values():
+            watcher.unwatch()
 
     def _handle_item_added(self, item):
         stream = AudioSourceRefConnector(self.source_list, item.source,
@@ -131,15 +133,32 @@ class SequenceAudioManager(plugins.AudioStream):
                 ws = watcher.workspace_item
                 dirty_lo = ws.x if dirty_lo is None else min(dirty_lo, ws.x)
                 self.workspace.remove(ws)
+        # The predecessor's fade-out envelope changes too (it now
+        # crossfades into the removal's successor, whose transition may
+        # reach further left than the removed clip's did) — its whole
+        # span joins the dirty range.
+        if dirty_lo is not None and 0 < start <= len(self.sequence):
+            pred = self.watchers.get(id(self.sequence[start - 1]))
+            if pred is not None:
+                dirty_lo = min(dirty_lo, pred.workspace_item.x)
         self._resync()
         if dirty_lo is not None and dirty_hi is not None:
             # Everything from the first removed clip to the old end of
             # the sequence may have shifted.
             self.frames_updated(dirty_lo, max(dirty_lo, dirty_hi))
 
+    _GEOMETRY_KEYS = frozenset(('offset', 'source', 'length',
+                                'transition_length'))
+
     def _handle_item_updated(self, item, **kw):
         watcher = self.watchers.get(id(item))
         if watcher is None:
+            return
+        # The model fires a bare x= notification for every clip an edit
+        # shifts; the primary edit's _resync_and_fire already walked all
+        # of them (it diffs ws-vs-model geometry), so reacting to each
+        # would make one edit O(n^2) and flood the planner with ranges.
+        if self._GEOMETRY_KEYS.isdisjoint(kw):
             return
         if 'source' in kw and watcher.stream.ref != item.source:
             watcher.stream.set_ref(item.source)
@@ -211,6 +230,10 @@ class SpaceAudioManager(plugins.AudioStream):
             if hasattr(self.stream, 'frames_updated'):
                 self.stream.frames_updated.disconnect(
                     self.handle_stream_frames)
+            # Nested SequenceAudioManager: stop watching its model
+            # Sequence (see the video watcher's note).
+            if hasattr(self.stream, 'unwatch'):
+                self.stream.unwatch()
 
     def __init__(self, canvas_space, source_list):
         self.workspace = process.AudioWorkspace()

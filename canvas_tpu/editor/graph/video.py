@@ -46,6 +46,12 @@ class _SpaceItemWatcher:
         self.canvas_item.updated.disconnect(self.handle_updated)
         if hasattr(self.stream, 'frames_updated'):
             self.stream.frames_updated.disconnect(self.handle_stream_frames)
+        # A nested manager (Sequence inside the Space) keeps watching
+        # its model object until told otherwise — a removed-then-
+        # re-added Sequence would otherwise be processed by every dead
+        # manager too.
+        if hasattr(self.stream, 'unwatch'):
+            self.stream.unwatch()
 
     def handle_stream_frames(self, *args):
         # Content changed INSIDE the item's stream (a sequence edit, a
@@ -181,11 +187,14 @@ class _SequenceClipStream(plugins.VideoStream):
 
     def _forward_content_dirty(self, *args):
         """A content edit inside this clip's source: rebase into
-        sequence frames (f = s - offset + x; the clip is also visible
-        through the previous clip's transition region)."""
+        sequence frames. Source sample s shows at f = s - offset + x,
+        and model SequenceItem.x ALREADY includes the transition shift
+        (items.py _move_items), so the clip's full visible span —
+        fading in through the previous clip's out-transition and out
+        through the next's — is exactly [x, x + length - 1]."""
         item = self.seq_item
         lo, hi = args[-2], args[-1]
-        x0 = item.x - item.transition_length
+        x0 = item.x
         x1 = item.x + item.length - 1
         lo = x0 if lo is None else int(lo) - item.offset + item.x
         hi = x1 if hi is None else int(hi) - item.offset + item.x
@@ -218,6 +227,8 @@ class SequenceVideoManager(plugins.VideoStream):
         self.sequence.item_added.disconnect(self._handle_item_added)
         self.sequence.items_removed.disconnect(self._handle_items_removed)
         self.sequence.item_updated.disconnect(self._handle_item_updated)
+        for watcher in self.watchers:
+            watcher.unwatch()
 
     # -- neighbors --------------------------------------------------------
 

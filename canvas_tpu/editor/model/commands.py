@@ -794,7 +794,11 @@ class BringItemForwardCommand(UndoCommand):
 
     def redo(self):
         item = self.item
-        overlaps = item.overlap_items()
+        # Only same-lane items can be reordered by z: the composite
+        # stacks by (y, z), so for a cross-lane overlap the lane wins
+        # regardless of z — re-inserting would churn undo/dirty state
+        # without changing a pixel (graph/video.py stacking note).
+        overlaps = [x for x in item.overlap_items() if x.y == item.y]
         above_items = [x.z for x in overlaps if x.z < item.z]
         if not above_items:
             return
@@ -821,7 +825,8 @@ class SendItemBackCommand(UndoCommand):
 
     def redo(self):
         item = self.item
-        overlaps = item.overlap_items()
+        # Same-lane subset only; see BringItemForwardCommand.
+        overlaps = [x for x in item.overlap_items() if x.y == item.y]
         below_items = [x.z for x in overlaps if x.z > item.z]
         if not below_items:
             return

@@ -488,6 +488,7 @@ class WorkspaceItem:
                         value = int(value)
                     elif key == 'z':
                         value = _coerce_z(value)
+                        ws._check_z_kind(value)
                     setattr(self, '_' + key, value)
 
     def __repr__(self):
@@ -507,8 +508,21 @@ class _WorkspaceBase:
         self._lock = threading.RLock()
         self._next_seq = 0
 
+    def _check_z_kind(self, z):
+        """Ints and composite tuple z-keys cannot mix in one workspace:
+        the composite sort would fail with an unattributable TypeError
+        at render time, so reject at the mutation site instead."""
+        if self._items:
+            existing = isinstance(self._items[0]._z, tuple)
+            if isinstance(z, tuple) != existing:
+                raise TypeError(
+                    'workspace z must stay one kind: this workspace uses '
+                    '%s z values, got %r'
+                    % ('tuple' if existing else 'int', z))
+
     def add(self, source=None, x=0, length=1, offset=0, z=0, tag=None):
         with self._lock:
+            self._check_z_kind(z)
             item = WorkspaceItem(self, source, x, length, offset, z, tag,
                                  self._next_seq)
             self._next_seq += 1

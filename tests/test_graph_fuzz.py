@@ -394,6 +394,73 @@ def test_space_audio_graph_differential_fuzz(seed):
 
 # --- editor session end-to-end: model edits -> graph -> planner caches ------
 
+def test_removed_sequence_manager_detaches():
+    """Removing a Sequence from a Space must detach the nested
+    SequenceVideoManager from the model's signals — an undo that
+    re-inserts the same Sequence object would otherwise be processed by
+    every dead manager too (review finding)."""
+    slist = make_asset_list()
+    space = model.Space('det', VIDFORMAT, plugins.AudioFormat())
+    seq = model.Sequence(type='video', x=0, y=0.0, height=1.0, items=[
+        model.SequenceItem(source=model.AssetStreamRef('red', 'video'),
+                           offset=0, length=10)])
+    space[0:0] = [seq]
+    live = SpaceVideoManager(space, slist)
+
+    fired = []
+    live.frames_updated.connect(lambda *a: fired.append(a[-2:]))
+    del space[0]
+    fired.clear()
+    # The dead watcher must not react to further sequence edits...
+    seq[0].update(length=20)
+    assert fired == []
+    # ...and re-adding (the undo path) processes edits exactly once.
+    space[0:0] = [seq]
+    fired.clear()
+    seq[0].update(length=5)
+    before = len(fired)
+    assert before > 0
+    seq[0].update(length=7)
+    assert 0 < len(fired) - before <= 2 * before
+
+
+def test_workspace_rejects_mixed_z_kinds():
+    """Ints and composite tuple z-keys cannot mix in one workspace —
+    rejected at the mutation site, not at render time."""
+    from canvas_tpu import process
+    ws = process.VideoWorkspace()
+    ws.add(x=0, length=10, z=(-1.0, 0))
+    with pytest.raises(TypeError):
+        ws.add(x=0, length=10, z=3)
+    item = ws.add(x=0, length=10, z=(-2.0, -1))
+    with pytest.raises(TypeError):
+        item.update(z=0)
+    item.update(z=(-3.0, -2))
+
+
+def test_z_commands_ignore_cross_lane_overlaps():
+    """Bring forward / send back only reorder same-lane items: for a
+    cross-lane rect overlap the lane decides the stacking, so the
+    command must be a clean no-op (no churned z/undo state)."""
+    space = model.Space('xl', VIDFORMAT, plugins.AudioFormat())
+    a = model.Clip(type='video', x=0, y=0.0, length=10, height=1.5)
+    b = model.Clip(type='video', x=5, y=1.0, length=10, height=1.0)
+    space[0:0] = [a, b]
+    assert b in a.overlap_items()          # rects overlap (x AND y)
+
+    cmd = model.SendItemBackCommand(a)
+    cmd.redo()
+    assert (a.z, b.z) == (0, 1)            # untouched: lanes decide
+
+    # same-lane pair still reorders
+    b.update(y=0.0)
+    cmd = model.SendItemBackCommand(a)
+    cmd.redo()
+    assert (a.z, b.z) == (1, 0)
+    cmd.undo()
+    assert (a.z, b.z) == (0, 1)
+
+
 @pytest.mark.parametrize('seed', range(max(3, _SEEDS // 4)))
 def test_editor_session_planner_cache_fuzz(seed):
     """Close the whole invalidation loop: a long-lived RenderPlanner
