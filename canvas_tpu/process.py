@@ -29,8 +29,27 @@ from canvas_tpu.audio import (  # noqa: F401
     AudioFrame, AudioSource, AudioPassThroughFilter, AudioSequence,
     AudioWorkspace)
 from canvas_tpu.clock import (  # noqa: F401
-    PresentationClock, SystemPresentationClock)
-from canvas_tpu.pullqueue import VideoPullQueue  # noqa: F401
+    ClockCallbackHandle, PresentationClock, SystemPresentationClock)
+from canvas_tpu.pullqueue import (  # noqa: F401
+    VideoPullQueue, VideoPullQueueItem)
+from canvas_tpu.sources import WorkspaceItem  # noqa: F401
+
+# The reference exposes separate item types per workspace kind
+# (VideoWorkspace.c:274 / AudioWorkspace.c:230); this build shares one.
+VideoWorkspaceItem = WorkspaceItem
+AudioWorkspaceItem = WorkspaceItem
+
+
+class Offscreen:
+    """GL-era offscreen rendering context (main.c:193-250). The TPU
+    build has no GL path — compiled device programs render offscreen
+    by construction — so this name exists only so reference scripts
+    import; constructing one is an error."""
+
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError(
+            'canvas_tpu has no GL path; device programs already render '
+            'offscreen (see docs/migration.md)')
 
 
 def check_context_supported():

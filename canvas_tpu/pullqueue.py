@@ -13,10 +13,11 @@ import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
-__all__ = ['VideoPullQueue']
+__all__ = ['VideoPullQueue', 'VideoPullQueueItem']
 
 
-class _Item:
+class VideoPullQueueItem:
+    """One queued pull (VideoPullQueue.c item); returned by enqueue()."""
     __slots__ = ('source', 'frame_index', 'window', 'callback', 'data',
                  'cancelled')
 
@@ -81,7 +82,7 @@ class VideoPullQueue:
     def enqueue(self, source, frame_index, window, callback, data=None):
         if self._closed:
             raise RuntimeError('queue is closed')
-        item = _Item(source, frame_index, window, callback, data)
+        item = VideoPullQueueItem(source, frame_index, window, callback, data)
         self._pool.submit(self._work, item)
         return item
 

@@ -327,3 +327,31 @@ def test_workspace_item_update_atomic():
     with pytest.raises(TypeError):
         item.update(x=50, lenght=99)
     assert item.x == 3 and item.length == 10
+
+
+def test_process_namespace_parity():
+    """Every name the reference's process module exports
+    (src/process/main.c:331-407 + tp_name strings across src/process/)
+    exists in canvas_tpu.process, so reference scripts import cleanly."""
+    import canvas_tpu.process as p
+
+    names = '''AnimationFunc AnimationPoint AudioFrame
+        AudioPassThroughFilter AudioSequence AudioSource AudioWorkspace
+        AudioWorkspaceItem ClockCallbackHandle CodecPacketSource
+        CodedImageSource DVReconstructionFilter DVSubsampleFilter
+        EmptyVideoSource FrameFuncPassThroughFilter FrameFunction
+        MPEG2SubsampleFilter Offscreen PresentationClock
+        Pulldown23RemovalFilter RgbaFrameF16 RgbaFrameF32
+        SolidColorVideoSource SystemPresentationClock
+        VideoGainOffsetFilter VideoMixFilter VideoPassThroughFilter
+        VideoPullQueue VideoPullQueueItem VideoScaler VideoSequence
+        VideoSource VideoWorkspace VideoWorkspaceItem get_frame_time
+        get_time_frame time_get_frame NS_PER_SEC LinearFrameFunc
+        LerpFunc POINT_HOLD POINT_LINEAR'''.split()
+    missing = [n for n in names if not hasattr(p, n)]
+    assert not missing, missing
+
+    ws = p.VideoWorkspace()
+    assert isinstance(ws.add(x=0, length=1), p.VideoWorkspaceItem)
+    with pytest.raises(NotImplementedError):
+        p.Offscreen()   # GL-era compat name; no GL path here
