@@ -394,6 +394,70 @@ def test_space_audio_graph_differential_fuzz(seed):
 
 # --- editor session end-to-end: model edits -> graph -> planner caches ------
 
+def test_av_transition_curves_align():
+    """The audio crossfade envelope follows the same linear law as the
+    video sequence's mix curve: at every frame boundary inside a
+    transition, the audio gain at that frame's first sample equals the
+    video mix value (samples interpolate linearly in between)."""
+    import numpy as np
+
+    from canvas_tpu.audio import AudioSource
+    from canvas_tpu.editor.graph.audio import SequenceAudioManager
+    from canvas_tpu.editor.graph.video import SequenceVideoManager
+
+    SPF = 100      # samples per frame in this synthetic setup
+    TL = 4         # transition length in frames
+
+    slist = make_asset_list()   # 'red' ramps r = frame index
+
+    class Const(AudioSource):
+        def __init__(self, v):
+            self.v = v
+
+        def _render(self, frame):
+            n = frame.full_max_sample - frame.full_min_sample + 1
+            frame.data = np.full((n, frame.channels), self.v, np.float32)
+            frame.current_min_sample = frame.full_min_sample
+            frame.current_max_sample = frame.full_max_sample
+
+    slist['zero'] = model.RuntimeSourceAsset(model.RuntimeSource(
+        'zero', {'audio': plugins.AudioStream(Const(0.0))}))
+    slist['one'] = model.RuntimeSourceAsset(model.RuntimeSource(
+        'one', {'audio': plugins.AudioStream(Const(1.0))}))
+
+    # video: solid 'red' ramp crossing into solid 'green'
+    vseq = model.Sequence(type='video', items=[
+        model.SequenceItem(source=model.AssetStreamRef('red', 'video'),
+                           offset=0, length=10),
+        model.SequenceItem(source=model.AssetStreamRef('green', 'video'),
+                           offset=0, length=10, transition_length=TL)])
+    vmgr = SequenceVideoManager(vseq, slist, VIDFORMAT)
+
+    # audio: silence crossing into full-scale, same geometry in samples
+    aseq = model.Sequence(type='audio', items=[
+        model.SequenceItem(source=model.AssetStreamRef('zero', 'audio'),
+                           offset=0, length=10 * SPF),
+        model.SequenceItem(source=model.AssetStreamRef('one', 'audio'),
+                           offset=0, length=10 * SPF,
+                           transition_length=TL * SPF)])
+    amgr = SequenceAudioManager(aseq, slist,
+                                plugins.AudioFormat(sample_rate=48000))
+    samples = np.asarray(amgr.get_frame(0, 16 * SPF - 1, 1).data)[:, 0]
+
+    overlap_start = 10 - TL
+    for k in range(1, TL):
+        f = overlap_start + k
+        px = vmgr.get_frame_f32(f, box2i(0, 0, 0, 0)).pixel(0, 0)
+        # incoming 'green' ramps to value k at overlap step k, so its
+        # rendered green channel / k is the video mix curve's weight
+        video_mix = float(px.g) / k
+        audio_gain = float(samples[f * SPF])
+        assert audio_gain == pytest.approx(video_mix, abs=1e-5), (k,)
+    assert samples[overlap_start * SPF] == pytest.approx(0.0)  # k=0
+    # past the transition the incoming clip is at full level
+    assert samples[10 * SPF + 5] == pytest.approx(1.0)
+
+
 def test_removed_sequence_manager_detaches():
     """Removing a Sequence from a Space must detach the nested
     SequenceVideoManager from the model's signals — an undo that
