@@ -6,7 +6,8 @@ Behavioral rebuild of /root/reference/fluggo/editor/graph/audio.py:23-103.
 from canvas_tpu import process
 from canvas_tpu.audio import AudioSource
 from canvas_tpu.editor import plugins
-from canvas_tpu.editor.graph.common import (apply_geometry_update,
+from canvas_tpu.editor.graph.common import (GEOMETRY_KEYS,
+                                            apply_geometry_update,
                                             forward_stream_dirty)
 from canvas_tpu.editor.model import items as model_items
 from canvas_tpu.editor.model.connectors import AudioSourceRefConnector
@@ -147,9 +148,6 @@ class SequenceAudioManager(plugins.AudioStream):
             # the sequence may have shifted.
             self.frames_updated(dirty_lo, max(dirty_lo, dirty_hi))
 
-    _GEOMETRY_KEYS = frozenset(('offset', 'source', 'length',
-                                'transition_length'))
-
     def _handle_item_updated(self, item, **kw):
         watcher = self.watchers.get(id(item))
         if watcher is None:
@@ -158,7 +156,7 @@ class SequenceAudioManager(plugins.AudioStream):
         # shifts; the primary edit's _resync_and_fire already walked all
         # of them (it diffs ws-vs-model geometry), so reacting to each
         # would make one edit O(n^2) and flood the planner with ranges.
-        if self._GEOMETRY_KEYS.isdisjoint(kw):
+        if GEOMETRY_KEYS.isdisjoint(kw):
             return
         if 'source' in kw and watcher.stream.ref != item.source:
             watcher.stream.set_ref(item.source)
@@ -249,6 +247,14 @@ class SpaceAudioManager(plugins.AudioStream):
         for item in canvas_space:
             if item.type() == 'audio':
                 self.handle_item_added(item)
+
+    def unwatch(self):
+        """Detach from the model entirely (see SpaceVideoManager)."""
+        self.canvas_space.item_added.disconnect(self.handle_item_added)
+        self.canvas_space.item_removed.disconnect(self.handle_item_removed)
+        for watcher in self.watchers.values():
+            watcher.unwatch()
+        self.watchers.clear()
 
     def handle_item_added(self, item):
         if not isinstance(item, model_items.Item):

@@ -5,7 +5,15 @@ edits (x, length, offset) into workspace updates plus dirty ranges; this
 module holds that translation so both managers stay small.
 """
 
-__all__ = ['apply_geometry_update', 'forward_stream_dirty']
+__all__ = ['apply_geometry_update', 'forward_stream_dirty',
+           'GEOMETRY_KEYS']
+
+#: SequenceItem.update kwargs that change rendered output. Both
+#: sequence managers filter on this: the model also emits bare x=
+#: cascade notifications for shifted followers, which the primary
+#: edit's handling already covers.
+GEOMETRY_KEYS = frozenset(('offset', 'source', 'length',
+                           'transition_length'))
 
 
 def forward_stream_dirty(notify, workspace_item, *args):

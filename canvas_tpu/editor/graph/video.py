@@ -11,15 +11,13 @@ model edits into the engine and publish ``frames_updated`` dirty ranges.
 
 from canvas_tpu import process
 from canvas_tpu.editor import plugins
-from canvas_tpu.editor.graph.common import (apply_geometry_update,
+from canvas_tpu.editor.graph.common import (GEOMETRY_KEYS,
+                                            apply_geometry_update,
                                             forward_stream_dirty)
 from canvas_tpu.editor.model import items as model_items
 from canvas_tpu.editor.model.connectors import VideoSourceRefConnector
 
 __all__ = ['SpaceVideoManager', 'SequenceVideoManager']
-
-_GEOMETRY_KEYS = frozenset(('offset', 'source', 'transition_length',
-                            'length'))
 
 
 def _stack_z(item):
@@ -106,6 +104,17 @@ class SpaceVideoManager(plugins.VideoStream):
         for item in canvas_space:
             if item.type() == 'video':
                 self.handle_item_added(item)
+
+    def unwatch(self):
+        """Detach from the model entirely (space AND per-item signals):
+        a Space taken offline/online would otherwise keep every dead
+        manager processing edits (_SpaceSource.take_offline calls
+        this)."""
+        self.canvas_space.item_added.disconnect(self.handle_item_added)
+        self.canvas_space.item_removed.disconnect(self.handle_item_removed)
+        for watcher in self.watchers.values():
+            watcher.unwatch()
+        self.watchers.clear()
 
     def _build_stream(self, item):
         """Stream + source offset for a model item."""
@@ -276,7 +285,7 @@ class SequenceVideoManager(plugins.VideoStream):
         self.frames_updated(dirty_lo, dirty_hi)
 
     def _handle_item_updated(self, item, **kw):
-        if _GEOMETRY_KEYS.isdisjoint(kw):
+        if GEOMETRY_KEYS.isdisjoint(kw):
             return
 
         watcher = self.watchers[item.index]

@@ -141,6 +141,11 @@ class _SpaceSource(_LoadAlertMixin, plugins.Source):
             manager = getattr(self, attr)
             if manager:
                 self.unfollow_alerts(manager)
+                # Detach from the model: a dropped manager must stop
+                # processing Space edits (and its nested sequence
+                # managers theirs), or every offline/online cycle
+                # leaks a live graph.
+                manager.unwatch()
                 setattr(self, attr, None)
         plugins.Source.take_offline(self)
 

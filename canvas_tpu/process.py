@@ -32,7 +32,6 @@ from canvas_tpu.clock import (  # noqa: F401
     ClockCallbackHandle, PresentationClock, SystemPresentationClock)
 from canvas_tpu.pullqueue import (  # noqa: F401
     VideoPullQueue, VideoPullQueueItem)
-from canvas_tpu.sources import WorkspaceItem  # noqa: F401
 
 # The reference exposes separate item types per workspace kind
 # (VideoWorkspace.c:274 / AudioWorkspace.c:230); this build shares one.

@@ -481,6 +481,9 @@ class WorkspaceItem:
             # must not leave the item half-updated
             raise TypeError('unexpected arguments: %r' % sorted(unknown))
         with ws._lock:
+            # validate/coerce EVERYTHING first — "atomically" means a
+            # rejected value must not leave the item half-updated
+            coerced = {}
             for key in fields:
                 if key in kwargs:
                     value = kwargs[key]
@@ -489,7 +492,9 @@ class WorkspaceItem:
                     elif key == 'z':
                         value = _coerce_z(value)
                         ws._check_z_kind(value)
-                    setattr(self, '_' + key, value)
+                    coerced[key] = value
+            for key, value in coerced.items():
+                setattr(self, '_' + key, value)
 
     def __repr__(self):
         return ('WorkspaceItem(x={0._x}, length={0._length}, '

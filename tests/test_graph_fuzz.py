@@ -490,7 +490,8 @@ def test_removed_sequence_manager_detaches():
 
 def test_workspace_rejects_mixed_z_kinds():
     """Ints and composite tuple z-keys cannot mix in one workspace —
-    rejected at the mutation site, not at render time."""
+    rejected at the mutation site, not at render time, and a rejected
+    update leaves the item fully untouched (atomicity contract)."""
     from canvas_tpu import process
     ws = process.VideoWorkspace()
     ws.add(x=0, length=10, z=(-1.0, 0))
@@ -498,8 +499,44 @@ def test_workspace_rejects_mixed_z_kinds():
         ws.add(x=0, length=10, z=3)
     item = ws.add(x=0, length=10, z=(-2.0, -1))
     with pytest.raises(TypeError):
-        item.update(z=0)
+        item.update(x=50, z=0)
+    assert item.x == 0 and item.z == (-2.0, -1)
     item.update(z=(-3.0, -2))
+
+
+def test_space_source_offline_cycle_detaches_managers():
+    """A Space source taken offline must stop its graph managers from
+    processing model edits; offline/online cycles must not multiply
+    live managers (review finding)."""
+    slist = make_asset_list()
+    space = model.Space('cyc', VIDFORMAT, plugins.AudioFormat())
+    space[0:0] = [random_clip(random.Random(1), ['red'])]
+
+    asset = model.SpaceAsset(space, name='cyc')
+    slist['cyc'] = asset          # wires the asset's asset_list
+    source = asset.get_source()
+    source.bring_online()
+    assert not source.offline
+    video = source.get_stream('Video')
+
+    for _ in range(3):
+        source.take_offline()
+        source.bring_online()
+    video2 = source.get_stream('Video')
+
+    fired = []
+    video2.frames_updated.connect(lambda *a: fired.append(a[-2:]))
+    space[0].update(x=space[0].x + 1)
+    once = len(fired)
+    assert once > 0
+    space[0].update(x=space[0].x + 1)
+    assert len(fired) - once == once    # exactly one live manager
+
+    # the pre-cycle manager is dead: editing fires nothing through it
+    dead = []
+    video.frames_updated.connect(lambda *a: dead.append(a[-2:]))
+    space[0].update(x=space[0].x + 1)
+    assert dead == []
 
 
 def test_z_commands_ignore_cross_lane_overlaps():
