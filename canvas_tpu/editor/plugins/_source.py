@@ -262,6 +262,18 @@ class _StreamMixin(AlertPublisher):
             self.set_defined_range(new_range)
         else:
             new_range = old_range
+        # Follow the base's own frames_updated (same coordinates — the
+        # wrapper is an identity pass-through): content edits inside a
+        # nested composition or a live source must surface through
+        # every wrapper on the way up for ranged cache invalidation.
+        followed = getattr(self, '_followed_base', None)
+        if followed is not None:
+            followed.frames_updated.disconnect(self._refire_base_frames)
+            self._followed_base = None
+        if base_filter is not None and hasattr(base_filter,
+                                               'frames_updated'):
+            base_filter.frames_updated.connect(self._refire_base_frames)
+            self._followed_base = base_filter
         self.set_source(base_filter)
         # UNION of old and new ranges (the reference's documented
         # contract; its code takes min() for the end — a bug that was
@@ -273,6 +285,9 @@ class _StreamMixin(AlertPublisher):
         end = None if (old_range[1] is None or new_range[1] is None) \
             else max(old_range[1], new_range[1])
         self.frames_updated(self, start, end)
+
+    def _refire_base_frames(self, *args):
+        self.frames_updated(self, args[-2], args[-1])
 
     def get_static_stream(self):
         raise NotImplementedError

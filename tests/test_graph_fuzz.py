@@ -504,6 +504,55 @@ def test_workspace_rejects_mixed_z_kinds():
     item.update(z=(-3.0, -2))
 
 
+def test_nested_composition_renders_and_invalidates():
+    """A Space used as a clip source inside another Space (the
+    reference's 'spaces can act as sources' axiom): the inner
+    composition renders through the outer graph AND through the batched
+    planner, and an edit INSIDE the inner space propagates out as a
+    correctly rebased frames_updated range that refreshes the outer
+    planner's caches."""
+    import numpy as np
+
+    from canvas_tpu import render
+
+    slist = make_asset_list()
+
+    inner = model.Space('inner', VIDFORMAT, plugins.AudioFormat())
+    inner_clip = model.Clip(type='video', x=0, y=0.0, length=30, height=1.0,
+                            offset=0,
+                            source=model.AssetStreamRef('red', 'video'))
+    inner[0:0] = [inner_clip]
+    slist['comp'] = model.SpaceAsset(inner, name='comp')
+
+    outer = model.Space('outer', VIDFORMAT, plugins.AudioFormat())
+    outer[0:0] = [model.Clip(type='video', x=10, y=0.0, length=20,
+                             height=1.0, offset=0,
+                             source=model.AssetStreamRef('comp', 'Video'))]
+    mgr = SpaceVideoManager(outer, slist)
+    assert not mgr.alerts, str(mgr.alerts[:1])
+
+    # outer frame 15 -> inner frame 5 -> 'red' ramp value 5
+    win = box2i(0, 0, 31, 23)
+    px = mgr.get_frame_f32(15, win).pixel(0, 0)
+    assert px is not None and px.r == pytest.approx(5.0, abs=1e-4)
+
+    planner = render.RenderPlanner(mgr, win)
+    out = np.asarray(planner.render(15, 16))
+    assert float(out[0, 0, 0, 0]) == pytest.approx(5.0, abs=1e-3)
+
+    # Edit INSIDE the inner composition: the outer signal fires with
+    # the rebased range and the outer planner's caches refresh.
+    fired = []
+    mgr.frames_updated.connect(lambda *a: fired.append(a[-2:]))
+    inner_clip.update(offset=7)      # inner frame 5 now shows ramp 12
+    assert fired and any(lo <= 15 <= hi for (lo, hi) in fired), fired
+    px = mgr.get_frame_f32(15, win).pixel(0, 0)
+    assert px.r == pytest.approx(12.0, abs=1e-4)
+    out = np.asarray(planner.render(15, 16))
+    assert float(out[0, 0, 0, 0]) == pytest.approx(12.0, abs=1e-3)
+    planner.close()
+
+
 def test_space_source_offline_cycle_detaches_managers():
     """A Space source taken offline must stop its graph managers from
     processing model edits; offline/online cycles must not multiply
