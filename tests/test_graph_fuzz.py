@@ -211,6 +211,78 @@ def test_space_graph_differential_fuzz(seed):
     run_graph_fuzz(seed)
 
 
+def run_nested_graph_fuzz(seed, n_ops=20):
+    """Differential fuzz with a nested composition in the mix: outer
+    clips reference a SpaceAsset's 'Video' stream, and edits hit BOTH
+    levels — inner edits must propagate through the connector chain as
+    correctly rebased dirty ranges."""
+    rng = random.Random(4000 + seed)
+    names = ['red', 'green', 'blue', 'gray']
+    slist = make_asset_list()
+
+    inner = model.Space('inner', VIDFORMAT, plugins.AudioFormat())
+    inner[0:0] = [random_clip(rng, names) for _ in range(2)]
+    slist['comp'] = model.SpaceAsset(inner, name='comp')
+
+    outer = model.Space('outer', VIDFORMAT, plugins.AudioFormat())
+    outer[0:0] = [random_clip(rng, names),
+                  model.Clip(type='video', x=rng.randrange(0, 40),
+                             y=rng.uniform(0.0, 3.0),
+                             length=rng.randrange(10, 40), height=1.0,
+                             offset=rng.randrange(0, 10),
+                             source=model.AssetStreamRef('comp', 'Video'))]
+
+    live = SpaceVideoManager(outer, slist)
+    assert not live.alerts, str(live.alerts[:1])
+    dirty = DirtyUnion(live)
+    baseline = snapshot(SpaceVideoManager(outer, slist))
+    assert snapshot(live) == baseline
+
+    for step in range(n_ops):
+        dirty.reset()
+        op = rng.choice(['outer_move', 'outer_resize', 'inner_move',
+                         'inner_resize', 'inner_restack', 'inner_add',
+                         'inner_remove'])
+        if op == 'outer_move':
+            rng.choice(list(outer)).update(x=rng.randrange(0, 70),
+                                           y=rng.uniform(0.0, 3.0))
+        elif op == 'outer_resize':
+            rng.choice(list(outer)).update(length=rng.randrange(5, 40),
+                                           offset=rng.randrange(0, 10))
+        elif op == 'inner_move':
+            rng.choice(list(inner)).update(x=rng.randrange(0, 70),
+                                           y=rng.uniform(0.0, 3.0))
+        elif op == 'inner_resize':
+            rng.choice(list(inner)).update(length=rng.randrange(1, 30),
+                                           offset=rng.randrange(0, 6))
+        elif op == 'inner_restack':
+            rng.choice(list(inner)).update(y=rng.uniform(0.0, 3.0))
+        elif op == 'inner_add' and len(inner) < 5:
+            inner[0:0] = [random_clip(rng, names)]
+        elif op == 'inner_remove' and len(inner) > 1:
+            del inner[rng.randrange(len(inner))]
+
+        fresh = snapshot(SpaceVideoManager(outer, slist))
+        live_colors = snapshot(live)
+        assert live_colors == fresh, (
+            'seed %d step %d op %s diverged at %s' % (
+                seed, step, op,
+                [f for f in range(HORIZON)
+                 if live_colors[f] != fresh[f]][:10]))
+        changed = {f for f in range(HORIZON) if fresh[f] != baseline[f]}
+        missed = changed - dirty.frames
+        assert not missed, (
+            'seed %d step %d op %s: frames %s changed but were not in '
+            'any fired frames_updated range' % (
+                seed, step, op, sorted(missed)[:10]))
+        baseline = fresh
+
+
+@pytest.mark.parametrize('seed', range(max(3, _SEEDS // 4)))
+def test_nested_graph_differential_fuzz(seed):
+    run_nested_graph_fuzz(seed)
+
+
 # --- audio graph ------------------------------------------------------------
 
 AUDIO_HORIZON = 2000
