@@ -490,7 +490,15 @@ class AudioWorkspace(_WorkspaceBase, AudioSource):
                             item._x + item._length - 1)
 
             ghost = frame.ghost(g_full_min, g_full_max, g_cur_min, g_cur_max)
-            mix_add_pull(ghost, item.source, 1.0, -(item._x + item._offset))
+            # Composite sample i pulls source sample i - x + offset —
+            # the VIDEO convention (workspace.c:530), deliberately NOT
+            # the reference's audio line (workspace.c:655 rebases by
+            # -(x + offset), inverting offset vs its own video path;
+            # its AudioSequence stores offset and never applies it —
+            # both untested there). The editor model drives A/V clips
+            # with one offset semantic, so audio must match video.
+            mix_add_pull(ghost, item.source, 1.0,
+                         -(item._x - item._offset))
 
             if not ghost.empty:
                 frame.current_min_sample = min(frame.current_min_sample,

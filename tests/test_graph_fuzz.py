@@ -625,6 +625,43 @@ def test_nested_composition_renders_and_invalidates():
     planner.close()
 
 
+def test_nested_composition_audio():
+    """The audio side of spaces-as-sources: an outer audio clip
+    referencing a SpaceAsset's 'Audio' stream mixes the inner space's
+    audio, and inner edits propagate as rebased dirty ranges."""
+    import numpy as np
+
+    from canvas_tpu.editor.graph.audio import SpaceAudioManager
+
+    slist = make_audio_asset_list()   # ramp sources a/b/c
+    inner = model.Space('inner', VIDFORMAT,
+                        plugins.AudioFormat(sample_rate=48000))
+    inner_clip = model.Clip(type='audio', x=0, y=0.0, length=400,
+                            height=1.0, offset=100,
+                            source=model.AssetStreamRef('a', 'audio'))
+    inner[0:0] = [inner_clip]
+    slist['comp'] = model.SpaceAsset(inner, name='comp')
+
+    outer = model.Space('outer', VIDFORMAT,
+                        plugins.AudioFormat(sample_rate=48000))
+    outer[0:0] = [model.Clip(type='audio', x=50, y=0.0, length=300,
+                             height=1.0, offset=0,
+                             source=model.AssetStreamRef('comp', 'Audio'))]
+    mgr = SpaceAudioManager(outer, slist)
+    assert not mgr.alerts, str(mgr.alerts[:1])
+
+    # outer sample 150 -> inner sample 100 -> source sample 200 -> 200%509
+    data = np.asarray(mgr.get_frame(150, 150, 1).data)
+    assert data[0, 0] == pytest.approx((100 + 100) % 509)
+
+    fired = []
+    mgr.frames_updated.connect(lambda *a: fired.append(a[-2:]))
+    inner_clip.update(offset=150)
+    assert fired and any(lo <= 150 <= hi for (lo, hi) in fired), fired
+    data = np.asarray(mgr.get_frame(150, 150, 1).data)
+    assert data[0, 0] == pytest.approx((100 + 150) % 509)
+
+
 def test_space_source_offline_cycle_detaches_managers():
     """A Space source taken offline must stop its graph managers from
     processing model edits; offline/online cycles must not multiply
