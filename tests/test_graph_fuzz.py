@@ -720,6 +720,69 @@ def test_z_commands_ignore_cross_lane_overlaps():
     assert (a.z, b.z) == (0, 1)
 
 
+def run_yaml_roundtrip_fuzz(seed, n_ops=15):
+    """Persistence differential: after a random edit script, the space
+    dumped to YAML and loaded back must render IDENTICALLY on both the
+    video and audio sides (reference space.py:211-221, items.py:775 —
+    any render-relevant attribute the representers drop shows up as a
+    pixel/sample divergence here, which single-example round-trip tests
+    can miss)."""
+    import yaml
+
+    from canvas_tpu.editor.graph.audio import SpaceAudioManager
+
+    rng = random.Random(9000 + seed)
+    vnames = ['red', 'green', 'blue', 'gray']
+    anames = ['a', 'b', 'c']
+    slist = make_asset_list()
+    for name, asset in make_audio_asset_list().items():
+        slist[name] = asset
+
+    space = model.Space('rt', VIDFORMAT,
+                        plugins.AudioFormat(sample_rate=48000))
+    items = [random_clip(rng, vnames) for _ in range(2)]
+    items.append(model.Sequence(
+        type='video', x=rng.randrange(0, 40), y=rng.uniform(0.0, 3.0),
+        height=1.0,
+        items=[random_seq_item(rng, vnames, first=True),
+               random_seq_item(rng, vnames)]))
+    items += [random_audio_clip(rng, anames) for _ in range(2)]
+    space[0:0] = items
+
+    for _ in range(n_ops):
+        it = rng.choice(list(space))
+        op = rng.choice(['move', 'resize', 'seq'])
+        if op == 'move':
+            it.update(x=rng.randrange(0, 70), y=rng.uniform(0.0, 3.0))
+        elif op == 'resize' and not isinstance(it, model.Sequence):
+            it.update(length=rng.randrange(1, 30),
+                      offset=rng.randrange(0, 6))
+        elif op == 'seq' and isinstance(it, model.Sequence):
+            i = rng.randrange(len(it))
+            length = rng.randrange(2, 12)
+            it[i].update(offset=rng.randrange(0, 6), length=length,
+                         transition_length=legal_transition_length(
+                             rng, it, i, length=length))
+            clamp_following_transition(it, i)
+
+    loaded = yaml.load(yaml.dump(space), Loader=yaml.Loader)
+    loaded._video_format = VIDFORMAT
+    loaded._audio_format = plugins.AudioFormat(sample_rate=48000)
+    loaded.fixup()
+
+    assert (snapshot(SpaceVideoManager(loaded, slist))
+            == snapshot(SpaceVideoManager(space, slist))), (
+        'seed %d: video render diverged after YAML round trip' % seed)
+    assert (audio_snapshot(SpaceAudioManager(loaded, slist))
+            == audio_snapshot(SpaceAudioManager(space, slist))), (
+        'seed %d: audio render diverged after YAML round trip' % seed)
+
+
+@pytest.mark.parametrize('seed', range(max(4, _SEEDS // 2)))
+def test_yaml_roundtrip_differential_fuzz(seed):
+    run_yaml_roundtrip_fuzz(seed)
+
+
 @pytest.mark.parametrize('seed', range(max(3, _SEEDS // 4)))
 def test_editor_session_planner_cache_fuzz(seed):
     """Close the whole invalidation loop: a long-lived RenderPlanner
