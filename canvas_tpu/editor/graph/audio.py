@@ -218,6 +218,11 @@ class SpaceAudioManager(plugins.AudioStream):
         def handle_updated(self, **kw):
             apply_geometry_update(self.workspace_item,
                                   self.owner.frames_updated, **kw)
+            if ('source' in kw and hasattr(self.stream, 'set_ref')
+                    and self.stream.ref != self.canvas_item.source):
+                # In-place source swap on a space clip — mirror the
+                # video watcher (see _SpaceItemWatcher.handle_updated).
+                self.stream.set_ref(self.canvas_item.source)
 
         def handle_stream_frames(self, *args):
             forward_stream_dirty(self.owner.frames_updated,

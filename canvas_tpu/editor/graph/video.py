@@ -61,6 +61,14 @@ class _SpaceItemWatcher:
     def handle_updated(self, **kw):
         apply_geometry_update(self.workspace_item,
                               self.owner.frames_updated, **kw)
+        if ('source' in kw and hasattr(self.stream, 'set_ref')
+                and self.stream.ref != self.canvas_item.source):
+            # In-place source swap on a space clip (the reference's
+            # watcher ignores these, graph/video.py:43-65 — a latent
+            # stale-render there): re-resolve the connector; its
+            # set_base_filter fires the dirty union, which
+            # handle_stream_frames rebases into space frames.
+            self.stream.set_ref(self.canvas_item.source)
         if 'z' in kw or 'y' in kw:
             ws_item = self.workspace_item
             key = _stack_z(self.canvas_item)

@@ -138,6 +138,8 @@ def run_graph_fuzz(seed, n_ops=30):
         clips = [it for it in space if not isinstance(it, model.Sequence)]
         seqs = [it for it in space if isinstance(it, model.Sequence)]
         ops = ['move', 'resize', 'restack']
+        if clips:
+            ops.append('swap_source')
         if len(space) < 7:
             ops.append('add')
         if len(space) > 2 and clips:
@@ -151,6 +153,9 @@ def run_graph_fuzz(seed, n_ops=30):
         if op == 'move':
             rng.choice(list(space)).update(x=rng.randrange(0, 70),
                                            y=rng.uniform(0.0, 3.0))
+        elif op == 'swap_source':
+            rng.choice(clips).update(
+                source=model.AssetStreamRef(rng.choice(names), 'video'))
         elif op == 'resize':
             target = rng.choice(clips) if clips else rng.choice(list(space))
             if isinstance(target, model.Sequence):
@@ -382,6 +387,8 @@ def run_audio_graph_fuzz(seed, n_ops=25):
         clips = [it for it in space if not isinstance(it, model.Sequence)]
         seqs = [it for it in space if isinstance(it, model.Sequence)]
         ops = ['move', 'resize']
+        if clips:
+            ops.append('swap_source')
         if len(space) < 6:
             ops.append('add')
         if len(space) > 2 and clips:
@@ -395,6 +402,9 @@ def run_audio_graph_fuzz(seed, n_ops=25):
         if op == 'move':
             rng.choice(list(space)).update(x=rng.randrange(0, 1500),
                                            y=rng.uniform(0.0, 3.0))
+        elif op == 'swap_source':
+            rng.choice(clips).update(
+                source=model.AssetStreamRef(rng.choice(names), 'audio'))
         elif op == 'resize':
             target = rng.choice(clips) if clips else rng.choice(list(space))
             if isinstance(target, model.Sequence):
