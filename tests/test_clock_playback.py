@@ -661,3 +661,60 @@ def test_reverse_eviction_keeps_upcoming_frames():
         assert len(cached) <= engine.ring_frames * 2
     finally:
         engine.stop()
+
+
+def test_pull_queue_custom_dispatch_and_failure_delivers_none():
+    """Custom *dispatch* marshals callbacks wherever the app wants
+    (VideoPullQueue.c:72-97 marshals onto the GLib loop), and a source
+    that raises still delivers frame=None so the UI never waits forever."""
+    pending = []
+    queue = VideoPullQueue(dispatch=pending.append)
+    try:
+        results = []
+
+        class BoomSource:
+            def get_frame_f16(self, frame_index, window):
+                raise RuntimeError('decode exploded')
+
+        queue.enqueue(BoomSource(), 3, box2i(0, 0, 3, 3),
+                      lambda idx, frame, data: results.append((idx, frame,
+                                                               data)),
+                      data='d')
+        deadline = time.time() + 5
+        while not pending and time.time() < deadline:
+            time.sleep(0.01)
+        assert pending and not results   # marshalled, not yet run
+        for fn in pending:
+            fn()
+        assert results == [(3, None, 'd')]
+    finally:
+        queue.close()
+
+
+def test_pull_queue_join_drains_workers():
+    queue = VideoPullQueue()
+    try:
+        results = []
+        src = SolidColorVideoSource((0, 1, 0, 1))
+        for i in range(3):
+            queue.enqueue(src, i, box2i(0, 0, 3, 3),
+                          lambda idx, frame, data: results.append(idx))
+        queue.join(timeout=5)
+        assert sorted(results) == [0, 1, 2]
+        # the pool is rebuilt: the queue still works after join()
+        queue.enqueue(src, 9, box2i(0, 0, 3, 3),
+                      lambda idx, frame, data: results.append(idx))
+        deadline = time.time() + 5
+        while len(results) < 4 and time.time() < deadline:
+            time.sleep(0.01)
+        assert 9 in results
+    finally:
+        queue.close()
+
+
+def test_pull_queue_closed_rejects_enqueue():
+    queue = VideoPullQueue()
+    queue.close()
+    with pytest.raises(RuntimeError):
+        queue.enqueue(SolidColorVideoSource((1, 1, 1, 1)), 0,
+                      box2i(0, 0, 3, 3), lambda *a: None)
