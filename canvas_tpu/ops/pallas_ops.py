@@ -31,6 +31,15 @@ __all__ = ['solid_stack', 'solid_fold', 'region_over',
            'region_over_sep']
 
 
+def _interpret():
+    """CANVAS_PALLAS_INTERPRET=1 runs the Pallas kernels through the
+    Pallas interpreter on whatever backend is active (CI uses it to
+    execute the ACTUAL kernel bodies on CPU and diff them against the
+    jnp fallbacks — tests/test_pallas_interpret.py); without it,
+    non-TPU backends take the jnp fallback paths."""
+    return os.environ.get('CANVAS_PALLAS_INTERPRET', '') == '1'
+
+
 def _fold_mode():
     """Which implementation solid folds use on TPU:
 
@@ -185,7 +194,7 @@ def solid_fold(jnp, jax, P, A, color, box, gain, offset, H, W,
     smem_bytes = (color.size + box.size) * 4 + (gain.size + offset.size) * 4
     if (_use_xla_fold(finalize, prefer_xla)
             or smem_bytes > 36 * 1024     # b128/L6=30.7K ok, b192/L6=46K not
-            or jax.default_backend() != 'tpu'):
+            or (jax.default_backend() != 'tpu' and not _interpret())):
         Pc, Ac = _fold_jnp(jnp, jax, P, A, color, box, gain, offset,
                            H, W)
         if not finalize:
@@ -242,6 +251,7 @@ def solid_fold(jnp, jax, P, A, color, box, gain, offset, H, W,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        interpret=_interpret(),
     )(*args)
 
 
@@ -273,7 +283,7 @@ def region_over(jnp, jax, P, A, layer, dy0, dx0):
         raise ValueError(
             'region_over region (%d, %d) must be a multiple of the '
             '(64, 128) block grid' % (h, w))
-    if jax.default_backend() != 'tpu':
+    if jax.default_backend() != 'tpu' and not _interpret():
         # The region box may overhang the frame's bottom/right edge
         # (planner quantization rounds sizes up within the frame's
         # 64x128-aligned envelope). dynamic_slice/update CLAMP
@@ -340,6 +350,7 @@ def region_over(jnp, jax, P, A, layer, dy0, dx0):
         out_shape=[jax.ShapeDtypeStruct(P.shape, jnp.float32),
                    jax.ShapeDtypeStruct(A.shape, jnp.float32)],
         input_output_aliases={2: 0, 3: 1},
+        interpret=_interpret(),
     )(offs, layer, P, A)
 
 
@@ -363,7 +374,7 @@ def region_over_sep(jnp, jax, P, A, color, ry, rx, dy0, dx0):
         raise ValueError(
             'region_over_sep region (%d, %d) must be a multiple of the '
             '(64, 128) block grid' % (h, w))
-    if jax.default_backend() != 'tpu':
+    if jax.default_backend() != 'tpu' and not _interpret():
         layer = (color[:, :, None, None] * ry[:, None, :, None]
                  * rx[:, None, None, :])
         return region_over(jnp, jax, P, A, layer, dy0, dx0)
@@ -418,4 +429,5 @@ def region_over_sep(jnp, jax, P, A, color, ry, rx, dy0, dx0):
         out_shape=[jax.ShapeDtypeStruct(P.shape, jnp.float32),
                    jax.ShapeDtypeStruct(A.shape, jnp.float32)],
         input_output_aliases={4: 0, 5: 1},
+        interpret=_interpret(),
     )(offs, color, ry[:, :, None], rx[:, None, :], P, A)

@@ -1153,6 +1153,8 @@ def _trace_env_key(key):
     fold = os.environ.get('CANVAS_FOLD_MODE', 'hybrid')
     if fold != 'hybrid':
         tags.append('fold_' + fold)
+    if os.environ.get('CANVAS_PALLAS_INTERPRET', '') == '1':
+        tags.append('pallas_interp')
     return (key, tuple(tags)) if tags else key
 
 

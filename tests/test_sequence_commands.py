@@ -512,3 +512,129 @@ def test_slide_two_around():
             assert sequence[1].x == 10 + current
             assert sequence[2].x == 20 + current
             assert sequence[3].x == 30
+
+
+# --- AdjustSequenceItemStart/LengthCommand (commands.py:822-946) ---
+
+
+def test_adjust_start_middle_eats_transition():
+    """Start trim of a middle item: offset moves into the media
+    (offset+, length-) and the transition to the PREVIOUS item
+    shrinks by the same amount; x of everything else is untouched."""
+    sequence = seq3(trans2=3)
+    item = sequence[1]
+    command = model.AdjustSequenceItemStartCommand(item, 2)
+    command.redo()
+    assert (item.offset, item.length, item.transition_length) == (3, 8, 1)
+    assert sequence.x == 10
+    command.undo()
+    assert (item.offset, item.length, item.transition_length) == (1, 10, 3)
+
+
+def test_adjust_start_first_item_moves_sequence():
+    """Trimming the FIRST item's start slides the whole sequence so
+    later items keep their absolute positions."""
+    sequence = seq3()
+    item = sequence[0]
+    command = model.AdjustSequenceItemStartCommand(item, 4)
+    command.redo()
+    assert (item.offset, item.length) == (5, 6)
+    assert item.transition_length == 0
+    assert sequence.x == 14
+    command.undo()
+    assert (item.offset, item.length) == (1, 10)
+    assert sequence.x == 10
+
+
+def test_adjust_start_merge_accumulates():
+    """Drag gestures merge successive commands into one undo entry."""
+    sequence = seq3()
+    item = sequence[0]
+    c1 = model.AdjustSequenceItemStartCommand(item, 2)
+    c1.redo()
+    c2 = model.AdjustSequenceItemStartCommand(item, 3)
+    c2.redo()
+    assert c1.mergeWith(c2)
+    assert c1.offset == 5
+    assert sequence.x == 15
+    c1.undo()
+    assert (item.offset, item.length) == (1, 10)
+    assert sequence.x == 10
+
+
+def test_adjust_start_merge_rejects_other_item():
+    sequence = seq3()
+    c1 = model.AdjustSequenceItemStartCommand(sequence[1], 1)
+    c2 = model.AdjustSequenceItemStartCommand(sequence[2], 1)
+    assert not c1.mergeWith(c2)
+    c3 = model.AdjustSequenceItemLengthCommand(sequence[1], 1)
+    assert not c1.mergeWith(c3)
+
+
+def test_adjust_start_no_room():
+    sequence = seq3(trans2=3)
+    # length would hit zero
+    with pytest.raises(model.NoRoomError):
+        model.AdjustSequenceItemStartCommand(sequence[0], 10)
+    # extending start (negative offset) grows the transition past the
+    # room left in the previous item
+    with pytest.raises(model.NoRoomError):
+        model.AdjustSequenceItemStartCommand(sequence[1], -8)
+    # moving the start past the start of the next item's transition
+    sequence2 = seq3(trans3=4)
+    with pytest.raises(model.NoRoomError):
+        model.AdjustSequenceItemStartCommand(sequence2[1], 7)
+    # detached item
+    with pytest.raises(RuntimeError):
+        model.AdjustSequenceItemStartCommand(
+            model.SequenceItem(source=ref('x'), offset=0, length=5), 1)
+
+
+def test_adjust_length_grows_next_transition():
+    """Length trim keeps neighbors in place: the NEXT item's
+    transition absorbs the change."""
+    sequence = seq3(trans3=2)
+    item = sequence[1]
+    command = model.AdjustSequenceItemLengthCommand(item, 3)
+    command.redo()
+    assert item.length == 13
+    assert sequence[2].transition_length == 5
+    command.undo()
+    assert item.length == 10
+    assert sequence[2].transition_length == 2
+
+
+def test_adjust_length_last_item_no_next():
+    sequence = seq3()
+    item = sequence[2]
+    command = model.AdjustSequenceItemLengthCommand(item, -4)
+    command.redo()
+    assert item.length == 6
+    command.undo()
+    assert item.length == 10
+
+
+def test_adjust_length_merge_accumulates():
+    sequence = seq3(trans3=1)
+    item = sequence[1]
+    c1 = model.AdjustSequenceItemLengthCommand(item, 2)
+    c1.redo()
+    c2 = model.AdjustSequenceItemLengthCommand(item, 1)
+    c2.redo()
+    assert c1.mergeWith(c2)
+    assert c1.offset == 3
+    assert (item.length, sequence[2].transition_length) == (13, 4)
+    c1.undo()
+    assert (item.length, sequence[2].transition_length) == (10, 1)
+
+
+def test_adjust_length_no_room():
+    sequence = seq3()
+    with pytest.raises(model.NoRoomError):
+        model.AdjustSequenceItemLengthCommand(sequence[0], -10)
+    # growing the next item's transition past its room
+    with pytest.raises(model.NoRoomError):
+        model.AdjustSequenceItemLengthCommand(sequence[1], 11)
+    with pytest.raises(RuntimeError):
+        model.AdjustSequenceItemLengthCommand(
+            model.SequenceItem(source=ref('x'), offset=0, length=5), 1)
