@@ -35,6 +35,42 @@ void cav_packet_free(CavPacket *);
 CavVideoDec *cav_video_decoder_open(const char *, int, char *, int);
 void cav_video_decoder_close(CavVideoDec *);
 int cav_video_decode_rgba(CavVideoDec *, int64_t, uint8_t *, int, int);
+int cav_video_decode_planar(CavVideoDec *, int64_t, uint8_t *, uint8_t *,
+                            uint8_t *, int *, int64_t, int64_t);
+}
+
+// Feed one corrupted byte stream through open -> demux -> decode; the
+// sanitizer is the assertion (overreads in the packet loop or plane
+// copies trip ASAN), plus a sanity cap on how much can come out.
+static void drain_corrupt(const char *path) {
+    char err[512] = {0};
+    CavFormat *fmt = cav_open(path, err, sizeof(err));
+    if (fmt) {
+        CavPacket pkt;
+        int packets = 0;
+        while (packets < 1000 && cav_read_packet(fmt, 0, &pkt) == 1) {
+            packets++;
+            cav_packet_free(&pkt);
+        }
+        assert(packets < 1000 && "demux of corrupt file must terminate");
+        cav_close(fmt);
+    }
+    CavVideoDec *dec = cav_video_decoder_open(path, -1, err, sizeof(err));
+    if (dec) {
+        std::vector<uint8_t> rgba(64 * 48 * 4);
+        std::vector<uint8_t> y(64 * 48), cb(64 * 48), cr(64 * 48);
+        int dims[6] = {0};
+        for (int i = 0; i < 12; i++) {
+            if (cav_video_decode_rgba(dec, i, rgba.data(), 64, 48) <= 0)
+                break;
+        }
+        // planar path with tight capacities: capacity checks, not the
+        // file's claimed dimensions, must bound the copies
+        cav_video_decode_planar(dec, 0, y.data(), cb.data(), cr.data(),
+                                dims, (int64_t)y.size(),
+                                (int64_t)cb.size());
+        cav_video_decoder_close(dec);
+    }
 }
 
 int main() {
@@ -81,6 +117,45 @@ int main() {
     int early = out[(24 * 64 + 32) * 4];
     assert(late > early + 50 && "ramp decoded");
     cav_video_decoder_close(dec);
+
+    // Corrupt-input robustness: truncations and bit-flips of the file
+    // just written must fail cleanly (Python sees IOError; here the
+    // sanitizer catches any overread/overwrite).
+    std::vector<uint8_t> good;
+    {
+        FILE *f = fopen(path, "rb");
+        assert(f);
+        fseek(f, 0, SEEK_END);
+        long n = ftell(f);
+        fseek(f, 0, SEEK_SET);
+        good.resize((size_t)n);
+        assert(fread(good.data(), 1, good.size(), f) == good.size());
+        fclose(f);
+    }
+    const char *bad = "/tmp/canvas_av_selftest_bad.avi";
+    size_t cuts[] = {1, 8, 64, 256, good.size() / 4, good.size() / 2,
+                     good.size() - 64, good.size() - 1};
+    for (size_t cut : cuts) {
+        FILE *f = fopen(bad, "wb");
+        assert(f);
+        fwrite(good.data(), 1, cut, f);
+        fclose(f);
+        drain_corrupt(bad);
+    }
+    uint64_t lcg = 0x2545F4914F6CDD1DULL;   // deterministic bit flips
+    for (int round = 0; round < 8; round++) {
+        std::vector<uint8_t> flip(good);
+        for (int k = 0; k < 24; k++) {
+            lcg = lcg * 6364136223846793005ULL + 1442695040888963407ULL;
+            flip[(size_t)(lcg % flip.size())] ^= (uint8_t)(lcg >> 32);
+        }
+        FILE *f = fopen(bad, "wb");
+        assert(f);
+        fwrite(flip.data(), 1, flip.size(), f);
+        fclose(f);
+        drain_corrupt(bad);
+    }
+    remove(bad);
 
     printf("canvas_av selftest OK (%d packets, ramp %d -> %d)\n",
            packets, early, late);
