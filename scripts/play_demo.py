@@ -4,9 +4,10 @@ pulldown) -> workspace -> clock-driven playback engine.
 
 Port of the reference's GTK demo pipeline (/root/reference/main.py:64-98)
 without the widget: presents frames to a callback and reports achieved
-rate.
+rate. With --tk (and a display), opens the stdlib-tkinter player window
+instead — a real-toolkit run with zero extra dependencies.
 
-Usage: play_demo.py INPUT [SECONDS]
+Usage: play_demo.py [--tk] INPUT [SECONDS]
 """
 
 import os
@@ -24,11 +25,13 @@ from fractions import Fraction
 
 
 def main():
-    if len(sys.argv) < 2:
+    args = [a for a in sys.argv[1:] if a != '--tk']
+    use_tk = '--tk' in sys.argv[1:]
+    if not args:
         print(__doc__)
         return 1
-    path = sys.argv[1]
-    seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
+    path = args[0]
+    seconds = float(args[1]) if len(args) > 1 else 3.0
 
     from canvas_tpu import libav, process
     from canvas_tpu.basetypes import box2i
@@ -54,6 +57,19 @@ def main():
 
     workspace = process.VideoWorkspace()
     workspace.add(source=source, x=0, length=100000)
+
+    if use_tk:
+        from canvas_tpu.editor.ui import tkui
+        if not tkui.tk_available():
+            print('--tk: no display reachable (tkinter.Tk() failed); '
+                  'running headless instead')
+        else:
+            clock = SystemPresentationClock()
+            root, widget = tkui.play_window(workspace, clock, rate,
+                                            window, title=path)
+            widget.engine.warm(0)
+            root.mainloop()
+            return 0
 
     presented = []
 
