@@ -112,7 +112,9 @@ def time_get_frame(source, min_frame, max_frame, data_window=None,
     if data_window is None:
         data_window = box2i(0, 0, 719, 479)
 
-    if (not force_eager and backend.get_backend() == 'jax'
+    shape = (data_window.max.y - data_window.min.y + 1,
+             data_window.max.x - data_window.min.x + 1)
+    if (not force_eager and backend.use_jax_for(shape)
             and hasattr(source, 'plan_cuts')):
         from canvas_tpu import render
         planner = render.RenderPlanner(source, data_window)

@@ -19,7 +19,7 @@ __all__ = ['VideoPullQueue', 'VideoPullQueueItem']
 class VideoPullQueueItem:
     """One queued pull (VideoPullQueue.c item); returned by enqueue()."""
     __slots__ = ('source', 'frame_index', 'window', 'callback', 'data',
-                 'cancelled')
+                 'cancelled', 'backend_mode')
 
     def __init__(self, source, frame_index, window, callback, data):
         self.source = source
@@ -28,6 +28,11 @@ class VideoPullQueueItem:
         self.callback = callback
         self.data = data
         self.cancelled = False
+        # backend mode is thread-local (backend._state); capture the
+        # enqueuing thread's choice so pool workers honor it — without
+        # this a force_backend('jax') caller got numpy worker pulls
+        from canvas_tpu import backend
+        self.backend_mode = backend.get_backend()
 
     def cancel(self):
         """Best-effort cancel (VideoPullQueue.c:48 volatile flag)."""
@@ -42,10 +47,11 @@ class VideoPullQueue:
     (VideoPullQueue.c:110).
     """
 
-    def __init__(self, workers=2, dispatch=None):
+    def __init__(self, workers=2, dispatch=None, planner_cache=32):
         from canvas_tpu import backend
         backend.ensure_initialized(probe=True)  # main-thread init, bounded
         self._workers = workers
+        self._planner_cache = max(1, int(planner_cache))
         self._pool = ThreadPoolExecutor(max_workers=workers,
                                         thread_name_prefix='canvas-pull')
         if dispatch is None:
@@ -89,6 +95,9 @@ class VideoPullQueue:
     def _work(self, item):
         if item.cancelled:
             return
+        from canvas_tpu import backend
+        saved_mode = backend.get_backend()
+        backend.set_backend(item.backend_mode)
         try:
             frame = self._render(item)
         except Exception:
@@ -99,6 +108,8 @@ class VideoPullQueue:
             getLogger(__name__).warning('frame pull failed',
                                         exc_info=True)
             frame = None
+        finally:
+            backend.set_backend(saved_mode)   # pool threads are reused
         if item.cancelled:
             return
 
@@ -116,7 +127,13 @@ class VideoPullQueue:
         eager fallback otherwise."""
         from canvas_tpu import backend
         source, window = item.source, item.window
-        if backend.get_backend() == 'jax' and hasattr(source, 'plan_cuts'):
+        # size-aware backend choice: 'auto' (the production default)
+        # takes the planner for real frame sizes and stays eager/numpy
+        # for tiny pulls — the old `== 'jax'` test made the planner
+        # branch unreachable outside force_backend('jax')
+        shape = (window.max.y - window.min.y + 1,
+                 window.max.x - window.min.x + 1)
+        if backend.use_jax_for(shape) and hasattr(source, 'plan_cuts'):
             try:
                 from canvas_tpu import render
                 from canvas_tpu.frames import RgbaFrameF16
@@ -124,7 +141,7 @@ class VideoPullQueue:
                 with self._planners_lock:
                     entry = self._planners.get(key)
                     if entry is None:
-                        while len(self._planners) > 32:
+                        while len(self._planners) > self._planner_cache:
                             # evict ONE cold planner (close() for
                             # deterministic device-cache teardown);
                             # wholesale clear dumped every warm one

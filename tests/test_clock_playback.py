@@ -718,3 +718,85 @@ def test_pull_queue_closed_rejects_enqueue():
     with pytest.raises(RuntimeError):
         queue.enqueue(SolidColorVideoSource((1, 1, 1, 1)), 0,
                       box2i(0, 0, 3, 3), lambda *a: None)
+
+
+def test_pull_queue_planned_path_matches_eager(jax_backend):
+    """Plannable sources pull through the batched planner inside the
+    queue (pullqueue._render); the delivered frame must match the eager
+    pull bit-for-bit, including subrect and empty current_windows."""
+    from canvas_tpu.sources import VideoWorkspace
+
+    ws = VideoWorkspace()
+    solid = SolidColorVideoSource((0.25, 0.5, 0.75, 1.0),
+                                  window=box2i(1, 1, 2, 2))
+    ws.add(source=solid, x=0, length=4)
+    window = box2i(0, 0, 3, 3)
+    queue = VideoPullQueue()
+    try:
+        results = {}
+        for i in (0, 2, 10):
+            queue.enqueue(ws, i, window,
+                          lambda idx, frame, data: results.__setitem__(
+                              idx, frame))
+        deadline = time.time() + 20
+        while len(results) < 3 and time.time() < deadline:
+            time.sleep(0.01)
+        assert sorted(results) == [0, 2, 10]
+        # the planner branch actually ran (not the eager fallback)
+        assert len(queue._planners) == 1
+        for i in (0, 2):
+            eager = ws.get_frame_f16(i, window)
+            got = results[i]
+            assert got.current_window == eager.current_window
+            np.testing.assert_array_equal(np.asarray(got.data),
+                                          np.asarray(eager.data))
+        # frame past the clip: empty window, no pixels
+        empty = results[10]
+        assert empty.pixel(1, 1) is None
+        ew = empty.current_window
+        assert ew.max.x < ew.min.x or ew.max.y < ew.min.y
+    finally:
+        queue.close()
+
+
+def test_pull_queue_planner_lru_eviction(jax_backend):
+    """The per-(source, window) planner cache is a bounded LRU; evicted
+    planners are close()d for deterministic device-cache teardown."""
+    import threading
+    from unittest import mock
+
+    from canvas_tpu import render
+    from canvas_tpu.sources import VideoPassThroughFilter
+
+    queue = VideoPullQueue(planner_cache=2)
+    try:
+        sources = [
+            VideoPassThroughFilter(SolidColorVideoSource((i / 8, 0, 0, 1)))
+            for i in range(5)
+        ]
+        orig_close = render.RenderPlanner.close
+        with mock.patch.object(render.RenderPlanner, 'close',
+                               autospec=True,
+                               side_effect=orig_close) as closes:
+            for src in sources:
+                done = threading.Event()
+                queue.enqueue(src, 0, box2i(0, 0, 3, 3),
+                              lambda idx, frame, data: done.set())
+                assert done.wait(20)
+            assert len(queue._planners) <= 3
+            assert closes.call_count >= 2
+    finally:
+        queue.close()
+
+
+def test_time_get_frame_planner_and_eager(jax_backend):
+    """process.time_get_frame (src/process/main.c:120-167): both the
+    batched-planner branch and force_eager return elapsed ns > 0."""
+    from canvas_tpu.process import time_get_frame
+    from canvas_tpu.sources import VideoWorkspace
+
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource((1, 0, 0, 1)), x=0, length=4)
+    window = box2i(0, 0, 15, 15)
+    assert time_get_frame(ws, 0, 3, window) > 0
+    assert time_get_frame(ws, 0, 3, window, force_eager=True) > 0
