@@ -436,3 +436,47 @@ def test_dv_audio_end_to_end(tmp_path):
     assert not vframe.current_window.empty()
     px = vframe.pixel(360, 240)
     assert px.g > px.r and px.g > px.b
+
+
+def test_x264_params_to_options_full_surface():
+    """Every X264EncoderParams knob lands in the option string
+    (X264VideoEncoder.c:41-45 kwargs surface)."""
+    from fractions import Fraction
+    params = x264.X264EncoderParams(
+        preset='fast', tune='film', width=64, height=48,
+        constant_ratefactor=18.5, constant_quantizer=23,
+        bitrate=900, vbv_max_bitrate=1200, annex_b=True,
+        repeat_headers=True, sample_aspect_ratio=Fraction(10, 11),
+        interlaced=True)
+    opts = params.to_options().split(':')
+    assert 'preset=fast' in opts
+    assert 'tune=film' in opts
+    assert 'crf=18.5' in opts
+    assert 'qp=23' in opts
+    assert 'vbv-maxrate=1200' in opts and 'vbv-bufsize=1200' in opts
+    assert 'annexb=1' in opts
+    assert 'repeat-headers=1' in opts
+    assert 'sar=10' in opts and '11' in opts  # 'sar=10:11' splits on ':'
+    assert 'flags=+ildct+ilme' in opts
+    assert x264.X264EncoderParams(
+        preset='fast', width=4, height=4,
+        annex_b=False).to_options().count('annexb=0') == 1
+
+
+def test_x264_split_nals_avcc_and_annexb():
+    """_split_nals handles both extradata layouts libavcodec emits
+    (X264VideoEncoder.c:387-388 exposes sps/pps/sei)."""
+    sps = bytes([0x67, 0x64, 0x00, 0x1E, 0xAC])
+    pps = bytes([0x68, 0xEB, 0xE3, 0xCB])
+    sei = bytes([0x06, 0x05, 0x10, 0x01])
+    # avcC: version 1, profile/compat/level, 0xFF, 0xE1 (1 sps)
+    avcc = bytes([1, 0x64, 0x00, 0x1E, 0xFF, 0xE1,
+                  0, len(sps)]) + sps + bytes([1, 0, len(pps)]) + pps
+    got = x264._split_nals(avcc)
+    assert got == (sps, pps, b'')
+    # Annex B with mixed 3- and 4-byte start codes
+    annexb = (b'\x00\x00\x00\x01' + sps + b'\x00\x00\x01' + pps +
+              b'\x00\x00\x00\x01' + sei)
+    got = x264._split_nals(annexb)
+    assert got == (sps, pps, sei)
+    assert x264._split_nals(b'') == (b'', b'', b'')

@@ -190,3 +190,93 @@ def test_write_interleaved_blocks_orders_by_pts():
     tracks = [w[1] for w in written]
     switches = sum(1 for a, b in zip(tracks, tracks[1:]) if a != b)
     assert switches > 10
+
+
+def test_tags_dates_and_cue_duration(tmp_path):
+    """Tags/Target/SimpleTag, DateUTC, interlaced+crop video metadata,
+    and CueDuration all encode; libavformat still opens the file
+    (matroska.py:331-494 structures)."""
+    import datetime
+
+    libav = pytest.importorskip('canvas_tpu.libav')
+    if not libav.available():
+        pytest.skip('native canvas_av unavailable')
+
+    path = str(tmp_path / 'tagged.mkv')
+    with open(path, 'wb') as fd:
+        writer = mkv.MatroskaWriter(fd)
+        writer.write_start(
+            writing_app='canvas-test',
+            duration=0.0,
+            title='Tagged Movie',
+            date_utc=datetime.datetime(2026, 8, 19, 12, 0, 0),
+            timecode_scale=1000000)
+        writer.add_tag(mkv.Tag(
+            [mkv.Target('MOVIE', target_type_value=50)],
+            [mkv.SimpleTag('ARTIST', 'Canvas TPU'),
+             mkv.SimpleTag('COMMENT', b'\x01\x02\x03',
+                           language='eng', is_default_language=False)]))
+        writer.write_tracks([mkv.Track(
+            number=1, uid=1, type_=mkv.TrackType.VIDEO,
+            codec_id='V_UNCOMPRESSED', lacing=False,
+            video=mkv.TrackVideo(8, 8, interlaced=True,
+                                 pixel_crop=(1, 2, 3, 4),
+                                 display_width=16, display_height=8))])
+        frame = bytes(8 * 8 * 3)
+        for i in range(3):
+            writer.write_simple_block(1, i * 40, frame, keyframe=True)
+        writer.write_end(duration=120.0)
+
+    raw = open(path, 'rb').read()
+    # tag payloads landed in the file
+    assert b'ARTIST' in raw and b'Canvas TPU' in raw
+    assert b'Tagged Movie' in raw
+    container = libav.AVContainer(path)
+    assert 'matroska' in container.format_name
+    container.close()
+
+
+def test_cue_point_duration_and_negative_time():
+    cp = mkv.CuePoint(100, [mkv.CueTrackPosition(1, 0)], duration=40)
+    body = cp.encode()
+    assert mkv.ebml(mkv.CuePoint.CueDuration, 40).encode() in body
+    with pytest.raises(mkv.Error):
+        mkv.CuePoint(-1, [mkv.CueTrackPosition(1, 0)])
+
+
+def test_cluster_rejects_negative_timecode():
+    with pytest.raises(mkv.Error):
+        mkv.Cluster(-5)
+
+
+def test_seek_head_reservation_overflow_and_padding(tmp_path):
+    import io
+    fd = io.BytesIO()
+    head = mkv.SeekHead([], max_count=1)
+    head.reserve(fd)
+    # 2 entries overflow a 1-entry reservation
+    for eid in (0x1254C367, 0x1654AE6B, 0x1C53BB6B):
+        head.contents.append(mkv.Seek(eid, 2 ** 40))
+    with pytest.raises(mkv.Error):
+        head.write(fd)
+
+
+def test_inplace_rewrite_size_change_rejected():
+    import io
+    fd = io.BytesIO()
+    el = mkv.ebml(0x4489, 1.5)
+    el.write(fd)
+    el.contents = 'a much longer payload than one float'
+    with pytest.raises(mkv.Error):
+        el.write(fd)
+
+
+def test_encode_special_scalar_types():
+    # bool, float32 wrapper, date, negative int (signed encode)
+    assert mkv.ebml(0x4484, True).encode_body() == b'\x01'
+    import struct
+    f32 = mkv.ebml(0x4489, mkv._Float32(0.5)).encode_body()
+    assert f32 == struct.pack('>f', 0.5)
+    assert len(mkv.ebml(0x4461, mkv._Date(10 ** 9)).encode_body()) == 8
+    neg = mkv.ebml(0x7BA9, -2).encode_body()
+    assert neg == b'\xfe'
