@@ -800,3 +800,84 @@ def test_time_get_frame_planner_and_eager(jax_backend):
     window = box2i(0, 0, 15, 15)
     assert time_get_frame(ws, 0, 3, window) > 0
     assert time_get_frame(ws, 0, 3, window, force_eager=True) > 0
+
+
+def test_playback_viewport_numpy_path(numpy_backend):
+    """Viewport downscale on the HOST path (planner returned numpy):
+    presented frames are viewport-sized (playback._render_batch_inner
+    host einsum branch)."""
+    from canvas_tpu.playback import VideoPlaybackEngine
+
+    presented = []
+    src = SolidColorVideoSource((0.2, 0.4, 0.6, 1.0))
+    clock = SystemPresentationClock()
+    engine = VideoPlaybackEngine(
+        src, clock, Fraction(100, 1), box2i(0, 0, 15, 15),
+        lambda idx, bgra: presented.append(bgra))
+    try:
+        engine.set_viewport((8, 6))
+        clock.play(1)
+        deadline = time.time() + 15
+        while not presented and time.time() < deadline:
+            time.sleep(0.02)
+        clock.stop()
+        assert presented
+        assert presented[0].shape == (6, 8, 4)
+    finally:
+        engine.stop()
+
+
+def test_playback_viewport_reclamps_on_display_window_change():
+    from canvas_tpu.playback import VideoPlaybackEngine
+
+    src = SolidColorVideoSource((1, 1, 1, 1))
+    clock = SystemPresentationClock()
+    engine = VideoPlaybackEngine(
+        src, clock, Fraction(30, 1), box2i(0, 0, 15, 15),
+        lambda idx, bgra: None)
+    try:
+        engine.set_viewport((8, 8))
+        assert engine._viewport == (8, 8)
+        # shrink one axis below the viewport: clamp
+        engine.set_display_window(box2i(0, 0, 5, 15))
+        assert engine._viewport == (6, 8)
+        # shrink to exactly the viewport: full-size, viewport drops
+        engine.set_display_window(box2i(0, 0, 5, 7))
+        assert engine._viewport is None
+    finally:
+        engine.stop()
+
+
+def test_playback_source_swap_rewires_frames_updated():
+    """set_video_source disconnects the old source's frames_updated and
+    follows the new one (widget_gl_set_video_source role + live-edit
+    invalidation)."""
+    from canvas_tpu.playback import VideoPlaybackEngine
+    from canvas_tpu.signal import Signal
+
+    class SignalledSolid(SolidColorVideoSource):
+        def __init__(self, color):
+            SolidColorVideoSource.__init__(self, color)
+            self.frames_updated = Signal()
+
+    src1 = SignalledSolid((1, 0, 0, 1))
+    src2 = SignalledSolid((0, 1, 0, 1))
+    clock = SystemPresentationClock()
+    engine = VideoPlaybackEngine(
+        src1, clock, Fraction(30, 1), box2i(0, 0, 15, 15),
+        lambda idx, bgra: None)
+    try:
+        with engine._lock:
+            engine._cache[7] = 'sentinel'
+        src1.frames_updated(None, None)
+        assert 7 not in engine._cache
+
+        engine.set_video_source(src2)
+        with engine._lock:
+            engine._cache[9] = 'sentinel'
+        src1.frames_updated(None, None)   # old source: disconnected
+        assert 9 in engine._cache
+        src2.frames_updated(5, 12)        # new source: ranged clear
+        assert 9 not in engine._cache
+    finally:
+        engine.stop()

@@ -480,3 +480,68 @@ def test_x264_split_nals_avcc_and_annexb():
     got = x264._split_nals(annexb)
     assert got == (sps, pps, sei)
     assert x264._split_nals(b'') == (b'', b'', b'')
+
+
+def test_audio_player_zeroes_outside_current_window():
+    """Samples outside the frame's current window play as silence
+    (AlsaPlayer.c:117-156 zeroing), without mutating the source's
+    buffer."""
+    import time
+
+    from canvas_tpu.audio import AudioFrame, AudioSource
+    from canvas_tpu.audioout import AudioPlayer
+
+    class WindowedSource(AudioSource):
+        def get_frame(self, min_sample, max_sample, channels):
+            frame = AudioFrame(min_sample, max_sample, channels,
+                               data=np.ones(
+                                   (max_sample - min_sample + 1, channels),
+                                   np.float32))
+            frame.current_min_sample = max(min_sample, 64)
+            frame.current_max_sample = min(max_sample, 191)
+            if frame.current_max_sample < frame.current_min_sample:
+                frame.set_empty()
+            return frame
+
+    src = WindowedSource()
+    sink = _CaptureSink()
+    player = AudioPlayer(48000, 1, src, sink=sink, chunk_frames=128)
+    try:
+        player.play(1)
+        deadline = time.time() + 5
+        while sum(len(c) for c in sink.chunks
+                  if not isinstance(c, str)) < 256 and \
+                time.time() < deadline:
+            time.sleep(0.01)
+        player.stop()
+        time.sleep(0.05)
+        got = sink.samples()[:256, 0]
+        want = np.zeros(256, np.float32)
+        want[64:192] = 1.0
+        np.testing.assert_array_equal(got, want)
+        # the source's own buffer was not zeroed in place
+        again = src.get_frame(0, 127, 1)
+        np.testing.assert_array_equal(np.asarray(again.data),
+                                      np.ones((128, 1), np.float32))
+    finally:
+        player.close()
+
+
+def test_audio_player_set_and_get_speed():
+    """set(speed, time) repositions and repaces in one call
+    (PresentationClock.set contract); get_speed reports it."""
+    from fractions import Fraction
+
+    from canvas_tpu.audioout import AudioPlayer
+
+    player = AudioPlayer(48000, 1)
+    try:
+        player.set(Fraction(2, 1), 5_000_000_000)
+        assert player.get_speed() == Fraction(2, 1)
+        t0 = player.get_presentation_time()
+        assert t0 >= 5_000_000_000
+        player.set(Fraction(0, 1), 1_000_000_000)
+        assert player.get_speed() == 0
+        assert player.get_presentation_time() == 1_000_000_000
+    finally:
+        player.close()
