@@ -170,3 +170,33 @@ def test_quantize_f16_matches_cast_pair():
     got_np = color.quantize_f16(vals)
     both_nan = np.isnan(want) & np.isnan(got_np)
     assert np.array_equal(want[~both_nan], got_np[~both_nan])
+
+
+def test_transfer_f32_jax_matches_formula(jax_backend):
+    """f32 JAX inputs take the direct-formula branch (_jax_transfer_fns,
+    the non-parity fast path); results match the NumPy formulas."""
+    jnp = backend.jnp
+    x = np.linspace(-0.2, 1.2, 257, dtype=np.float32)
+    for jax_fn, np_fn in [
+            (color.transfer_rec709_to_linear_scene,
+             color.rec709_to_linear_scene),
+            (color.transfer_rec709_to_linear_display,
+             color.rec709_to_linear_display),
+            (color.transfer_linear_to_rec709, color.linear_to_rec709),
+            (color.transfer_linear_to_srgb, color.linear_to_srgb)]:
+        got = np.asarray(jax_fn(jnp.asarray(x)))
+        want = np_fn(x.copy())
+        np.testing.assert_allclose(got, want, atol=2e-6, rtol=2e-6,
+                                   err_msg=np_fn.__name__)
+
+
+def test_transfer_f16_jax_stays_on_lut(jax_backend):
+    """f16 inputs keep the 64K-LUT bit-exact contract on the JAX eager
+    path too (CLAUDE.md invariant; gammatab.c parity)."""
+    jnp = backend.jnp
+    x = np.linspace(0.0, 1.0, 4096, dtype=np.float16)
+    got = np.asarray(color.transfer_linear_to_rec709(jnp.asarray(x)))
+    want = np.asarray(color.transfer_linear_to_rec709(x))
+    assert got.dtype == np.float16 and want.dtype == np.float16
+    np.testing.assert_array_equal(got.view(np.uint16),
+                                  want.view(np.uint16))

@@ -355,3 +355,75 @@ def test_process_namespace_parity():
     assert isinstance(ws.add(x=0, length=1), p.VideoWorkspaceItem)
     with pytest.raises(NotImplementedError):
         p.Offscreen()   # GL-era compat name; no GL path here
+
+
+def test_frame_container_api_surface():
+    """RgbaFrameF16 container protocol: len/frame[i]/width/height/repr
+    (RgbaFrameF16.c frame[i] + .pixel surface)."""
+    import numpy as np
+
+    from canvas_tpu.frames import RgbaFrameF16
+
+    win = box2i(2, 1, 5, 3)   # 4x3
+    data = np.zeros((4, 3, 4), np.float16)
+    data[0, 2, 3] = 0.5   # red at r=2,c=3 -> absolute (x=5, y=3)
+    frame = RgbaFrameF16(win, data=data)
+    assert (frame.width, frame.height) == (4, 3)
+    assert len(frame) == 12
+    got = frame[2 * 4 + 3]
+    assert abs(got.r - 0.5) < 1e-3 and got.a == 0.0
+    assert frame.pixel(5, 3).r == got.r
+    with pytest.raises(IndexError):
+        frame[12]
+    with pytest.raises(IndexError):
+        frame[-1]
+    assert 'RgbaFrameF16' in repr(frame)
+    assert 'full_window' in repr(frame)
+
+
+def test_frame_constructor_validation():
+    import numpy as np
+
+    from canvas_tpu.basetypes import EMPTY_BOX2I
+    from canvas_tpu.frames import RgbaFrameF16, RgbaFrameF32
+
+    with pytest.raises(ValueError):
+        RgbaFrameF16(EMPTY_BOX2I)
+    with pytest.raises(ValueError):
+        RgbaFrameF32(box2i(0, 0, 3, 3), data=np.zeros((4, 3, 4),
+                                                      np.float32))
+    # explicit data defaults current_window to the full window
+    frame = RgbaFrameF16(box2i(0, 0, 1, 1),
+                         data=np.zeros((4, 2, 2), np.float16))
+    assert frame.current_window == box2i(0, 0, 1, 1)
+
+
+def test_frame_to_argb_string_byte_order():
+    """to_argb_string: little-endian ARGB32 = B,G,R,A bytes through the
+    gamma45 ramp (RgbaFrameF16.c:122)."""
+    import numpy as np
+
+    from canvas_tpu.frames import RgbaFrameF16
+    from canvas_tpu.ops import color as color_ops
+
+    data = np.zeros((4, 1, 2), np.float16)
+    data[:, 0, 0] = (1.0, 0.0, 0.0, 1.0)   # pure red, opaque
+    data[:, 0, 1] = (0.0, 1.0, 0.0, 0.5)
+    frame = RgbaFrameF16(box2i(0, 0, 1, 0), data=data)
+    raw = frame.to_argb_string()
+    assert len(raw) == 2 * 4
+    ramped = color_ops.apply_gamma45_u8(data)
+    # pixel 0: B,G,R,A
+    assert raw[0] == ramped[2, 0, 0] and raw[2] == ramped[0, 0, 0]
+    assert raw[3] == ramped[3, 0, 0]
+    # pixel 1 green channel
+    assert raw[4 + 1] == ramped[1, 0, 1]
+
+
+def test_get_frame_rejects_unknown_kwargs():
+    src = process.SolidColorVideoSource((1, 0, 0, 1))
+    with pytest.raises(TypeError):
+        src.get_frame_f16(0, box2i(0, 0, 3, 3), bogus=True)
+    # force_gl maps to the JAX backend (reference tests' toggle)
+    frame = src.get_frame_f16(0, box2i(0, 0, 3, 3), force_gl=True)
+    assert frame.pixel(0, 0).r == 1.0
