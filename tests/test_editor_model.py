@@ -839,3 +839,40 @@ def test_yaml_round_trip_keywords():
     sa = assets_mod.SpaceAsset(space, name='comp', keywords=['wip'])
     loaded = yaml.load(yaml.dump(sa), Loader=yaml.Loader)
     assert loaded.keywords == frozenset(['wip'])
+
+
+def test_plugin_source_missing_plugin_alert():
+    """bring_online with an unknown plugin URN publishes the
+    'unavailable or disabled' alert with a Retry action and stays
+    offline (sources.py:233-368 failure semantics)."""
+    from canvas_tpu.editor.model.assets import PluginSource
+
+    src = PluginSource('clip1', 'urn:canvas-tpu/plugins:does-not-exist',
+                       {'path': 'x.dv'})
+    src.bring_online()
+    assert src.offline
+    assert src.alerts
+    alert = src.alerts[0]
+    assert 'unavailable or disabled' in str(alert)
+    names = [action[0] for action in alert.actions]
+    assert 'Retry' in names
+
+
+def test_asset_list_replace_announces_removal_first():
+    """Replacing a name orphans the old asset AFTER removed() handlers
+    ran (they see it still listed), then adopts the new one."""
+    from canvas_tpu.editor.model.assets import Asset, AssetList
+
+    assets = AssetList()
+    old, new = Asset(name=None), Asset(name=None)
+    assets['a'] = old
+    seen = []
+    assets.removed.connect(
+        lambda name: seen.append((name, assets.assets.get(name),
+                                  assets.assets[name].name)))
+    assets['a'] = new
+    assert seen == [('a', old, 'a')]
+    assert old.name is None and old._asset_list is None
+    assert assets['a'] is new and new.name == 'a'
+    del assets['a']
+    assert new.name is None and len(assets) == 0
