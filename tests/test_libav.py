@@ -517,3 +517,25 @@ def test_planar_encoder_rejects_short_planes():
     with pytest.raises(ValueError):
         while enc.get_next_packet() is not None:
             pass
+
+
+def test_write_video_eager_path_matches_batched(tmp_path):
+    """use_batch=False exports through per-frame eager pulls
+    (writeVideo.c's serial shape); output matches the batched planner
+    export frame-for-frame within codec noise."""
+    src = SolidColorVideoSource(
+        LerpFunc((0.0, 0.2, 0.8, 1.0), (0.8, 0.6, 0.1, 1.0), 25))
+    kw = dict(frame_size=(64, 48), frame_rate=25, video_codec='mpeg4',
+              bit_rate=2_000_000)
+    p_batch = str(tmp_path / 'batched.avi')
+    p_eager = str(tmp_path / 'eager.avi')
+    libav.write_video(p_batch, src, None, 0, 25, **kw)
+    libav.write_video(p_eager, src, None, 0, 25, use_batch=False, **kw)
+    d1 = libav.AVVideoDecoder(p_batch)
+    d2 = libav.AVVideoDecoder(p_eager)
+    for i in (0, 12, 24):
+        a = d1.get_frame_rgba(i, 64, 48).astype(np.int16)
+        b = d2.get_frame_rgba(i, 64, 48).astype(np.int16)
+        assert np.abs(a - b)[:, :, :3].max() <= 4
+    d1.close()
+    d2.close()
