@@ -1496,3 +1496,97 @@ def test_drag_snaps_to_neighbor_edge():
     assert transform.markers and transform.markers[0].axis == 'x'
     drag.drop()
     assert not transform.markers            # markers clear on drop
+
+
+def test_widget_qt_event_adapters():
+    """The Qt event layer routes to the toolkit-independent handlers:
+    dragEnter/Move/Drop extract the asset name from mimeData or the
+    source list widget, _event_xy handles Qt6 position() and Qt5
+    localPos()/pos(), wheelEvent zooms about the cursor."""
+    import fake_qt
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+
+    class _Pt:
+        def __init__(self, x, y):
+            self._x, self._y = x, y
+
+        def x(self):
+            return self._x
+
+        def y(self):
+            return self._y
+
+    class _Ev:
+        """Stub event; which position accessor exists is configurable."""
+
+        def __init__(self, x=0, y=0, accessor='position', text=None,
+                     source_item=None, wheel=None):
+            self.accepted = False
+            pt = _Pt(x, y)
+            setattr(self, accessor, lambda: pt)
+            if text is not None:
+                md = type('MD', (), {'text': staticmethod(lambda: text)})
+                self.mimeData = lambda: md
+            if source_item is not None:
+                item = type('It', (), {'text': staticmethod(
+                    lambda: source_item)})
+                src = type('Src', (), {'currentItem': staticmethod(
+                    lambda: item)})
+                self.source = lambda: src
+            if wheel is not None:
+                delta = _Pt(0, wheel)
+                self.angleDelta = lambda: delta
+
+        def acceptProposedAction(self):
+            self.accepted = True
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+        editor = window.new_space('d', plugins.VideoFormat(frame_rate=24),
+                                  plugins.AudioFormat(sample_rate=48000))
+        stream = plugins.VideoStream(
+            process.SolidColorVideoSource((0, 1, 0, 1)), range=(0, 239),
+            name='video')
+        app.asset_list['green'] = model.RuntimeSourceAsset(
+            model.RuntimeSource('green', {'video': stream}))
+        (_e, widget) = window.editors['d']
+        widget.refresh()
+
+        # dragEnter via mimeData().text(); move via Qt6 position()
+        ev = _Ev(text='green')
+        widget.dragEnterEvent(ev)
+        assert ev.accepted
+        ev = _Ev(x=128, y=30, accessor='position')
+        widget.dragMoveEvent(ev)
+        assert ev.accepted and len(editor.space) == 1
+        # drop via Qt5 localPos()
+        ev = _Ev(x=128, y=30, accessor='localPos')
+        widget.dropEvent(ev)
+        assert ev.accepted
+        assert editor.space[0].x == 48
+
+        # dragEnter falling back to the source widget's current item
+        ev = _Ev(source_item='green')
+        widget.dragEnterEvent(ev)
+        assert ev.accepted
+        widget.dragLeaveEvent(_Ev())
+        assert len(editor.space) == 1
+
+        # wheel zoom via pos() accessor
+        scale0 = widget.transform.pixels_per_second
+        widget.wheelEvent(_Ev(x=100, accessor='pos', wheel=120))
+        assert widget.transform.pixels_per_second > scale0
+        widget.wheelEvent(_Ev(x=100, accessor='pos', wheel=-120))
+        # mouse events route through _event_xy without error
+        widget.mousePressEvent(_Ev(x=10, y=10))
+        widget.mouseMoveEvent(_Ev(x=12, y=10))
+        widget.mouseReleaseEvent(_Ev(x=12, y=10))
+
+        window.closeEvent(None)
+    finally:
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()
