@@ -327,12 +327,19 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=(),
     if got_p is not None:
         cache[key] = got_p
         return got_p['stacks'], got_p['rows']
-    if entry is not None and 'host' in entry:
-        # seed the per-frame cache from the retained host stacks so a
-        # grow decodes only the frames the old entry lacks
-        hy, hcb, hcr = entry['host']
-        for f_old, i in entry['rows'].items():
-            if i >= entry.get('n_real', 0):
+    # seed the per-frame cache from retained host stacks so a grow
+    # decodes only the frames the old entry lacks. `entry` covers grows
+    # within one plan (pipeline chunks); the persistent prefix peek
+    # covers grows ACROSS plans (scrub-ahead: render(0,4) then
+    # render(0,8) previously re-decoded all 8 — a surviving persistent
+    # entry's planes are valid for its source frames because content
+    # edits fire dirty over every root range they affect, which drops
+    # the entry).
+    seed = entry if entry is not None else persist.peek_prefix(key, source)
+    if seed is not None and 'host' in seed:
+        hy, hcb, hcr = seed['host']
+        for f_old, i in seed['rows'].items():
+            if i >= seed.get('n_real', 0):
                 continue
             fkey_old = ('dvframe', id(source), int(quality), f_old)
             if fkey_old not in cache:

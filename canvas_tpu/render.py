@@ -292,6 +292,24 @@ class StageLRU:
                                              else {tuple(serving)})}
             self.bytes += nbytes
 
+    def peek_prefix(self, prefix, source):
+        """Most-recently-used value whose key starts with *prefix*
+        (same kind/source/quality/mesh, any frame tuple) — lets a grown
+        frame set seed per-frame host data from an earlier stack
+        instead of re-decoding everything. Read-only: no LRU reorder,
+        no serving-range registration (the grown entry records its
+        own)."""
+        plen = len(prefix)
+        with self._lock:
+            for key in reversed(self._entries):
+                if key[:plen] != prefix:
+                    continue
+                entry = self._entries[key]
+                if entry['ref']() is not source:
+                    continue
+                return entry['value']
+        return None
+
     def clear(self):
         with self._lock:
             self.gen += 1

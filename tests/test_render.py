@@ -1906,3 +1906,34 @@ def test_planner_quality_zero_means_best_for_coded_pulls():
         assert seen and all(q == 3 for q in seen), seen
     finally:
         planner.close()
+
+
+def test_coded_stack_grow_decodes_only_new_frames():
+    """Growing a staged segment's frame set re-decodes ONLY the missing
+    frames: the retained host stacks seed the per-frame cache
+    (coded._device_plane_stack grow path)."""
+    from canvas_tpu.coded import (CodedImage, CodedImageSource,
+                                  PlanarReconstructionFilter)
+
+    decodes = []
+
+    class Source(CodedImageSource):
+        def get_frame(self, frame_index, quality=0):
+            decodes.append(frame_index)
+            rng = np.random.RandomState(frame_index)
+            return CodedImage([
+                rng.randint(16, 236, (16, 16)).astype(np.uint8),
+                rng.randint(16, 241, (8, 8)).astype(np.uint8),
+                rng.randint(16, 241, (8, 8)).astype(np.uint8)])
+
+    filt = PlanarReconstructionFilter(Source(), width=16, height=16)
+    window = box2i(0, 0, 15, 15)
+    planner = render.RenderPlanner(filt, window)
+    first = planner.render(0, 4)
+    assert sorted(set(decodes)) == list(range(4))
+
+    decodes.clear()
+    grown = planner.render(0, 8)
+    assert sorted(set(decodes)) == [4, 5, 6, 7]
+    np.testing.assert_array_equal(np.asarray(first),
+                                  np.asarray(grown[:4]))
