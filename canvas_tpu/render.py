@@ -1363,6 +1363,72 @@ def _pace_probe(x):
     return _pace_probe_fn(x)
 
 
+def _hbm_budget_bytes():
+    """Device memory budget for the pre-dispatch footprint check.
+
+    ``CANVAS_HBM_MB`` overrides (0 disables the check entirely); else
+    the device's reported ``bytes_limit`` when available; else 16 GiB
+    for a TPU (v5e HBM) — and None (disabled) on CPU, where the check
+    would gate tests on a host-RAM heuristic that doesn't apply."""
+    env = os.environ.get('CANVAS_HBM_MB')
+    if env is not None:
+        mb = float(env)
+        return int(mb * (1 << 20)) if mb > 0 else None
+    try:
+        jax, _ = _jx()
+        dev = jax.devices()[0]
+        if dev.platform == 'cpu':
+            return None
+        stats = dev.memory_stats()
+        if stats and stats.get('bytes_limit'):
+            return int(stats['bytes_limit'])
+    except Exception:
+        return None
+    return 16 << 30
+
+
+def _check_hbm_footprint(batch, window, post, max_inflight, shards):
+    """Estimate the per-device HBM working set of a batched dispatch
+    and refuse clearly-over-budget configs BEFORE compiling: an OOM on
+    this transport poisons the device client beyond in-process
+    recovery (even a 256 KB allocation stays RESOURCE_EXHAUSTED until
+    the process exits), so a pre-flight error is strictly kinder than
+    letting the dispatch fail.
+
+    Model (calibrated against the measured batch sweep on a 16 GiB
+    v5e: 192@depth-3 runs at an estimated 15.9 GiB, 256 OOMs even at
+    depth 2 / 17 GiB): ``depth`` in-flight output buffers — async
+    dispatch holds every pending batch's output — plus ONE f32
+    working frame stack for the executing program. Raises above the
+    budget, logs a warning above 80% of it."""
+    budget = _hbm_budget_bytes()
+    if budget is None:
+        return
+    px = window.width * window.height
+    out_bpp = {None: 8, 'rgba_u8': 4, 'bgra_u8': 4,
+               'yuv420': 1.5}.get(post, 8)
+    depth = max_inflight if max_inflight else 3
+    est = int((depth * out_bpp + 16) * batch * px / max(shards, 1))
+    if est > budget:
+        raise ValueError(
+            'batch %d at %dx%d estimates ~%.1f GiB on-device '
+            '(%d in-flight output buffers + f32 working set) against '
+            'a ~%.1f GiB HBM budget; an OOM would poison the device '
+            'client for the rest of the process. Reduce batch, bound '
+            'max_inflight, or override with CANVAS_HBM_MB '
+            '(0 disables this check).'
+            % (batch, window.width, window.height, est / (1 << 30),
+               depth, budget / (1 << 30)))
+    if est > 0.8 * budget:
+        import logging as _stdlog
+        _stdlog.getLogger('canvas_tpu.render').warning(
+            'batch %d at %dx%d estimates ~%.1f GiB on-device against '
+            'a ~%.1f GiB HBM budget — marginal; consider a smaller '
+            'batch or max_inflight',
+            batch, window.width, window.height, est / (1 << 30),
+            budget / (1 << 30))
+
+
 class RenderPlanner:
     """Plans and executes batched renders of a source over frame ranges."""
 
@@ -1567,6 +1633,8 @@ class RenderPlanner:
         if mesh is not None and batch % mesh.shape[axis] != 0:
             raise ValueError('batch %d not divisible by %d shards'
                              % (batch, mesh.shape[axis]))
+        _check_hbm_footprint(batch, self.window, post, max_inflight,
+                             mesh.shape[axis] if mesh is not None else 1)
 
         plan_cache = getattr(self, '_plan_cache', None)
         if plan_cache is None:
@@ -1816,6 +1884,10 @@ class RenderPlanner:
             # ever-growing stack and recompile per segment.
             self._stage_cache = {}
             self._frame_hints = {}
+            # One synchronous program per segment: depth 1 (the output
+            # is fetched/accumulated before the next segment compiles).
+            _check_hbm_footprint(seg_stop - seg_start, self.window,
+                                 None, 1, 1)
             frames = np.arange(seg_start, seg_stop, dtype=np.int64)
             ctx = PlanContext(self, frames, self.window)
             node = ctx.plan(self.source)

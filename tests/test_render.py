@@ -1937,3 +1937,56 @@ def test_coded_stack_grow_decodes_only_new_frames():
     assert sorted(set(decodes)) == [4, 5, 6, 7]
     np.testing.assert_array_equal(np.asarray(first),
                                   np.asarray(grown[:4]))
+
+
+def test_hbm_footprint_guard(monkeypatch, caplog):
+    """Pre-flight HBM estimate: clearly-over-budget batches refuse
+    BEFORE dispatch (an OOM poisons the device client for the rest of
+    the process), marginal ones warn, CANVAS_HBM_MB=0 disables.
+    Budget tuned so a tiny window exercises all three bands: est =
+    (3 in-flight * 8 B/px + 16) * batch * px."""
+    import logging
+
+    src = SolidColorVideoSource((0.2, 0.4, 0.6, 1.0))
+    window = box2i(0, 0, 191, 107)  # 192x108 = 20736 px
+    est_mb = 40 * 8 * 20736 / (1 << 20)  # ~6.3 MB at batch 8
+
+    planner = render.RenderPlanner(src, window)
+    monkeypatch.setenv('CANVAS_HBM_MB', str(est_mb * 0.9))
+    with pytest.raises(ValueError, match='HBM budget'):
+        next(planner.iter_batches(0, 8, batch=8))
+
+    # marginal band (80-100% of budget): warns, still runs
+    monkeypatch.setenv('CANVAS_HBM_MB', str(est_mb * 1.1))
+    with caplog.at_level(logging.WARNING, logger='canvas_tpu.render'):
+        _, n, out = next(planner.iter_batches(0, 8, batch=8))
+    assert n == 8 and any('marginal' in r.message for r in caplog.records)
+
+    # bounding max_inflight shrinks the estimate below the same budget
+    monkeypatch.setenv('CANVAS_HBM_MB', str(est_mb * 0.9))
+    caplog.clear()
+    _, n, _ = next(planner.iter_batches(0, 8, batch=8, max_inflight=1))
+    assert n == 8
+
+    # 0 disables the check outright
+    monkeypatch.setenv('CANVAS_HBM_MB', '0')
+    _, n, _ = next(planner.iter_batches(0, 8, batch=8))
+    assert n == 8
+    planner.close()
+
+
+def test_hbm_footprint_guard_one_shot_render(monkeypatch):
+    """planner.render() compiles one program per segment, so an
+    oversize range trips the same pre-flight check at depth 1:
+    est = (1 * 8 + 16) * n_frames * px."""
+    src = SolidColorVideoSource((0.2, 0.4, 0.6, 1.0))
+    window = box2i(0, 0, 191, 107)  # 20736 px
+    est_mb = 24 * 16 * 20736 / (1 << 20)
+
+    planner = render.RenderPlanner(src, window)
+    monkeypatch.setenv('CANVAS_HBM_MB', str(est_mb * 0.9))
+    with pytest.raises(ValueError, match='HBM budget'):
+        planner.render(0, 16)
+    out = planner.render(0, 8)  # half the frames fits the same budget
+    assert out.shape[0] == 8
+    planner.close()
