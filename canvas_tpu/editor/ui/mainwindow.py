@@ -395,6 +395,7 @@ def create_main_window(app=None, binding=None):
             self.file_menu = bar.addMenu('&File')
             self.act_open = self.file_menu.addAction('&Open project...')
             self.act_save = self.file_menu.addAction('&Save project...')
+            self.act_render = self.file_menu.addAction('&Render...')
             self.act_quit = self.file_menu.addAction('&Quit')
             self.edit_menu = bar.addMenu('&Edit')
             self.act_undo = self.edit_menu.addAction('&Undo')
@@ -426,8 +427,19 @@ def create_main_window(app=None, binding=None):
                                  (self.act_edit_plugins, self.edit_plugins),
                                  (self.act_edit_decoders,
                                   self.edit_decoders),
+                                 (self.act_render, self._render_requested),
                                  (self.act_quit, self.close)):
                 action.triggered.connect(slot)
+
+            # Async exports (File > Render): progress/finished fan out
+            # to whatever transport/status UI the embedding wires up;
+            # render_requested lets it supply the save path (the
+            # reference prompts with QFileDialog, qttest.py:834).
+            from canvas_tpu.signal import Signal as _Signal
+            self._render_jobs = []
+            self.render_requested = _Signal()
+            self.render_progress = _Signal()
+            self.render_finished = _Signal()
 
         # -- project I/O (qttest.py:795-827) --------------------------
 
@@ -644,20 +656,60 @@ def create_main_window(app=None, binding=None):
                     name, priority, '' if enabled else ', off'))
             return self.decoder_editor
 
-        def render_space(self, path, **kw):
+        def _render_requested(self):
+            """File > Render: the embedding supplies the save path (a
+            real app connects a file dialog here — qttest.py:834 — and
+            calls render_space(path, block=False))."""
+            self.render_requested()
+
+        def render_space(self, path, block=True, **kw):
             """Export the current space with write_video (the render
-            dialog's job, qttest.py:829)."""
-            from canvas_tpu import libav
+            dialog's job, qttest.py:829).
+
+            block=False runs the export on a RenderJob worker thread
+            (the RenderProgressDialog role, qttest.py:862-865) and
+            returns the started job: progress fans out to
+            self.render_progress(done, total), completion to
+            self.render_finished(error), and a failure lands in the
+            alert dock. block=True (scripts, tests) runs inline and
+            returns None."""
             editor = self.current_editor
             rate = editor.space.video_format.frame_rate or \
                 fractions.Fraction(30000, 1001)
             length = max((item.x + item.length for item in editor.space),
                          default=0)
             kw.setdefault('frame_rate', rate)
-            libav.write_video(path, editor.video_stream, None, 0, length,
-                              **kw)
+            if block:
+                from canvas_tpu import libav
+                libav.write_video(path, editor.video_stream, None, 0,
+                                  length, **kw)
+                return None
+
+            from canvas_tpu.editor import plugins as plugins_mod
+            from canvas_tpu.editor.ui.renderprogress import RenderJob
+            job = RenderJob(path, editor.video_stream, None, 0, length,
+                            **kw)
+
+            def on_finished(error):
+                if error is not None:
+                    plugins_mod.PluginManager.alert_manager.show_alert(
+                        plugins_mod.Alert(
+                            'Render to %s failed: %s' % (path, error),
+                            icon=plugins_mod.AlertIcon.Error,
+                            source='render', exc_info=False))
+                if job in self._render_jobs:
+                    self._render_jobs.remove(job)
+                self.render_finished(error)
+
+            job.progress.connect(self.render_progress)
+            job.finished.connect(on_finished)
+            self._render_jobs.append(job)
+            return job.start()
 
         def closeEvent(self, event):
+            for job in list(getattr(self, '_render_jobs', [])):
+                job.cancel()
+                job.join(timeout=10)
             if self.video_widget is not None:
                 self.video_widget.close()
             # tear down each timeline's shared thumbnail pull queue

@@ -1590,3 +1590,61 @@ def test_widget_qt_event_adapters():
     finally:
         qt_mod._qt = old
         fake_qt.QPainter.instances.clear()
+
+
+def test_main_window_async_render(tmp_path):
+    """File > Render flow: render_requested fires from the menu, the
+    block=False path runs on a RenderJob worker with progress fanned
+    out to window.render_progress, and a failing export lands in the
+    alert dock (RenderProgressDialog role, qttest.py:829-865)."""
+    import fake_qt
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+        editor = window.new_space('cut', plugins.VideoFormat(frame_rate=24),
+                                  plugins.AudioFormat(sample_rate=48000))
+        stream = plugins.VideoStream(
+            process.SolidColorVideoSource((0, 1, 0, 1)), range=(0, 47),
+            name='video')
+        app.asset_list['green'] = model.RuntimeSourceAsset(
+            model.RuntimeSource('green', {'video': stream}))
+        app.add_asset_to_space(editor, 'green', x=0, length=12)
+
+        requested = []
+        window.render_requested.connect(lambda: requested.append(1))
+        window.act_render.triggered.emit()
+        assert requested == [1]
+
+        ticks = []
+        done = []
+        window.render_progress.connect(
+            lambda d, total: ticks.append((d, total)))
+        window.render_finished.connect(done.append)
+        out = str(tmp_path / 'cut.avi')
+        job = window.render_space(out, block=False, frame_size=(64, 48),
+                                  video_codec='ffv1', format='avi')
+        assert job in window._render_jobs
+        job.join(timeout=60)
+        assert done == [None]
+        assert ticks and ticks[-1][0] == ticks[-1][1] == 12
+        assert os.path.getsize(out) > 0
+        assert window._render_jobs == []
+
+        # a failing export surfaces in the alert dock
+        done.clear()
+        bad = window.render_space(str(tmp_path / 'nodir' / 'x.avi'),
+                                  block=False, frame_size=(64, 48),
+                                  video_codec='ffv1', format='avi')
+        bad.join(timeout=60)
+        assert len(done) == 1 and done[0] is not None
+        assert any('Render to' in t for t in window.alert_list_widget.items)
+
+        window.closeEvent(None)
+    finally:
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()
