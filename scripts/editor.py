@@ -19,6 +19,58 @@ if os.environ.get('CANVAS_FORCE_CPU'):
     jax.config.update('jax_platforms', 'cpu')
 
 
+def _wire_render_dialog(window, QtWidgets, QtCore):
+    """File > Render against a real binding: prompt for a save path,
+    run render_space(block=False), and poll job progress into the
+    status bar with a GUI-thread timer (RenderJob signals fire on the
+    worker thread — Qt widgets must not be touched from there)."""
+    state = {'done': 0, 'total': 0, 'error': None, 'running': False}
+
+    window.render_progress.connect(
+        lambda done, total: state.update(done=done, total=total))
+
+    def on_finished(error):
+        state.update(error=error, running=False)
+
+    window.render_finished.connect(on_finished)
+
+    timer = QtCore.QTimer(window)
+    timer.setInterval(200)
+
+    def tick():
+        bar = window.statusBar()
+        if state['running']:
+            bar.showMessage('Rendering... %d/%d frames'
+                            % (state['done'], state['total']))
+            return
+        timer.stop()
+        if state['error'] is not None:
+            bar.showMessage('Render failed: %s' % state['error'], 10000)
+        else:
+            bar.showMessage('Render complete (%d frames)'
+                            % state['done'], 5000)
+
+    timer.timeout.connect(tick)
+
+    def prompt():
+        editor = window.current_editor
+        if editor is None or state['running']:
+            return
+        got = QtWidgets.QFileDialog.getSaveFileName(
+            window, 'Render', '', 'AVI files (*.avi);;All files (*)')
+        path = got[0] if isinstance(got, tuple) else got
+        if not path:
+            return
+        area = editor.space.video_format.active_area
+        state.update(done=0, total=0, error=None, running=True)
+        window.render_space(str(path), block=False,
+                            frame_size=(area.width, area.height),
+                            video_codec='ffv1', format='avi')
+        timer.start()
+
+    window.render_requested.connect(prompt)
+
+
 def main():
     from canvas_tpu.editor.ui import qt as qt_shim
 
@@ -29,10 +81,12 @@ def main():
         return 1
 
     QtWidgets = qt_shim._load_qt()[0]
+    QtCore = qt_shim._load_qt()[2]
     from canvas_tpu.editor.ui import create_main_window
 
     qapp = QtWidgets.QApplication(sys.argv)
     window = create_main_window()
+    _wire_render_dialog(window, QtWidgets, QtCore)
     if len(sys.argv) > 1:
         window.open_project(sys.argv[1])
     window.show()

@@ -209,6 +209,59 @@ class QMainWindow(QWidget):
     def menuBar(self):
         return self._menu_bar
 
+    def statusBar(self):
+        bar = getattr(self, '_status_bar', None)
+        if bar is None:
+            bar = self._status_bar = QStatusBar()
+        return bar
+
+
+class QStatusBar:
+    def __init__(self):
+        self.messages = []
+
+    def showMessage(self, text, timeout=0):
+        self.messages.append((text, timeout))
+
+
+class QFileDialog:
+    """Static-prompt fake: tests preset next_path, calls record."""
+
+    next_path = ''
+    calls = []
+
+    @staticmethod
+    def getSaveFileName(parent, caption, directory='', filter=''):
+        QFileDialog.calls.append((caption, filter))
+        return (QFileDialog.next_path, filter)
+
+
+class QTimer:
+    """Manual-tick timer: CI drives ticks; start/stop track state."""
+
+    instances = []
+
+    def __init__(self, parent=None):
+        self.parent = parent
+        self.interval = 0
+        self.timeout = _BoundSignal()
+        self.active = False
+        QTimer.instances.append(self)
+
+    def setInterval(self, ms):
+        self.interval = ms
+
+    def start(self, ms=None):
+        if ms is not None:
+            self.interval = ms
+        self.active = True
+
+    def stop(self):
+        self.active = False
+
+    def isActive(self):
+        return self.active
+
 
 class QImage:
     class Format:
@@ -286,6 +339,7 @@ class QtWidgetsModule:
     QListWidget = QListWidget
     QToolBar = QToolBar
     QApplication = QApplication
+    QFileDialog = QFileDialog
 
 
 class QtGuiModule:
@@ -297,6 +351,7 @@ class QtCoreModule:
     pyqtSignal = Signal
     QSize = QSize
     Qt = Qt
+    QTimer = QTimer
 
 
 def install(qt_module):

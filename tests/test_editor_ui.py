@@ -1648,3 +1648,65 @@ def test_main_window_async_render(tmp_path):
     finally:
         qt_mod._qt = old
         fake_qt.QPainter.instances.clear()
+
+
+def test_editor_script_render_dialog_wiring(tmp_path):
+    """scripts/editor.py's File > Render wiring against the fake
+    binding: the menu action prompts for a path, runs the async job,
+    and the GUI-thread timer polls progress into the status bar."""
+    import runpy
+    import sys as _sys
+
+    import fake_qt
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+
+    mod = runpy.run_path(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        'scripts', 'editor.py'))
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+        editor = window.new_space(
+            'cut',
+            plugins.VideoFormat(frame_rate=24,
+                                full_frame=box2i(0, 0, 63, 47)),
+            plugins.AudioFormat(sample_rate=48000))
+        stream = plugins.VideoStream(
+            process.SolidColorVideoSource((0, 0, 1, 1)), range=(0, 47),
+            name='video')
+        app.asset_list['blue'] = model.RuntimeSourceAsset(
+            model.RuntimeSource('blue', {'video': stream}))
+        app.add_asset_to_space(editor, 'blue', x=0, length=10)
+
+        mod['_wire_render_dialog'](window, fake_qt.QtWidgetsModule,
+                                   fake_qt.QtCoreModule)
+        (timer,) = [t for t in fake_qt.QTimer.instances
+                    if t.parent is window]
+
+        # cancel at the dialog: no job starts
+        fake_qt.QFileDialog.next_path = ''
+        window.act_render.triggered.emit()
+        assert not timer.active and window._render_jobs == []
+
+        out = str(tmp_path / 'cut.avi')
+        fake_qt.QFileDialog.next_path = out
+        window.act_render.triggered.emit()
+        assert timer.active
+        (job,) = window._render_jobs
+        job.join(timeout=60)
+        timer.timeout.emit()           # the GUI tick after completion
+        assert not timer.active
+        assert os.path.getsize(out) > 0
+        messages = window.statusBar().messages
+        assert any('Render complete' in m for m, _t in messages), messages
+
+        window.closeEvent(None)
+    finally:
+        qt_mod._qt = old
+        fake_qt.QPainter.instances.clear()
+        fake_qt.QTimer.instances.clear()
+        fake_qt.QFileDialog.next_path = ''
