@@ -437,6 +437,7 @@ def create_main_window(app=None, binding=None):
             # reference prompts with QFileDialog, qttest.py:834).
             from canvas_tpu.signal import Signal as _Signal
             self._render_jobs = []
+            self._pending_render_alerts = []
             self.render_requested = _Signal()
             self.render_progress = _Signal()
             self.render_finished = _Signal()
@@ -656,6 +657,18 @@ def create_main_window(app=None, binding=None):
                     name, priority, '' if enabled else ', off'))
             return self.decoder_editor
 
+        def flush_render_alerts(self):
+            """Drain worker-thread render failures into the alert dock.
+            Call from the GUI thread (the render-progress timer does)."""
+            from canvas_tpu.editor import plugins as plugins_mod
+            while self._pending_render_alerts:
+                path, error = self._pending_render_alerts.pop(0)
+                plugins_mod.PluginManager.alert_manager.show_alert(
+                    plugins_mod.Alert(
+                        'Render to %s failed: %s' % (path, error),
+                        icon=plugins_mod.AlertIcon.Error,
+                        source='render', exc_info=False))
+
         def _render_requested(self):
             """File > Render: the embedding supplies the save path (a
             real app connects a file dialog here — qttest.py:834 — and
@@ -685,18 +698,18 @@ def create_main_window(app=None, binding=None):
                                   length, **kw)
                 return None
 
-            from canvas_tpu.editor import plugins as plugins_mod
             from canvas_tpu.editor.ui.renderprogress import RenderJob
             job = RenderJob(path, editor.video_stream, None, 0, length,
                             **kw)
 
             def on_finished(error):
+                # Fires on the RenderJob worker thread: alerts refresh
+                # Qt widgets (_refresh_alerts), which must only happen
+                # on the GUI thread — stash the failure and let the
+                # GUI-side poller (scripts/editor.py's timer, or a
+                # test) drain it via flush_render_alerts().
                 if error is not None:
-                    plugins_mod.PluginManager.alert_manager.show_alert(
-                        plugins_mod.Alert(
-                            'Render to %s failed: %s' % (path, error),
-                            icon=plugins_mod.AlertIcon.Error,
-                            source='render', exc_info=False))
+                    self._pending_render_alerts.append((path, error))
                 if job in self._render_jobs:
                     self._render_jobs.remove(job)
                 self.render_finished(error)

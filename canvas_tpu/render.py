@@ -1372,22 +1372,35 @@ def _hbm_budget_bytes():
     would gate tests on a host-RAM heuristic that doesn't apply."""
     env = os.environ.get('CANVAS_HBM_MB')
     if env is not None:
-        mb = float(env)
-        return int(mb * (1 << 20)) if mb > 0 else None
+        try:
+            mb = float(env)
+        except ValueError:
+            import logging as _stdlog
+            _stdlog.getLogger('canvas_tpu.render').warning(
+                'CANVAS_HBM_MB=%r is not a number (want MB, e.g. '
+                '16384); falling back to device detection', env)
+        else:
+            return int(mb * (1 << 20)) if mb > 0 else None
     try:
         jax, _ = _jx()
         dev = jax.devices()[0]
-        if dev.platform == 'cpu':
-            return None
-        stats = dev.memory_stats()
-        if stats and stats.get('bytes_limit'):
-            return int(stats['bytes_limit'])
     except Exception:
         return None
+    if dev.platform == 'cpu':
+        return None
+    # Only the stats lookup is optional: backends that raise from
+    # memory_stats (remote transports) still get the TPU default.
+    try:
+        stats = dev.memory_stats()
+    except Exception:
+        stats = None
+    if stats and stats.get('bytes_limit'):
+        return int(stats['bytes_limit'])
     return 16 << 30
 
 
-def _check_hbm_footprint(batch, window, post, max_inflight, shards):
+def _check_hbm_footprint(batch, window, post, max_inflight, shards,
+                         working_bpp=16):
     """Estimate the per-device HBM working set of a batched dispatch
     and refuse clearly-over-budget configs BEFORE compiling: an OOM on
     this transport poisons the device client beyond in-process
@@ -1399,26 +1412,34 @@ def _check_hbm_footprint(batch, window, post, max_inflight, shards):
     v5e: 192@depth-3 runs at an estimated 15.9 GiB, 256 OOMs even at
     depth 2 / 17 GiB): ``depth`` in-flight output buffers — async
     dispatch holds every pending batch's output — plus ONE f32
-    working frame stack for the executing program. Raises above the
-    budget, logs a warning above 80% of it."""
+    working frame stack for the executing program (``working_bpp=0``
+    for cumulative checks of collectors that retain every batch's
+    output on device; their per-batch working set is checked
+    separately). Raises above the budget, logs a warning above 80%
+    of it."""
     budget = _hbm_budget_bytes()
     if budget is None:
         return
     px = window.width * window.height
     out_bpp = {None: 8, 'rgba_u8': 4, 'bgra_u8': 4,
                'yuv420': 1.5}.get(post, 8)
-    depth = max_inflight if max_inflight else 3
-    est = int((depth * out_bpp + 16) * batch * px / max(shards, 1))
+    # non-positive max_inflight means unbounded (iter_batches
+    # normalizes it the same way)
+    depth = max_inflight if (max_inflight and max_inflight > 0) else 3
+    est = int((depth * out_bpp + working_bpp) * batch * px
+              / max(shards, 1))
     if est > budget:
         raise ValueError(
-            'batch %d at %dx%d estimates ~%.1f GiB on-device '
-            '(%d in-flight output buffers + f32 working set) against '
+            '%d frames at %dx%d estimate ~%.1f GiB on-device '
+            '(%d retained output buffers%s) against '
             'a ~%.1f GiB HBM budget; an OOM would poison the device '
             'client for the rest of the process. Reduce batch, bound '
             'max_inflight, or override with CANVAS_HBM_MB '
             '(0 disables this check).'
             % (batch, window.width, window.height, est / (1 << 30),
-               depth, budget / (1 << 30)))
+               depth,
+               ' + f32 working set' if working_bpp else '',
+               budget / (1 << 30)))
     if est > 0.8 * budget:
         import logging as _stdlog
         _stdlog.getLogger('canvas_tpu.render').warning(
@@ -1873,6 +1894,12 @@ class RenderPlanner:
         jax, jnp = _jx()
         self._plan_mesh = None
         self._watch_frames_updated()
+        # Cumulative pre-flight: every segment's device output stays
+        # retained in `outs` until the final concatenate (which holds
+        # a second full-size buffer) — a multi-segment range's
+        # footprint is the WHOLE range's, not one segment's.
+        _check_hbm_footprint(stop - start, self.window, None, 2, 1,
+                             working_bpp=0)
         outs = []
         windows = []
         for seg_start, seg_stop in self.segments(start, stop):
@@ -2215,6 +2242,13 @@ def render_sharded(source, window, start, stop, mesh=None, axis='frames',
     # path costs real overhead on remote transports for zero
     # parallelism (kept for spatial resharding, which needs the mesh).
     use_mesh = mesh if (n > 1 or spatial_axis is not None) else None
+    # Cumulative pre-flight: this collector retains every batch's
+    # sharded output until the concatenate (second full-size buffer);
+    # per-device bytes divide by the frame-shard count. iter_batches
+    # checks each batch's own working set separately.
+    _check_hbm_footprint(stop - start, planner.window, None, 2,
+                         n if use_mesh is not None else 1,
+                         working_bpp=0)
     if batch is None:
         batch = n * max(1, planner.pipeline_chunk // n)
     else:

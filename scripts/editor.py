@@ -24,13 +24,13 @@ def _wire_render_dialog(window, QtWidgets, QtCore):
     run render_space(block=False), and poll job progress into the
     status bar with a GUI-thread timer (RenderJob signals fire on the
     worker thread — Qt widgets must not be touched from there)."""
-    state = {'done': 0, 'total': 0, 'error': None, 'running': False}
+    state = {'done': 0, 'total': 0, 'error': None, 'job_done': True}
 
     window.render_progress.connect(
         lambda done, total: state.update(done=done, total=total))
 
     def on_finished(error):
-        state.update(error=error, running=False)
+        state.update(error=error, job_done=True)
 
     window.render_finished.connect(on_finished)
 
@@ -39,7 +39,8 @@ def _wire_render_dialog(window, QtWidgets, QtCore):
 
     def tick():
         bar = window.statusBar()
-        if state['running']:
+        window.flush_render_alerts()    # GUI thread: safe to touch docks
+        if not state['job_done']:
             bar.showMessage('Rendering... %d/%d frames'
                             % (state['done'], state['total']))
             return
@@ -54,7 +55,7 @@ def _wire_render_dialog(window, QtWidgets, QtCore):
 
     def prompt():
         editor = window.current_editor
-        if editor is None or state['running']:
+        if editor is None or not state['job_done']:
             return
         got = QtWidgets.QFileDialog.getSaveFileName(
             window, 'Render', '', 'AVI files (*.avi);;All files (*)')
@@ -62,10 +63,17 @@ def _wire_render_dialog(window, QtWidgets, QtCore):
         if not path:
             return
         area = editor.space.video_format.active_area
-        state.update(done=0, total=0, error=None, running=True)
-        window.render_space(str(path), block=False,
-                            frame_size=(area.width, area.height),
-                            video_codec='ffv1', format='avi')
+        # job_done flips False before start so a worker that finishes
+        # instantly still flips it back True; a synchronous failure
+        # (device probe, bad path) resets it so the action can't go
+        # permanently inert
+        state.update(done=0, total=0, error=None, job_done=False)
+        try:
+            window.render_space(str(path), block=False,
+                                frame_size=(area.width, area.height),
+                                video_codec='ffv1', format='avi')
+        except Exception as ex:
+            state.update(error=ex, job_done=True)
         timer.start()
 
     window.render_requested.connect(prompt)

@@ -1642,6 +1642,12 @@ def test_main_window_async_render(tmp_path):
                                   video_codec='ffv1', format='avi')
         bad.join(timeout=60)
         assert len(done) == 1 and done[0] is not None
+        # the worker thread only stashes the failure; the GUI-side
+        # poller drains it into the dock (Qt widgets are not
+        # thread-safe under a real binding)
+        assert not any('Render to' in t
+                       for t in window.alert_list_widget.items)
+        window.flush_render_alerts()
         assert any('Render to' in t for t in window.alert_list_widget.items)
 
         window.closeEvent(None)

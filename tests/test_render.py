@@ -1990,3 +1990,70 @@ def test_hbm_footprint_guard_one_shot_render(monkeypatch):
     out = planner.render(0, 8)  # half the frames fits the same budget
     assert out.shape[0] == 8
     planner.close()
+
+
+def test_hbm_footprint_guard_negative_inflight_is_unbounded(monkeypatch):
+    """max_inflight <= 0 means unbounded (iter_batches normalizes it),
+    so the guard must use the unbounded depth of 3, not a negative
+    multiplier that guts the estimate."""
+    src = SolidColorVideoSource((0.2, 0.4, 0.6, 1.0))
+    window = box2i(0, 0, 191, 107)
+    est_mb = 40 * 8 * 20736 / (1 << 20)
+    planner = render.RenderPlanner(src, window)
+    monkeypatch.setenv('CANVAS_HBM_MB', str(est_mb * 0.9))
+    with pytest.raises(ValueError, match='HBM budget'):
+        next(planner.iter_batches(0, 8, batch=8, max_inflight=-1))
+    planner.close()
+
+
+def test_hbm_footprint_guard_malformed_env(monkeypatch, caplog):
+    """A non-numeric CANVAS_HBM_MB warns (naming the variable) and
+    falls back to device detection instead of crashing the render."""
+    import logging
+
+    src = SolidColorVideoSource((0.2, 0.4, 0.6, 1.0))
+    window = box2i(0, 0, 191, 107)
+    planner = render.RenderPlanner(src, window)
+    monkeypatch.setenv('CANVAS_HBM_MB', '16GB')
+    with caplog.at_level(logging.WARNING, logger='canvas_tpu.render'):
+        _, n, _ = next(planner.iter_batches(0, 8, batch=8))
+    assert n == 8
+    assert any('CANVAS_HBM_MB' in r.message for r in caplog.records)
+    planner.close()
+
+
+def test_hbm_footprint_guard_cumulative_collectors(monkeypatch):
+    """Collectors that retain every batch on device (render across
+    segments, render_sharded) are checked against the WHOLE range's
+    retained footprint — 2 buffers (outs + concatenate) per frame —
+    not just one segment's. Sharded, per-device bytes divide by the
+    frame-shard count."""
+    src = VideoSequence()
+    a = SolidColorVideoSource((1, 0, 0, 1))
+    b = SolidColorVideoSource((0, 0, 1, 1))
+    src.append((a, 0, 8))
+    src.append((b, 0, 8))               # segment cut at frame 8
+    window = box2i(0, 0, 191, 107)      # 20736 px
+    total_mb = 16 * 16 * 20736 / (1 << 20)   # 2 bufs * 8 B/px * 16 f
+
+    planner = render.RenderPlanner(src, window)
+    monkeypatch.setenv('CANVAS_HBM_MB', str(total_mb * 0.9))
+    with pytest.raises(ValueError, match='HBM budget'):
+        planner.render(0, 16)           # each 8-frame segment alone fits
+    out = planner.render(0, 7)
+    assert out.shape[0] == 7
+    planner.close()
+
+    # sharded: 8 devices hold 1/8 of the frames each. At a budget
+    # where the unsharded cumulative raises (5.3 MB > 2 MB), the
+    # sharded per-device cumulative (0.66 MB) and per-batch working
+    # set (0.83 MB at batch 8) both fit.
+    import jax
+    from jax.sharding import Mesh
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ('frames',))
+    monkeypatch.setenv('CANVAS_HBM_MB', '2')
+    with pytest.raises(ValueError, match='HBM budget'):
+        render.RenderPlanner(src, window).render(0, 16)
+    out = render.render_sharded(SolidColorVideoSource((0, 1, 0, 1)),
+                                window, 0, 16, mesh=mesh, batch=8)
+    assert out.shape[0] == 16
