@@ -1845,8 +1845,16 @@ class RenderPlanner:
         # pipeline_chunk (write_video(batch=256) streamed 64-frame
         # dispatches).
         segs = self.segments(start, stop, min_span=batch)
-        pool = ThreadPoolExecutor(max_workers=1,
-                                  thread_name_prefix='canvas-plan')
+        # An abandoned earlier generator may have left its prepare
+        # thread mid-flight (its finally shuts the pool down WITHOUT
+        # waiting so generator close can't hang on a dead transport);
+        # that thread mutates the planner's per-segment staging state,
+        # so drain it before this iterator starts touching the same
+        # fields. Waiting here is safe: this caller is about to use
+        # the device anyway.
+        self._drain_plan_pool()
+        pool = self._plan_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix='canvas-plan')
         try:
             fut = pool.submit(prepare, segs[0]) if segs else None
             for i in range(len(segs)):
@@ -1882,6 +1890,8 @@ class RenderPlanner:
                                                   else out)
         finally:
             pool.shutdown(wait=False)
+            if getattr(self, '_plan_pool', None) is pool:
+                self._plan_pool = None
 
     def render(self, start, stop, device_out=False, with_windows=False):
         """Render frames [start, stop); returns (B, 4, H, W) f16.
@@ -1892,6 +1902,7 @@ class RenderPlanner:
         [x0, y0, x1, y1] (empty encoded max < min).
         """
         jax, jnp = _jx()
+        self._drain_plan_pool()
         self._plan_mesh = None
         self._watch_frames_updated()
         # Cumulative pre-flight: every segment's device output stays
@@ -2160,9 +2171,19 @@ class RenderPlanner:
             updated.connect(self.invalidate_display_cache)
         self._watching_updates = True
 
+    def _drain_plan_pool(self):
+        """Wait out an abandoned iterator's in-flight prepare thread
+        (it mutates the planner's per-segment staging state) before
+        anything else touches those fields."""
+        pool = getattr(self, '_plan_pool', None)
+        if pool is not None:
+            self._plan_pool = None
+            pool.shutdown(wait=True, cancel_futures=True)
+
     def close(self):
         """Deterministic teardown: disconnect from the source's
         frames_updated signal and drop cached plans/stages."""
+        self._drain_plan_pool()
         if getattr(self, '_watching_updates', False):
             updated = getattr(self.source, 'frames_updated', None)
             if updated is not None:

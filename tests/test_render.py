@@ -2057,3 +2057,61 @@ def test_hbm_footprint_guard_cumulative_collectors(monkeypatch):
     out = render.render_sharded(SolidColorVideoSource((0, 1, 0, 1)),
                                 window, 0, 16, mesh=mesh, batch=8)
     assert out.shape[0] == 16
+
+
+def test_abandoned_iterator_prepare_drained_before_reuse():
+    """Abandoning an iter_batches generator mid-stream can leave its
+    prepare thread mutating the planner's staging state (generator
+    close deliberately does NOT wait, so it can't hang on a dead
+    transport); the NEXT iterator/render/close must drain it before
+    touching the same fields, and output must match a fresh planner."""
+    import threading
+
+    from canvas_tpu.frames import VideoSource
+
+    in_prepare = threading.Event()
+    release = threading.Event()
+
+    class Custom(VideoSource):
+        def __init__(self, block_frames=()):
+            super().__init__()
+            self.block_frames = set(block_frames)
+
+        def _render_f16(self, frame_index, frame):
+            if frame_index in self.block_frames:
+                in_prepare.set()
+                release.wait(timeout=30)
+            data = np.zeros((4, frame.full_window.height,
+                             frame.full_window.width), np.float16)
+            data[1] = (frame_index % 7) * 0.1
+            data[3] = 1.0
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    window = box2i(0, 0, 15, 15)
+    # the prepare thread runs one segment ahead: while batch 1 of
+    # segment 0 streams, segment 1's staging pull blocks on `release`
+    src = Custom(block_frames={8})
+    planner = render.RenderPlanner(src, window)
+    planner.pipeline_chunk = 8
+    it = planner.iter_batches(0, 20, batch=4, device_out=False)
+    next(it)
+    assert in_prepare.wait(timeout=30)
+    it.close()                           # returns without waiting
+
+    def unblock():
+        release.set()
+
+    t = threading.Timer(0.2, unblock)
+    t.start()
+    try:
+        # render() drains the in-flight prepare FIRST (this blocks
+        # until the timer releases it), then plans fresh
+        out = planner.render(0, 20)
+    finally:
+        t.cancel()
+    fresh = render.RenderPlanner(Custom(), window)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(fresh.render(0, 20)))
+    fresh.close()
+    planner.close()
