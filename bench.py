@@ -104,11 +104,34 @@ def _start_watchdog(done_event):
 def main():
     import threading
 
-    done = threading.Event()
-    _start_watchdog(done)
-
     from canvas_tpu import backend, render
     from canvas_tpu.basetypes import box2i
+
+    # Wait out a transient tunnel outage (bounded) BEFORE the first
+    # in-process device op: a fully-down transport hangs that op in
+    # native code, so only killable subprocess probes can tell when
+    # it's back. A round-end bench that lands in an outage window then
+    # records the real headline instead of a watchdog zero.
+    # CANVAS_BENCH_WAIT seconds (default 90 min; 0 disables). The
+    # watchdog starts AFTER the wait so it bounds the run itself.
+    wait_budget = float(os.environ.get('CANVAS_BENCH_WAIT', '5400'))
+    wait_t0 = time.monotonic()
+    while wait_budget > 0 and not backend.probe_device(timeout=90,
+                                                       fresh=True):
+        waited = time.monotonic() - wait_t0
+        if waited >= wait_budget:
+            print(json.dumps({
+                'metric': '1080p_10layer_composite_fps_per_chip',
+                'value': 0.0,
+                'unit': 'frames/sec',
+                'vs_baseline': 0.0,
+                'error': 'tpu_unreachable_after_%ds_wait' % int(waited),
+            }), flush=True)
+            os._exit(2)
+        time.sleep(60)
+
+    done = threading.Event()
+    _start_watchdog(done)
 
     window = box2i(0, 0, 1919, 1079)
 

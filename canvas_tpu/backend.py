@@ -84,17 +84,20 @@ def _configured_platforms():
     return value or os.environ.get('JAX_PLATFORMS', '') or ''
 
 
-def probe_device(timeout=None):
+def probe_device(timeout=None, fresh=False):
     """True when the configured JAX platform initializes within
     *timeout* seconds — probed in a SUBPROCESS, because a down remote
     TPU transport hangs ``jax.devices()`` inside native code where no
     in-process watchdog can interrupt it (only a killable process
-    bounds it). Cached for the process lifetime; CPU-configured
-    processes skip the probe entirely.
+    bounds it). Cached for the process lifetime (``fresh=True``
+    re-probes — retry loops waiting out an outage need live answers);
+    CPU-configured processes skip the probe entirely.
 
     CANVAS_DEVICE_PROBE_TIMEOUT overrides the default 45 s; <= 0
     disables probing (always 'reachable')."""
     global _probe_result
+    if fresh:
+        _probe_result = None
     if _probe_result is not None:
         return _probe_result
     platforms = _configured_platforms()
@@ -125,8 +128,13 @@ def probe_device(timeout=None):
         env = dict(os.environ)
         if platforms:
             env['JAX_PLATFORMS'] = platforms
+        # The child must COMPUTE AND FETCH, not just init: an observed
+        # half-up tunnel state lets jax.devices() succeed while the
+        # first executed program (or its result fetch) hangs forever.
         _probe_result = subprocess.run(
-            [sys.executable, '-c', 'import jax; jax.devices()'],
+            [sys.executable, '-c',
+             'import jax, jax.numpy as jnp; jax.devices(); '
+             'assert float(jnp.sum(jnp.ones((8, 8)))) == 64.0'],
             timeout=timeout, stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL, env=env).returncode == 0
     except Exception:

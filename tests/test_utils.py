@@ -301,3 +301,35 @@ def test_signal_builtin_bound_method():
     sig.connect(s.bump)
     sig()
     assert s.hits == 1
+
+
+def test_device_probe_fresh_and_compute_fetch(monkeypatch):
+    """fresh=True re-probes past the process-lifetime cache (outage
+    wait loops need live answers), and the probe child COMPUTES AND
+    FETCHES — an observed half-up tunnel state lets jax.devices()
+    succeed while the first executed program hangs, so an init-only
+    probe reports a dead transport as healthy."""
+    import subprocess
+
+    from canvas_tpu import backend
+
+    monkeypatch.setattr(backend, '_configured_platforms',
+                        lambda: 'axonish')
+    commands = []
+
+    class FakeDone:
+        returncode = 0
+
+    def fake_run(cmd, **kw):
+        commands.append(cmd)
+        return FakeDone()
+
+    monkeypatch.setattr(subprocess, 'run', fake_run)
+    monkeypatch.setenv('CANVAS_DEVICE_PROBE_TIMEOUT', '5')
+    monkeypatch.setattr(backend, '_probe_result', False)
+    # cached False sticks without fresh...
+    assert backend.probe_device() is False
+    # ...and fresh=True re-probes
+    assert backend.probe_device(fresh=True) is True
+    (cmd,) = commands
+    assert 'jnp.sum' in cmd[-1] and 'jax.devices()' in cmd[-1]
