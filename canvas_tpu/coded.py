@@ -42,7 +42,9 @@ class CodedImage:
 
     @property
     def strides(self):
-        return [p.shape[1] * p.dtype.itemsize for p in self.planes]
+        # the real row stride, not shape-derived: planes can be views
+        # sliced from linesize-padded decode buffers
+        return [p.strides[0] for p in self.planes]
 
     @property
     def line_counts(self):
@@ -134,15 +136,19 @@ class PlanarReconstructionFilter(VideoSource):
 
     def _geometry(self):
         if self._size is None:
-            if getattr(self, '_probe_failed', False):
+            # Bounded re-probes: a transient decoder failure (seek
+            # hiccup, I/O error) must not downgrade the filter to host
+            # staging forever, but re-probing per plan re-seeks+decodes
+            # on the prepare thread forever for a stream whose frame 0
+            # is genuinely None (pass width/height explicitly for
+            # those). Any successful eager decode also heals the
+            # geometry permanently (_render_f16 records it).
+            fails = getattr(self, '_probe_fails', 0)
+            if fails >= 3:
                 return None
             image = self.source.get_frame(0, self.quality)
             if image is None:
-                # remember: re-probing per plan re-seeks+decodes on the
-                # prepare thread forever (a None frame 0 stays None for
-                # any real stream; pass width/height explicitly for
-                # streams that start late)
-                self._probe_failed = True
+                self._probe_fails = fails + 1
                 return None
             self._size = (image[0].shape[1], image[0].shape[0])
         return self._size
@@ -153,6 +159,11 @@ class PlanarReconstructionFilter(VideoSource):
         if image is None:
             frame.current_window = EMPTY_BOX2I
             return
+        if self._size is None:
+            # opportunistic geometry healing: the eager fallback runs
+            # exactly when planning couldn't probe, so a successful
+            # decode here restores the batched device path
+            self._size = (image[0].shape[1], image[0].shape[0])
         frame.data, frame.current_window = chroma_ops.reconstruct_planar(
             (image[0], image[1], image[2]), frame.full_window,
             use_jax=backend.use_jax_for(
@@ -227,6 +238,15 @@ class Pulldown23RemovalFilter(VideoSource):
         if frame_offset == 1:
             return base + 1, None
         if frame_offset == 3:
+            # Offset 4's cadence is 'DD EE FF FG GH (0->0, 1->1,
+            # 2->2), (3->3b4a)': outputs with f % 4 == 0 are the FIRST
+            # film frame of the group (source 5g = base - 1 here). The
+            # reference C returns base + 4 for them — one full group
+            # (5 source frames) late — contradicting its own cadence
+            # table; deliberate divergence, like the set_base_filter
+            # range-union fix (Pulldown23RemovalFilter.c:64-66,73-79).
+            if offset == 4:
+                return base - 1, None
             return base + 4, None
         return base + 2, base + 3
 
@@ -268,11 +288,21 @@ class Pulldown23RemovalFilter(VideoSource):
 
     def get_new_length(self, old_length):
         """Length of the video with pulldown removed
-        (Pulldown23RemovalFilter.c:202-234)."""
+        (Pulldown23RemovalFilter.c:202-234).
+
+        Offset 3's last output of every group mixes the group's final
+        source frame with the NEXT group's first ('3->4b5a'), so even
+        a complete group of 5 sources can't finish its 4th output:
+        count = 4*complete + partial - 1. The reference's
+        'partial > 4' branch is unreachable (partial <= 4 always), so
+        it over-reports by one and its own last frame pulls past the
+        source end — deliberate fix."""
         complete = old_length // 5
         new_length = complete * 4
         partial = old_length % 5
-        thresholds = {0: 2, 1: 1, 2: 0, 3: 4, 4: 3}
+        if self.offset == 3:
+            return max(0, new_length + partial - 1)
+        thresholds = {0: 2, 1: 1, 2: 0, 4: 3}
         if partial > thresholds[self.offset]:
             partial -= 1
         return new_length + partial
@@ -535,9 +565,10 @@ def _pulldown_plan_cuts(self, start, stop):
     stop = int(stop)
     if stop <= start:
         return []
-    # The child query window must cover EVERY frame the range pulls:
-    # the cadence map is non-monotonic for offset 4, so derive lo/hi
-    # from the actual per-frame pulls, not the endpoints.
+    # The child query window must cover EVERY frame the range pulls;
+    # derive lo/hi from the actual per-frame pulls, not the endpoints
+    # (robust to any cadence shape, and historically the offset-4 map
+    # was non-monotonic before its cadence fix).
     pulls = []
     for f in range(start, stop):
         a, b = self._map(f)

@@ -498,17 +498,23 @@ class PlanContext:
                 if got_p is not None:
                     entry = cache[key] = got_p
                 else:
-                    if entry is not None and 'host' in entry:
-                        # Grow from a persistent hit: seed the per-frame
-                        # host cache from the retained host stack so
-                        # only the MISSING frames decode (a full
-                        # re-decode of the segment otherwise).
-                        for fw_old, i in entry['rows'].items():
+                    # Grow seeding: the retained host stack means only
+                    # the MISSING frames pull (a full re-pull of the
+                    # segment otherwise). `entry` covers grows within
+                    # one plan; the persistent prefix peek covers grows
+                    # ACROSS plans (scrub-ahead), mirroring the coded
+                    # plane path — valid because content edits fire
+                    # dirty over every root range they affect, which
+                    # drops the entry.
+                    seed = (entry if entry is not None
+                            else persist.peek_prefix(key, source))
+                    if seed is not None and 'host' in seed:
+                        for fw_old, i in seed['rows'].items():
                             fkey = (('stagedframe', id(source), fw_old)
                                     + key[2:3])
-                            if fkey not in cache and i < len(entry['host']):
-                                cache[fkey] = (entry['host'][i],
-                                               entry['windows'][fw_old])
+                            if fkey not in cache and i < len(seed['host']):
+                                cache[fkey] = (seed['host'][i],
+                                               seed['windows'][fw_old])
                     datas = []
                     windows = {}
                     Hn = self.window.height

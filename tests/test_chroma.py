@@ -192,6 +192,21 @@ class TaggedVideoSource(SolidColorVideoSource):
         frame.current_window = full
 
 
+# Ground truth straight from the reference's cadence table
+# (Pulldown23RemovalFilter.c:55-66), NOT re-derived from the code:
+# per offset, the first group's four outputs as solid source index or
+# a (mixed_a, mixed_b) pair; later groups shift by +5 per 4 outputs.
+# For offset 4 the table's '(0->0, 1->1, 2->2), (3->3b4a)' corrects
+# the reference C's own off-by-a-group bug (documented divergence).
+CADENCE_GROUPS = {
+    0: [0, 1, (2, 3), 4],
+    1: [0, (1, 2), 3, 4],
+    2: [(0, 1), 2, 3, 4],
+    3: [1, 2, 3, (4, 5)],
+    4: [0, 1, 2, (3, 4)],
+}
+
+
 @pytest.mark.parametrize('offset', [0, 1, 2, 3, 4])
 def test_pulldown_frame_mapping(offset):
     """Solid frames map per the cadence table
@@ -203,22 +218,18 @@ def test_pulldown_frame_mapping(offset):
     for out_frame in range(8):
         src.calls = []
         frame = filt.get_frame_f16(out_frame, window)
-        fo = ((out_frame + 3) & 3) if offset == 4 else \
-            ((out_frame + offset) & 3)
-        base = ((out_frame + offset) >> 2) * 5 - offset
-        if fo == 0:
-            assert src.calls == [base]
-        elif fo == 1:
-            assert src.calls == [base + 1]
-        elif fo == 3:
-            assert src.calls == [base + 4]
-        else:
-            assert src.calls == [base + 2, base + 3]
-            # mixed frame: even rows from base+3, odd rows from base+2
+        want = CADENCE_GROUPS[offset][out_frame % 4]
+        group_shift = (out_frame // 4) * 5
+        if isinstance(want, tuple):
+            a, b = (w + group_shift for w in want)
+            assert src.calls == [a, b]
+            # mixed frame: even rows from b, odd rows from a
             even = frame.pixel(0, 0).r
             odd = frame.pixel(0, 1).r
-            assert abs(even - (base + 3) / 100.0) < 1e-3
-            assert abs(odd - (base + 2) / 100.0) < 1e-3
+            assert abs(even - b / 100.0) < 1e-3
+            assert abs(odd - a / 100.0) < 1e-3
+        else:
+            assert src.calls == [want + group_shift]
 
 
 def test_pulldown_get_new_length():
@@ -230,6 +241,28 @@ def test_pulldown_get_new_length():
     assert filt.get_new_length(2) == 2   # partial 2 not > 2
     filt2 = Pulldown23RemovalFilter(TaggedVideoSource(), 2)
     assert filt2.get_new_length(1) == 0  # partial 1 > 0 -> loses one
+
+
+@pytest.mark.parametrize('offset', [0, 1, 2, 3, 4])
+@pytest.mark.parametrize('old_length', list(range(0, 12)))
+def test_pulldown_new_length_never_pulls_past_source(offset, old_length):
+    """get_new_length is EXACT: every output below it pulls only
+    existing source frames, and the next output would pull past the
+    end. (The reference's offset-3 branch is unreachable — partial
+    can't exceed 4 — so it over-reported by one and its last output
+    read past the source; documented divergence.)"""
+    filt = Pulldown23RemovalFilter(TaggedVideoSource(), offset)
+    n = filt.get_new_length(old_length)
+    assert n >= 0
+
+    def max_pull(f):
+        a, b = filt._map(f)
+        return a if b is None else b
+
+    for f in range(n):
+        assert max_pull(f) <= old_length - 1, (offset, old_length, f)
+    if old_length:  # the count is tight, not merely safe
+        assert max_pull(n) > old_length - 1, (offset, old_length, n)
 
 
 def test_mpeg2_subsample_jax_matches_numpy():
@@ -637,3 +670,51 @@ def test_dv_subsample_jax_matches_numpy():
     # zero-outside-window invariant holds on the device path
     assert np.asarray(y_j)[:, 701:].max() == 0
     assert np.asarray(y_j)[:2 - (-1) - 1, :].max() == 0
+
+
+def test_planar_probe_failure_recovers():
+    """A transient decoder failure at the geometry probe must not
+    downgrade the filter to host staging forever: probes retry
+    (bounded), and any successful eager decode heals the geometry so
+    later plans get the device plane-stack path back."""
+    from canvas_tpu import render
+    from canvas_tpu.coded import (CodedImage, CodedImageSource,
+                                  PlanarReconstructionFilter)
+
+    class Flaky(CodedImageSource):
+        def __init__(self):
+            self.calls = 0
+
+        def get_frame(self, frame_index, quality=0):
+            self.calls += 1
+            if self.calls <= 2:            # transient outage
+                return None
+            rng = np.random.RandomState(frame_index)
+            return CodedImage([
+                rng.randint(16, 236, (48, 64)).astype(np.uint8),
+                rng.randint(16, 241, (24, 32)).astype(np.uint8),
+                rng.randint(16, 241, (24, 32)).astype(np.uint8)])
+
+    src = Flaky()
+    filt = PlanarReconstructionFilter(src)
+    window = box2i(0, 0, 63, 47)
+    planner = render.RenderPlanner(filt, window)
+    first = planner.render(0, 2)           # probe fails; eager heals
+    assert filt._size == (64, 48)
+    second = planner.render(2, 4)          # device path, geometry known
+
+    # ground truth from a never-flaky source
+    class Steady(Flaky):
+        def __init__(self):
+            super().__init__()
+            self.calls = 10
+
+    want = render.render_frames(PlanarReconstructionFilter(Steady()),
+                                window, 0, 4)
+    got = np.concatenate([np.asarray(first), np.asarray(second)])
+    empty = np.asarray(first)[0]
+    # the two transiently-failed pulls rendered empty (zeros) — only
+    # frames decoded after recovery must match
+    assert not empty.any()
+    np.testing.assert_array_equal(got[2:], want[2:])
+    planner.close()

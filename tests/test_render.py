@@ -2115,3 +2115,36 @@ def test_abandoned_iterator_prepare_drained_before_reuse():
                                   np.asarray(fresh.render(0, 20)))
     fresh.close()
     planner.close()
+
+
+def test_staged_source_grow_pulls_only_new_frames():
+    """Growing a HOST-staged segment's frame range across plans pulls
+    ONLY the missing frames: the persistent entry's retained host
+    stack seeds the per-frame cache (the stage() twin of the coded
+    plane grow path)."""
+    from canvas_tpu.frames import VideoSource
+
+    pulls = []
+
+    class Custom(VideoSource):
+        def _render_f16(self, frame_index, frame):
+            pulls.append(frame_index)
+            data = np.zeros((4, frame.full_window.height,
+                             frame.full_window.width), np.float16)
+            data[2] = (frame_index % 9) * 0.1
+            data[3] = 1.0
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    src = Custom()
+    window = box2i(0, 0, 15, 15)
+    planner = render.RenderPlanner(src, window)
+    first = planner.render(0, 4)
+    assert sorted(set(pulls)) == list(range(4))
+
+    pulls.clear()
+    grown = planner.render(0, 8)
+    assert sorted(set(pulls)) == [4, 5, 6, 7]
+    np.testing.assert_array_equal(np.asarray(first),
+                                  np.asarray(grown[:4]))
+    planner.close()
