@@ -113,8 +113,11 @@ def probe_device(timeout=None, fresh=False):
         # probes below
         pass
     if timeout is None:
+        # the probe computes through the transport, so a cold child
+        # pays first-compile (~20-40 s on the tunnel): default must
+        # clear that comfortably
         timeout = float(os.environ.get('CANVAS_DEVICE_PROBE_TIMEOUT',
-                                       '45'))
+                                       '75'))
     if timeout <= 0 or _load_jax() is None:
         _probe_result = True
         return True
@@ -128,6 +131,10 @@ def probe_device(timeout=None, fresh=False):
         env = dict(os.environ)
         if platforms:
             env['JAX_PLATFORMS'] = platforms
+        # share the persistent compile cache so repeat probes skip the
+        # 20-40 s first-compile through the tunnel
+        env.setdefault('JAX_COMPILATION_CACHE_DIR',
+                       '/tmp/canvas_tpu_jax_cache')
         # The child must COMPUTE AND FETCH, not just init: an observed
         # half-up tunnel state lets jax.devices() succeed while the
         # first executed program (or its result fetch) hangs forever.

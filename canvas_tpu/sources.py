@@ -400,8 +400,13 @@ class VideoSequence(VideoSource):
 
     def __delitem__(self, i):
         with self._lock:
-            if isinstance(i, int) and i < 0:
-                i += len(self._items)
+            if isinstance(i, int):
+                if i < 0:
+                    i += len(self._items)
+                # same guard as __setitem__: a normalized-but-still-
+                # negative index would silently delete the LAST clip
+                if not 0 <= i < len(self._items):
+                    raise IndexError('Index was out of range.')
             del self._items[i]
             self._recompute(0)
 
@@ -491,7 +496,7 @@ class WorkspaceItem:
                         value = int(value)
                     elif key == 'z':
                         value = _coerce_z(value)
-                        ws._check_z_kind(value)
+                        ws._check_z_kind(value, exclude=self)
                     coerced[key] = value
             for key, value in coerced.items():
                 setattr(self, '_' + key, value)
@@ -499,6 +504,28 @@ class WorkspaceItem:
     def __repr__(self):
         return ('WorkspaceItem(x={0._x}, length={0._length}, '
                 'offset={0._offset}, z={0._z})'.format(self))
+
+
+class _ItemSnapshot:
+    """Immutable view of a WorkspaceItem's fields, taken under the
+    workspace lock (see _composite_items): delivers update()'s
+    documented atomicity to concurrent renders/plans."""
+
+    __slots__ = ('_source', '_x', '_length', '_offset', '_z', '_seq')
+
+    def __init__(self, item):
+        self._source = item._source
+        self._x = item._x
+        self._length = item._length
+        self._offset = item._offset
+        self._z = item._z
+        self._seq = item._seq
+
+    source = property(lambda self: self._source)
+    x = property(lambda self: self._x)
+    length = property(lambda self: self._length)
+    offset = property(lambda self: self._offset)
+    z = property(lambda self: self._z)
 
 
 class _WorkspaceBase:
@@ -513,12 +540,15 @@ class _WorkspaceBase:
         self._lock = threading.RLock()
         self._next_seq = 0
 
-    def _check_z_kind(self, z):
+    def _check_z_kind(self, z, exclude=None):
         """Ints and composite tuple z-keys cannot mix in one workspace:
         the composite sort would fail with an unattributable TypeError
-        at render time, so reject at the mutation site instead."""
-        if self._items:
-            existing = isinstance(self._items[0]._z, tuple)
+        at render time, so reject at the mutation site instead.
+        *exclude* is the item being updated — its own current z must
+        not anchor the kind (a sole item could never change kinds)."""
+        others = [it for it in self._items if it is not exclude]
+        if others:
+            existing = isinstance(others[0]._z, tuple)
             if isinstance(z, tuple) != existing:
                 raise TypeError(
                     'workspace z must stay one kind: this workspace uses '
@@ -546,11 +576,15 @@ class _WorkspaceBase:
         return self._items[i]
 
     def _composite_items(self, start, end):
-        """Items overlapping [start, end], bottom-to-top. Items with no
-        source (placeholders, unresolvable refs the graph layer adds as
-        None) contribute nothing."""
+        """Items overlapping [start, end], bottom-to-top, as SNAPSHOTS
+        taken under the lock: WorkspaceItem.update() commits its fields
+        one setattr at a time (under the lock), so composite/plan paths
+        reading several fields from live items off-lock could tear —
+        new _x with old _offset pulls the wrong media frame. Items with
+        no source (placeholders, unresolvable refs the graph layer adds
+        as None) contribute nothing."""
         with self._lock:
-            active = [item for item in self._items
+            active = [_ItemSnapshot(item) for item in self._items
                       if item._source is not None
                       and item._x <= end and start < item._x + item._length]
         # cmpz sorts descending z (stable in insertion order), then the
@@ -619,8 +653,8 @@ def _emit_empty(ctx):
 
 def _solid_emit(self, ctx):
     frames = np.asarray(ctx.frames, dtype=np.float64)
-    vals = self._color.get_values_array(frames).astype(np.float32)
-    colors = vals.copy()
+    # astype(np.float32) already copies — safe to clamp in place
+    colors = self._color.get_values_array(frames).astype(np.float32)
     # Alpha clamps to [0, 1] at the FRAMEFUNC level, matching the
     # reference (basicframefuncs.c:335-346 clampf on component 3) and
     # the eager path (framefuncs.get_rgba_f32).
@@ -809,6 +843,12 @@ def _seq_emit(self, ctx):
     if picked is None:
         return _emit_empty(ctx)
     source, offset, start = picked
+    # forward frame-union hints through the retime, like _pass_emit: a
+    # coded child reached through a sequence under pulldown must stage
+    # ONE device plane stack for both pulldown children
+    hints = getattr(ctx.planner, '_frame_hints', None)
+    if hints is not None and id(self) in hints:
+        hints[id(source)] = hints[id(self)] - start + offset
     return ctx.with_frames(ctx.frames - start + offset).plan(source)
 
 
@@ -819,7 +859,9 @@ VideoSequence.emit = _seq_emit
 def _ws_plan_cuts(self, start, stop):
     cuts = set()
     with self._lock:
-        items = list(self._items)
+        # snapshots: reading x/length/offset from live items off-lock
+        # races update()'s field-by-field commit (see _composite_items)
+        items = [_ItemSnapshot(item) for item in self._items]
     for item in items:
         cuts.add(item._x)
         cuts.add(item._x + item._length)
@@ -1130,8 +1172,6 @@ def _ws_emit(self, ctx):
     if len(children) == 1 and children[0].op != 'placed':
         return children[0]
 
-    from canvas_tpu.render import windows_to_array
-    full = ctx.window
     acc = _fold_over_windows([windows_to_array(c.windows)
                               for c in children], full)
     return Node('over_stack', static=(full.height, full.width),

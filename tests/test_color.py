@@ -186,7 +186,10 @@ def test_transfer_f32_jax_matches_formula(jax_backend):
             (color.transfer_linear_to_srgb, color.linear_to_srgb)]:
         got = np.asarray(jax_fn(jnp.asarray(x)))
         want = np_fn(x.copy())
-        np.testing.assert_allclose(got, want, atol=2e-6, rtol=2e-6,
+        # 5e-5: the direct-formula branch is the NON-parity fast path;
+        # device pow/exp round differently from host libm (a real TPU
+        # run misses 2e-6), while a wrong coefficient diverges at 1e-2+
+        np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5,
                                    err_msg=np_fn.__name__)
 
 

@@ -224,3 +224,57 @@ def test_planner_stream_races_invalidation():
     np.testing.assert_array_equal(got, want)
     fresh.close()
     planner.close()
+
+
+def test_workspace_update_atomic_under_concurrent_pulls():
+    """WorkspaceItem.update()'s documented atomicity reaches concurrent
+    renders: a reader compositing while another thread updates x and
+    offset together (keeping x - offset constant in CONTENT terms) must
+    never observe a torn pair. The tagged source's pixel value encodes
+    the pulled frame, so any torn x/offset read shows up as a wrong
+    pixel."""
+    from canvas_tpu.frames import VideoSource
+
+    class Tagged(VideoSource):
+        def _render_f32(self, frame_index, frame):
+            data = np.zeros((4, frame.full_window.height,
+                             frame.full_window.width), np.float32)
+            data[0] = frame_index / 1000.0
+            data[3] = 1.0
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    ws = process.VideoWorkspace()
+    item = ws.add(source=Tagged(), x=0, length=10_000, offset=0, z=0)
+    window = box2i(0, 0, 7, 7)
+
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        k = 0
+        while not stop.is_set():
+            k = (k + 7) % 500
+            # moving the clip while retiming it so the content mapping
+            # frame - x + offset stays frame - 0: any consistent
+            # snapshot yields pixel == frame/1000
+            item.update(x=k, offset=k)
+        # leave a known state
+        item.update(x=0, offset=0)
+
+    thread = threading.Thread(target=writer)
+    thread.start()
+    try:
+        for i in range(300):
+            f = i % 50
+            frame = ws.get_frame_f32(f, window)
+            px = frame.pixel(0, 0)
+            if px is None:
+                continue       # clip moved past f: consistent, fine
+            got = round(px.r * 1000)
+            if got != f:
+                errors.append((f, got))
+    finally:
+        stop.set()
+        thread.join(timeout=30)
+    assert not errors, errors[:5]

@@ -201,8 +201,10 @@ def test_device_probe_cpu_skip_and_fallback(monkeypatch, caplog):
 
     from canvas_tpu import backend
 
-    # this test process is CPU-pinned (conftest) -> probe short-circuits
+    # CPU-configured platform -> probe short-circuits (forced rather
+    # than relying on conftest pinning: CANVAS_TEST_TPU runs unpinned)
     monkeypatch.setattr(backend, '_probe_result', None)
+    monkeypatch.setattr(backend, '_configured_platforms', lambda: 'cpu')
     assert backend.probe_device() is True
 
     # simulate a remote platform whose probe times out
