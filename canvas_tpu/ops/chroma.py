@@ -132,7 +132,12 @@ def reconstruct_dv_full(y_plane, cb_plane, cr_plane):
     ycc = np.stack([y, cb_full, cr_full], axis=0)
     rgb = np.einsum('ij,jhw->ihw', M, ycc)
     alpha = np.ones_like(y)[None]
-    rgba16 = np.concatenate([rgb, alpha], axis=0).astype(np.float16)
+    # TRUNCATING f32->f16 like the reference's rgba_f32_to_f16
+    # (half_convert_from_float rounds toward zero) — keeps the LUT input,
+    # and so the decoded pixels, on the C engine's bits
+    # (tests/test_cref_parity.py::test_reconstruct_dv).
+    rgba16 = color_ops.float_to_half_trunc(
+        np.concatenate([rgb, alpha], axis=0))
     return color_ops.transfer_rec709_to_linear_scene(rgba16)
 
 
@@ -144,7 +149,7 @@ def _jax_reconstruct_dv():
     if _jax_recon is None:
         jax = backend.jax
         jnp = backend.jnp
-        lut = color_ops.build_half_lut(color_ops.rec709_to_linear_scene)
+        lut = color_ops.get_lut('rec709_to_linear_scene')
 
         @jax.jit
         def recon(y_plane, cb_plane, cr_plane, U, M):
@@ -159,7 +164,11 @@ def _jax_reconstruct_dv():
             rgb = jnp.einsum('ij,jhw->ihw', M, ycc,
                              preferred_element_type=jnp.float32, precision='highest')
             alpha = jnp.ones_like(y)[None]
-            rgba16 = jnp.concatenate([rgb, alpha], axis=0).astype(jnp.float16)
+            # truncating f32->f16 grid (matches the NumPy golden and the
+            # reference's rgba_f32_to_f16)
+            rgba16 = color_ops.quantize_f16_trunc(
+                jnp.concatenate([rgb, alpha], axis=0), jnp, jax
+            ).astype(jnp.float16)
             bits = jax.lax.bitcast_convert_type(
                 rgba16, jnp.uint16).astype(jnp.int32)
             return jnp.take(jnp.asarray(lut), bits, axis=0)
@@ -287,7 +296,9 @@ def reconstruct_planar_full(y_plane, cb_plane, cr_plane, matrix='rec709'):
     ycc = np.stack([y, cb_full, cr_full], axis=0)
     rgb = np.einsum('ij,jhw->ihw', M, ycc)
     alpha = np.ones_like(y)[None]
-    rgba16 = np.concatenate([rgb, alpha], axis=0).astype(np.float16)
+    # truncating f32->f16, matching the reference (see reconstruct_dv_full)
+    rgba16 = color_ops.float_to_half_trunc(
+        np.concatenate([rgb, alpha], axis=0))
     return color_ops.transfer_rec709_to_linear_scene(rgba16)
 
 
@@ -299,7 +310,7 @@ def _jax_reconstruct_planar():
     if _jax_planar_recon is None:
         jax = backend.jax
         jnp = backend.jnp
-        lut = color_ops.build_half_lut(color_ops.rec709_to_linear_scene)
+        lut = color_ops.get_lut('rec709_to_linear_scene')
 
         @jax.jit
         def recon(y_plane, cb_plane, cr_plane, Uh, Uv, M):
@@ -320,8 +331,10 @@ def _jax_reconstruct_planar():
                              preferred_element_type=jnp.float32,
                              precision='highest')
             alpha = jnp.ones_like(y)[None]
-            rgba16 = jnp.concatenate([rgb, alpha], axis=0).astype(
-                jnp.float16)
+            # truncating f32->f16 grid (matches the NumPy golden)
+            rgba16 = color_ops.quantize_f16_trunc(
+                jnp.concatenate([rgb, alpha], axis=0), jnp, jax
+            ).astype(jnp.float16)
             bits = jax.lax.bitcast_convert_type(
                 rgba16, jnp.uint16).astype(jnp.int32)
             return jnp.take(jnp.asarray(lut), bits, axis=0)

@@ -41,8 +41,131 @@ __all__ = [
     'gamma45_ramp_u8', 'apply_gamma45_u8',
     'RGB_TO_XYZ_SDTV', 'XYZ_TO_SRGB',
     'color_matrix', 'rgb_to_xyz_sdtv_frame', 'xyz_to_srgb_frame',
-    'build_half_lut', 'apply_half_lut',
+    'build_half_lut', 'apply_half_lut', 'float_to_half_trunc', 'get_lut',
 ]
+
+
+def float_to_half_trunc(f):
+    """The reference's f32 -> f16 conversion, which TRUNCATES the mantissa.
+
+    half_convert_from_float applies the van der Zijp base/shift tables
+    (half.c:36-48 via genhalf.py:27-56):
+    ``h = base[bits>>23] + ((bits & 0x7fffff) >> shift[bits>>23])`` —
+    round-toward-zero, not round-to-nearest. Every transfer LUT and every
+    f32->f16 frame conversion in the C engine uses it, so matching its
+    rounding is what makes our tables bit-identical to the reference
+    binary's (verified exhaustively in tests/test_cref_parity.py).
+
+    Reproduced here as arithmetic on the bit patterns (vectorized) rather
+    than the 512-entry tables. NaN payloads confined to the low 13
+    mantissa bits collapse to infinity — the reference's own artifact,
+    preserved.
+    """
+    bits = np.asarray(f, np.float32).view(np.uint32)
+    sign = ((bits >> np.uint32(16)) & np.uint32(0x8000)).astype(np.uint32)
+    e = ((bits >> np.uint32(23)) & np.uint32(0xff)).astype(np.int32) - 127
+    m = (bits & np.uint32(0x007fffff)).astype(np.uint32)
+
+    base = np.zeros_like(bits)
+    shift = np.full(bits.shape, 24, np.uint32)
+
+    sub = (e >= -24) & (e < -14)      # half-subnormal range
+    sub_amt = np.clip(-14 - e, 0, 31).astype(np.uint32)
+    base = np.where(sub, np.uint32(0x0400) >> sub_amt, base)
+    shift = np.where(sub, np.clip(-e - 1, 0, 31).astype(np.uint32), shift)
+
+    norm = (e >= -14) & (e <= 15)     # normal range
+    base = np.where(norm, (np.clip(e + 15, 0, 31).astype(np.uint32)
+                           << np.uint32(10)), base)
+    shift = np.where(norm, np.uint32(13), shift)
+
+    big = (e > 15) & (e < 128)        # overflow -> inf
+    base = np.where(big, np.uint32(0x7c00), base)
+    shift = np.where(big, np.uint32(24), shift)
+
+    infnan = (e == 128)               # inf/NaN keep (shifted) payload
+    base = np.where(infnan, np.uint32(0x7c00), base)
+    shift = np.where(infnan, np.uint32(13), shift)
+
+    h = (sign | base) + (m >> shift)
+    return h.astype(np.uint16).view(np.float16).reshape(np.shape(f))
+
+
+# libm's powf for LUT construction: the reference builds its tables at
+# runtime with powf (gammatab.c), and numpy's float32 power differs from
+# glibc powf in the last f32 ulp on a handful of the 65536 inputs — just
+# enough to flip one truncated f16 table entry. Table builds are one-time
+# and cached, so the per-element ctypes call cost is irrelevant.
+_powf = None
+
+
+def _libm_powf():
+    global _powf
+    if _powf is None:
+        try:
+            import ctypes
+            import ctypes.util
+            libm = ctypes.CDLL(ctypes.util.find_library('m') or 'libm.so.6')
+            cf = libm.powf
+            cf.restype = ctypes.c_float
+            cf.argtypes = [ctypes.c_float, ctypes.c_float]
+
+            def powf_elementwise(x, p):
+                x = np.asarray(x, np.float32)
+                out = np.empty_like(x)
+                flat_in = x.ravel()
+                flat_out = out.ravel()
+                for i in range(flat_in.size):
+                    flat_out[i] = cf(float(flat_in[i]), p)
+                return out
+
+            _powf = powf_elementwise
+        except Exception:  # pragma: no cover - no libm: keep np.power
+            _powf = lambda x, p: np.power(  # noqa: E731
+                np.asarray(x, np.float32), np.float32(p))
+    return _powf
+
+
+def _exact_lut_fns():
+    """Transfer formulas evaluated with libm powf, for table construction
+    only (the fast array paths keep np.power/jnp.power)."""
+    powf = _libm_powf()
+
+    def scene(x):
+        x = np.asarray(x, np.float32)
+        with np.errstate(all='ignore'):
+            hi = powf((x + np.float32(0.099)) / np.float32(1.099),
+                      1.0 / 0.45)
+        return np.where(x < np.float32(4.5) * np.float32(0.018),
+                        x / np.float32(4.5), hi).astype(np.float32)
+
+    def display(x):
+        x = np.asarray(x, np.float32)
+        with np.errstate(all='ignore'):
+            hi = powf(x, 2.5)
+        return np.where(x < 0.0, np.float32(0.0), hi).astype(np.float32)
+
+    def to709(x):
+        x = np.asarray(x, np.float32)
+        with np.errstate(all='ignore'):
+            hi = (np.float32(1.099) * powf(x, 0.45) - np.float32(0.099))
+        return np.where(x < np.float32(0.018),
+                        x * np.float32(4.5), hi).astype(np.float32)
+
+    def tosrgb(x):
+        x = np.asarray(x, np.float32)
+        a = np.float32(0.055)
+        with np.errstate(all='ignore'):
+            hi = (np.float32(1.0) + a) * powf(x, 1.0 / 2.4) - a
+        return np.where(x <= np.float32(0.0031308),
+                        x * np.float32(12.92), hi).astype(np.float32)
+
+    return {
+        'rec709_to_linear_scene': scene,
+        'rec709_to_linear_display': display,
+        'linear_to_rec709': to709,
+        'linear_to_srgb': tosrgb,
+    }
 
 
 # --- scalar transfer formulas (f32 in, f32 out) ------------------------------
@@ -121,11 +244,16 @@ def build_half_lut(fn, out_dtype=np.float16):
     """65536-entry table: out[bits] = out_dtype(fn(float(half_from_bits))).
 
     Exactly the table-construction loop the reference uses for every
-    transfer curve (gammatab.c:85-105 etc.). Inf/NaN half inputs flow
+    transfer curve (gammatab.c:85-105 etc.) — including its f32->f16
+    conversion, which TRUNCATES (float_to_half_trunc), so f16 tables come
+    out bit-identical to the reference binary's. Inf/NaN half inputs flow
     through the same arithmetic as the C tables; their conversions are
     intentionally unchecked."""
     with np.errstate(invalid='ignore', over='ignore', divide='ignore'):
-        return np.asarray(fn(_all_half_values())).astype(out_dtype)
+        out = np.asarray(fn(_all_half_values()))
+        if np.dtype(out_dtype) == np.float16:
+            return float_to_half_trunc(out.astype(np.float32))
+        return out.astype(out_dtype)
 
 
 _device_tables = {}
@@ -155,7 +283,11 @@ def apply_half_lut(arr, table):
 
 
 class _LutCache:
-    """Lazily-built named transfer LUTs (the reference's g_once statics)."""
+    """Lazily-built named transfer LUTs (the reference's g_once statics).
+
+    The four named transfer curves build from the libm-powf exact
+    formulas (_exact_lut_fns) so the resulting tables match the
+    reference binary's bit-for-bit; ad-hoc tables use the fn given."""
 
     def __init__(self):
         self._tables = {}
@@ -164,12 +296,28 @@ class _LutCache:
         key = (name, np.dtype(out_dtype).name)
         table = self._tables.get(key)
         if table is None:
-            table = build_half_lut(fn, out_dtype)
+            exact = _exact_lut_fns().get(name)
+            table = build_half_lut(exact if exact is not None else fn,
+                                   out_dtype)
             self._tables[key] = table
         return table
 
 
 _luts = _LutCache()
+
+
+def get_lut(name, out_dtype=np.float16):
+    """Named transfer LUT from the shared cache (bit-identical to the
+    reference binary's tables for the four gammatab curves)."""
+    fns = {
+        'rec709_to_linear_scene': rec709_to_linear_scene,
+        'rec709_to_linear_display': rec709_to_linear_display,
+        'linear_to_rec709': linear_to_rec709,
+        'linear_to_srgb': linear_to_srgb,
+        'gamma45_u8': _gamma45_u8_of_f32,
+    }
+    return _luts.get(name, fns[name],
+                     np.uint8 if name.endswith('_u8') else out_dtype)
 
 
 def _transfer(arr, name, fn):
@@ -296,6 +444,33 @@ def quantize_f16(x, jnp=None, jax=None):
     return jnp.where(jnp.abs(x) < np.float32(2.0 ** -14), sub, rp)
 
 
+def quantize_f16_trunc(x, jnp=None, jax=None):
+    """f32 -> f16 grid with ROUND-TOWARD-ZERO, fold-proof; result f32.
+
+    The reference's half_convert_from_float truncates the mantissa
+    (van der Zijp tables, genhalf.py:27-56), so its transfer LUTs hold
+    truncated values; batched programs that emulate a LUT hit with
+    direct VPU math (render._device_transfer) must quantize the same
+    way or drift one f16 ulp from the eager LUT path on ~30% of
+    values. Device recipe: round-to-nearest onto the grid
+    (quantize_f16), then step one grid unit toward zero wherever RN
+    overshot |x|; |x| >= 65536 maps to +/-inf exactly as the C base
+    table does (e > 15 -> 0x7C00)."""
+    if jnp is None:
+        jnp, jax = backend.jnp, backend.jax
+    if isinstance(x, np.ndarray):
+        return float_to_half_trunc(x).astype(np.float32)
+    xf = x.astype(jnp.float32)
+    q = quantize_f16(xf, jnp, jax)
+    h = q.astype(jnp.float16)
+    hb = jax.lax.bitcast_convert_type(h, jnp.uint16)
+    over = jnp.abs(q) > jnp.abs(xf)
+    hb = jnp.where(over, hb - np.uint16(1), hb)
+    out = jax.lax.bitcast_convert_type(hb, jnp.float16).astype(jnp.float32)
+    big = jnp.abs(xf) >= np.float32(65536.0)
+    return jnp.where(big, jnp.where(xf < 0, -np.inf, np.inf), out)
+
+
 _device_program_cache = {}
 
 
@@ -346,10 +521,11 @@ def display_u8_device(data, intent=1.25, order=(2, 1, 0, 3)):
 def _display_u8_math(data, intent, order):
     jnp = backend.jnp
     x = data.astype(jnp.float32)
-    # linear -> sRGB, f16-quantized like a table hit
+    # linear -> sRGB, f16-quantized like a table hit (truncating: the
+    # host LUT holds truncated values, see quantize_f16_trunc)
     s = jnp.where(x <= 0.0031308, x * 12.92,
                   1.055 * jnp.power(x, 1.0 / 2.4) - 0.055)
-    s = quantize_f16(s)
+    s = quantize_f16_trunc(s)
     y = jnp.power(s, jnp.float32(intent)) * 255.0
     y = jnp.clip(jnp.nan_to_num(y, nan=0.0), 0.0, 255.0)
     u8 = jnp.rint(y).astype(jnp.uint8)[:, list(order)]

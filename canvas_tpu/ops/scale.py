@@ -42,47 +42,71 @@ __all__ = ['triangle_weights', 'lanczos_weights', 'axis_matrix',
            'scale_bilinear', 'scale_plan']
 
 
+def _filter_edges(offset, reach):
+    """The C edge dance (filter.c:39-47/87-94) in f32: ceil/floor of
+    offset +/- reach, stepped inward when the edge lands exactly on the
+    boundary. Returns (n_taps, center)."""
+    left_edge = np.float32(np.ceil(offset - reach))
+    right_edge = np.float32(np.floor(offset + reach))
+    if left_edge == offset - reach:
+        left_edge += np.float32(1.0)
+    if right_edge == offset + reach:
+        right_edge -= np.float32(1.0)
+    return int(right_edge) - int(left_edge) + 1, -int(left_edge)
+
+
+def _normalize_passband(coeff, sub):
+    """Divide by the sequential f32 tap sum when downsampling — the same
+    left-to-right accumulation the C uses, so normalized taps match its
+    bits (a pairwise np.sum can differ in the last ulp)."""
+    if sub < np.float32(1.0):
+        s = np.float32(0.0)
+        for c in coeff:
+            s = np.float32(s + c)
+        if s != np.float32(0.0):
+            coeff = (coeff / s).astype(np.float32)
+    return coeff
+
+
 def triangle_weights(sub, offset):
-    """Triangle FIR coefficients + center index, exactly as
-    filter_createTriangle (filter.c:24-77).
+    """Triangle FIR coefficients + center index, bit-exactly as
+    filter_createTriangle (filter.c:24-77): all arithmetic in f32,
+    verified against the compiled reference (tests/test_cref_parity.py).
 
     Returns (coeffs ndarray, center int): tap i applies to position
     (i - center) relative to the (integer) center sample; *offset* is the
     fractional distance of the true center from that sample.
     """
-    width = (1.0 / sub) if sub < 1.0 else float(sub)
-    left = math.floor(offset - width) + 1
-    right = math.ceil(offset + width) - 1
-    n = int(right) - int(left) + 1
-    i = np.arange(n, dtype=np.float64)
-    coeff = (1.0 - np.abs((1.0 / width) * ((i + left) - offset))).astype(np.float32)
-    if sub < 1.0:
-        s = float(coeff.sum())
-        if s != 0.0:
-            coeff = coeff / np.float32(s)
-    return coeff, -int(left)
+    sub = np.float32(sub)
+    offset = np.float32(offset)
+    width = np.float32(1.0) / sub if sub < np.float32(1.0) else sub
+    n, center = _filter_edges(offset, width)
+    i = np.arange(n, dtype=np.float32)
+    inv = np.float32(1.0) / width
+    coeff = (np.float32(1.0)
+             - np.abs(inv * ((i - np.float32(center)) - offset)))
+    return _normalize_passband(coeff.astype(np.float32), sub), center
 
 
 def lanczos_weights(sub, kernel_size, offset):
-    """Lanczos FIR coefficients + center, as filter_createLanczos
-    (filter.c:79-146)."""
-    width = (1.0 / sub) if sub < 1.0 else float(sub)
-    left = math.floor(offset - kernel_size * width) + 1
-    right = math.ceil(offset + kernel_size * width) - 1
-    n = int(right) - int(left) + 1
-    x = (1.0 / width) * ((np.arange(n, dtype=np.float64) + left) - offset)
-    coeff = np.ones(n, dtype=np.float64)
-    inside = (x != 0.0) & (np.abs(x) < kernel_size)
+    """Lanczos FIR coefficients + center, bit-exactly as
+    filter_createLanczos (filter.c:79-146): f32 window edges, the tap
+    formula in f64 (the C promotes through double sin), truncated back
+    to f32 per tap, sequential-f32 normalization."""
+    sub = np.float32(sub)
+    offset = np.float32(offset)
+    width = np.float32(1.0) / sub if sub < np.float32(1.0) else sub
+    n, center = _filter_edges(offset, np.float32(kernel_size * width))
+    x = ((1.0 / np.float64(width))
+         * ((np.arange(n, dtype=np.int64) - center) - np.float64(offset)))
     with np.errstate(divide='ignore', invalid='ignore'):
         num = kernel_size * np.sin(np.pi * x) * np.sin(np.pi * x / kernel_size)
         val = num / (np.pi * np.pi * x * x)
-    coeff = np.where(inside, np.where(np.isfinite(val), val, 1.0), coeff)
-    coeff = np.where(np.abs(x) >= kernel_size, 0.0, coeff).astype(np.float32)
-    if sub < 1.0:
-        s = float(coeff.sum())
-        if s != 0.0:
-            coeff = coeff / np.float32(s)
-    return coeff, -int(left)
+    coeff = np.where(np.isfinite(val), val, 1.0).astype(np.float32)
+    coeff = np.where(x == 0.0, np.float32(1.0), coeff)
+    coeff = np.where((x <= -kernel_size) | (x >= kernel_size),
+                     np.float32(0.0), coeff)
+    return _normalize_passband(coeff, sub), center
 
 
 def axis_matrix(factor, t_lo, t_hi, s_lo, s_hi, t_point, s_point):

@@ -605,7 +605,8 @@ def _device_transfer(name, x16, jnp, jax):
     channels, the reference's LUT quirk), computed DIRECTLY on the VPU
     instead of a 65536-entry gather — gathers are ~100x slower than
     transcendentals on TPU. Matches the half-LUT tables
-    (ops/color.build_half_lut) to the f16 rounding of f(float32(x));
+    (ops/color.build_half_lut) to the TRUNCATING f16 conversion of
+    f(float32(x)) — the same round-toward-zero the C tables bake in;
     output is f16-quantized like a table hit, returned as f32. Callers
     pass either a real f16 array or f32 already quantized via
     color.quantize_f16 — a plain ``.astype(f16)`` of f32 math would be
@@ -627,7 +628,10 @@ def _device_transfer(name, x16, jnp, jax):
     else:
         raise ValueError('unknown transfer: %r' % (name,))
     from canvas_tpu.ops import color as color_ops
-    return color_ops.quantize_f16(y, jnp, jax)
+    # TRUNCATING quantize: the LUT this emulates holds truncated values
+    # (half_convert_from_float rounds toward zero — see
+    # color.quantize_f16_trunc / float_to_half_trunc).
+    return color_ops.quantize_f16_trunc(y, jnp, jax)
 
 
 def _dyn_axis_taps(jnp, jax, fv, tp, sp, lo, hi, t_lo, T, K, lq, S=None):
@@ -1062,7 +1066,10 @@ def _eval(node_sig, params_iter, jnp, jax):
                          preferred_element_type=jnp.float32)
         alpha = jnp.ones_like(y)[:, None]
         from canvas_tpu.ops import color as color_ops
-        rgba16 = color_ops.quantize_f16(
+        # truncating pre-LUT f16 grid: matches the eager
+        # chroma.reconstruct_planar golden and the reference's
+        # rgba_f32_to_f16 (tests/test_cref_parity.py)
+        rgba16 = color_ops.quantize_f16_trunc(
             jnp.concatenate([rgb, alpha], axis=1), jnp, jax)
         return _device_transfer('rec709_to_linear_scene', rgba16, jnp, jax)
 
@@ -1121,7 +1128,9 @@ def _dv_recon_math(y8, cb8, cr8, U, M, jnp, jax):
                      preferred_element_type=jnp.float32)
     alpha = jnp.ones_like(y)[:, None]
     from canvas_tpu.ops import color as color_ops
-    rgba16 = color_ops.quantize_f16(
+    # truncating pre-LUT f16 grid: matches the eager chroma.reconstruct_dv
+    # golden and the reference's rgba_f32_to_f16 (tests/test_cref_parity.py)
+    rgba16 = color_ops.quantize_f16_trunc(
         jnp.concatenate([rgb, alpha], axis=1), jnp, jax)
     return _device_transfer('rec709_to_linear_scene', rgba16, jnp, jax)
 

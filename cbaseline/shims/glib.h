@@ -49,6 +49,7 @@ static inline gpointer g_slice_alloc0(gsize n) { return calloc(1, n); }
 static inline void g_slice_free1(gsize n, gpointer p) { (void) n; free(p); }
 
 #define g_slice_new(type) ((type *) malloc(sizeof(type)))
+#define g_slice_new0(type) ((type *) calloc(1, sizeof(type)))
 #define g_slice_free(type, mem) free(mem)
 #define g_new(type, n) ((type *) malloc(sizeof(type) * (n)))
 #define g_new0(type, n) ((type *) calloc((n), sizeof(type)))

@@ -73,3 +73,38 @@ void glGetTexImage(GLenum t, GLint l, GLenum f, GLenum ty, void *p) {
 void video_get_frame_gl(void *source, int frame_index, void *frame) {
     (void) source; (void) frame_index; (void) frame; die("video_get_frame_gl");
 }
+
+/* extras for video_subsample.c's GL path (parity lib; never executed) */
+typedef ptrdiff_t GLsizeiptr;
+void glGenBuffers(GLsizei n, GLuint *b) { (void) n; (void) b; die("glGenBuffers"); }
+void glDeleteBuffers(GLsizei n, const GLuint *b) { (void) n; (void) b; }
+void glBindBuffer(GLenum t, GLuint b) { (void) t; (void) b; }
+void glBufferData(GLenum t, GLsizeiptr s, const void *d, GLenum u) {
+    (void) t; (void) s; (void) d; (void) u;
+}
+GLint glGetAttribLocation(GLuint p, const char *n) { (void) p; (void) n; return -1; }
+void glEnableVertexAttribArray(GLuint i) { (void) i; }
+void glDisableVertexAttribArray(GLuint i) { (void) i; }
+void glVertexAttribPointer(GLuint i, GLint s, GLenum t, GLboolean n, GLsizei st, const void *p) {
+    (void) i; (void) s; (void) t; (void) n; (void) st; (void) p;
+}
+void glDrawArrays(GLenum m, GLint f, GLsizei c) { (void) m; (void) f; (void) c; die("glDrawArrays"); }
+void glDrawBuffers(GLsizei n, const GLenum *b) { (void) n; (void) b; }
+void glGetIntegerv(GLenum p, GLint *d) { (void) p; if (d) *d = 0; }
+void glViewport(GLint x, GLint y, GLsizei w, GLsizei h) { (void) x; (void) y; (void) w; (void) h; }
+void glUniform2i(GLint l, GLint a, GLint b) { (void) l; (void) a; (void) b; }
+void glUniform2iv(GLint l, GLsizei c, const GLint *v) { (void) l; (void) c; (void) v; }
+void glGenFramebuffersEXT(GLsizei n, GLuint *f) { (void) n; (void) f; die("glGenFramebuffersEXT"); }
+void glDeleteFramebuffersEXT(GLsizei n, const GLuint *f) { (void) n; (void) f; }
+void glBindFramebufferEXT(GLenum t, GLuint f) { (void) t; (void) f; }
+void glFramebufferTexture2DEXT(GLenum t, GLenum a, GLenum tt, GLuint tx, GLint l) {
+    (void) t; (void) a; (void) tt; (void) tx; (void) l;
+}
+void glDeleteProgram(GLuint p) { (void) p; }
+void glDeleteShader(GLuint s) { (void) s; }
+GLuint gl_compile_shader(GLenum t, const char *src, const char *n) {
+    (void) t; (void) src; (void) n; die("gl_compile_shader"); return 0;
+}
+GLuint gl_link_program(const GLuint *s, int c, const char *n) {
+    (void) s; (void) c; (void) n; die("gl_link_program"); return 0;
+}

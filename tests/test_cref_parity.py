@@ -1,0 +1,663 @@
+"""Differential parity against the reference's OWN compiled C kernels.
+
+cbaseline's ``parity`` target compiles the reference cprocess sources
+(/root/reference/src/cprocess — read in place, never copied) into
+``cbaseline/build/parity/libcref.so`` with IEEE semantics
+(-O2 -fPIC, no -ffast-math, -ffp-contract=off). These tests drive that
+binary through ctypes and compare its outputs against canvas_tpu's
+kernels on the same inputs — so parity claims are checked against the
+reference's *compiled arithmetic*, not a re-derivation of it.
+
+Exactness tiers (each test says which and why):
+
+* BIT-EXACT — half conversion, the four transfer LUTs, the gamma45
+  ramp, FIR coefficients, f32 mix blends, audio kernels, frame/time
+  conversion. These have no rounding ambiguity: we reproduce the same
+  operations in the same order.
+* LAST-ULP — kernels whose intermediate f32->f16 conversions use a
+  different rounding mode (the C truncates via half_convert_from_float;
+  our frame paths round-to-nearest) or whose FIR/matrix accumulation
+  order differs (einsum vs sequential adds). Bounded and asserted
+  tightly (<=1 f16 ulp, or <=1 u8 step on a tiny fraction of pixels).
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from canvas_tpu import backend
+from canvas_tpu.basetypes import box2i
+from canvas_tpu.ops import color as color_ops
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CBASE = os.path.join(REPO, 'cbaseline')
+LIB = os.path.join(CBASE, 'build', 'parity', 'libcref.so')
+REF = '/root/reference'
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, 'src', 'cprocess')),
+    reason='reference tree not present')
+
+
+# --- ctypes surface ----------------------------------------------------------
+
+class V2i(ctypes.Structure):
+    _fields_ = [('x', ctypes.c_int32), ('y', ctypes.c_int32)]
+
+
+class Box2i(ctypes.Structure):
+    _fields_ = [('min', V2i), ('max', V2i)]
+
+
+class V2f(ctypes.Structure):
+    _fields_ = [('x', ctypes.c_float), ('y', ctypes.c_float)]
+
+
+class FrameF16(ctypes.Structure):
+    _fields_ = [('data', ctypes.POINTER(ctypes.c_uint16)),
+                ('full_window', Box2i), ('current_window', Box2i)]
+
+
+class FrameF32(ctypes.Structure):
+    _fields_ = [('data', ctypes.POINTER(ctypes.c_float)),
+                ('full_window', Box2i), ('current_window', Box2i)]
+
+
+class AudioFrameC(ctypes.Structure):
+    _fields_ = [('data', ctypes.POINTER(ctypes.c_float)),
+                ('channels', ctypes.c_int),
+                ('full_min_sample', ctypes.c_int),
+                ('full_max_sample', ctypes.c_int),
+                ('current_min_sample', ctypes.c_int),
+                ('current_max_sample', ctypes.c_int)]
+
+
+class FirFilter(ctypes.Structure):
+    _fields_ = [('coeff', ctypes.POINTER(ctypes.c_float)),
+                ('width', ctypes.c_int), ('center', ctypes.c_int)]
+
+
+class CodedImage(ctypes.Structure):
+    _fields_ = [('data', ctypes.c_void_p * 4),
+                ('stride', ctypes.c_int * 4),
+                ('line_count', ctypes.c_int * 4),
+                ('free_func', ctypes.c_void_p)]
+
+
+class Rational(ctypes.Structure):
+    _fields_ = [('n', ctypes.c_int32), ('d', ctypes.c_uint32)]
+
+
+def _cbox(b):
+    out = Box2i()
+    out.min.x, out.min.y, out.max.x, out.max.y = b.min.x, b.min.y, b.max.x, b.max.y
+    return out
+
+
+def _make_frame_f16(data_4hw, full, current):
+    """(4,H,W) f16 -> interleaved C frame over *full*. Returns (frame,
+    backing array) — keep the array alive while the frame is in use."""
+    h = full.max.y - full.min.y + 1
+    w = full.max.x - full.min.x + 1
+    assert data_4hw.shape == (4, h, w)
+    inter = np.ascontiguousarray(
+        np.moveaxis(data_4hw.astype(np.float16), 0, -1)).reshape(-1)
+    bits = inter.view(np.uint16)
+    frame = FrameF16()
+    frame.data = bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+    frame.full_window = _cbox(full)
+    frame.current_window = _cbox(current)
+    return frame, bits
+
+
+def _make_frame_f32(data_4hw, full, current):
+    h = full.max.y - full.min.y + 1
+    w = full.max.x - full.min.x + 1
+    assert data_4hw.shape == (4, h, w)
+    inter = np.ascontiguousarray(
+        np.moveaxis(data_4hw.astype(np.float32), 0, -1)).reshape(-1)
+    frame = FrameF32()
+    frame.data = inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    frame.full_window = _cbox(full)
+    frame.current_window = _cbox(current)
+    return frame, inter
+
+
+def _frame_to_4hw(inter, full, dtype):
+    h = full.max.y - full.min.y + 1
+    w = full.max.x - full.min.x + 1
+    return np.moveaxis(inter.astype(dtype).reshape(h, w, 4), -1, 0)
+
+
+@pytest.fixture(scope='session')
+def cref():
+    """Build (if needed) and load the reference parity library."""
+    if not os.path.exists(LIB):
+        try:
+            subprocess.run(['make', '-C', CBASE, 'parity'], check=True,
+                           capture_output=True, text=True, timeout=300)
+        except (subprocess.CalledProcessError, OSError,
+                subprocess.TimeoutExpired) as e:
+            pytest.skip('could not build parity lib: %s' % (e,))
+    lib = ctypes.CDLL(LIB)
+    lib.init_half()
+
+    lib.video_transfer_rec709_to_linear_scene.argtypes = \
+        lib.video_transfer_rec709_to_linear_display.argtypes = \
+        lib.video_transfer_linear_to_rec709.argtypes = \
+        lib.video_transfer_linear_to_sRGB.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_size_t]
+    lib.video_get_gamma45_ramp.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.filter_createTriangle.argtypes = [
+        ctypes.c_float, ctypes.c_float, ctypes.POINTER(FirFilter)]
+    lib.filter_createLanczos.argtypes = [
+        ctypes.c_float, ctypes.c_int, ctypes.c_float,
+        ctypes.POINTER(FirFilter)]
+    lib.filter_free.argtypes = [ctypes.POINTER(FirFilter)]
+    lib.video_mix_cross_f32.argtypes = [
+        ctypes.POINTER(FrameF32), ctypes.POINTER(FrameF32),
+        ctypes.POINTER(FrameF32), ctypes.c_float]
+    lib.video_mix_over_f32.argtypes = [
+        ctypes.POINTER(FrameF32), ctypes.POINTER(FrameF32), ctypes.c_float]
+    lib.video_copy_frame_alpha_f32.argtypes = [
+        ctypes.POINTER(FrameF32), ctypes.POINTER(FrameF32), ctypes.c_float]
+    lib.video_color_rgb_to_xyz_sdtv.argtypes = [ctypes.POINTER(FrameF16)]
+    lib.video_color_xyz_to_srgb.argtypes = [ctypes.POINTER(FrameF16)]
+    lib.video_reconstruct_dv.argtypes = [
+        ctypes.POINTER(FrameF16), ctypes.POINTER(CodedImage)]
+    lib.video_subsample_dv.argtypes = [ctypes.POINTER(FrameF16)]
+    lib.video_subsample_dv.restype = ctypes.POINTER(CodedImage)
+    lib.audio_copy_frame.argtypes = [
+        ctypes.POINTER(AudioFrameC), ctypes.POINTER(AudioFrameC),
+        ctypes.c_int]
+    lib.audio_copy_frame_attenuate.argtypes = [
+        ctypes.POINTER(AudioFrameC), ctypes.POINTER(AudioFrameC),
+        ctypes.c_float, ctypes.c_int]
+    lib.audio_attenuate.argtypes = [
+        ctypes.POINTER(AudioFrameC), ctypes.c_float]
+    lib.audio_mix_add.argtypes = [
+        ctypes.POINTER(AudioFrameC), ctypes.POINTER(AudioFrameC),
+        ctypes.c_float, ctypes.c_int]
+    lib.get_frame_time.argtypes = [ctypes.POINTER(Rational), ctypes.c_int]
+    lib.get_frame_time.restype = ctypes.c_int64
+    lib.get_time_frame.argtypes = [ctypes.POINTER(Rational), ctypes.c_int64]
+    lib.get_time_frame.restype = ctypes.c_int
+    return lib
+
+
+CONV = ctypes.CFUNCTYPE(None, ctypes.POINTER(ctypes.c_uint16),
+                        ctypes.POINTER(ctypes.c_float), ctypes.c_int)
+CONV_BACK = ctypes.CFUNCTYPE(None, ctypes.POINTER(ctypes.c_float),
+                             ctypes.POINTER(ctypes.c_uint16), ctypes.c_int)
+
+
+def _all_half_bits():
+    return np.arange(65536, dtype=np.uint16)
+
+
+def _finite_halves():
+    h = _all_half_bits().view(np.float16)
+    return h[np.isfinite(h)]
+
+
+# --- half conversion ---------------------------------------------------------
+
+def test_half_convert_from_float_exhaustive(cref):
+    """BIT-EXACT: float_to_half_trunc vs the binary's
+    half_convert_from_float (half.c van der Zijp tables) on every finite
+    half value, the surrounding f32 neighbours, subnormals, and overflow."""
+    fn = CONV.in_dll(cref, 'half_convert_from_float')
+    f = _finite_halves().astype(np.float32)
+    # neighbours exercise truncation (values strictly between grid points)
+    up = np.nextafter(f, np.float32(np.inf)).astype(np.float32)
+    dn = np.nextafter(f, np.float32(-np.inf)).astype(np.float32)
+    rng = np.random.default_rng(42)
+    rand = rng.standard_normal(65536).astype(np.float32) * \
+        np.exp2(rng.integers(-30, 20, 65536)).astype(np.float32)
+    special = np.array([0.0, -0.0, 65504.0, 65520.0, 65536.0, -65536.0,
+                        1e9, -1e9, 6e-8, -6e-8, 5.96e-8 / 4,
+                        np.inf, -np.inf], np.float32)
+    x = np.ascontiguousarray(np.concatenate([f, up, dn, rand, special]))
+    out = np.empty(x.size, np.uint16)
+    fn(out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+       x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), x.size)
+    ours = color_ops.float_to_half_trunc(x).view(np.uint16)
+    np.testing.assert_array_equal(ours, out)
+
+
+def test_half_convert_to_float_exhaustive(cref):
+    """BIT-EXACT: the binary's half->float vs numpy's f16->f32 cast on
+    all 65536 bit patterns (NaNs compared as bits-preserved-or-NaN)."""
+    fn = CONV_BACK.in_dll(cref, 'half_convert_to_float')
+    bits = np.ascontiguousarray(_all_half_bits())
+    out = np.empty(65536, np.float32)
+    fn(out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+       bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), 65536)
+    ours = bits.view(np.float16).astype(np.float32)
+    nan = np.isnan(ours)
+    assert np.isnan(out[nan]).all()
+    np.testing.assert_array_equal(ours[~nan], out[~nan])
+
+
+# --- transfer curves + gamma ramp ---------------------------------------------
+
+@pytest.mark.parametrize('cname,ours', [
+    ('video_transfer_rec709_to_linear_scene',
+     color_ops.transfer_rec709_to_linear_scene),
+    ('video_transfer_rec709_to_linear_display',
+     color_ops.transfer_rec709_to_linear_display),
+    ('video_transfer_linear_to_rec709',
+     color_ops.transfer_linear_to_rec709),
+    ('video_transfer_linear_to_sRGB',
+     color_ops.transfer_linear_to_srgb),
+])
+def test_transfer_curve_exhaustive(cref, cname, ours):
+    """BIT-EXACT on all 65536 half inputs: our 64K LUTs are built with
+    libm powf + truncating f16 conversion precisely so they reproduce
+    the reference binary's tables (gammatab.c)."""
+    bits = np.ascontiguousarray(_all_half_bits())
+    out = np.empty(65536, np.uint16)
+    getattr(cref, cname)(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), 65536)
+    got = ours(bits.view(np.float16)).view(np.uint16)
+    mismatch = np.nonzero(got != out)[0]
+    assert mismatch.size == 0, (
+        '%d/65536 entries differ; first at bits=0x%04x: ours=0x%04x '
+        'ref=0x%04x' % (mismatch.size, mismatch[0], got[mismatch[0]],
+                        out[mismatch[0]]))
+
+
+def test_gamma45_ramp_exhaustive(cref):
+    """BIT-EXACT: the 65536-entry f16->u8 display ramp (gammatab.c:12-37)."""
+    ptr = cref.video_get_gamma45_ramp()
+    ref = np.ctypeslib.as_array(ptr, shape=(65536,)).copy()
+    np.testing.assert_array_equal(color_ops.gamma45_ramp_u8(), ref)
+
+
+# --- FIR filters --------------------------------------------------------------
+
+@pytest.mark.parametrize('sub', [0.25, 1.0 / 3.0, 0.5, 1.0, 1.5, 2.0, 4.0])
+@pytest.mark.parametrize('offset', [0.0, 0.25, -0.37, 0.5])
+def test_triangle_filter(cref, sub, offset):
+    """BIT-EXACT coefficients vs filter_createTriangle (filter.c:24-77)."""
+    from canvas_tpu.ops import scale as scale_ops
+    filt = FirFilter()
+    cref.filter_createTriangle(ctypes.c_float(sub), ctypes.c_float(offset),
+                               ctypes.byref(filt))
+    try:
+        ref = np.ctypeslib.as_array(filt.coeff, shape=(filt.width,)).copy()
+        coeff, center = scale_ops.triangle_weights(
+            np.float32(sub), np.float32(offset))
+        assert center == filt.center
+        np.testing.assert_array_equal(coeff.astype(np.float32), ref)
+    finally:
+        cref.filter_free(ctypes.byref(filt))
+
+
+@pytest.mark.parametrize('sub,size', [(1.0, 2), (1.0, 3), (0.5, 2),
+                                      (2.0, 4), (1.0 / 3.0, 3)])
+@pytest.mark.parametrize('offset', [0.0, 0.3, -0.45])
+def test_lanczos_filter(cref, sub, size, offset):
+    """BIT-EXACT coefficients vs filter_createLanczos (filter.c:80-141):
+    f32 edges, double sinc, sequential-f32 normalization."""
+    from canvas_tpu.ops import scale as scale_ops
+    filt = FirFilter()
+    cref.filter_createLanczos(ctypes.c_float(sub), size,
+                              ctypes.c_float(offset), ctypes.byref(filt))
+    try:
+        ref = np.ctypeslib.as_array(filt.coeff, shape=(filt.width,)).copy()
+        coeff, center = scale_ops.lanczos_weights(
+            np.float32(sub), size, np.float32(offset))
+        assert center == filt.center
+        np.testing.assert_array_equal(coeff.astype(np.float32), ref)
+    finally:
+        cref.filter_free(ctypes.byref(filt))
+
+
+# --- video mix ----------------------------------------------------------------
+
+def _rand_rgba_f32(rng, h, w):
+    d = rng.random((4, h, w), np.float32) * np.float32(1.5)
+    # exercise zero and full alpha (the divide-by-out_a guard)
+    a = d[3]
+    a[rng.random((h, w)) < 0.1] = 0.0
+    a[rng.random((h, w)) < 0.1] = 1.0
+    return d
+
+
+@pytest.mark.parametrize('mix_b', [0.0, 0.25, 0.6180034, 1.0])
+def test_mix_cross_f32(cref, mix_b):
+    """BIT-EXACT vs video_mix_cross_f32 (video_mix.c:108-235) on
+    co-extensive windows (every pixel through the blend formula)."""
+    from canvas_tpu.ops import mix as mix_ops
+    rng = np.random.default_rng(7)
+    full = box2i(0, 0, 63, 31)
+    a = _rand_rgba_f32(rng, 32, 64)
+    b = _rand_rgba_f32(rng, 32, 64)
+    fa, _ba = _make_frame_f32(a, full, full)
+    fb, _bb = _make_frame_f32(b, full, full)
+    out = np.zeros((4, 32, 64), np.float32)
+    fo, bo = _make_frame_f32(out, full, full)
+    cref.video_mix_cross_f32(ctypes.byref(fo), ctypes.byref(fa),
+                             ctypes.byref(fb), ctypes.c_float(mix_b))
+    ref = _frame_to_4hw(bo, full, np.float32)
+    with backend.force_backend('numpy'):
+        got = mix_ops.cross(a, b, np.float32(mix_b))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize('mix_b', [0.3, 1.0])
+def test_mix_over_f32(cref, mix_b):
+    """BIT-EXACT vs video_mix_over_f32 (video_mix.c:238-370), same-window
+    case (b composited over the accumulated frame in place)."""
+    from canvas_tpu.ops import mix as mix_ops
+    rng = np.random.default_rng(11)
+    full = box2i(0, 0, 47, 23)
+    under = _rand_rgba_f32(rng, 24, 48)
+    b = _rand_rgba_f32(rng, 24, 48)
+    fo, bo = _make_frame_f32(under, full, full)
+    fb, _bb = _make_frame_f32(b, full, full)
+    cref.video_mix_over_f32(ctypes.byref(fo), ctypes.byref(fb),
+                            ctypes.c_float(mix_b))
+    ref = _frame_to_4hw(bo, full, np.float32)
+    with backend.force_backend('numpy'):
+        got = mix_ops.over(under, b, np.float32(mix_b))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_mix_over_f32_zero_mix(cref):
+    """mix_b == 0 is an early-out in the C (the frame is left untouched,
+    video_mix.c:247-249); our branch-free formula computes
+    (rgb*a)/a instead, which is within one f32 ulp of rgb."""
+    from canvas_tpu.ops import mix as mix_ops
+    rng = np.random.default_rng(11)
+    full = box2i(0, 0, 47, 23)
+    under = _rand_rgba_f32(rng, 24, 48)
+    b = _rand_rgba_f32(rng, 24, 48)
+    fo, bo = _make_frame_f32(under, full, full)
+    fb, _bb = _make_frame_f32(b, full, full)
+    cref.video_mix_over_f32(ctypes.byref(fo), ctypes.byref(fb),
+                            ctypes.c_float(0.0))
+    ref = _frame_to_4hw(bo, full, np.float32)
+    with backend.force_backend('numpy'):
+        got = mix_ops.over(under, b, np.float32(0.0))
+    np.testing.assert_array_equal(got[3], ref[3])
+    # rgb is don't-care where alpha is zero (C leaves stale bytes there,
+    # the blend formula writes zero)
+    care = ref[3] != 0.0
+    rb = ref[:3].view(np.uint32).astype(np.int64)[:, care]
+    gb = got[:3].view(np.uint32).astype(np.int64)[:, care]
+    assert np.abs(rb - gb).max() <= 1
+
+
+def test_attenuate_f32(cref):
+    """BIT-EXACT vs video_copy_frame_alpha_f32 (alpha scaled, rgb
+    copied)."""
+    from canvas_tpu.ops import mix as mix_ops
+    rng = np.random.default_rng(13)
+    full = box2i(0, 0, 31, 15)
+    a = _rand_rgba_f32(rng, 16, 32)
+    out = np.zeros_like(a)
+    fo, bo = _make_frame_f32(out, full, full)
+    fa, _ba = _make_frame_f32(a, full, full)
+    cref.video_copy_frame_alpha_f32(ctypes.byref(fo), ctypes.byref(fa),
+                                    ctypes.c_float(0.7))
+    ref = _frame_to_4hw(bo, full, np.float32)
+    with backend.force_backend('numpy'):
+        got = mix_ops.attenuate(a, np.float32(0.7))
+    np.testing.assert_array_equal(got, ref)
+
+
+# --- color matrices -----------------------------------------------------------
+
+def _ulp16_diff(a, b):
+    ab = a.view(np.uint16).astype(np.int32)
+    bb = b.view(np.uint16).astype(np.int32)
+    # signed-magnitude -> monotonic int mapping
+    am = np.where(ab & 0x8000, 0x8000 - (ab & 0x7fff), 0x8000 + (ab & 0x7fff))
+    bm = np.where(bb & 0x8000, 0x8000 - (bb & 0x7fff), 0x8000 + (bb & 0x7fff))
+    return np.abs(am - bm)
+
+
+def test_color_rgb_to_xyz_sdtv(cref):
+    """LAST-ULP vs video_color_rgb_to_xyz_sdtv (color.c:104-142): the
+    transfer step is the same LUT bits; the matrix runs in f32 but the C
+    truncates back to f16 where we round-to-nearest."""
+    rng = np.random.default_rng(17)
+    full = box2i(0, 0, 63, 15)
+    data = (rng.random((4, 16, 64), np.float32) * 1.2).astype(np.float16)
+    fr, bits = _make_frame_f16(data, full, full)
+    cref.video_color_rgb_to_xyz_sdtv(ctypes.byref(fr))
+    ref = _frame_to_4hw(bits.view(np.float16), full, np.float16)
+    with backend.force_backend('numpy'):
+        got = color_ops.rgb_to_xyz_sdtv_frame(data)
+    assert _ulp16_diff(got, ref).max() <= 1
+
+
+def test_color_xyz_to_srgb(cref):
+    """LAST-ULP vs video_color_xyz_to_srgb (color.c:145-168): the C
+    truncates the matrix result to f16 before the sRGB LUT; we round,
+    so the LUT input — and hence output — can sit one entry over."""
+    rng = np.random.default_rng(19)
+    full = box2i(0, 0, 63, 15)
+    data = (rng.random((4, 16, 64), np.float32) * 1.1).astype(np.float16)
+    fr, bits = _make_frame_f16(data, full, full)
+    cref.video_color_xyz_to_srgb(ctypes.byref(fr))
+    ref = _frame_to_4hw(bits.view(np.float16), full, np.float16)
+    with backend.force_backend('numpy'):
+        got = color_ops.xyz_to_srgb_frame(data)
+    d = _ulp16_diff(got, ref)
+    assert d.max() <= 2
+    assert (d > 1).mean() < 0.02
+
+
+# --- DV reconstruction / subsampling -------------------------------------------
+
+def _dv_planes(rng):
+    y = rng.integers(16, 236, (480, 720), dtype=np.uint8)
+    cb = rng.integers(16, 241, (480, 180), dtype=np.uint8)
+    cr = rng.integers(16, 241, (480, 180), dtype=np.uint8)
+    return y, cb, cr
+
+
+def _coded_image_from_planes(y, cb, cr):
+    img = CodedImage()
+    keep = []
+    for i, (plane, stride) in enumerate([(y, 720), (cb, 180), (cr, 180)]):
+        c = np.ascontiguousarray(plane)
+        keep.append(c)
+        img.data[i] = c.ctypes.data
+        img.stride[i] = stride
+        img.line_count[i] = 480
+    return img, keep
+
+
+def test_reconstruct_dv(cref):
+    """LAST-ULP vs video_reconstruct_dv (video_reconstruct.c:50-137):
+    identical LUT bits, matrix constants, triangle taps, and truncating
+    pre-LUT f16 conversion; the only slack left is einsum accumulation
+    order vs the C's sequential tap adds (a last-f32-ulp effect that
+    flips the f16 grid choice on isolated pixels)."""
+    from canvas_tpu.ops import chroma as chroma_ops
+    rng = np.random.default_rng(23)
+    y, cb, cr = _dv_planes(rng)
+    img, keep = _coded_image_from_planes(y, cb, cr)
+    full = box2i(0, -1, 719, 478)
+    out = np.zeros((4, 480, 720), np.float16)
+    fr, bits = _make_frame_f16(out, full, full)
+    cref.video_reconstruct_dv(ctypes.byref(fr), ctypes.byref(img))
+    ref = _frame_to_4hw(bits.view(np.float16), full, np.float16)
+    assert (fr.current_window.min.x, fr.current_window.min.y,
+            fr.current_window.max.x, fr.current_window.max.y) == \
+        (0, -1, 719, 478)
+    with backend.force_backend('numpy'):
+        got, cur = chroma_ops.reconstruct_dv((y, cb, cr), full)
+    assert cur == box2i(0, -1, 719, 478)
+    d = _ulp16_diff(got, ref)
+    # measured: ~1e-5 of pixels differ at all; a LUT-boundary straddle in
+    # a steep curve region can cost a few output ulps on one pixel
+    assert d.max() <= 4
+    assert (d > 0).mean() < 1e-4
+
+
+def test_subsample_dv(cref):
+    """Round-trip vs video_subsample_dv (video_subsample.c:99-187): both
+    sides truncate to u8 after f32 math whose accumulation order differs
+    (einsum vs sequential taps), so isolated boundary-straddling values
+    may land one code apart."""
+    from canvas_tpu.ops import chroma as chroma_ops
+    rng = np.random.default_rng(29)
+    full = box2i(0, -1, 719, 478)
+    data = (rng.random((4, 480, 720), np.float32) * 1.1).astype(np.float16)
+    data[3] = np.float16(1.0)
+    fr, bits = _make_frame_f16(data, full, full)  # C mutates in place
+    planar = cref.video_subsample_dv(ctypes.byref(fr))
+    try:
+        c = planar.contents
+        ref_y = np.ctypeslib.as_array(
+            ctypes.cast(c.data[0], ctypes.POINTER(ctypes.c_uint8)),
+            shape=(480, 720)).copy()
+        ref_cb = np.ctypeslib.as_array(
+            ctypes.cast(c.data[1], ctypes.POINTER(ctypes.c_uint8)),
+            shape=(480, 180)).copy()
+        ref_cr = np.ctypeslib.as_array(
+            ctypes.cast(c.data[2], ctypes.POINTER(ctypes.c_uint8)),
+            shape=(480, 180)).copy()
+    finally:
+        pass  # leak the coded image; its free_func frees plane storage too
+    with backend.force_backend('numpy'):
+        got_y, got_cb, got_cr = chroma_ops.subsample_dv(data, full, full)
+    for got, ref in [(got_y, ref_y), (got_cb, ref_cb), (got_cr, ref_cr)]:
+        d = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+        assert d.max() <= 1
+        assert (d > 0).mean() < 0.02
+
+
+# --- audio ---------------------------------------------------------------------
+
+def _make_audio_c(frame):
+    c = AudioFrameC()
+    data = np.ascontiguousarray(frame.data, np.float32)
+    c.data = data.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    c.channels = frame.channels
+    c.full_min_sample = frame.full_min_sample
+    c.full_max_sample = frame.full_max_sample
+    c.current_min_sample = frame.current_min_sample
+    c.current_max_sample = frame.current_max_sample
+    return c, data
+
+
+def _rand_audio(rng, full_min, full_max, channels, cur=None):
+    from canvas_tpu.audio import AudioFrame
+    n = full_max - full_min + 1
+    f = AudioFrame(full_min, full_max, channels,
+                   rng.standard_normal((n, channels)).astype(np.float32))
+    if cur is not None:
+        f.current_min_sample, f.current_max_sample = cur
+    return f
+
+
+def _assert_audio_match(got_frame, c_frame, buf):
+    """Window metadata must match exactly; sample data is compared over
+    the RESULT window only (the C leaves bytes outside it untouched,
+    we zero them — both are don't-care under the frame contract)."""
+    assert (got_frame.current_min_sample, got_frame.current_max_sample) == \
+        (c_frame.current_min_sample, c_frame.current_max_sample)
+    lo = c_frame.current_min_sample
+    hi = c_frame.current_max_sample
+    if hi < lo:
+        return
+    rows = slice(lo - c_frame.full_min_sample,
+                 hi - c_frame.full_min_sample + 1)
+    np.testing.assert_array_equal(got_frame.data[rows], buf[rows])
+
+
+@pytest.mark.parametrize('offset', [0, 13, -7])
+def test_audio_copy_frame(cref, offset):
+    """BIT-EXACT (over the result window) vs audio_copy_frame
+    (audio_mix.c:24-51)."""
+    from canvas_tpu import audio as audio_ops
+    rng = np.random.default_rng(31)
+    src = _rand_audio(rng, 0, 99, 2, cur=(10, 89))
+    out_ref = _rand_audio(rng, -20, 129, 2)
+    out_got = _rand_audio(rng, -20, 129, 2)
+    out_got.data[:] = out_ref.data
+    c_out, buf = _make_audio_c(out_ref)
+    c_src, _sb = _make_audio_c(src)
+    cref.audio_copy_frame(ctypes.byref(c_out), ctypes.byref(c_src), offset)
+    audio_ops.copy_frame(out_got, src, offset)
+    _assert_audio_match(out_got, c_out, buf)
+
+
+@pytest.mark.parametrize('factor', [0.0, 0.5, 1.0, 1.7])
+def test_audio_copy_frame_attenuate(cref, factor):
+    """BIT-EXACT (over the result window) vs audio_copy_frame_attenuate
+    (audio_mix.c:53-84), including the 0/1 factor fast paths."""
+    from canvas_tpu import audio as audio_ops
+    rng = np.random.default_rng(37)
+    src = _rand_audio(rng, 5, 80, 3, cur=(5, 80))
+    out_ref = _rand_audio(rng, 0, 99, 3)
+    out_got = _rand_audio(rng, 0, 99, 3)
+    out_got.data[:] = out_ref.data
+    c_out, buf = _make_audio_c(out_ref)
+    c_src, _sb = _make_audio_c(src)
+    cref.audio_copy_frame_attenuate(ctypes.byref(c_out), ctypes.byref(c_src),
+                                    ctypes.c_float(factor), 4)
+    audio_ops.copy_frame_attenuate(out_got, src, np.float32(factor), 4)
+    _assert_audio_match(out_got, c_out, buf)
+
+
+def test_audio_attenuate(cref):
+    """BIT-EXACT vs audio_attenuate."""
+    from canvas_tpu import audio as audio_ops
+    rng = np.random.default_rng(41)
+    f_ref = _rand_audio(rng, 0, 63, 2, cur=(8, 55))
+    f_got = _rand_audio(rng, 0, 63, 2, cur=(8, 55))
+    f_got.data[:] = f_ref.data
+    c_f, buf = _make_audio_c(f_ref)
+    cref.audio_attenuate(ctypes.byref(c_f), ctypes.c_float(0.35))
+    audio_ops.attenuate(f_got, np.float32(0.35))
+    np.testing.assert_array_equal(f_got.data, buf)
+
+
+@pytest.mark.parametrize('mix_a,offset', [(1.0, 0), (0.42, 9), (0.0, -5)])
+def test_audio_mix_add(cref, mix_a, offset):
+    """BIT-EXACT vs audio_mix_add: same single-multiply-add per sample."""
+    from canvas_tpu import audio as audio_ops
+    rng = np.random.default_rng(43)
+    a = _rand_audio(rng, 0, 79, 2, cur=(0, 79))
+    out_ref = _rand_audio(rng, -10, 109, 2, cur=(-10, 109))
+    out_got = _rand_audio(rng, -10, 109, 2, cur=(-10, 109))
+    out_got.data[:] = out_ref.data
+    c_out, buf = _make_audio_c(out_ref)
+    c_a, _ab = _make_audio_c(a)
+    cref.audio_mix_add(ctypes.byref(c_out), ctypes.byref(c_a),
+                       ctypes.c_float(mix_a), offset)
+    audio_ops.mix_add(out_got, a, np.float32(mix_a), offset)
+    np.testing.assert_array_equal(out_got.data, buf)
+    assert (out_got.current_min_sample, out_got.current_max_sample) == \
+        (c_out.current_min_sample, c_out.current_max_sample)
+
+
+# --- frame/time conversion -----------------------------------------------------
+
+def test_frame_time_conversion(cref):
+    """BIT-EXACT vs get_frame_time/get_time_frame (main.c:22-31),
+    including the +1 ns bias and negative frames."""
+    from canvas_tpu import process
+    from fractions import Fraction
+    for (n, d) in [(30000, 1001), (25, 1), (24000, 1001), (60, 1)]:
+        rate = Rational(n, d)
+        fr = Fraction(n, d)
+        for frame in [-100, -1, 0, 1, 29, 30, 1000, 123456]:
+            t_ref = cref.get_frame_time(ctypes.byref(rate), frame)
+            t_got = process.get_frame_time(fr, frame)
+            assert t_got == t_ref, (n, d, frame)
+            f_ref = cref.get_time_frame(ctypes.byref(rate), t_ref)
+            f_got = process.get_time_frame(fr, t_got)
+            assert f_got == f_ref, (n, d, frame)
