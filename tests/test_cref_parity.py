@@ -661,3 +661,205 @@ def test_frame_time_conversion(cref):
             f_ref = cref.get_time_frame(ctypes.byref(rate), t_ref)
             f_got = process.get_time_frame(fr, t_got)
             assert f_got == f_ref, (n, d, frame)
+
+
+# --- bilinear scaler ------------------------------------------------------------
+
+@pytest.mark.parametrize('factors,t_point,s_point', [
+    ((1.0, 1.0), (0.0, 0.0), (0.0, 0.0)),      # identity -> C copy path
+    ((2.0, 2.0), (0.0, 0.0), (0.0, 0.0)),      # 2x up
+    ((0.5, 0.5), (16.0, 8.0), (32.0, 16.0)),   # 2x down, offset anchors
+    ((1.7, 0.3), (10.3, 4.7), (20.0, 9.5)),    # mixed up/down, fractional
+    ((0.25, 3.0), (0.0, 0.0), (5.25, 2.5)),
+])
+def test_scale_bilinear(cref, factors, t_point, s_point):
+    """NEAR-EXACT vs video_scale_bilinear_f32 (video_scale.c:231-286):
+    identical triangle taps (bit-exact, see test_triangle_filter) but the
+    C applies the axes in two sequential passes with per-row scatter adds
+    while we contract both axes as one fused matrix pair — f32
+    accumulation order differs, so values agree to ~1e-5.
+
+    Window: the C routes two-axis scales through a temp frame whose
+    extent formula (video_scale.c:252-261) anchors on *source_point*
+    with target offsets scaled *by* (not divided by) the factor — when
+    anchors differ under downscale this clips rows/columns that the
+    taps legitimately touch. Our fused pass has no temp buffer, so the
+    un-clipped window is produced; the parity contract is therefore
+    ours ⊇ C's window, values equal on the C's window."""
+    from canvas_tpu.ops import scale as scale_ops
+    rng = np.random.default_rng(47)
+    s_full = box2i(0, 0, 63, 47)
+    t_full = box2i(0, 0, 95, 71)
+    src = (rng.random((4, 48, 64), np.float32) * np.float32(1.5))
+    fs, _bs = _make_frame_f32(src, s_full, s_full)
+    out = np.zeros((4, 72, 96), np.float32)
+    ft, bt = _make_frame_f32(out, t_full, t_full)
+    tp = V2f(*[np.float32(v) for v in t_point])
+    sp = V2f(*[np.float32(v) for v in s_point])
+    fv = V2f(*[np.float32(v) for v in factors])
+    cref.video_scale_bilinear_f32(ctypes.byref(ft), tp, ctypes.byref(fs),
+                                  sp, fv)
+    ref = _frame_to_4hw(bt, t_full, np.float32)
+    ref_win = (ft.current_window.min.x, ft.current_window.min.y,
+               ft.current_window.max.x, ft.current_window.max.y)
+    with backend.force_backend('numpy'):
+        got, win = scale_ops.scale_bilinear(
+            src, s_full, s_full, t_full,
+            (np.float32(t_point[0]), np.float32(t_point[1])),
+            (np.float32(s_point[0]), np.float32(s_point[1])),
+            (np.float32(factors[0]), np.float32(factors[1])))
+    # ours must cover the C's window (see docstring: the C's temp-frame
+    # extent can clip valid output under mismatched anchors + downscale)
+    assert win.min.x <= ref_win[0] and win.min.y <= ref_win[1]
+    assert win.max.x >= ref_win[2] and win.max.y >= ref_win[3]
+    # values equal on the C's (possibly clipped) window
+    sl = (slice(None), slice(ref_win[1], ref_win[3] + 1),
+          slice(ref_win[0], ref_win[2] + 1))
+    np.testing.assert_allclose(got[sl], ref[sl], rtol=0, atol=2e-5)
+    # and equal-anchor / upscale cases must match the window exactly
+    if t_point == s_point or (factors[0] >= 1.0 and factors[1] >= 1.0):
+        assert (win.min.x, win.min.y, win.max.x, win.max.y) == ref_win
+
+
+# --- pull protocol (video_get_frame_f16/f32 dispatch) ---------------------------
+
+GETFRAME16 = ctypes.CFUNCTYPE(None, ctypes.c_void_p, ctypes.c_int,
+                              ctypes.POINTER(FrameF16))
+GETFRAME32 = ctypes.CFUNCTYPE(None, ctypes.c_void_p, ctypes.c_int,
+                              ctypes.POINTER(FrameF32))
+
+
+class SourceFuncs(ctypes.Structure):
+    _fields_ = [('flags', ctypes.c_int),
+                ('get_frame', GETFRAME16),
+                ('get_frame_32', GETFRAME32),
+                ('get_frame_gl', ctypes.c_void_p)]
+
+
+class CSource(ctypes.Structure):
+    _fields_ = [('obj', ctypes.c_void_p),
+                ('funcs', ctypes.POINTER(SourceFuncs))]
+
+
+def _fill_frame_f16(frame_ptr, data_4hw, cur):
+    """Write *data_4hw* (sized to the frame's full_window) into a C f16
+    frame through its data pointer and set current_window."""
+    fr = frame_ptr.contents
+    full = fr.full_window
+    h = full.max.y - full.min.y + 1
+    w = full.max.x - full.min.x + 1
+    inter = np.ascontiguousarray(
+        np.moveaxis(data_4hw.astype(np.float16), 0, -1)).reshape(-1)
+    ctypes.memmove(fr.data, inter.view(np.uint16).ctypes.data,
+                   h * w * 8)
+    fr.current_window = _cbox(cur)
+
+
+def _fill_frame_f32(frame_ptr, data_4hw, cur):
+    fr = frame_ptr.contents
+    full = fr.full_window
+    h = full.max.y - full.min.y + 1
+    w = full.max.x - full.min.x + 1
+    inter = np.ascontiguousarray(
+        np.moveaxis(data_4hw.astype(np.float32), 0, -1)).reshape(-1)
+    ctypes.memmove(fr.data, inter.ctypes.data, h * w * 16)
+    fr.current_window = _cbox(cur)
+
+
+def test_pull_f16_source_as_f32(cref):
+    """BIT-EXACT (over the result window) vs video_get_frame_f32's
+    f16->f32 promotion branch (main.c:106-140): the C converts only the
+    source's current window; the f16->f32 cast is exact in both
+    implementations. Window metadata must match exactly."""
+    from canvas_tpu.frames import VideoSource
+
+    rng = np.random.default_rng(53)
+    full = box2i(-2, 3, 29, 34)
+    cur = box2i(0, 5, 20, 30)
+    h, w = full.height, full.width
+    payload = np.zeros((4, h, w), np.float16)
+    payload[:, cur.min.y - full.min.y:cur.max.y - full.min.y + 1,
+            cur.min.x - full.min.x:cur.max.x - full.min.x + 1] = \
+        (rng.random((4, cur.height, cur.width), np.float32)
+         .astype(np.float16))
+
+    @GETFRAME16
+    def get16(obj, frame_index, frame_ptr):
+        _fill_frame_f16(frame_ptr, payload, cur)
+
+    funcs = SourceFuncs(0, get16, GETFRAME32(), None)
+    src = CSource(None, ctypes.pointer(funcs))
+    out = np.full((4, h, w), np.float32(7.0))
+    fo, bo = _make_frame_f32(out, full, full)
+    cref.video_get_frame_f32(ctypes.byref(src), 0, ctypes.byref(fo))
+    ref = _frame_to_4hw(bo, full, np.float32)
+    assert (fo.current_window.min.x, fo.current_window.min.y,
+            fo.current_window.max.x, fo.current_window.max.y) == \
+        (cur.min.x, cur.min.y, cur.max.x, cur.max.y)
+
+    class PySource(VideoSource):
+        def _render_f16(self, frame_index, frame):
+            frame.data = payload.copy()
+            frame.current_window = cur
+
+    got = PySource().get_frame_f32(0, full)
+    assert got.current_window == cur
+    sl = (slice(None), slice(cur.min.y - full.min.y,
+                             cur.max.y - full.min.y + 1),
+          slice(cur.min.x - full.min.x, cur.max.x - full.min.x + 1))
+    np.testing.assert_array_equal(np.asarray(got.data)[sl], ref[sl])
+
+
+def test_pull_f32_source_as_f16(cref):
+    """LAST-ULP vs video_get_frame_f16's f32->f16 demotion branch
+    (main.c:34-76): the C demotes with rgba_f32_to_f16 (truncating),
+    our dispatch rounds to nearest — window semantics exact, data
+    within one f16 ulp."""
+    from canvas_tpu.frames import VideoSource
+
+    rng = np.random.default_rng(59)
+    full = box2i(0, 0, 31, 23)
+    cur = box2i(4, 2, 27, 21)
+    h, w = full.height, full.width
+    payload = np.zeros((4, h, w), np.float32)
+    payload[:, cur.min.y:cur.max.y + 1, cur.min.x:cur.max.x + 1] = \
+        rng.random((4, cur.height, cur.width), np.float32) * np.float32(1.3)
+
+    @GETFRAME32
+    def get32(obj, frame_index, frame_ptr):
+        _fill_frame_f32(frame_ptr, payload, cur)
+
+    funcs = SourceFuncs(0, GETFRAME16(), get32, None)
+    src = CSource(None, ctypes.pointer(funcs))
+    out = np.zeros((4, h, w), np.float16)
+    fo, bo = _make_frame_f16(out, full, full)
+    cref.video_get_frame_f16(ctypes.byref(src), 0, ctypes.byref(fo))
+    ref = _frame_to_4hw(bo.view(np.float16), full, np.float16)
+    assert (fo.current_window.min.x, fo.current_window.min.y,
+            fo.current_window.max.x, fo.current_window.max.y) == \
+        (cur.min.x, cur.min.y, cur.max.x, cur.max.y)
+
+    class PySource(VideoSource):
+        def _render_f32(self, frame_index, frame):
+            frame.data = payload.copy()
+            frame.current_window = cur
+
+    got = PySource().get_frame_f16(0, full)
+    assert got.current_window == cur
+    sl = (slice(None), slice(cur.min.y, cur.max.y + 1),
+          slice(cur.min.x, cur.max.x + 1))
+    assert _ulp16_diff(np.asarray(got.data)[sl], ref[sl]).max() <= 1
+
+
+def test_pull_null_source(cref):
+    """BIT-EXACT: a source with no funcs yields an empty window in both
+    (main.c:35-38 / frames.VideoSource default dispatch)."""
+    from canvas_tpu.frames import VideoSource
+    full = box2i(0, 0, 7, 7)
+    src = CSource(None, None)
+    out = np.zeros((4, 8, 8), np.float16)
+    fo, _bo = _make_frame_f16(out, full, full)
+    cref.video_get_frame_f16(ctypes.byref(src), 0, ctypes.byref(fo))
+    assert fo.current_window.min.x > fo.current_window.max.x
+    got = VideoSource().get_frame_f16(0, full)
+    assert got.current_window.empty()
