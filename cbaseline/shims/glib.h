@@ -69,4 +69,39 @@ gpointer g_dataset_id_get_data(gpointer location, GQuark key);
 void g_dataset_id_set_data_full(gpointer location, GQuark key,
                                 gpointer data, GDestroyNotify destroy);
 
+/* Single-threaded GMutex: no-ops (workspace.c; parity tests are
+ * single-threaded). */
+typedef struct { int dummy; } GMutex;
+static inline void g_mutex_init(GMutex *m) { (void) m; }
+static inline void g_mutex_clear(GMutex *m) { (void) m; }
+static inline void g_mutex_lock(GMutex *m) { (void) m; }
+static inline void g_mutex_unlock(GMutex *m) { (void) m; }
+
+/* GSequence (workspace.c): linked-list implementation in gsequence.c. */
+typedef const void *gconstpointer;
+typedef gint (*GCompareDataFunc)(gconstpointer a, gconstpointer b,
+                                 gpointer user_data);
+typedef struct _GSequence GSequence;
+typedef struct _GSequenceNode GSequenceIter;
+
+GSequence *g_sequence_new(GDestroyNotify free_func);
+void g_sequence_free(GSequence *seq);
+gint g_sequence_get_length(GSequence *seq);
+GSequenceIter *g_sequence_get_begin_iter(GSequence *seq);
+GSequenceIter *g_sequence_get_end_iter(GSequence *seq);
+GSequenceIter *g_sequence_get_iter_at_pos(GSequence *seq, gint pos);
+gboolean g_sequence_iter_is_begin(GSequenceIter *iter);
+gboolean g_sequence_iter_is_end(GSequenceIter *iter);
+GSequenceIter *g_sequence_iter_next(GSequenceIter *iter);
+GSequenceIter *g_sequence_iter_prev(GSequenceIter *iter);
+gpointer g_sequence_get(GSequenceIter *iter);
+gint g_sequence_iter_compare(GSequenceIter *a, GSequenceIter *b);
+GSequenceIter *g_sequence_insert_sorted(GSequence *seq, gpointer data,
+                                        GCompareDataFunc cmp_func,
+                                        gpointer user_data);
+void g_sequence_sort_changed(GSequenceIter *iter,
+                             GCompareDataFunc cmp_func,
+                             gpointer user_data);
+void g_sequence_remove(GSequenceIter *iter);
+
 #endif

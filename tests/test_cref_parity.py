@@ -863,3 +863,340 @@ def test_pull_null_source(cref):
     assert fo.current_window.min.x > fo.current_window.max.x
     got = VideoSource().get_frame_f16(0, full)
     assert got.current_window.empty()
+
+
+# --- compositing workspace (workspace.c) -----------------------------------------
+
+AUDIOGETFRAME = ctypes.CFUNCTYPE(None, ctypes.c_void_p,
+                                 ctypes.POINTER(AudioFrameC))
+
+
+class AudioSourceFuncs(ctypes.Structure):
+    _fields_ = [('flags', ctypes.c_int), ('getFrame', AUDIOGETFRAME)]
+
+
+class CAudioSource(ctypes.Structure):
+    _fields_ = [('obj', ctypes.c_void_p),
+                ('funcs', ctypes.POINTER(AudioSourceFuncs))]
+
+
+def _setup_workspace_api(cref):
+    cref.workspace_create.restype = ctypes.c_void_p
+    cref.workspace_add_item.restype = ctypes.c_void_p
+    cref.workspace_add_item.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+    cref.workspace_as_video_source.argtypes = [ctypes.c_void_p,
+                                               ctypes.POINTER(CSource)]
+    cref.workspace_as_audio_source.argtypes = [ctypes.c_void_p,
+                                               ctypes.POINTER(CAudioSource)]
+    cref.workspace_update_item.argtypes = [ctypes.c_void_p] + \
+        [ctypes.c_void_p] * 6
+    cref.workspace_remove_item.argtypes = [ctypes.c_void_p]
+    cref.workspace_free.argtypes = [ctypes.c_void_p]
+    cref.video_get_frame_f32.argtypes = [
+        ctypes.POINTER(CSource), ctypes.c_int, ctypes.POINTER(FrameF32)]
+    cref.audio_get_frame.argtypes = [
+        ctypes.POINTER(CAudioSource), ctypes.POINTER(AudioFrameC)]
+
+
+def _ulp32_diff(a, b):
+    ab = a.view(np.uint32).astype(np.int64)
+    bb = b.view(np.uint32).astype(np.int64)
+    am = np.where(ab & 0x80000000, 0x80000000 - (ab & 0x7fffffff),
+                  0x80000000 + (ab & 0x7fffffff))
+    bm = np.where(bb & 0x80000000, 0x80000000 - (bb & 0x7fffffff),
+                  0x80000000 + (bb & 0x7fffffff))
+    return np.abs(am - bm)
+
+
+class _VideoLayerSpec:
+    """A synthetic layer: solid color (varying per pulled frame index)
+    over a fixed current window; identical fill for the C callback and
+    the Python source."""
+
+    def __init__(self, window, color):
+        self.window = window
+        self.color = np.asarray(color, np.float32)
+
+    def data_for(self, frame_index, full):
+        h, w = full.height, full.width
+        data = np.zeros((4, h, w), np.float32)
+        c = self.color + np.float32(0.01) * np.float32(frame_index)
+        cur = self.window
+        from canvas_tpu.basetypes import box2i_intersect
+        cur = box2i_intersect(cur, full)
+        if not cur.empty():
+            data[:, cur.min.y - full.min.y:cur.max.y - full.min.y + 1,
+                 cur.min.x - full.min.x:cur.max.x - full.min.x + 1] = \
+                c[:, None, None]
+        return data, cur
+
+
+def _make_c_video_layer(spec):
+    from canvas_tpu.basetypes import box2i as _box
+
+    @GETFRAME32
+    def get32(obj, frame_index, frame_ptr):
+        full = frame_ptr.contents.full_window
+        fw = _box(full.min.x, full.min.y, full.max.x, full.max.y)
+        data, cur = spec.data_for(frame_index, fw)
+        if cur.empty():
+            frame_ptr.contents.current_window.min.x = 0
+            frame_ptr.contents.current_window.min.y = 0
+            frame_ptr.contents.current_window.max.x = -1
+            frame_ptr.contents.current_window.max.y = -1
+            return
+        _fill_frame_f32(frame_ptr, data, cur)
+
+    funcs = SourceFuncs(0, GETFRAME16(), get32, None)
+    src = CSource(None, ctypes.pointer(funcs))
+    return src, (get32, funcs)
+
+
+def _make_py_video_layer(spec):
+    from canvas_tpu.frames import VideoSource
+
+    class Layer(VideoSource):
+        def _render_f32(self, frame_index, frame):
+            data, cur = spec.data_for(frame_index, frame.full_window)
+            frame.data = data
+            frame.current_window = cur
+
+    return Layer()
+
+
+def test_workspace_video_composite(cref):
+    """Differential vs workspace_get_frame_f32 (workspace.c:494-550):
+    same items (x/length/offset/z), same per-frame layer content pulled
+    through callback sources in the C and VideoSource subclasses here.
+    Checks the composite ORDER (ascending z, later-added-below at equal
+    z), the x/offset frame mapping, window unions, and blend values
+    (alpha exact; rgb within 1 f32 ulp — the C copies single-layer
+    border rows verbatim where our branch-free blend computes
+    (rgb*a)/a)."""
+    from canvas_tpu import process
+
+    _setup_workspace_api(cref)
+    full = box2i(0, 0, 63, 47)
+    specs = [
+        _VideoLayerSpec(box2i(0, 0, 63, 47), (0.2, 0.1, 0.3, 1.0)),
+        _VideoLayerSpec(box2i(10, 5, 40, 30), (0.9, 0.2, 0.1, 0.5)),
+        _VideoLayerSpec(box2i(30, 20, 80, 60), (0.1, 0.8, 0.4, 0.25)),
+    ]
+    # (x, length, offset, z) — staggered so different frames see
+    # different subsets and source-frame mappings
+    placements = [(0, 20, 0, 0), (2, 10, 3, 1), (5, 12, -2, 2)]
+
+    ws_c = cref.workspace_create()
+    keep = []
+    for spec, (x, length, offset, z) in zip(specs, placements):
+        src, refs = _make_c_video_layer(spec)
+        keep.append((src, refs))
+        cref.workspace_add_item(ws_c, ctypes.byref(src), x, length,
+                                offset, z, None)
+    c_src = CSource()
+    cref.workspace_as_video_source(ws_c, ctypes.byref(c_src))
+
+    ws_py = process.VideoWorkspace()
+    for spec, (x, length, offset, z) in zip(specs, placements):
+        ws_py.add(source=_make_py_video_layer(spec), x=x, length=length,
+                  offset=offset, z=z)
+
+    for frame_index in [0, 1, 3, 6, 11, 15, 19, 25]:
+        out = np.zeros((4, 48, 64), np.float32)
+        fo, bo = _make_frame_f32(out, full, full)
+        cref.video_get_frame_f32(ctypes.byref(c_src), frame_index,
+                                 ctypes.byref(fo))
+        got = ws_py.get_frame_f32(frame_index, full)
+        cw = fo.current_window
+        if cw.min.x > cw.max.x or cw.min.y > cw.max.y:
+            assert got.current_window.empty(), frame_index
+            continue
+        assert (got.current_window.min.x, got.current_window.min.y,
+                got.current_window.max.x, got.current_window.max.y) == \
+            (cw.min.x, cw.min.y, cw.max.x, cw.max.y), frame_index
+        ref = _frame_to_4hw(bo, full, np.float32)
+        gd = np.asarray(got.data)
+        sl = (slice(None), slice(cw.min.y, cw.max.y + 1),
+              slice(cw.min.x, cw.max.x + 1))
+        np.testing.assert_array_equal(gd[3][sl[1:]], ref[3][sl[1:]],
+                                      err_msg='frame %d' % frame_index)
+        care = ref[3][sl[1:]] != 0.0
+        d = _ulp32_diff(gd[sl][:, care], ref[sl][:, care])
+        assert d.max() <= 1, frame_index
+    cref.workspace_free(ws_c)
+
+
+def test_workspace_video_item_update_remove(cref):
+    """Differential item manipulation: workspace_update_item (move x,
+    change z and offset) and workspace_remove_item against our
+    WorkspaceItem.update()/remove, re-pulling after each step."""
+    from canvas_tpu import process
+
+    _setup_workspace_api(cref)
+    full = box2i(0, 0, 31, 23)
+    specs = [
+        _VideoLayerSpec(box2i(0, 0, 31, 23), (0.3, 0.3, 0.3, 1.0)),
+        _VideoLayerSpec(box2i(8, 4, 24, 18), (0.8, 0.1, 0.2, 1.0)),
+    ]
+    ws_c = cref.workspace_create()
+    keep = []
+    items_c = []
+    for spec, (x, length, offset, z) in zip(specs,
+                                            [(0, 10, 0, 0), (0, 10, 0, 1)]):
+        src, refs = _make_c_video_layer(spec)
+        keep.append((src, refs))
+        items_c.append(cref.workspace_add_item(
+            ws_c, ctypes.byref(src), x, length, offset, z, None))
+    c_src = CSource()
+    cref.workspace_as_video_source(ws_c, ctypes.byref(c_src))
+
+    ws_py = process.VideoWorkspace()
+    items_py = []
+    for spec, (x, length, offset, z) in zip(specs,
+                                            [(0, 10, 0, 0), (0, 10, 0, 1)]):
+        items_py.append(ws_py.add(source=_make_py_video_layer(spec), x=x,
+                                  length=length, offset=offset, z=z))
+
+    def compare(frame_index):
+        out = np.zeros((4, 24, 32), np.float32)
+        fo, bo = _make_frame_f32(out, full, full)
+        cref.video_get_frame_f32(ctypes.byref(c_src), frame_index,
+                                 ctypes.byref(fo))
+        got = ws_py.get_frame_f32(frame_index, full)
+        cw = fo.current_window
+        if cw.min.x > cw.max.x or cw.min.y > cw.max.y:
+            assert got.current_window.empty()
+            return
+        assert (got.current_window.min.x, got.current_window.min.y,
+                got.current_window.max.x, got.current_window.max.y) == \
+            (cw.min.x, cw.min.y, cw.max.x, cw.max.y)
+        ref = _frame_to_4hw(bo, full, np.float32)
+        gd = np.asarray(got.data)
+        care = ref[3] != 0.0
+        assert _ulp32_diff(gd[:, care], ref[:, care]).max() <= 1
+
+    compare(0)
+    compare(5)
+
+    # move item 1 in x (and stretch), via update
+    x = ctypes.c_int64(4)
+    ln = ctypes.c_int64(14)
+    cref.workspace_update_item(items_c[1], ctypes.byref(x),
+                               ctypes.byref(ln), None, None, None, None)
+    items_py[1].update(x=4, length=14)
+    for f in [0, 3, 4, 9, 17]:
+        compare(f)
+
+    # flip z below the background
+    z = ctypes.c_int64(-1)
+    cref.workspace_update_item(items_c[1], None, None, ctypes.byref(z),
+                               None, None, None)
+    items_py[1].update(z=-1)
+    compare(5)
+
+    # change offset (source frame mapping)
+    off = ctypes.c_int64(7)
+    cref.workspace_update_item(items_c[1], None, None, None,
+                               ctypes.byref(off), None, None)
+    items_py[1].update(offset=7)
+    compare(6)
+
+    # remove the background
+    cref.workspace_remove_item(items_c[0])
+    ws_py.remove(items_py[0])
+    compare(5)
+    cref.workspace_free(ws_c)
+
+
+def _make_c_audio_layer(base):
+    @AUDIOGETFRAME
+    def getframe(obj, frame_ptr):
+        fr = frame_ptr.contents
+        n = fr.full_max_sample - fr.full_min_sample + 1
+        ch = fr.channels
+        buf = np.empty((n, ch), np.float32)
+        idx = np.arange(fr.full_min_sample, fr.full_max_sample + 1,
+                        dtype=np.float32)[:, None]
+        buf[:] = np.float32(base) + idx * np.float32(0.001) + \
+            np.arange(ch, dtype=np.float32)[None, :] * np.float32(0.1)
+        ctypes.memmove(fr.data, buf.ctypes.data, buf.nbytes)
+        fr.current_min_sample = fr.full_min_sample
+        fr.current_max_sample = fr.full_max_sample
+
+    funcs = AudioSourceFuncs(0, getframe)
+    src = CAudioSource(None, ctypes.pointer(funcs))
+    return src, (getframe, funcs)
+
+
+def _make_py_audio_layer(base):
+    from canvas_tpu.audio import AudioSource
+
+    class Layer(AudioSource):
+        def _render(self, frame):
+            n = frame.full_max_sample - frame.full_min_sample + 1
+            idx = np.arange(frame.full_min_sample,
+                            frame.full_max_sample + 1,
+                            dtype=np.float32)[:, None]
+            frame.data[:] = np.float32(base) + idx * np.float32(0.001) + \
+                np.arange(frame.channels,
+                          dtype=np.float32)[None, :] * np.float32(0.1)
+            frame.current_min_sample = frame.full_min_sample
+            frame.current_max_sample = frame.full_max_sample
+
+    return Layer()
+
+
+def test_workspace_audio_composite(cref):
+    """Differential vs workspace_audio_get_frame (workspace.c:615-676)
+    with zero item offsets: overlapping items sum additively through
+    ghost windows; window metadata must match exactly and samples to
+    1 f32 ulp (the C iterates its composite list top-down, we
+    bottom-up — addition order differs where 3+ items overlap).
+
+    Nonzero offsets are intentionally NOT compared: the reference's
+    audio path rebases by -(x + offset) (workspace.c:655) while its own
+    video path uses frame - x + offset (workspace.c:530); we follow the
+    video convention for both (see audio.AudioWorkspace._render)."""
+    from canvas_tpu.audio import AudioWorkspace
+
+    _setup_workspace_api(cref)
+    ws_c = cref.workspace_create()
+    keep = []
+    for base, (x, length, z) in zip(
+            [0.5, -0.25, 0.125],
+            [(0, 100, 0), (40, 100, 1), (70, 50, 2)]):
+        src, refs = _make_c_audio_layer(base)
+        keep.append((src, refs))
+        cref.workspace_add_item(ws_c, ctypes.byref(src), x, length, 0, z,
+                                None)
+    c_src = CAudioSource()
+    cref.workspace_as_audio_source(ws_c, ctypes.byref(c_src))
+
+    ws_py = AudioWorkspace()
+    for base, (x, length, z) in zip(
+            [0.5, -0.25, 0.125],
+            [(0, 100, 0), (40, 100, 1), (70, 50, 2)]):
+        ws_py.add(source=_make_py_audio_layer(base), x=x, length=length,
+                  offset=0, z=z)
+
+    for (lo, hi) in [(0, 159), (-20, 10), (45, 75), (90, 139),
+                     (150, 220), (-50, -30)]:
+        n = hi - lo + 1
+        buf = np.full((n, 2), np.float32(9.0))
+        c_fr = AudioFrameC(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 2,
+            lo, hi, 0, -1)
+        cref.audio_get_frame(ctypes.byref(c_src), ctypes.byref(c_fr))
+        got = ws_py.get_frame(lo, hi, 2)
+        if c_fr.current_max_sample < c_fr.current_min_sample:
+            assert got.empty, (lo, hi)
+            continue
+        assert (got.current_min_sample, got.current_max_sample) == \
+            (c_fr.current_min_sample, c_fr.current_max_sample), (lo, hi)
+        rows = slice(c_fr.current_min_sample - lo,
+                     c_fr.current_max_sample - lo + 1)
+        d = _ulp32_diff(np.asarray(got.data)[rows], buf[rows])
+        assert d.max() <= 1, (lo, hi)
+    cref.workspace_free(ws_c)
