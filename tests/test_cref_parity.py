@@ -1200,3 +1200,65 @@ def test_workspace_audio_composite(cref):
         d = _ulp32_diff(np.asarray(got.data)[rows], buf[rows])
         assert d.max() <= 1, (lo, hi)
     cref.workspace_free(ws_c)
+
+
+@pytest.mark.parametrize('offset,out_cur', [
+    (0, (20, 40)),        # overlap
+    (5, (0, 9)),          # gap above out's window -> silence fill
+    (-30, (90, 109)),     # gap below -> silence fill downward
+    (0, None),            # empty out window
+])
+def test_audio_overwrite_frame(cref, offset, out_cur):
+    """BIT-EXACT vs audio_overwrite_frame (audio_mix.c:86-146),
+    including the silence laid between a disjoint existing window and
+    the incoming one."""
+    from canvas_tpu import audio as audio_ops
+    rng = np.random.default_rng(61)
+    src = _rand_audio(rng, 30, 69, 2, cur=(30, 69))
+    out_ref = _rand_audio(rng, 0, 119, 2)
+    if out_cur is not None:
+        out_ref.current_min_sample, out_ref.current_max_sample = out_cur
+    out_got = _rand_audio(rng, 0, 119, 2)
+    out_got.data[:] = out_ref.data
+    out_got.current_min_sample = out_ref.current_min_sample
+    out_got.current_max_sample = out_ref.current_max_sample
+    c_out, buf = _make_audio_c(out_ref)
+    c_src, _sb = _make_audio_c(src)
+    cref.audio_overwrite_frame(ctypes.byref(c_out), ctypes.byref(c_src),
+                               offset)
+    audio_ops.overwrite_frame(out_got, src, offset)
+    _assert_audio_match(out_got, c_out, buf)
+
+
+def test_audio_mix_add_pull(cref):
+    """BIT-EXACT vs audio_mix_add_pull (audio_mix.c:242-284) through a
+    callback source, both the empty-out shortcut (in-place pull +
+    attenuate) and the temp-frame mix path."""
+    from canvas_tpu import audio as audio_ops
+
+    src_c, keep = _make_c_audio_layer(0.25)
+    src_py = _make_py_audio_layer(0.25)
+    cref.audio_mix_add_pull.argtypes = [
+        ctypes.POINTER(AudioFrameC), ctypes.POINTER(CAudioSource),
+        ctypes.c_float, ctypes.c_int]
+
+    rng = np.random.default_rng(67)
+    # arm 1: empty out window -> shortcut path
+    out_ref = _rand_audio(rng, 0, 59, 2)
+    out_got = _rand_audio(rng, 0, 59, 2)
+    out_got.data[:] = out_ref.data
+    c_out, buf = _make_audio_c(out_ref)
+    cref.audio_mix_add_pull(ctypes.byref(c_out), ctypes.byref(src_c),
+                            ctypes.c_float(0.6), 11)
+    audio_ops.mix_add_pull(out_got, src_py, np.float32(0.6), 11)
+    _assert_audio_match(out_got, c_out, buf)
+
+    # arm 2: existing window -> temp-frame mix
+    out_ref = _rand_audio(rng, 0, 59, 2, cur=(10, 39))
+    out_got = _rand_audio(rng, 0, 59, 2, cur=(10, 39))
+    out_got.data[:] = out_ref.data
+    c_out, buf = _make_audio_c(out_ref)
+    cref.audio_mix_add_pull(ctypes.byref(c_out), ctypes.byref(src_c),
+                            ctypes.c_float(0.6), -7)
+    audio_ops.mix_add_pull(out_got, src_py, np.float32(0.6), -7)
+    _assert_audio_match(out_got, c_out, buf)
