@@ -1003,10 +1003,16 @@ CAV_EXPORT int cav_muxer_finish(CavMuxer *m) {
 }
 
 CAV_EXPORT const char *cav_version() {
-    static char buf[128];
-    snprintf(buf, sizeof(buf), "canvas_av avformat=%u avcodec=%u",
-             avformat_version(), avcodec_version());
-    return buf;
+    // C++11 magic-static: the buffer is formatted exactly once, under
+    // the compiler's init guard — concurrent first calls are safe
+    // (the previous write-every-call static was a data race under TSAN)
+    static const std::string buf = [] {
+        char tmp[128];
+        snprintf(tmp, sizeof(tmp), "canvas_av avformat=%u avcodec=%u",
+                 avformat_version(), avcodec_version());
+        return std::string(tmp);
+    }();
+    return buf.c_str();
 }
 
 // --------------------------------------------------------------------------

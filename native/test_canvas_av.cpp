@@ -5,6 +5,8 @@
 #include <cassert>
 #include <cstdio>
 #include <cstring>
+#include <string>
+#include <thread>
 #include <vector>
 #include <cstdint>
 #include <cstdlib>
@@ -37,6 +39,7 @@ void cav_video_decoder_close(CavVideoDec *);
 int cav_video_decode_rgba(CavVideoDec *, int64_t, uint8_t *, int, int);
 int cav_video_decode_planar(CavVideoDec *, int64_t, uint8_t *, uint8_t *,
                             uint8_t *, int *, int64_t, int64_t);
+const char *cav_version();
 }
 
 // Feed one corrupted byte stream through open -> demux -> decode; the
@@ -156,6 +159,62 @@ int main() {
         drain_corrupt(bad);
     }
     remove(bad);
+
+    // Threaded stress: the library's contract is one owner per
+    // instance, but INSTANCES run concurrently (Python's prepare
+    // thread decodes while the GUI probes another file). Four threads
+    // each mux/demux/decode their own file in parallel; under TSAN
+    // this validates there is no hidden shared state (lazy codec
+    // registries, version string, swscale contexts).
+    {
+        auto worker = [](int tid) {
+            char terr[512] = {0};
+            std::string tp = "/tmp/canvas_av_selftest_t" +
+                std::to_string(tid) + ".avi";
+            (void)cav_version();
+            CavMuxer *tm = cav_muxer_create(tp.c_str(), "", terr,
+                                            sizeof(terr));
+            assert(tm);
+            int tv = cav_muxer_add_video(tm, "mpeg4", 64, 48, 25, 1,
+                                         400000, "", terr, sizeof(terr));
+            assert(tv == 0);
+            assert(cav_muxer_start(tm, terr, sizeof(terr)) == 0);
+            std::vector<uint8_t> tf(64 * 48 * 4, 0);
+            for (int i = 0; i < 6; i++) {
+                for (int p = 0; p < 64 * 48; p++) {
+                    tf[p * 4 + 1] = (uint8_t)(tid * 40 + i * 10);
+                    tf[p * 4 + 3] = 255;
+                }
+                assert(cav_muxer_write_video(tm, tv, tf.data()) >= 0);
+            }
+            assert(cav_muxer_finish(tm) >= 0);
+
+            CavFormat *tfmt = cav_open(tp.c_str(), terr, sizeof(terr));
+            assert(tfmt);
+            CavPacket tpkt;
+            int tp_count = 0;
+            while (cav_read_packet(tfmt, 0, &tpkt) == 1) {
+                tp_count++;
+                cav_packet_free(&tpkt);
+            }
+            assert(tp_count == 6);
+            cav_close(tfmt);
+
+            CavVideoDec *td = cav_video_decoder_open(tp.c_str(), -1,
+                                                     terr, sizeof(terr));
+            assert(td);
+            std::vector<uint8_t> tout(64 * 48 * 4);
+            assert(cav_video_decode_rgba(td, 5, tout.data(), 64, 48) == 1);
+            assert(cav_video_decode_rgba(td, 0, tout.data(), 64, 48) == 1);
+            cav_video_decoder_close(td);
+            remove(tp.c_str());
+        };
+        std::thread threads[4];
+        for (int t = 0; t < 4; t++)
+            threads[t] = std::thread(worker, t);
+        for (int t = 0; t < 4; t++)
+            threads[t].join();
+    }
 
     printf("canvas_av selftest OK (%d packets, ramp %d -> %d)\n",
            packets, early, late);
