@@ -580,7 +580,9 @@ def _yuv420_pack_math(data, intent):
     else:
         s = jnp.where(x <= 0.0031308, x * 12.92,
                       1.055 * jnp.power(x, 1.0 / 2.4) - 0.055)
-        s = quantize_f16(s)
+        # truncating, like the host sRGB LUT and _display_u8_math's
+        # BGRA arm — the two display transports must quantize alike
+        s = quantize_f16_trunc(s)
         y = jnp.power(s, jnp.float32(intent)) * 255.0
     y = jnp.clip(jnp.nan_to_num(y, nan=0.0), 0.0, 255.0)
     R, G, Bl = y[:, 0], y[:, 1], y[:, 2]

@@ -87,11 +87,17 @@ gpointer g_sequence_get(GSequenceIter *iter) { return iter->data; }
 gint g_sequence_iter_compare(GSequenceIter *a, GSequenceIter *b) {
     if (a == b)
         return 0;
+    /* the end sentinel orders after every node */
+    if (g_sequence_iter_is_end(a))
+        return 1;
+    if (g_sequence_iter_is_end(b))
+        return -1;
     /* walk forward from a; if we meet b, a comes first */
-    for (GSequenceIter *it = a; !g_sequence_iter_is_end(it); it = it->next)
+    for (GSequenceIter *it = a->next; !g_sequence_iter_is_end(it);
+         it = it->next)
         if (it == b)
             return -1;
-    return g_sequence_iter_is_end(a) ? 1 : 1;
+    return 1;
 }
 
 static void seq_link_before(GSequenceIter *pos, GSequenceIter *node) {

@@ -134,13 +134,15 @@ def _frame_to_4hw(inter, full, dtype):
 
 @pytest.fixture(scope='session')
 def cref():
-    """Build (if needed) and load the reference parity library."""
-    if not os.path.exists(LIB):
-        try:
-            subprocess.run(['make', '-C', CBASE, 'parity'], check=True,
-                           capture_output=True, text=True, timeout=300)
-        except (subprocess.CalledProcessError, OSError,
-                subprocess.TimeoutExpired) as e:
+    """Build (incrementally — always invoked, so shim/source edits
+    rebuild instead of silently validating a stale binary) and load the
+    reference parity library."""
+    try:
+        subprocess.run(['make', '-C', CBASE, 'parity'], check=True,
+                       capture_output=True, text=True, timeout=300)
+    except (subprocess.CalledProcessError, OSError,
+            subprocess.TimeoutExpired) as e:
+        if not os.path.exists(LIB):
             pytest.skip('could not build parity lib: %s' % (e,))
     lib = ctypes.CDLL(LIB)
     lib.init_half()
