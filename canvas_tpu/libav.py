@@ -176,12 +176,17 @@ def available():
 
 
 def _as_frame_rate(value):
-    """Fraction from any rate spec; floats snap to a sane ratio
-    (Fraction(30000/1001) is an exact binary fraction with a ~10^15
-    denominator avcodec rejects)."""
+    """Fraction from any rate spec — (n, d) tuples like the rest of the
+    API (process._rate), v2i, Fraction, int; floats snap to a sane
+    ratio (Fraction(30000/1001) is an exact binary fraction with a
+    ~10^15 denominator avcodec rejects)."""
     from fractions import Fraction
     if isinstance(value, float):
         return Fraction(value).limit_denominator(65535)
+    if isinstance(value, (tuple, list)) and len(value) == 2:
+        return Fraction(int(value[0]), int(value[1]))
+    if hasattr(value, 'x') and hasattr(value, 'y'):   # v2i rate
+        return Fraction(int(value.x), int(value.y))
     return Fraction(value)
 
 
