@@ -539,3 +539,17 @@ def test_write_video_eager_path_matches_batched(tmp_path):
         assert np.abs(a - b)[:, :, :3].max() <= 4
     d1.close()
     d2.close()
+
+
+def test_frame_rate_specs():
+    """write_video rate specs: (n, d) tuple / list / v2i / float /
+    Fraction all resolve to an exact rational (floats snap to a sane
+    denominator for avcodec)."""
+    from fractions import Fraction
+    from canvas_tpu.basetypes import v2i
+    from canvas_tpu.libav import _as_frame_rate
+    assert _as_frame_rate((30000, 1001)) == Fraction(30000, 1001)
+    assert _as_frame_rate([25, 1]) == 25
+    assert _as_frame_rate(v2i(30000, 1001)) == Fraction(30000, 1001)
+    assert _as_frame_rate(30000 / 1001) == Fraction(30000, 1001)
+    assert _as_frame_rate(Fraction(24)) == 24
