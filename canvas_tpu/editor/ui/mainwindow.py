@@ -352,8 +352,18 @@ def create_main_window(app=None, binding=None):
             self.document_tabs = QtWidgets.QTabWidget()
             self.setCentralWidget(self.document_tabs)
 
-            # Docks (qttest.py:527-544)
+            # Docks (qttest.py:527-544). The asset dock is a SEARCH
+            # dock: a filter box above the list, matching the
+            # reference's AssetSearchModel substring search
+            # (qttest.py:120-128).
             self.asset_dock = QtWidgets.QDockWidget('Assets')
+            asset_panel = QtWidgets.QWidget()
+            asset_layout = QtWidgets.QVBoxLayout(asset_panel)
+            self.asset_search = QtWidgets.QLineEdit()
+            set_placeholder = getattr(self.asset_search,
+                                      'setPlaceholderText', None)
+            if callable(set_placeholder):
+                set_placeholder('Search assets')
             self.asset_list_widget = QtWidgets.QListWidget()
             # assets drag onto the timeline (scene.py drag-drop role);
             # TimelineWidget._drag_asset_name reads the dragged row
@@ -361,7 +371,10 @@ def create_main_window(app=None, binding=None):
                                   'setDragEnabled', None)
             if callable(drag_enable):
                 drag_enable(True)
-            self.asset_dock.setWidget(self.asset_list_widget)
+            asset_layout.addWidget(self.asset_search)
+            asset_layout.addWidget(self.asset_list_widget)
+            self.asset_dock.setWidget(asset_panel)
+            self.asset_search.textChanged.connect(self._on_assets_changed)
             self.addDockWidget(QtCore.Qt.DockWidgetArea.BottomDockWidgetArea,
                                self.asset_dock)
 
@@ -445,10 +458,17 @@ def create_main_window(app=None, binding=None):
         # -- project I/O (qttest.py:795-827) --------------------------
 
         def _wire_asset_signals(self):
-            for signal_name in ('added', 'removed', 'renamed'):
+            for signal_name in ('added', 'renamed'):
                 signal = getattr(self.app.asset_list, signal_name, None)
                 if signal is not None:
                     signal.connect(self._on_assets_changed)
+            # removed() fires while the asset is still listed (the
+            # handlers are "the last to see it", assets.AssetList._orphan)
+            # — refreshing verbatim would re-list the dying asset, so
+            # exclude it by name
+            removed = getattr(self.app.asset_list, 'removed', None)
+            if removed is not None:
+                removed.connect(self._on_asset_removed)
 
         def open_project(self, path):
             self.app.open_file(path)
@@ -462,13 +482,20 @@ def create_main_window(app=None, binding=None):
         def save_project(self, path):
             self.app.save_file(path)
 
-        def _refresh_assets(self):
+        def _refresh_assets(self, exclude=None):
+            # case-insensitive substring filter, the reference's
+            # AssetSearchModel._match (qttest.py:120-121)
+            needle = (self.asset_search.text() or '').lower()
             self.asset_list_widget.clear()
             for name in self.app.asset_list:
-                self.asset_list_widget.addItem(name)
+                if name != exclude and needle in name.lower():
+                    self.asset_list_widget.addItem(name)
 
         def _on_assets_changed(self, *args):
             self._refresh_assets()
+
+        def _on_asset_removed(self, name):
+            self._refresh_assets(exclude=name)
 
         def _refresh_alerts(self, *args):
             self.alert_list_widget.clear()

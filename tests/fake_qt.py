@@ -331,12 +331,43 @@ class QApplication:
     exec_ = exec
 
 
+class QLineEdit(QWidget):
+    textChanged = Signal(str)
+
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self._text = ''
+        self._placeholder = ''
+
+    def text(self):
+        return self._text
+
+    def setText(self, text):
+        self._text = text
+        self.textChanged.emit(text)
+
+    def setPlaceholderText(self, text):
+        self._placeholder = text
+
+
+class QVBoxLayout:
+    def __init__(self, parent=None):
+        self.widgets = []
+        if parent is not None:
+            parent._layout = self
+
+    def addWidget(self, widget):
+        self.widgets.append(widget)
+
+
 class QtWidgetsModule:
     QWidget = QWidget
     QMainWindow = QMainWindow
     QDockWidget = QDockWidget
     QTabWidget = QTabWidget
     QListWidget = QListWidget
+    QLineEdit = QLineEdit
+    QVBoxLayout = QVBoxLayout
     QToolBar = QToolBar
     QApplication = QApplication
     QFileDialog = QFileDialog

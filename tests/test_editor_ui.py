@@ -1716,3 +1716,51 @@ def test_editor_script_render_dialog_wiring(tmp_path):
         fake_qt.QPainter.instances.clear()
         fake_qt.QTimer.instances.clear()
         fake_qt.QFileDialog.next_path = ''
+
+
+def test_asset_search_dock_filters():
+    """The reference's asset SEARCH dock (qttest.py AssetSearchModel,
+    :90-155): typing in the filter box narrows the list by
+    case-insensitive substring; adds/removes respect the active
+    filter; clearing restores everything."""
+    import fake_qt
+    from canvas_tpu.editor.ui import create_main_window
+    from canvas_tpu.editor.ui import qt as qt_mod
+
+    old = qt_mod._qt
+    fake_qt.install(qt_mod)
+    try:
+        app = EditorApp(load_plugins=False)
+        window = create_main_window(app)
+
+        def add_asset(name, color):
+            stream = plugins.VideoStream(
+                process.SolidColorVideoSource(color),
+                range=(0, 23), name='video')
+            app.asset_list[name] = model.RuntimeSourceAsset(
+                model.RuntimeSource(name, {'video': stream}))
+
+        for name in ('Tape A', 'Tape B', 'Bars and tone'):
+            add_asset(name, (0, 1, 0, 1))
+        assert sorted(window.asset_list_widget.items) == \
+            ['Bars and tone', 'Tape A', 'Tape B']
+
+        window.asset_search.setText('tape')   # emits textChanged
+        assert window.asset_list_widget.items == ['Tape A', 'Tape B']
+
+        window.asset_search.setText('bars')
+        assert window.asset_list_widget.items == ['Bars and tone']
+
+        # an added asset honors the active filter
+        add_asset('More bars', (0, 0, 1, 1))
+        assert sorted(window.asset_list_widget.items) == \
+            ['Bars and tone', 'More bars']
+
+        del app.asset_list['Bars and tone']
+        assert window.asset_list_widget.items == ['More bars']
+
+        window.asset_search.setText('')
+        assert sorted(window.asset_list_widget.items) == \
+            ['More bars', 'Tape A', 'Tape B']
+    finally:
+        qt_mod._qt = old
