@@ -415,6 +415,103 @@ def test_attenuate_f32(cref):
     np.testing.assert_array_equal(got, ref)
 
 
+def _windowed_rgba_f32(rng, full, win):
+    """(4,H,W) over *full*: random inside *win*, zero outside — our
+    frames' zero-outside invariant, and deterministic padding for the C
+    (whose frames malloc the full window and only write current)."""
+    h = full.max.y - full.min.y + 1
+    w = full.max.x - full.min.x + 1
+    d = np.zeros((4, h, w), np.float32)
+    d[:, win.min.y - full.min.y:win.max.y - full.min.y + 1,
+         win.min.x - full.min.x:win.max.x - full.min.x + 1] = \
+        _rand_rgba_f32(rng, win.max.y - win.min.y + 1,
+                       win.max.x - win.min.x + 1)
+    return d
+
+
+def _rgb_ulp32_ok(got, ref, care):
+    """rgb within one f32 ulp where *care*; zero where not (values are
+    non-negative here, so raw-bit distance is monotone)."""
+    rb = ref[:3].view(np.uint32).astype(np.int64)[:, care]
+    gb = got[:3].view(np.uint32).astype(np.int64)[:, care]
+    assert np.abs(rb - gb).max(initial=0) <= 1
+    assert not got[:3][:, ~care].any()
+
+
+def test_mix_cross_f32_y_mismatch(cref):
+    """video_mix_cross_f32 with windows differing in y
+    (video_mix.c:143-158,218-232): the C walks top/overlap/bottom
+    strips, copying the lone frame and scaling alpha in the strips;
+    our branch-free blend computes (rgb*alpha)/alpha there. Overlap
+    band and all alphas BIT-EXACT; strip rgb within 1 f32 ulp (where
+    the C's copied-then-zeroed-alpha rgb is defined at all)."""
+    from canvas_tpu.ops import mix as mix_ops
+    rng = np.random.default_rng(17)
+    full = box2i(0, 0, 31, 23)
+    awin = box2i(0, 0, 31, 15)
+    bwin = box2i(0, 8, 31, 23)
+    a = _windowed_rgba_f32(rng, full, awin)
+    b = _windowed_rgba_f32(rng, full, bwin)
+    fa, _ba = _make_frame_f32(a, full, awin)
+    fb, _bb = _make_frame_f32(b, full, bwin)
+    out = np.zeros_like(a)
+    fo, bo = _make_frame_f32(out, full, full)
+    cref.video_mix_cross_f32(ctypes.byref(fo), ctypes.byref(fa),
+                             ctypes.byref(fb), ctypes.c_float(0.25))
+    assert (fo.current_window.min.y, fo.current_window.max.y) == (0, 23)
+    ref = _frame_to_4hw(bo, full, np.float32)
+    with backend.force_backend('numpy'):
+        got = mix_ops.cross(a, b, np.float32(0.25))
+    np.testing.assert_array_equal(got[3], ref[3])
+    # overlap band runs the identical blend formula
+    np.testing.assert_array_equal(got[:, 8:16], ref[:, 8:16])
+    _rgb_ulp32_ok(got, ref, ref[3] != 0.0)
+
+
+def test_mix_cross_f32_x_mismatch_reference_artifact(cref):
+    """Windows differing in x hit a bug in the reference ITSELF:
+    video_mix.c:138 picks the 'left' frame by comparing awin->min.x
+    against bwin->min.*y* (x against y), so whenever A is genuinely the
+    left frame the C renders B's out-of-window (uninitialized) pixels
+    into the A-only strip. With zeroed padding the compiled C emits
+    zero there; we implement the evident intent — the lone frame scaled
+    by its mix weight, exactly what the C does for y-only mismatches.
+    This test PINS both behaviors so the divergence is a recorded
+    decision, not an accident (docs/api.md fidelity contract)."""
+    from canvas_tpu.ops import mix as mix_ops
+    rng = np.random.default_rng(19)
+    full = box2i(0, 0, 31, 15)
+    awin = box2i(0, 0, 19, 15)
+    bwin = box2i(12, 0, 31, 15)
+    a = _windowed_rgba_f32(rng, full, awin)
+    b = _windowed_rgba_f32(rng, full, bwin)
+    # make the artifact observable: A has solid alpha in its strip
+    a[3, :, :12] = np.maximum(a[3, :, :12], np.float32(0.5))
+    fa, _ba = _make_frame_f32(a, full, awin)
+    fb, _bb = _make_frame_f32(b, full, bwin)
+    out = np.zeros_like(a)
+    fo, bo = _make_frame_f32(out, full, full)
+    cref.video_mix_cross_f32(ctypes.byref(fo), ctypes.byref(fa),
+                             ctypes.byref(fb), ctypes.c_float(0.25))
+    ref = _frame_to_4hw(bo, full, np.float32)
+    with backend.force_backend('numpy'):
+        got = mix_ops.cross(a, b, np.float32(0.25))
+    # the reference's artifact: left resolves to B, so the A-only strip
+    # (x 0..11) reads B's padding -> zero alpha despite A's coverage
+    assert not ref[3, :, :12].any()
+    # our intent-preserving result: A scaled by mix_a = 0.75 (exact)
+    np.testing.assert_array_equal(got[3, :, :12],
+                                  a[3, :, :12] * np.float32(0.75))
+    # overlap band (both frames defined): identical blend, BIT-EXACT
+    np.testing.assert_array_equal(got[:, :, 12:20], ref[:, :, 12:20])
+    # right strip (B only): the C's 'right' pick is correct here
+    np.testing.assert_array_equal(got[3, :, 20:], ref[3, :, 20:])
+    care = ref[3, :, 20:] != 0.0
+    rb = ref[:3, :, 20:].view(np.uint32).astype(np.int64)[:, care]
+    gb = got[:3, :, 20:].view(np.uint32).astype(np.int64)[:, care]
+    assert np.abs(rb - gb).max(initial=0) <= 1
+
+
 # --- color matrices -----------------------------------------------------------
 
 def _ulp16_diff(a, b):
