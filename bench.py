@@ -72,31 +72,68 @@ def build_timeline(length=1024):
     return ws
 
 
-def _start_watchdog(done_event):
-    """Hard stall guard: a fully-down TPU tunnel hangs the FIRST device
-    op (axon init / first fetch never returns), which would leave the
-    driver with no recorded line at all. If the bench hasn't finished
-    within CANVAS_BENCH_WATCHDOG seconds (default 30 min — generous vs
-    the ~3 min healthy runtime), print an honest zero-valued JSON line
-    flagging the outage and hard-exit (os._exit: worker threads blocked
-    on the tunnel would hang a normal exit)."""
+# --- Driver-safe wall-clock budget (round-4 contract) -----------------
+#
+# Round 3's official record was rc=124/no JSON: the 90-min tunnel wait
+# ran before the watchdog even started, so the driver's own timeout
+# killed the process before any line was printed. The contract now is
+# the reference's always-answering timing hook
+# (/root/reference/src/process/main.c:120-167): ONE JSON line in
+# bounded time, whatever the tunnel does.
+#
+# A single budget (CANVAS_BENCH_BUDGET, default 540 s — safe under a
+# 10-min driver timeout) bounds EVERYTHING: outage wait + health gates
+# + the run itself. The watchdog starts before the first device op and
+# emits the best result recorded so far (honest zero if none) at the
+# deadline. Manual long runs can raise the budget via the env var.
+
+_T0 = time.monotonic()
+_BUDGET = float(os.environ.get('CANVAS_BENCH_BUDGET', '540'))
+_STATE = {'fps': 0.0, 'vs': 0.0, 'note': None}
+_EMITTED = None  # threading.Event, set in main()
+
+
+def _remaining():
+    return _BUDGET - (time.monotonic() - _T0)
+
+
+def _emit(error=None):
+    """Print the one JSON line exactly once (main thread or watchdog)."""
+    if _EMITTED.is_set():
+        return False
+    _EMITTED.set()
+    line = {
+        'metric': '1080p_10layer_composite_fps_per_chip',
+        'value': round(_STATE['fps'], 2),
+        'unit': 'frames/sec',
+        'vs_baseline': round(_STATE['vs'], 2),
+    }
+    err = error or _STATE['note']
+    if err:
+        line['error'] = err
+    print(json.dumps(line), flush=True)
+    return True
+
+
+def _start_watchdog():
+    """Budget guard started BEFORE any device op: at the deadline, emit
+    whatever has been measured (zero if nothing) and hard-exit
+    (os._exit: worker threads blocked on a down tunnel would hang a
+    normal exit)."""
     import threading
 
-    limit = float(os.environ.get('CANVAS_BENCH_WATCHDOG', '1800'))
-    if limit <= 0:
+    if _BUDGET <= 0:
         return
 
     def watch():
-        if done_event.wait(limit):
-            return
-        print(json.dumps({
-            'metric': '1080p_10layer_composite_fps_per_chip',
-            'value': 0.0,
-            'unit': 'frames/sec',
-            'vs_baseline': 0.0,
-            'error': 'tpu_unreachable_watchdog_%ds' % int(limit),
-        }), flush=True)
-        os._exit(2)
+        while True:
+            rem = _remaining()
+            if rem <= 0:
+                break
+            if _EMITTED.wait(min(rem, 5.0)):
+                return
+        if _emit(error='budget_exceeded_%ds' % int(_BUDGET)):
+            os._exit(2)
 
     threading.Thread(target=watch, daemon=True, name='bench-watchdog').start()
 
@@ -104,34 +141,28 @@ def _start_watchdog(done_event):
 def main():
     import threading
 
+    global _EMITTED
+    _EMITTED = threading.Event()
+    _start_watchdog()
+
     from canvas_tpu import backend, render
     from canvas_tpu.basetypes import box2i
 
     # Wait out a transient tunnel outage (bounded) BEFORE the first
     # in-process device op: a fully-down transport hangs that op in
     # native code, so only killable subprocess probes can tell when
-    # it's back. A round-end bench that lands in an outage window then
-    # records the real headline instead of a watchdog zero.
-    # CANVAS_BENCH_WAIT seconds (default 90 min; 0 disables). The
-    # watchdog starts AFTER the wait so it bounds the run itself.
-    wait_budget = float(os.environ.get('CANVAS_BENCH_WAIT', '5400'))
+    # it's back. CANVAS_BENCH_WAIT seconds (default 300; 0 disables),
+    # further clamped so the run itself keeps >=180 s of budget.
+    wait_budget = float(os.environ.get('CANVAS_BENCH_WAIT', '300'))
+    wait_budget = min(wait_budget, max(0.0, _remaining() - 180.0))
     wait_t0 = time.monotonic()
-    while wait_budget > 0 and not backend.probe_device(timeout=90,
-                                                       fresh=True):
+    while wait_budget > 0 and not backend.probe_device(
+            timeout=min(45, max(5, wait_budget)), fresh=True):
         waited = time.monotonic() - wait_t0
         if waited >= wait_budget:
-            print(json.dumps({
-                'metric': '1080p_10layer_composite_fps_per_chip',
-                'value': 0.0,
-                'unit': 'frames/sec',
-                'vs_baseline': 0.0,
-                'error': 'tpu_unreachable_after_%ds_wait' % int(waited),
-            }), flush=True)
+            _emit(error='tpu_unreachable_after_%ds_wait' % int(waited))
             os._exit(2)
-        time.sleep(60)
-
-    done = threading.Event()
-    _start_watchdog(done)
+        time.sleep(min(20, max(1.0, wait_budget - waited)))
 
     window = box2i(0, 0, 1919, 1079)
 
@@ -199,13 +230,15 @@ def main():
     def health_mm(x):
         return jnp.sum(x @ x)
 
-    def health_gate(limit=0.5, dispatch_limit=0.008, max_wait=600.0):
+    def health_gate(limit=0.5, dispatch_limit=0.008, max_wait=120.0):
         """Wait for a healthy transport phase: RTT under *limit* AND
         per-dispatch cost under *dispatch_limit* (phases exist where a
         single round trip looks fine but back-to-back dispatch
         marshaling is inflated several-fold, halving streaming fps).
-        Best-effort: after *max_wait* the bench proceeds anyway — a
+        Best-effort: after *max_wait* (clamped so >=120 s of the global
+        budget stays for the run) the bench proceeds anyway — a
         degraded number beats no recorded number."""
+        max_wait = min(max_wait, max(0.0, _remaining() - 120.0))
         deadline = time.time() + max_wait
         while True:
             t0 = time.perf_counter()
@@ -223,6 +256,17 @@ def main():
                 return
             time.sleep(10.0)
 
+    # Baseline read EARLY (cheap file read) so a mid-run watchdog
+    # emission can carry vs_baseline alongside the best-so-far fps.
+    base_fps = None
+    results_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                'cbaseline', 'results.json')
+    try:
+        with open(results_path) as f:
+            base_fps = float(json.load(f)['engine10_fps'])
+    except (OSError, KeyError, ValueError):
+        pass
+
     float(health_mm(health_mat))      # compile
     health_gate()
 
@@ -239,6 +283,9 @@ def main():
     fps = 0.0
     start = warm_frames
     for _rep in range(3):
+        if fps > 0 and _remaining() < 60:
+            _STATE['note'] = 'budget_cut_reps_at_%d' % _rep
+            break
         health_gate()
         t0 = time.perf_counter()
         last = None
@@ -248,20 +295,16 @@ def main():
             last = out
         float(probe(last))   # forced fetch: FIFO => whole range ran
         fps = max(fps, timed_frames / (time.perf_counter() - t0))
+        # Record progress so a budget-deadline watchdog emission carries
+        # the best real measurement instead of a zero.
+        _STATE['fps'] = fps
+        _STATE['vs'] = fps / base_fps if base_fps else 0.0
 
     # Baseline: the MEASURED reference C cprocess engine on this host
     # (cbaseline/ compiles /root/reference/src/cprocess in place and
     # times the same 10-layer timeline shape single-core; engine10_fps
-    # in cbaseline/results.json). Falls back to a frame-by-frame NumPy
-    # pull if the C harness hasn't been built/run here.
-    base_fps = None
-    results_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                'cbaseline', 'results.json')
-    try:
-        with open(results_path) as f:
-            base_fps = float(json.load(f)['engine10_fps'])
-    except (OSError, KeyError, ValueError):
-        pass
+    # in cbaseline/results.json, read above). Falls back to a
+    # frame-by-frame NumPy pull if the C harness hasn't been built here.
     if not base_fps:
         times = []
         with backend.force_backend('numpy'):
@@ -271,13 +314,9 @@ def main():
                 times.append(time.perf_counter() - t0)
         base_fps = 1.0 / float(np.median(times))
 
-    done.set()
-    print(json.dumps({
-        'metric': '1080p_10layer_composite_fps_per_chip',
-        'value': round(fps, 2),
-        'unit': 'frames/sec',
-        'vs_baseline': round(fps / base_fps, 2),
-    }))
+    _STATE['fps'] = fps
+    _STATE['vs'] = fps / base_fps
+    _emit()
     return 0
 
 

@@ -7,8 +7,6 @@ model, and the YAML tags (!CanvasItem, !CanvasClip, !CanvasSequence,
 !CanvasSequenceItem, !CanvasAnchor).
 """
 
-import functools
-
 import yaml
 
 from canvas_tpu import ezlist, sortlist
@@ -17,35 +15,6 @@ from canvas_tpu.signal import Signal
 
 __all__ = ['Anchor', 'Item', 'Clip', 'PlaceholderItem', 'Sequence',
            'SequenceItem']
-
-
-@functools.total_ordering
-class _ZSortKey:
-    """Sort key that orders by z within an overlap group, else by y
-    (items.py:23-54)."""
-
-    __slots__ = ('item', 'overlaps', 'y', 'z')
-
-    def __init__(self, item, overlaps, y, z):
-        self.item = item
-        self.overlaps = overlaps
-        self.y = y
-        self.z = z
-
-    def __eq__(self, other):
-        if other.item in self.item.overlap_items():
-            if self.z == other.z:
-                return True
-        return self.y == other.y
-
-    def __lt__(self, other):
-        if other.item in self.item.overlap_items():
-            if other.z < self.z:
-                return True
-        return other.y < self.y
-
-    def __str__(self):
-        return 'key(y={0.y}, z={0.z})'.format(self)
 
 
 class Anchor:
@@ -199,9 +168,24 @@ class Item:
         return None
 
     def z_sort_key(self, y=None, z=None):
-        return _ZSortKey(self, self.overlap_items(),
-                         self._y if y is None else y,
-                         self._z if z is None else z)
+        """Composite-order sort key: smaller sorts on top of the stack.
+
+        The reference returns a comparator object here
+        (/root/reference/fluggo/editor/model/items.py:21-52, :279-280)
+        that compares ``z`` only when the two items overlap and falls
+        back to ``y`` otherwise — an INTRANSITIVE relation (A=B via z,
+        B=C via y can leave A vs C inconsistent), so a live sorted
+        structure keyed on it could drift from what a fresh sort of the
+        same document produces. Its only consumer (the graph layer's
+        watcher list, graph/video.py:93 in the reference) was replaced
+        here by the deterministic total order ``(-y, -z)`` — lane on
+        top, model z within lane, matching the reference's descending
+        intent for every transitive case (see
+        canvas_tpu/editor/graph/video.py and docs/migration.md). This
+        method stays for API parity and returns that same total order.
+        """
+        return (-(self._y if y is None else y),
+                -(self._z if z is None else z))
 
     def overlaps(self, other):
         if (self.x >= other.x + other.length or

@@ -470,7 +470,7 @@ def test_mix_cross_f32_y_mismatch(cref):
 
 def test_mix_cross_f32_x_mismatch_reference_artifact(cref):
     """Windows differing in x hit a bug in the reference ITSELF:
-    video_mix.c:138 picks the 'left' frame by comparing awin->min.x
+    video_mix.c:137 picks the 'left' frame by comparing awin->min.x
     against bwin->min.*y* (x against y), so whenever A is genuinely the
     left frame the C renders B's out-of-window (uninitialized) pixels
     into the A-only strip. With zeroed padding the compiled C emits
@@ -502,6 +502,52 @@ def test_mix_cross_f32_x_mismatch_reference_artifact(cref):
     # our intent-preserving result: A scaled by mix_a = 0.75 (exact)
     np.testing.assert_array_equal(got[3, :, :12],
                                   a[3, :, :12] * np.float32(0.75))
+    # overlap band (both frames defined): identical blend, BIT-EXACT
+    np.testing.assert_array_equal(got[:, :, 12:20], ref[:, :, 12:20])
+    # right strip (B only): the C's 'right' pick is correct here
+    np.testing.assert_array_equal(got[3, :, 20:], ref[3, :, 20:])
+    care = ref[3, :, 20:] != 0.0
+    rb = ref[:3, :, 20:].view(np.uint32).astype(np.int64)[:, care]
+    gb = got[:3, :, 20:].view(np.uint32).astype(np.int64)[:, care]
+    assert np.abs(rb - gb).max(initial=0) <= 1
+
+
+def test_mix_over_f32_x_mismatch_reference_artifact(cref):
+    """video_mix_over_f32 carries the IDENTICAL x-vs-y bug in its own
+    left-frame pick: video_mix.c:265 compares outwin->min.x against
+    bwin->min.*y*, so whenever the accumulated frame is genuinely the
+    left one the C renders B's out-of-window (uninitialized) pixels
+    into the out-only strip. With zeroed padding the compiled C emits
+    zero there; we render the evident intent — the accumulated frame
+    unchanged where B has no coverage (what the C does for y-only
+    mismatches). PINS both behaviors (docs/api.md fidelity contract;
+    mirrors test_mix_cross_f32_x_mismatch_reference_artifact)."""
+    from canvas_tpu.ops import mix as mix_ops
+    rng = np.random.default_rng(23)
+    full = box2i(0, 0, 31, 15)
+    outwin = box2i(0, 0, 19, 15)
+    bwin = box2i(12, 0, 31, 15)
+    under = _windowed_rgba_f32(rng, full, outwin)
+    b = _windowed_rgba_f32(rng, full, bwin)
+    # make the artifact observable: out has solid alpha in its strip
+    under[3, :, :12] = np.maximum(under[3, :, :12], np.float32(0.5))
+    fo, bo = _make_frame_f32(under, full, outwin)
+    fb, _bb = _make_frame_f32(b, full, bwin)
+    cref.video_mix_over_f32(ctypes.byref(fo), ctypes.byref(fb),
+                            ctypes.c_float(0.3))
+    ref = _frame_to_4hw(bo, full, np.float32)
+    with backend.force_backend('numpy'):
+        got = mix_ops.over(under, b, np.float32(0.3))
+    # the reference's artifact: 'left' resolves to B, so the out-only
+    # strip (x 0..11) reads B's padding -> zero alpha despite coverage
+    assert not ref[3, :, :12].any()
+    # our intent-preserving result: the accumulated frame is unchanged
+    # where B has no coverage (alpha exact, rgb = (rgb*a)/a <= 1 ulp)
+    np.testing.assert_array_equal(got[3, :, :12], under[3, :, :12])
+    care = under[3, :, :12] != 0.0
+    ub = under[:3, :, :12].view(np.uint32).astype(np.int64)[:, care]
+    gb = got[:3, :, :12].view(np.uint32).astype(np.int64)[:, care]
+    assert np.abs(ub - gb).max(initial=0) <= 1
     # overlap band (both frames defined): identical blend, BIT-EXACT
     np.testing.assert_array_equal(got[:, :, 12:20], ref[:, :, 12:20])
     # right strip (B only): the C's 'right' pick is correct here

@@ -215,6 +215,35 @@ def test_space_overlaps_and_anchors():
     assert space.find_anchored_items(a) == set()
 
 
+def test_z_sort_key_total_order():
+    """z_sort_key returns the deterministic (-y, -z) total order, NOT
+    the reference's comparator object (items.py:21-52 there), whose
+    overlap-gated z-vs-y fallback is intransitive. Pins: higher lane
+    (y) sorts first; within a lane higher z sorts first; keys are
+    plain comparable tuples usable in sorted structures; and the
+    y=None/z=None overrides preview a move without mutating the item."""
+    space = model.Space('s', vidformat, plugins.AudioFormat())
+    low = model.Clip(type='video', x=0, y=0.0, length=10, height=1.0)
+    high = model.Clip(type='video', x=0, y=0.0, length=10, height=1.0)
+    lane_up = model.Clip(type='video', x=0, y=2.0, length=10, height=1.0)
+    space[0:0] = [low, high, lane_up]
+    low.update(z=0)
+    high.update(z=3)
+    lane_up.update(z=0)
+
+    keys = sorted([low, high, lane_up], key=lambda i: i.z_sort_key())
+    assert keys == [lane_up, high, low]
+
+    # Overrides preview a candidate position (reference signature).
+    assert low.z_sort_key(z=5) < high.z_sort_key()
+    assert low.z_sort_key(y=3.0) < lane_up.z_sort_key()
+    assert low.z_sort_key() == (0.0, 0)
+    # Total order: transitive by construction (tuple comparison), which
+    # the reference's comparator is not — that difference is the point.
+    assert (lane_up.z_sort_key() < high.z_sort_key() <
+            low.z_sort_key(z=-1))
+
+
 def test_undo_stack_update_command():
     space = model.Space('s', vidformat, plugins.AudioFormat())
     clip = model.Clip(type='video', x=0, y=0.0, length=10, height=1.0)
