@@ -86,8 +86,9 @@ def _fold_jnp(jnp, jax, P, A, color, box, gain, offset, H, W):
         Pc = [zero, zero, zero]
         Ac = zero
     else:
-        Pc = [P[:, c] for c in range(3)]
-        Ac = A[:, 0]
+        # base may be 16-bit accumulators (quality<=9); fold math is f32
+        Pc = [P[:, c].astype(jnp.float32) for c in range(3)]
+        Ac = A[:, 0].astype(jnp.float32)
     for l in range(L):
         b = box[l]                                       # (B, 4) i32
         m = ((rows >= b[:, 0, None, None]) &
@@ -131,8 +132,10 @@ def _kernel_factory(L, TH, TW, with_base, finalize=False):
         cols = (jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1)
                 + wi * TW)
         if with_base:
-            accP = [baseP_ref[0, c] for c in range(3)]
-            accA = baseA_ref[0, 0]
+            # Base may arrive in a 16-bit accumulator dtype (quality<=9
+            # bf16 intermediates); the fold itself always runs f32.
+            accP = [baseP_ref[0, c].astype(jnp.float32) for c in range(3)]
+            accA = baseA_ref[0, 0].astype(jnp.float32)
         else:
             zero = jnp.zeros((TH, TW), jnp.float32)
             accP = [zero, zero, zero]
@@ -161,8 +164,8 @@ def _kernel_factory(L, TH, TW, with_base, finalize=False):
             out_ref[0, 3] = accA.astype(out_ref.dtype)
         else:
             for c in range(3):
-                outP_ref[0, c] = accP[c]
-            outA_ref[0, 0] = accA
+                outP_ref[0, c] = accP[c].astype(outP_ref.dtype)
+            outA_ref[0, 0] = accA.astype(outA_ref.dtype)
 
     return kernel
 
@@ -174,7 +177,8 @@ def _pick_tile(n, target, step):
 
 
 def solid_fold(jnp, jax, P, A, color, box, gain, offset, H, W,
-               finalize=False, out_dtype=None, prefer_xla=False):
+               finalize=False, out_dtype=None, prefer_xla=False,
+               acc_dtype=None):
     """Fold L solid(+gain) layers over premultiplied base (P, A).
 
     color/box (L, B, 4), gain/offset (L, B); box is int32
@@ -184,8 +188,16 @@ def solid_fold(jnp, jax, P, A, color, box, gain, offset, H, W,
     finalize=True, the un-premultiplied (B, 4, H, W) rgba (saving a
     separate full-frame divide pass). Pallas kernel on TPU, jnp
     broadcast fold elsewhere.
+
+    acc_dtype (non-finalize only) sets the STORED dtype of the returned
+    accumulators; the fold math always runs f32. The quality<=9 fast
+    path stores bf16 (Mosaic stores bf16 natively where it cannot store
+    f16 — measured round 2), halving accumulator HBM traffic between
+    composite passes.
     """
     B = color.shape[1]
+    if acc_dtype is None:
+        acc_dtype = jnp.float32
     # The Pallas kernel keeps the per-layer scalars whole-array in SMEM
     # (Mosaic's block divisibility rules rule out batch-blocked SMEM
     # slices); past ~128 frames/batch the 6-layer fold overflows SMEM.
@@ -198,8 +210,8 @@ def solid_fold(jnp, jax, P, A, color, box, gain, offset, H, W,
         Pc, Ac = _fold_jnp(jnp, jax, P, A, color, box, gain, offset,
                            H, W)
         if not finalize:
-            Ps = jnp.stack(Pc, axis=1)
-            As = Ac[:, None]
+            Ps = jnp.stack(Pc, axis=1).astype(acc_dtype)
+            As = Ac[:, None].astype(acc_dtype)
             if Ps.shape[0] != B:         # degenerate all-empty fold
                 Ps = jnp.broadcast_to(Ps, (B, 3, H, W))
                 As = jnp.broadcast_to(As, (B, 1, H, W))
@@ -241,8 +253,8 @@ def solid_fold(jnp, jax, P, A, color, box, gain, offset, H, W,
                                   lambda b, h, w: (b, 0, h, w)),
                      pl.BlockSpec((1, 1, TH, TW),
                                   lambda b, h, w: (b, 0, h, w))]
-        out_shape = [jax.ShapeDtypeStruct((B, 3, H, W), jnp.float32),
-                     jax.ShapeDtypeStruct((B, 1, H, W), jnp.float32)]
+        out_shape = [jax.ShapeDtypeStruct((B, 3, H, W), acc_dtype),
+                     jax.ShapeDtypeStruct((B, 1, H, W), acc_dtype)]
 
     return pl.pallas_call(
         _kernel_factory(L, TH, TW, with_base=P is not None,
@@ -299,12 +311,13 @@ def region_over(jnp, jax, P, A, layer, dy0, dx0):
             A = jnp.pad(A, pad)
         zero = jnp.int32(0)
         subP = jax.lax.dynamic_slice(P, (zero, zero, dy0, dx0),
-                                     (B, 3, h, w))
+                                     (B, 3, h, w)).astype(jnp.float32)
         subA = jax.lax.dynamic_slice(A, (zero, zero, dy0, dx0),
-                                     (B, 1, h, w))
-        la = layer[:, 3:4]
-        nP = layer[:, :3] * la + subP * (1.0 - la)
-        nA = la + subA * (1.0 - la)
+                                     (B, 1, h, w)).astype(jnp.float32)
+        la = layer[:, 3:4].astype(jnp.float32)
+        nP = (layer[:, :3].astype(jnp.float32) * la
+              + subP * (1.0 - la)).astype(P.dtype)
+        nA = (la + subA * (1.0 - la)).astype(A.dtype)
         P = jax.lax.dynamic_update_slice(P, nP, (zero, zero, dy0, dx0))
         A = jax.lax.dynamic_update_slice(A, nA, (zero, zero, dy0, dx0))
         if Hp != H or Wp != W:
@@ -318,11 +331,16 @@ def region_over(jnp, jax, P, A, layer, dy0, dx0):
     TH, TW = 64, 128
 
     def kernel(offs_ref, layer_ref, P_ref, A_ref, outP_ref, outA_ref):
-        la = layer_ref[0, 3]
+        # Accumulators may be 16-bit (quality<=9 bf16 intermediates);
+        # blend math always runs f32, stores cast back.
+        la = layer_ref[0, 3].astype(jnp.float32)
         keep = 1.0 - la
         for c in range(3):
-            outP_ref[0, c] = layer_ref[0, c] * la + P_ref[0, c] * keep
-        outA_ref[0, 0] = la + A_ref[0, 0] * keep
+            outP_ref[0, c] = (layer_ref[0, c].astype(jnp.float32) * la
+                              + P_ref[0, c].astype(jnp.float32)
+                              * keep).astype(outP_ref.dtype)
+        outA_ref[0, 0] = (la + A_ref[0, 0].astype(jnp.float32)
+                          * keep).astype(outA_ref.dtype)
 
     offs = jnp.stack([dy0 // TH, dx0 // TW]).astype(jnp.int32)
     grid = (B, h // TH, w // TW)
@@ -347,8 +365,8 @@ def region_over(jnp, jax, P, A, layer, dy0, dx0):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(P.shape, jnp.float32),
-                   jax.ShapeDtypeStruct(A.shape, jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct(P.shape, P.dtype),
+                   jax.ShapeDtypeStruct(A.shape, A.dtype)],
         input_output_aliases={2: 0, 3: 1},
         interpret=_interpret(),
     )(offs, layer, P, A)
@@ -399,8 +417,11 @@ def region_over_sep(jnp, jax, P, A, color, ry, rx, dy0, dx0):
         la = color_ref[b, 3] * wt
         keep = 1.0 - la
         for c in range(3):
-            outP_ref[0, c] = (color_ref[b, c] * wt) * la + P_ref[0, c] * keep
-        outA_ref[0, 0] = la + A_ref[0, 0] * keep
+            outP_ref[0, c] = ((color_ref[b, c] * wt) * la
+                              + P_ref[0, c].astype(jnp.float32)
+                              * keep).astype(outP_ref.dtype)
+        outA_ref[0, 0] = (la + A_ref[0, 0].astype(jnp.float32)
+                          * keep).astype(outA_ref.dtype)
 
     offs = jnp.stack([dy0 // TH, dx0 // TW]).astype(jnp.int32)
     grid = (B, h // TH, w // TW)
@@ -426,8 +447,8 @@ def region_over_sep(jnp, jax, P, A, color, ry, rx, dy0, dx0):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(P.shape, jnp.float32),
-                   jax.ShapeDtypeStruct(A.shape, jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct(P.shape, P.dtype),
+                   jax.ShapeDtypeStruct(A.shape, A.dtype)],
         input_output_aliases={4: 0, 5: 1},
         interpret=_interpret(),
     )(offs, color, ry[:, :, None], rx[:, None, :], P, A)

@@ -763,7 +763,19 @@ def _eval(node_sig, params_iter, jnp, jax):
         # premultiplied accumulator via the Pallas kernel (no layer
         # tensor ever materializes for solid runs).
         from canvas_tpu.ops import pallas_ops
-        H, W = static
+        H, W = static[0], static[1]
+        # quality<=9 fast path ('acc16' tag in the signature, so the
+        # program cache keys it): inter-pass (P, A) accumulators store
+        # bf16 — Mosaic stores bf16 natively where it cannot store f16
+        # — halving accumulator HBM traffic between composite passes.
+        # Math stays f32 everywhere; only pass-boundary STORES narrow.
+        # quality 10 keeps f32 accumulators (bit-exact contract).
+        acc16 = len(static) > 2 and static[2] == 'acc16'
+        acc_dt = jnp.bfloat16 if acc16 else jnp.float32
+
+        def to_acc(x):
+            return x.astype(acc_dt) if acc16 else x
+
         P = A = None
         for i, cs in enumerate(child_sigs):
             c_op = cs[0]
@@ -801,9 +813,11 @@ def _eval(node_sig, params_iter, jnp, jax):
                 placed_after = any(later[0] == 'placed'
                                    for later in child_sigs[i + 1:])
                 P, A = pallas_ops.solid_fold(
-                    jnp, jax, P, A, c_params['color'], c_params['box'],
+                    jnp, jax, to_acc(P) if P is not None else None,
+                    to_acc(A) if A is not None else None,
+                    c_params['color'], c_params['box'],
                     c_params['gain'], c_params['offset'], H, W,
-                    prefer_xla=not placed_after)
+                    prefer_xla=not placed_after, acc_dtype=acc_dt)
                 continue
             if c_op == 'placed':
                 # Damage-region child: rendered at its union box only;
@@ -858,17 +872,19 @@ def _eval(node_sig, params_iter, jnp, jax):
                         color = c_params['color']
                     if P is None:
                         B = color.shape[0]
-                        P = jnp.zeros((B, 3, H, W), jnp.float32)
-                        A = jnp.zeros((B, 1, H, W), jnp.float32)
+                        P = jnp.zeros((B, 3, H, W), acc_dt)
+                        A = jnp.zeros((B, 1, H, W), acc_dt)
                     P, A = pallas_ops.region_over_sep(
-                        jnp, jax, P, A, color, ry, rx, dy0, dx0)
+                        jnp, jax, to_acc(P), to_acc(A), color, ry, rx,
+                        dy0, dx0)
                     continue
                 layer = _eval(inner, params_iter, jnp, jax)
                 if P is None:
                     B = layer.shape[0]
-                    P = jnp.zeros((B, 3, H, W), jnp.float32)
-                    A = jnp.zeros((B, 1, H, W), jnp.float32)
-                P, A = pallas_ops.region_over(jnp, jax, P, A, layer,
+                    P = jnp.zeros((B, 3, H, W), acc_dt)
+                    A = jnp.zeros((B, 1, H, W), acc_dt)
+                P, A = pallas_ops.region_over(jnp, jax, to_acc(P),
+                                              to_acc(A), to_acc(layer),
                                               dy0, dx0)
                 continue
             layer = _eval(cs, params_iter, jnp, jax)
@@ -877,8 +893,12 @@ def _eval(node_sig, params_iter, jnp, jax):
                 P = layer[:, :3] * la
                 A = la
             else:
-                P = layer[:, :3] * la + P * (1.0 - la)
-                A = la + A * (1.0 - la)
+                # 16-bit accumulators promote back to f32 here (XLA
+                # fuses the upcast into this elementwise stage).
+                P = layer[:, :3] * la + P.astype(jnp.float32) * (1.0 - la)
+                A = la + A.astype(jnp.float32) * (1.0 - la)
+        P = P.astype(jnp.float32)
+        A = A.astype(jnp.float32)
         rgb = jnp.where(A != 0.0, P / jnp.where(A != 0.0, A, 1.0), 0.0)
         return jnp.concatenate([rgb, A], axis=1)
 

@@ -1174,7 +1174,17 @@ def _ws_emit(self, ctx):
 
     acc = _fold_over_windows([windows_to_array(c.windows)
                               for c in children], full)
-    return Node('over_stack', static=(full.height, full.width),
+    # quality<=9 (reference hint scale, framework.h:510-513 and the
+    # hints proposal's "degrade for speed" intent): inter-pass (P, A)
+    # accumulators store bf16 between composite passes — ~half the
+    # accumulator HBM traffic, within bf16 rounding of the f32 chain.
+    # The tag lives in the SIGNATURE so the program cache keys it
+    # (quality 10 keeps the plain (H, W) static — identical signatures
+    # and bit-exact programs as before).
+    acc16 = getattr(ctx.planner, 'quality', 10) <= 9
+    return Node('over_stack',
+                static=((full.height, full.width, 'acc16') if acc16
+                        else (full.height, full.width)),
                 children=children, windows=acc)
 
 
