@@ -374,57 +374,103 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=(),
             fkey_old = ('dvframe', id(source), int(quality), f_old)
             if fkey_old not in cache:
                 cache[fkey_old] = (hy[i], hcb[i], hcr[i])
-    ys, cbs, crs = [], [], []
-    for f in frames:
-        fkey = ('dvframe', id(source), int(quality), f)
-        planes = cache.get(fkey)
-        if planes is None:
-            image = source.get_frame(f, quality)
-            if image is None:
-                return None
-            planes = (np.asarray(image[0]), np.asarray(image[1]),
-                      np.asarray(image[2]))
-            cache[fkey] = planes
-        if not ys and expect_y is not None \
-                and tuple(planes[0].shape) != tuple(expect_y):
-            # declared geometry disagrees with the stream's actual
-            # decoded size: bail after ONE decode, before decoding and
-            # shipping the whole stack a post-hoc check would discard
-            return None
-        if ys and (planes[0].shape != ys[0].shape
-                   or planes[1].shape != cbs[0].shape
-                   or planes[2].shape != crs[0].shape):
-            # Mid-stream plane-dimension change: stack_frames would
-            # raise during planning; return None so the planner falls
-            # back to host-staging the node (the eager path reads each
-            # frame's actual shapes).
-            return None
-        ys.append(planes[0])
-        cbs.append(planes[1])
-        crs.append(planes[2])
-
-    # Pad the row count to a multiple of 8 (repeating the last frame)
-    # so consecutive pipeline chunks produce identical stack shapes and
-    # share one compiled program.
-    pad = (-len(frames)) % 8
-    if pad:
-        ys.extend([ys[-1]] * pad)
-        cbs.extend([cbs[-1]] * pad)
-        crs.extend([crs[-1]] * pad)
-
-    from canvas_tpu.render import stack_frames
+    # Pipelined decode -> H2D (round-4 cold-path work): on a tunneled
+    # device the coded-plane transfer is the cold-path wall (~3 MB per
+    # 1080p 4:2:0 frame at ~80 MB/s vs ~220 fps host decode), so the
+    # transfer must stream WHILE later frames decode, not after the
+    # last one. Frames decode directly into preallocated host stacks;
+    # every completed 8-row slab ships from a one-thread stager
+    # immediately (decode continues under it — libav releases the GIL,
+    # device_put marshals in native code); the final device stacks are
+    # a device-side concatenation of the slabs (HBM-bandwidth copy,
+    # ~0.4 ms per 150 MB, vs seconds of serialized H2D). The mesh path
+    # keeps single-shot staging: concatenation does not preserve the
+    # replicated NamedSharding commitment the sharded programs declare.
     backend.ensure_initialized()
-    host = (stack_frames(ys), stack_frames(cbs), stack_frames(crs))
-    # stage_to_device commits replicated over the mesh (sharded
-    # programs declare replicated in_shardings for the stacks) and
-    # counts the H2D bytes.
-    stacks = tuple(backend.stage_to_device(s, mesh) for s in host)
+    n_real = len(frames)
+    # Row count padded to a multiple of 8 (repeating the last frame) so
+    # consecutive pipeline chunks produce identical stack shapes and
+    # share one compiled program; SLAB == the pad quantum, so every
+    # slab is exactly SLAB rows.
+    n_total = n_real + ((-n_real) % 8)
+    SLAB = 8
+    pipelined = mesh is None and n_total > SLAB
+    host = None
+    futs = []
+    stager = None
+    if pipelined:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        # >1 worker ships slabs over concurrent device_put streams —
+        # an experiment knob for whether the tunnel multiplexes H2D
+        # (slab order is restored at the concat, so any width is safe).
+        stager = ThreadPoolExecutor(
+            max_workers=max(1, int(os.environ.get('CANVAS_STAGE_THREADS',
+                                                  '1'))),
+            thread_name_prefix='canvas-stage')
+
+    def ship(lo, hi):
+        return tuple(backend.stage_to_device(s[lo:hi], mesh)
+                     for s in host)
+
+    try:
+        for n, f in enumerate(frames):
+            fkey = ('dvframe', id(source), int(quality), f)
+            planes = cache.get(fkey)
+            if planes is None:
+                image = source.get_frame(f, quality)
+                if image is None:
+                    return None
+                planes = (np.asarray(image[0]), np.asarray(image[1]),
+                          np.asarray(image[2]))
+                cache[fkey] = planes
+            if host is None:
+                if expect_y is not None \
+                        and tuple(planes[0].shape) != tuple(expect_y):
+                    # declared geometry disagrees with the stream's
+                    # actual decoded size: bail after ONE decode, before
+                    # decoding and shipping a stack a post-hoc check
+                    # would discard
+                    return None
+                host = tuple(np.empty((n_total,) + p.shape, p.dtype)
+                             for p in planes)
+            elif (planes[0].shape != host[0].shape[1:]
+                    or planes[1].shape != host[1].shape[1:]
+                    or planes[2].shape != host[2].shape[1:]):
+                # Mid-stream plane-dimension change: the planner falls
+                # back to host-staging the node (the eager path reads
+                # each frame's actual shapes).
+                return None
+            for s, p in zip(host, planes):
+                s[n] = p
+            if pipelined and (n + 1) % SLAB == 0:
+                futs.append(stager.submit(ship, n + 1 - SLAB, n + 1))
+        for i in range(n_real, n_total):          # tail padding rows
+            for s in host:
+                s[i] = s[n_real - 1]
+        if pipelined:
+            shipped = (n_real // SLAB) * SLAB
+            if shipped < n_total:
+                futs.append(stager.submit(ship, shipped, n_total))
+            slab_devs = [f.result() for f in futs]
+        else:
+            slab_devs = [ship(0, n_total)]
+    finally:
+        if stager is not None:
+            stager.shutdown(wait=True)
+    if len(slab_devs) == 1:
+        stacks = slab_devs[0]
+    else:
+        jnp = backend.jnp
+        stacks = tuple(jnp.concatenate([sd[k] for sd in slab_devs],
+                                       axis=0)
+                       for k in range(3))
     row_of = {f: i for i, f in enumerate(frames)}
     # host copies retained: growing a replayed entry by a few frames
     # then re-decodes ONLY the missing ones (the pre-pad rows seed the
     # per-frame cache below on the next build)
     entry = cache[key] = {'stacks': stacks, 'rows': row_of,
-                          'host': host, 'n_real': len(frames)}
+                          'host': host, 'n_real': n_real}
     persist.put(pkey, source, entry, sum(s.nbytes for s in host),
                 serving=ctx.root_range, gen=ctx.stage_gen)
     return stacks, row_of

@@ -515,26 +515,69 @@ class PlanContext:
                             if fkey not in cache and i < len(seed['host']):
                                 cache[fkey] = (seed['host'][i],
                                                seed['windows'][fw_old])
-                    datas = []
+                    # Pipelined pull -> H2D (same slab design as the
+                    # coded plane path, canvas_tpu/coded.py): staged
+                    # f16 frames are ~16 MB each at 1080p, so through a
+                    # tunneled device the transfer must stream while
+                    # later frames pull. Frames land in a preallocated
+                    # host stack; every completed 8-row slab ships from
+                    # a one-thread stager; the device stack is a
+                    # device-side concat of the slabs. Mesh path keeps
+                    # single-shot staging (concat does not preserve the
+                    # replicated commitment).
                     windows = {}
                     Hn = self.window.height
                     Wn = self.window.width
-                    with backend.force_backend('numpy'):
-                        for fw in frames:
-                            f, w = fw
-                            fkey = ('stagedframe', id(source), fw) + key[2:3]
-                            got = cache.get(fkey)
-                            if got is None:
-                                got = self._pull_staged(source, f, w, lay,
-                                                        Hn, Wn)
-                                cache[fkey] = got
-                            datas.append(got[0])
-                            windows[fw] = got[1]
-                    pad = (-len(frames)) % 8
-                    if pad:
-                        datas.extend([datas[-1]] * pad)
-                    host = stack_frames(datas)
-                    stack = backend.stage_to_device(host, mesh)
+                    n_real = len(frames)
+                    n_total = n_real + ((-n_real) % 8)
+                    SLAB = 8
+                    pipelined = mesh is None and n_total > SLAB
+                    host = np.empty((n_total, 4, Hn, Wn), np.float16)
+                    futs = []
+                    stager = None
+                    if pipelined:
+                        from concurrent.futures import ThreadPoolExecutor
+                        stager = ThreadPoolExecutor(
+                            max_workers=1,
+                            thread_name_prefix='canvas-stage')
+
+                    def ship(lo, hi):
+                        return backend.stage_to_device(host[lo:hi], mesh)
+
+                    try:
+                        with backend.force_backend('numpy'):
+                            for n, fw in enumerate(frames):
+                                f, w = fw
+                                fkey = (('stagedframe', id(source), fw)
+                                        + key[2:3])
+                                got = cache.get(fkey)
+                                if got is None:
+                                    got = self._pull_staged(
+                                        source, f, w, lay, Hn, Wn)
+                                    cache[fkey] = got
+                                host[n] = got[0]
+                                windows[fw] = got[1]
+                                if pipelined and (n + 1) % SLAB == 0:
+                                    futs.append(stager.submit(
+                                        ship, n + 1 - SLAB, n + 1))
+                        for i in range(n_real, n_total):
+                            host[i] = host[n_real - 1]
+                        if pipelined:
+                            shipped = (n_real // SLAB) * SLAB
+                            if shipped < n_total:
+                                futs.append(stager.submit(ship, shipped,
+                                                          n_total))
+                            slabs = [fu.result() for fu in futs]
+                        else:
+                            slabs = [ship(0, n_total)]
+                    finally:
+                        if stager is not None:
+                            stager.shutdown(wait=True)
+                    if len(slabs) == 1:
+                        stack = slabs[0]
+                    else:
+                        _jax, _jnp = _jx()
+                        stack = _jnp.concatenate(slabs, axis=0)
                     entry = cache[key] = {
                         'stack': stack,
                         # host stack retained so a later grow of this

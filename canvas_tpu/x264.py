@@ -20,8 +20,33 @@ __all__ = ['X264EncoderParams', 'X264VideoEncoder']
 
 
 class X264EncoderParams:
-    """Encoder settings (X264VideoEncoder.c:41-45). Maps onto x264's
-    preset/tune system plus rate control."""
+    """Encoder settings (X264VideoEncoder.c:41-138). Maps onto x264's
+    preset/tune system plus rate control, carried through avcodec's
+    libx264 wrapper as AVOptions (native layer parses the option
+    string with av_dict_parse_string and hands it to avcodec_open2).
+
+    Full parameter audit vs the reference kwlist
+    (X264VideoEncoder.c:42-44), see PARITY.md §2.3:
+
+    - preset/tune/width/height/frame_rate/constant_ratefactor/
+      constant_quantizer/bitrate/sample_aspect_ratio/interlaced — 1:1.
+    - vbv_max_bitrate — reference sets rc.i_vbv_max_bitrate (kbit/s);
+      mapped to avcodec's generic ``maxrate``/``bufsize`` (bits/s).
+    - timebase — the reference overrides i_timebase for VFR-style
+      containers; our packet timestamps always run in frame_rate ticks
+      (b_vfr_input = 0 there too), so the value is accepted for API
+      parity and recorded, with no encoder-level effect.
+    - annex_b / repeat_headers — the reference toggles raw-bitstream
+      framing on the encoder; avcodec's wrapper derives framing from
+      the consumer (global-header extradata for containers, Annex B
+      for raw streams), so these are accepted and recorded but framing
+      follows the packet consumer. ``sps``/``pps``/``sei`` parse from
+      either form (_split_nals).
+    - VUI constants — the reference pins studio-range Rec.709 + MPEG-2
+      chroma siting (X264VideoEncoder.c:131-137); mapped to the
+      generic color AVOptions below. (overscan/videoformat have no
+      avcodec equivalent; recorded in PARITY.md.)
+    """
 
     def __init__(self, preset='medium', tune=None, frame_rate=None,
                  sample_aspect_ratio=None, timebase=None, width=720,
@@ -44,32 +69,58 @@ class X264EncoderParams:
         self.annex_b = annex_b
         self.repeat_headers = repeat_headers
         self.interlaced = bool(interlaced)
+        self.profile = None
+        self.fast_first_pass = False
+
+    def apply_profile(self, profile):
+        """Limit settings to *profile* (reference
+        X264EncoderParams.apply_profile -> x264_param_apply_profile);
+        maps to libx264's ``profile`` AVOption."""
+        self.profile = profile
+
+    def apply_fast_first_pass(self):
+        """Faster settings for a 2-pass first pass (reference
+        X264EncoderParams.apply_fast_first_pass ->
+        x264_param_apply_fastfirstpass); maps to libx264's
+        ``fastfirstpass`` AVOption (applied by the wrapper during
+        pass 1)."""
+        self.fast_first_pass = True
 
     def to_options(self):
         opts = ['preset=%s' % self.preset]
         if self.tune:
             opts.append('tune=%s' % self.tune)
+        if self.profile:
+            opts.append('profile=%s' % self.profile)
+        if self.fast_first_pass:
+            opts.append('fastfirstpass=1')
         if self.constant_ratefactor is not None:
             opts.append('crf=%g' % self.constant_ratefactor)
         if self.constant_quantizer is not None:
             opts.append('qp=%d' % self.constant_quantizer)
         if self.vbv_max_bitrate:
             # x264's unit is kbit/s (x264_param_t.rc.i_vbv_max_bitrate;
-            # scripts/encode_video.py documents --max-bitrate KBPS)
-            kbps = int(self.vbv_max_bitrate)
-            opts.append('vbv-maxrate=%d' % kbps)
-            opts.append('vbv-bufsize=%d' % kbps)
-        if self.annex_b is not None:
-            opts.append('annexb=%d' % (1 if self.annex_b else 0))
-        if self.repeat_headers:
-            opts.append('repeat-headers=1')
+            # scripts/encode_video.py documents --max-bitrate KBPS).
+            # avcodec's generic maxrate/bufsize AVOptions take BITS/s —
+            # the earlier 'vbv-maxrate' spelling was an x264-CLI name
+            # avcodec_open2 silently dropped (round-4 audit fix).
+            bps = int(self.vbv_max_bitrate) * 1000
+            opts.append('maxrate=%d' % bps)
+            opts.append('bufsize=%d' % bps)
         if self.sample_aspect_ratio:
             sar = self.sample_aspect_ratio
-            opts.append('sar=%d:%d' % (sar.numerator, sar.denominator)
+            opts.append('sar=%d/%d' % (sar.numerator, sar.denominator)
                         if hasattr(sar, 'numerator')
                         else 'sar=%s' % (sar,))
         if self.interlaced:
             opts.append('flags=+ildct+ilme')
+        # Reference VUI pins (X264VideoEncoder.c:131-137): studio-range
+        # Rec.709, MPEG-2 ('left') chroma siting.
+        opts.append('color_primaries=bt709')
+        opts.append('color_trc=bt709')
+        opts.append('colorspace=bt709')
+        opts.append('color_range=tv')
+        opts.append('chroma_sample_location=left')
         return ':'.join(opts)
 
 

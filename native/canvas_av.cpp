@@ -49,6 +49,19 @@ std::string av_errstr(int code) {
     return std::string(buf);
 }
 
+// Options no codec/context AVOption consumed are silently left in the
+// dict by avcodec_open2 — a misspelled rate-control knob then no-ops
+// without a trace (round-4 audit: the x264 wrapper shipped
+// 'vbv-maxrate', an x264-CLI spelling avcodec ignores). Surface the
+// leftovers on the ffmpeg log.
+void warn_unconsumed_opts(AVDictionary *opts, const char *what) {
+    const AVDictionaryEntry *e = nullptr;
+    while ((e = av_dict_get(opts, "", e, AV_DICT_IGNORE_SUFFIX)))
+        av_log(nullptr, AV_LOG_WARNING,
+               "canvas_av: option '%s=%s' not consumed by %s\n",
+               e->key, e->value, what);
+}
+
 // avcodec defaults to a single thread; frame/slice threading scales
 // DV/H.264 decode and mpeg4/x264 encode near-linearly with host cores
 // (the decode side feeds device staging — configs 7/8 are
@@ -727,6 +740,7 @@ CAV_EXPORT int cav_muxer_add_video_ex(CavMuxer *m, const char *codec_name,
     AVDictionary *opts = nullptr;
     if (options && *options) av_dict_parse_string(&opts, options, "=", ":", 0);
     int rc = avcodec_open2(s->codec, codec, &opts);
+    warn_unconsumed_opts(opts, codec_name);
     av_dict_free(&opts);
     if (rc < 0) {
         set_err(err, errlen, "avcodec_open2: " + av_errstr(rc));
@@ -1057,6 +1071,7 @@ CAV_EXPORT CavEncoder *cav_video_encoder_open(const char *codec_name,
     AVDictionary *opts = nullptr;
     if (options && *options) av_dict_parse_string(&opts, options, "=", ":", 0);
     int rc = avcodec_open2(e->codec, codec, &opts);
+    warn_unconsumed_opts(opts, codec_name);
     av_dict_free(&opts);
     if (rc < 0) {
         set_err(err, errlen, "avcodec_open2: " + av_errstr(rc));
@@ -1250,6 +1265,7 @@ CAV_EXPORT CavEncoder *cav_video_encoder_open_planar(
     AVDictionary *opts = nullptr;
     if (options && *options) av_dict_parse_string(&opts, options, "=", ":", 0);
     int rc = avcodec_open2(e->codec, codec, &opts);
+    warn_unconsumed_opts(opts, codec_name);
     av_dict_free(&opts);
     if (rc < 0) {
         set_err(err, errlen, "avcodec_open2: " + av_errstr(rc));

@@ -37,6 +37,9 @@ def main():
     ap.add_argument('--sig-filter', default='',
                     help='time the largest signature group whose repr '
                          'contains this substring (e.g. scale_solid)')
+    ap.add_argument('--quality', type=int, default=10,
+                    help='planner quality hint (<=9 enables the bf16 '
+                         'accumulator fast path; 10 = bit-exact)')
     args = ap.parse_args()
 
     import jax
@@ -55,7 +58,7 @@ def main():
 
     ws = build_timeline(args.length)
     win = box2i(0, 0, 1919, 1079)
-    planner = render.RenderPlanner(ws, win)
+    planner = render.RenderPlanner(ws, win, quality=args.quality)
     planner.plan_cache_segments = 0
     B = args.batch
 

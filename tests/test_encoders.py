@@ -453,14 +453,74 @@ def test_x264_params_to_options_full_surface():
     assert 'tune=film' in opts
     assert 'crf=18.5' in opts
     assert 'qp=23' in opts
-    assert 'vbv-maxrate=1200' in opts and 'vbv-bufsize=1200' in opts
-    assert 'annexb=1' in opts
-    assert 'repeat-headers=1' in opts
-    assert 'sar=10' in opts and '11' in opts  # 'sar=10:11' splits on ':'
+    # VBV rides avcodec's generic maxrate/bufsize AVOptions in BITS/s
+    # (the x264-CLI 'vbv-maxrate' spelling was silently dropped by
+    # avcodec_open2 — round-4 audit fix; kbit/s * 1000)
+    assert 'maxrate=1200000' in opts and 'bufsize=1200000' in opts
+    # annex_b / repeat_headers are recorded but framing follows the
+    # packet consumer (avcodec wrapper semantics) — see PARITY.md §2.3
+    assert params.annex_b is True and params.repeat_headers is True
+    assert 'sar=10/11' in opts           # AVOption rational, '/' form
     assert 'flags=+ildct+ilme' in opts
-    assert x264.X264EncoderParams(
-        preset='fast', width=4, height=4,
-        annex_b=False).to_options().count('annexb=0') == 1
+    # reference VUI pins (X264VideoEncoder.c:131-137)
+    assert 'color_primaries=bt709' in opts
+    assert 'color_range=tv' in opts
+    assert 'chroma_sample_location=left' in opts
+
+
+def test_x264_params_profile_and_fast_first_pass():
+    """apply_profile / apply_fast_first_pass (the reference's two
+    X264EncoderParams methods, X264VideoEncoder.c:146-163) map to the
+    libx264 AVOptions."""
+    params = x264.X264EncoderParams(preset='fast', width=64, height=48)
+    params.apply_profile('high')
+    params.apply_fast_first_pass()
+    opts = params.to_options().split(':')
+    assert 'profile=high' in opts
+    assert 'fastfirstpass=1' in opts
+
+
+def test_x264_vbv_option_consumed_and_constrains():
+    """The VBV spelling must be one avcodec actually consumes: encode
+    the same clip unconstrained vs tightly VBV-capped and require the
+    cap to shrink the bitstream (a silently-dropped option would leave
+    the sizes identical — the exact failure mode of the old
+    'vbv-maxrate' spelling)."""
+    import numpy as np
+    from canvas_tpu.frames import VideoSource
+
+    class Noisy(VideoSource):
+        """Untraceable random-noise frames (per-frame seeded so both
+        encode passes see identical input) — noise defeats x264's
+        prediction, so the VBV cap has real bits to squeeze."""
+
+        def _render_f16(self, frame_index, frame):
+            rng = np.random.default_rng(frame_index)
+            h = frame.full_window.height
+            w = frame.full_window.width
+            data = rng.random((4, h, w)).astype(np.float16)
+            data[3] = 1.0
+            frame.data = data
+            frame.current_window = frame.full_window
+
+    def total_bytes(params):
+        enc = x264.X264VideoEncoder(Noisy(), 0, 24, params,
+                                    window=box2i(0, 0, 127, 95))
+        n = 0
+        while True:
+            pkt = enc.get_next_packet()
+            if pkt is None:
+                break
+            n += len(pkt.data)
+        return n
+
+    free = total_bytes(x264.X264EncoderParams(
+        preset='veryfast', width=128, height=96,
+        constant_ratefactor=10))
+    capped = total_bytes(x264.X264EncoderParams(
+        preset='veryfast', width=128, height=96,
+        constant_ratefactor=10, vbv_max_bitrate=64))  # 64 kbit/s
+    assert capped < free * 0.8, (free, capped)
 
 
 def test_x264_split_nals_avcc_and_annexb():

@@ -2192,7 +2192,13 @@ def test_sequence_forwards_pulldown_hints(monkeypatch):
     np.testing.assert_allclose(got.astype(np.float32),
                                want.astype(np.float32), atol=2e-3)
     assert len(pulls) == len(set(pulls)), pulls
-    assert len(ships) == 1, ships
+    # Each unique frame's bytes cross the tunnel exactly ONCE. The
+    # stack may ship as several 8-row slabs (pipelined decode->H2D
+    # staging overlaps transfer with later pulls), so assert no row is
+    # shipped twice rather than a single call: total shipped rows ==
+    # one stack's worth.
+    assert sum(s[0] for s in ships) == 16, ships  # 10 unique -> 16 padded
+    assert all(s[1:] == ships[0][1:] for s in ships), ships
 
 
 def test_sequence_delitem_range_check():
