@@ -150,21 +150,36 @@ def health_check():
         return False
 
 
+#: Row acceptance (round-4 verdict item 4): a drifting — not collapsed —
+#: tunnel phase must not land in the table. min/median below this
+#: re-queues the config once after a cool-down.
+MIN_OVER_MED = 0.7
+
+
 def median_of(fn, n=3):
-    """Median-of-n with collapse detection: re-runs the sample set if
-    the spread exceeds SPREAD_LIMIT (a mid-run tunnel stall) OR the
-    tunnel fails a health re-probe AFTER the samples — a link that
-    degrades mid-config can produce a tight-spread set of uniformly
-    bogus numbers (observed: config8 2.19 fps spread 1.8..2.7 in a run
-    that measured 26.7 fps standalone). Returns (median, lo, hi)."""
-    for _attempt in range(3):
-        health_gate()
+    """Median-of-n with drift AND collapse detection. A sample set is
+    accepted only when (a) total spread is under SPREAD_LIMIT, (b)
+    min/median >= MIN_OVER_MED (a drifting phase pulls the min down
+    long before the spread trips), and (c) the tunnel passes a health
+    re-probe AFTER the samples — a link that degrades mid-config can
+    produce a tight-spread set of uniformly bogus numbers (observed:
+    config8 2.19 fps spread 1.8..2.7 in a run that measured 26.7 fps
+    standalone). Rejected sets re-run after a cool-down. Returns
+    (median, lo, hi, health) where health is the (rtt_s, h2d_mbps,
+    d2h_mbps) measured by the gate immediately before the accepted
+    samples — recorded per row so a reader can see the link state a
+    number was taken in."""
+    for attempt in range(3):
+        health = health_gate()
         vals = sorted(float(fn()) for _ in range(n))
         med = vals[n // 2]
         spread = (vals[-1] - vals[0]) / med if med else 1.0
-        if spread <= SPREAD_LIMIT and health_check():
+        drift_ok = med > 0 and vals[0] / med >= MIN_OVER_MED
+        if spread <= SPREAD_LIMIT and drift_ok and health_check():
             break
-    return med, vals[0], vals[-1]
+        if attempt < 2:
+            time.sleep(30.0)         # cool-down before the re-queue
+    return med, vals[0], vals[-1], health
 
 
 def timeit_batches(planner, batch, n_frames, start=0, max_inflight=None):
@@ -514,16 +529,18 @@ def main():
         # One config's failure (e.g. a transient remote-compile 500)
         # must not abort the whole matrix: record it and keep going.
         try:
-            med, lo, hi = median_of(fn, n)
+            med, lo, hi, health = median_of(fn, n)
         except Exception as e:
             import traceback
             traceback.print_exc()
             results[key] = ('FAILED: %s' % type(e).__name__,)
             print('%-44s FAILED (%s)' % (key, e), flush=True)
             return
-        results[key] = (round(med, 2), round(lo, 2), round(hi, 2))
-        print('%-44s %10.2f  (%.2f .. %.2f)'
-              % (key, med, lo, hi), flush=True)
+        rtt, h2d, d2h = health
+        link = '%.0fms %d/%d' % (rtt * 1e3, round(h2d), round(d2h))
+        results[key] = (round(med, 2), round(lo, 2), round(hi, 2), link)
+        print('%-44s %10.2f  (%.2f .. %.2f)  link %s'
+              % (key, med, lo, hi, link), flush=True)
 
     measure('config1_720p_single_clip_fps', config1)
     measure('config2_1080p_crossfade_fps', config2)
@@ -547,13 +564,14 @@ def main():
         f.write('# Benchmark results (BASELINE.md configs)\n\n')
         f.write('Device: %s x%d\n\n' % (jax.devices()[0].device_kind,
                                         len(jax.devices())))
-        f.write('| Config | median | min..max |\n|---|---|---|\n')
+        f.write('| Config | median | min..max | link rtt, H2D/D2H MB/s |\n'
+                '|---|---|---|---|\n')
         for key, vals in results.items():
-            if len(vals) == 3:
-                f.write('| %s | %s | %s .. %s |\n'
-                        % (key, vals[0], vals[1], vals[2]))
+            if len(vals) == 4:
+                f.write('| %s | %s | %s .. %s | %s |\n'
+                        % (key, vals[0], vals[1], vals[2], vals[3]))
             else:
-                f.write('| %s | %s | - |\n' % (key, vals[0]))
+                f.write('| %s | %s | - | - |\n' % (key, vals[0]))
         f.write('\nHeadline metric: see bench.py / BENCH_r*.json. '
                 'The reference publishes no numbers (BASELINE.md); its '
                 'implied target is ~30 fps realtime DV playback. '
@@ -563,10 +581,14 @@ def main():
                 'probes must ship at >= 12 MB/s in BOTH directions; '
                 'the D2H probe is a fresh device array each round '
                 'since jax caches host copies), measured median-of-3, '
-                'and re-run if the sample spread exceeds 60% OR the '
-                'tunnel fails a health re-probe after the samples '
-                '(a link that degrades mid-config produces tight-'
-                'spread, uniformly bogus numbers).\n\n'
+                'and re-run after a cool-down if the sample spread '
+                'exceeds 60%, min/median falls under 0.7 (a DRIFTING '
+                'phase pulls the min down long before the spread '
+                'trips), OR the tunnel fails a health re-probe after '
+                'the samples (a link that degrades mid-config produces '
+                'tight-spread, uniformly bogus numbers). Each row '
+                'records the link state (health-probe RTT and bulk '
+                'MB/s each direction) its samples were taken in.\n\n'
                 'Measurement: on this rig block_until_ready() returns '
                 'before remote execution finishes, so every timing '
                 'probes the LAST dispatched output with a device-side '
