@@ -393,13 +393,22 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=(),
     # share one compiled program; SLAB == the pad quantum, so every
     # slab is exactly SLAB rows.
     n_total = n_real + ((-n_real) % 8)
+    # Slab size adapts to the stream's frame bytes (chosen after the
+    # first decode): each device_put costs ~1-8 ms of tunnel marshaling
+    # regardless of size, so small-frame streams (SD chroma planes)
+    # ship fewer, larger slabs — targeting >= ~16 MB per slab — while
+    # HD streams keep the 8-row quantum. Measured: 8-row slabs on the
+    # 0.69 MB/frame mixed-content timeline REGRESSED cold streaming
+    # (21.6 -> 15.1 fps) from per-call overhead alone; 1080p 4:2:0
+    # (3.1 MB/frame) improved 13.2 -> 24.5 fps.
+    import os
     SLAB = 8
-    pipelined = mesh is None and n_total > SLAB
+    pipelined = (mesh is None and n_total > SLAB
+                 and os.environ.get('CANVAS_STAGE_PIPELINE', '1') != '0')
     host = None
     futs = []
     stager = None
     if pipelined:
-        import os
         from concurrent.futures import ThreadPoolExecutor
         # >1 worker ships slabs over concurrent device_put streams —
         # an experiment knob for whether the tunnel multiplexes H2D
@@ -434,6 +443,9 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=(),
                     return None
                 host = tuple(np.empty((n_total,) + p.shape, p.dtype)
                              for p in planes)
+                frame_bytes = sum(p.nbytes for p in planes)
+                SLAB = 8 * max(1, -(-int(16e6) // max(frame_bytes * 8,
+                                                      1)))
             elif (planes[0].shape != host[0].shape[1:]
                     or planes[1].shape != host[1].shape[1:]
                     or planes[2].shape != host[2].shape[1:]):

@@ -530,8 +530,18 @@ class PlanContext:
                     Wn = self.window.width
                     n_real = len(frames)
                     n_total = n_real + ((-n_real) % 8)
-                    SLAB = 8
-                    pipelined = mesh is None and n_total > SLAB
+                    # Slab size targets >= ~16 MB per ship (device_put
+                    # costs ~1-8 ms of tunnel marshaling regardless of
+                    # size — see the coded-path note); 1080p f16 frames
+                    # (16.6 MB each) keep the 8-row quantum, small test
+                    # windows collapse to one tail ship.
+                    frame_bytes = 4 * Hn * Wn * 2
+                    SLAB = 8 * max(1, -(-int(16e6)
+                                        // max(frame_bytes * 8, 1)))
+                    pipelined = (mesh is None and n_total > SLAB
+                                 and os.environ.get(
+                                     'CANVAS_STAGE_PIPELINE', '1')
+                                 != '0')
                     host = np.empty((n_total, 4, Hn, Wn), np.float16)
                     futs = []
                     stager = None
