@@ -5,9 +5,12 @@ pulldown) -> workspace -> clock-driven playback engine.
 Port of the reference's GTK demo pipeline (/root/reference/main.py:64-98)
 without the widget: presents frames to a callback and reports achieved
 rate. With --tk (and a display), opens the stdlib-tkinter player window
-instead — a real-toolkit run with zero extra dependencies.
+instead — a real-toolkit run with zero extra dependencies. With --gtk,
+runs the REAL GTK 3 toolkit headlessly on a broadwayd display (the
+ctypes binding, editor/ui/gtk_ctypes.py) — open the printed
+http://127.0.0.1:<port> URL in any browser to watch the playback.
 
-Usage: play_demo.py [--tk] INPUT [SECONDS]
+Usage: play_demo.py [--tk | --gtk] INPUT [SECONDS]
 """
 
 import os
@@ -25,8 +28,9 @@ from fractions import Fraction
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != '--tk']
+    args = [a for a in sys.argv[1:] if a not in ('--tk', '--gtk')]
     use_tk = '--tk' in sys.argv[1:]
+    use_gtk = '--gtk' in sys.argv[1:]
     if not args:
         print(__doc__)
         return 1
@@ -69,6 +73,34 @@ def main():
                                             window, title=path)
             widget.engine.warm(0)
             root.mainloop()
+            return 0
+
+    if use_gtk:
+        from canvas_tpu.editor.ui import gtk_ctypes
+        if not gtk_ctypes.broadway_available():
+            print('--gtk: broadwayd or GTK 3 libraries missing; '
+                  'running headless instead')
+        else:
+            port = 8085 + os.getpid() % 100
+            proc, display = gtk_ctypes.start_broadwayd(port=port)
+            try:
+                clock = SystemPresentationClock()
+                widget = gtk_ctypes.GtkCtypesVideoWidget(
+                    workspace, clock, rate, window, display=display)
+                widget.engine.warm(0)
+                print('REAL GTK on broadway: open '
+                      'http://127.0.0.1:%d to watch' % port, flush=True)
+                clock.play(1)
+                t_end = time.time() + seconds
+                while time.time() < t_end:
+                    widget.pump(0.1)
+                clock.stop()
+                print('painted %d frames through the real toolkit'
+                      % widget._painted)
+                widget.close()
+            finally:
+                proc.terminate()
+                proc.wait()
             return 0
 
     presented = []
