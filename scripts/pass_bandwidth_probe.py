@@ -38,30 +38,39 @@ PEAK_GBPS = 819.0
 
 
 def timed_pair(builder, payloads, r1, r2, label, bytes_per_copy):
+    """R-difference timing with per-pass failure isolation: the remote
+    compile endpoint on this rig drops connections under load, so one
+    pass's failed/hung compile must not lose the rows already
+    measured (every print flushes immediately)."""
     import jax
-    times = {}
-    for R in (r1, r2):
-        fn = jax.jit(lambda ps: builder(ps))
-        v = float(fn(payloads[:R]))
-        best = float('inf')
-        for _ in range(3):
-            t0 = time.perf_counter()
+    try:
+        times = {}
+        for R in (r1, r2):
+            fn = jax.jit(lambda ps: builder(ps))
             v = float(fn(payloads[:R]))
-            best = min(best, time.perf_counter() - t0)
-        times[R] = best
+            best = float('inf')
+            for _ in range(3):
+                t0 = time.perf_counter()
+                v = float(fn(payloads[:R]))
+                best = min(best, time.perf_counter() - t0)
+            times[R] = best
+    except Exception as e:
+        print('%-40s SKIPPED (%s)' % (label, type(e).__name__),
+              flush=True)
+        return None
     per = (times[r2] - times[r1]) / (r2 - r1)
     gbps = bytes_per_copy / 1e9 / per if per > 0 else float('inf')
     print('%-40s %7.3f ms  %7.2f GB  %6.0f GB/s  %4.0f%% of peak'
           % (label, per * 1e3, bytes_per_copy / 1e9, gbps,
-             100.0 * gbps / PEAK_GBPS))
+             100.0 * gbps / PEAK_GBPS), flush=True)
     return per
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=32)
-    ap.add_argument('--r1', type=int, default=2)
-    ap.add_argument('--r2', type=int, default=8)
+    ap.add_argument('--r1', type=int, default=1)
+    ap.add_argument('--r2', type=int, default=4)
     ap.add_argument('--acc16', action='store_true',
                     help='bf16 accumulators (the quality<=9 fast path)')
     args = ap.parse_args()
@@ -193,8 +202,13 @@ def main():
     t4 = timed_pair(p4, consts, args.r1, args.r2,
                     'P4 finalize fold -> f16', p4_bytes)
 
-    total = t1 + 2 * t2 + t3 + t4
-    print('sum of passes (P2 x2): %.3f ms/copy' % (total * 1e3))
+    parts = [t for t in (t1, t2, t2, t3, t4) if t is not None]
+    if all(t is not None for t in (t1, t2, t3, t4)):
+        print('sum of passes (P2 x2): %.3f ms/copy'
+              % ((t1 + 2 * t2 + t3 + t4) * 1e3), flush=True)
+    else:
+        print('partial sum (%d/5 rows): %.3f ms/copy'
+              % (len(parts), sum(parts) * 1e3), flush=True)
     print('(compare: device_loop_probe full program, same batch — '
           'run separately; residual = planner structure the synthetic '
           'passes do not model)')

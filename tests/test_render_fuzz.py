@@ -152,6 +152,32 @@ def test_random_graph_batched_matches_pull(seed, any_backend):
             atol=8e-3, err_msg='seed %d frame %d' % (seed, i))
 
 
+@pytest.mark.parametrize('seed', range(max(6, _SEEDS // 2)))
+def test_random_graph_quality9_close_to_pull(seed, any_backend):
+    """The quality<=9 bf16-accumulator fast path over random graphs:
+    same structure as the bit-exact fuzz, with the tolerance the 8-bit
+    mantissa licenses (values bounded ~[0, 2.5] by construction; one
+    bf16 ulp there is ~0.02). Catches acc16 plumbing bugs — a wrong
+    dtype at any pass boundary diverges far beyond rounding."""
+    rng = np.random.RandomState(10_000 + seed)
+    ws = random_workspace(rng)
+    start = int(rng.randint(0, 8))
+    stop = start + int(rng.randint(4, 16))
+    planner = render.RenderPlanner(ws, WINDOW, quality=9)
+    got = np.asarray(planner.render(start, stop))
+    for i in range(start, stop):
+        want = ws.get_frame_f16(i, WINDOW)
+        if want.current_window.empty():
+            expect = np.zeros((4, WINDOW.height, WINDOW.width),
+                              np.float16)
+        else:
+            expect = np.asarray(want.data, np.float16)
+        np.testing.assert_allclose(
+            got[i - start].astype(np.float32),
+            expect.astype(np.float32),
+            atol=3e-2, err_msg='seed %d frame %d' % (seed, i))
+
+
 def test_coded_layer_in_workspace_matches_pull(any_backend):
     """A staged coded-source chain (DV reconstruct + pulldown removal)
     composited with solid layers: batched planner vs pull."""
