@@ -211,7 +211,11 @@ class GtkCtypesVideoWidget:
             C.cast(self._idle_cb, C.c_void_p), None)
 
     def _on_idle(self, _data):
-        self._libs['gtk'].gtk_widget_queue_draw(self.area)
+        # A present() scheduled just before close() may fire after the
+        # widget tree is destroyed; queue_draw on a destroyed GtkWidget
+        # is a use-after-free in C.
+        if not getattr(self, '_closed', False):
+            self._libs['gtk'].gtk_widget_queue_draw(self.area)
         return 0                      # one-shot
 
     def _on_draw(self, _widget, cr, _data):
@@ -275,6 +279,7 @@ class GtkCtypesVideoWidget:
         return out
 
     def close(self):
+        self._closed = True
         self._engine.stop()
         self._libs['gtk'].gtk_widget_destroy(self.window_ptr)
 

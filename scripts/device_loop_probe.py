@@ -40,6 +40,24 @@ def main():
     ap.add_argument('--quality', type=int, default=10,
                     help='planner quality hint (<=9 enables the bf16 '
                          'accumulator fast path; 10 = bit-exact)')
+    ap.add_argument('--pin-start', type=int, default=None,
+                    help='probe batches from this EXACT frame onward '
+                         '(all must share one signature) instead of '
+                         'the largest signature group — REQUIRED for '
+                         'cross-graph ablation comparisons: the '
+                         'largest group lands on different animation '
+                         'phases for different graphs, which swamps '
+                         'the ablation deltas')
+    ap.add_argument('--graph', default='full',
+                    choices=('bg', 'solids', 'scalers', 'full'),
+                    help='ablate the headline timeline to derive the '
+                         'per-pass accounting from the REAL program: '
+                         'bg (background only), solids (+5 gain solids '
+                         '+ overlay strip), scalers (+2 factored '
+                         'scaled solids), full (+the crossfade layer). '
+                         'Differences between levels isolate the fold, '
+                         'region_over_sep x2, and the materialized mix '
+                         'region passes.')
     args = ap.parse_args()
 
     import jax
@@ -57,6 +75,12 @@ def main():
     print('health rtt %.1f ms' % ((time.perf_counter() - t0) * 1e3))
 
     ws = build_timeline(args.length)
+    drop_z = {'bg': (1, 2, 3, 4, 5, 6, 7, 8, 9),
+              'solids': (6, 7, 8),
+              'scalers': (8,),
+              'full': ()}[args.graph]
+    for item in [it for it in ws if it.z in drop_z]:
+        ws.remove(item)
     win = box2i(0, 0, 1919, 1079)
     planner = render.RenderPlanner(ws, win, quality=args.quality)
     planner.plan_cache_segments = 0
@@ -72,17 +96,24 @@ def main():
     # common one (moving placed boxes re-quantize the geometry every
     # few batches, so no single signature may cover the whole range).
     by_sig = {}
-    n_batches = max(args.r2 * 4, (args.length - B) // B)
+    pin = args.pin_start
+    n_batches = (args.r2 if pin is not None
+                 else max(args.r2 * 4, (args.length - B) // B))
     for r in range(n_batches):
-        if (r + 1) * B > args.length:
+        lo = (pin or 0) + r * B
+        if lo + B > args.length:
             break
-        ctx = render.PlanContext(planner,
-                                 np.arange(r * B, (r + 1) * B), win)
+        ctx = render.PlanContext(planner, np.arange(lo, lo + B), win)
         planner._stage_cache = {}
         planner._frame_hints = {}
         node = ctx.plan(ws)
         by_sig.setdefault(node.signature(), []).append(
             [dict(p) for p in node.flat_params([])])
+    if pin is not None and len(by_sig) > 1:
+        raise RuntimeError(
+            'pinned range [%d, %d) spans %d signatures — pick a '
+            'pin-start inside one geometry phase'
+            % (pin, pin + n_batches * B, len(by_sig)))
     candidates = by_sig
     if args.sig_filter:
         candidates = {s: p for s, p in by_sig.items()
