@@ -284,6 +284,112 @@ class GtkCtypesVideoWidget:
         self._libs['gtk'].gtk_widget_destroy(self.window_ptr)
 
 
+class GtkCtypesBlitWidget:
+    """Real-GTK window that paints an arbitrary BGRA u8 buffer — used
+    to run the editor's software timeline rasterizer (editor/ui/paint.py
+    CanvasPainter) through the ACTUAL toolkit and read the pixels back
+    from the realized window."""
+
+    def __init__(self, width, height, display=None):
+        self._libs = _ensure_gtk(display)
+        gtk = self._libs['gtk']
+        self._frame = None
+        self.window_ptr = gtk.gtk_window_new(GTK_WINDOW_TOPLEVEL)
+        self.area = gtk.gtk_drawing_area_new()
+        gtk.gtk_container_add(self.window_ptr, self.area)
+        self._draw_cb = _DrawCb(self._on_draw)
+        self._libs['gobject'].g_signal_connect_data(
+            self.area, b'draw', C.cast(self._draw_cb, C.c_void_p),
+            None, None, 0)
+        gtk.gtk_widget_set_size_request(self.area, width, height)
+        gtk.gtk_widget_show_all(self.window_ptr)
+        self.painted = 0
+
+    def set_frame(self, bgra):
+        h, w = bgra.shape[:2]
+        self._frame = (bytes(bgra.tobytes()), w, h)
+        self._libs['gtk'].gtk_widget_queue_draw(self.area)
+
+    def _on_draw(self, _widget, cr, _data):
+        cairo = self._libs['cairo']
+        if self._frame is None:
+            cairo.cairo_set_source_rgb(cr, 0.0, 0.0, 0.0)
+            cairo.cairo_paint(cr)
+            return 0
+        buf, w, h = self._frame
+        self._paint_buf = C.create_string_buffer(buf, len(buf))
+        surf = cairo.cairo_image_surface_create_for_data(
+            self._paint_buf, CAIRO_FORMAT_RGB24, w, h, w * 4)
+        cairo.cairo_set_source_surface(cr, surf, 0.0, 0.0)
+        cairo.cairo_paint(cr)
+        cairo.cairo_surface_destroy(surf)
+        self.painted += 1
+        return 0
+
+    pump = GtkCtypesVideoWidget.pump
+    read_pixels = GtkCtypesVideoWidget.read_pixels
+
+    def close(self):
+        self._libs['gtk'].gtk_widget_destroy(self.window_ptr)
+
+
+def _selftest_paint():
+    """Timeline rasterizer -> real GTK window -> pixel readback."""
+    import fractions
+    import json
+
+    import numpy as np
+
+    from canvas_tpu import timecode
+    from canvas_tpu.editor import model, plugins
+    from canvas_tpu.editor.ui.canvas_models import (CanvasSceneModel,
+                                                    SnapMarker,
+                                                    ViewTransformModel)
+    from canvas_tpu.editor.ui.paint import THEME, CanvasPainter
+    from canvas_tpu.editor.ui.ruler import TimeRulerModel
+
+    space = model.Space('s', plugins.VideoFormat(frame_rate=10),
+                        plugins.AudioFormat(sample_rate=48000))
+    clip = model.Clip(type='video', x=10, y=0.0, length=40, height=1.0)
+    space[0:0] = [clip]
+    scene = CanvasSceneModel(space)
+    transform = ViewTransformModel(pixels_per_second=32.0,
+                                   pixels_per_lane=30.0)
+    transform.add_marker(SnapMarker('x', 3.5))
+    ruler = TimeRulerModel(timecode.Frames(),
+                           scale=fractions.Fraction(32, 10),
+                           frame_rate=fractions.Fraction(10, 1))
+    painter = CanvasPainter(scene, transform, ruler=ruler)
+    buf = painter.paint(320, 120, playhead_frame=20, playhead_rate=10)
+
+    proc, display = start_broadwayd()
+    try:
+        w = GtkCtypesBlitWidget(320, 120, display=display)
+        try:
+            w.pump(0.3)
+            w.set_frame(buf)
+            deadline = time.time() + 10
+            while w.painted < 1 and time.time() < deadline:
+                w.pump(0.05)
+            w.pump(0.2)
+            px = w.read_pixels(320, 120)
+            top = painter.ruler_height
+            # CanvasPainter buffers are BGRA; the window reads back RGB
+            clip_rgb = px[top + 12, 48].tolist()
+            want = list(THEME['clip_video'][2::-1])
+            print(json.dumps({
+                'painted': w.painted,
+                'clip_rgb': clip_rgb,
+                'want_clip_rgb': want,
+                'match': clip_rgb == want,
+            }), flush=True)
+        finally:
+            w.close()
+    finally:
+        proc.terminate()
+        proc.wait()
+
+
 def _selftest():
     """Drive the real toolkit end-to-end: engine -> draw signal ->
     GdkWindow pixels. Prints one line of JSON for the test harness."""
@@ -330,4 +436,8 @@ def _selftest():
 
 
 if __name__ == '__main__':
-    _selftest()
+    import sys as _sys
+    if '--paint' in _sys.argv[1:]:
+        _selftest_paint()
+    else:
+        _selftest()

@@ -47,3 +47,23 @@ def test_real_gtk_paints_engine_frame():
     # solid green source: the real toolkit's window reads back green
     assert got['center_rgb'] == [0, 255, 0], got
     assert got['frame_index'] == 0
+
+
+@needs_broadway
+def test_real_gtk_paints_timeline_rasterizer():
+    """The editor's software timeline rasterizer (CanvasPainter)
+    blitted through the real toolkit: the clip-body pixel reads back
+    from the realized window with the theme's exact color."""
+    env = dict(os.environ)
+    env['CANVAS_FORCE_CPU'] = '1'
+    env.pop('GDK_BACKEND', None)
+    env.pop('BROADWAY_DISPLAY', None)
+    out = subprocess.run(
+        [sys.executable, '-m', 'canvas_tpu.editor.ui.gtk_ctypes',
+         '--paint'],
+        capture_output=True, text=True, timeout=180, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, (out.stdout, out.stderr)
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got['painted'] >= 1
+    assert got['match'], got
