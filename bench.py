@@ -91,6 +91,7 @@ _T0 = time.monotonic()
 _BUDGET = float(os.environ.get('CANVAS_BENCH_BUDGET', '540'))
 _STATE = {'fps': 0.0, 'vs': 0.0, 'note': None}
 _EMITTED = None  # threading.Event, set in main()
+_EMIT_LOCK = None  # threading.Lock, set in main()
 
 
 def _remaining():
@@ -98,10 +99,14 @@ def _remaining():
 
 
 def _emit(error=None):
-    """Print the one JSON line exactly once (main thread or watchdog)."""
-    if _EMITTED.is_set():
-        return False
-    _EMITTED.set()
+    """Print the one JSON line exactly once (main thread or watchdog).
+    The check-then-set runs under a lock: a run completing at the same
+    instant the budget deadline fires must not print two lines (the
+    driver contract is ONE JSON line)."""
+    with _EMIT_LOCK:
+        if _EMITTED.is_set():
+            return False
+        _EMITTED.set()
     line = {
         'metric': '1080p_10layer_composite_fps_per_chip',
         'value': round(_STATE['fps'], 2),
@@ -141,8 +146,9 @@ def _start_watchdog():
 def main():
     import threading
 
-    global _EMITTED
+    global _EMITTED, _EMIT_LOCK
     _EMITTED = threading.Event()
+    _EMIT_LOCK = threading.Lock()
     _start_watchdog()
 
     from canvas_tpu import backend, render

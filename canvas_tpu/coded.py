@@ -377,51 +377,21 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=(),
     # Pipelined decode -> H2D (round-4 cold-path work): on a tunneled
     # device the coded-plane transfer is the cold-path wall (~3 MB per
     # 1080p 4:2:0 frame at ~80 MB/s vs ~220 fps host decode), so the
-    # transfer must stream WHILE later frames decode, not after the
-    # last one. Frames decode directly into preallocated host stacks;
-    # every completed 8-row slab ships from a one-thread stager
-    # immediately (decode continues under it — libav releases the GIL,
-    # device_put marshals in native code); the final device stacks are
-    # a device-side concatenation of the slabs (HBM-bandwidth copy,
-    # ~0.4 ms per 150 MB, vs seconds of serialized H2D). The mesh path
-    # keeps single-shot staging: concatenation does not preserve the
-    # replicated NamedSharding commitment the sharded programs declare.
+    # transfer streams WHILE later frames decode (libav releases the
+    # GIL under the stager's device_put). Policy and concurrency live
+    # in render.SlabStager, shared with the staged-frame path:
+    # measured 13.2 -> 24.5 fps on decoded 1080p cold (config8), and
+    # 8-row slabs on a 0.69 MB/frame stream regressed ~30% before the
+    # adaptive slab floor.
+    from canvas_tpu.render import SlabStager
     backend.ensure_initialized()
     n_real = len(frames)
     # Row count padded to a multiple of 8 (repeating the last frame) so
     # consecutive pipeline chunks produce identical stack shapes and
-    # share one compiled program; SLAB == the pad quantum, so every
-    # slab is exactly SLAB rows.
+    # share one compiled program.
     n_total = n_real + ((-n_real) % 8)
-    # Slab size adapts to the stream's frame bytes (chosen after the
-    # first decode): each device_put costs ~1-8 ms of tunnel marshaling
-    # regardless of size, so small-frame streams (SD chroma planes)
-    # ship fewer, larger slabs — targeting >= ~16 MB per slab — while
-    # HD streams keep the 8-row quantum. Measured: 8-row slabs on the
-    # 0.69 MB/frame mixed-content timeline REGRESSED cold streaming
-    # (21.6 -> 15.1 fps) from per-call overhead alone; 1080p 4:2:0
-    # (3.1 MB/frame) improved 13.2 -> 24.5 fps.
-    import os
-    SLAB = 8
-    pipelined = (mesh is None and n_total > SLAB
-                 and os.environ.get('CANVAS_STAGE_PIPELINE', '1') != '0')
     host = None
-    futs = []
     stager = None
-    if pipelined:
-        from concurrent.futures import ThreadPoolExecutor
-        # >1 worker ships slabs over concurrent device_put streams —
-        # an experiment knob for whether the tunnel multiplexes H2D
-        # (slab order is restored at the concat, so any width is safe).
-        stager = ThreadPoolExecutor(
-            max_workers=max(1, int(os.environ.get('CANVAS_STAGE_THREADS',
-                                                  '1'))),
-            thread_name_prefix='canvas-stage')
-
-    def ship(lo, hi):
-        return tuple(backend.stage_to_device(s[lo:hi], mesh)
-                     for s in host)
-
     try:
         for n, f in enumerate(frames):
             fkey = ('dvframe', id(source), int(quality), f)
@@ -443,9 +413,7 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=(),
                     return None
                 host = tuple(np.empty((n_total,) + p.shape, p.dtype)
                              for p in planes)
-                frame_bytes = sum(p.nbytes for p in planes)
-                SLAB = 8 * max(1, -(-int(16e6) // max(frame_bytes * 8,
-                                                      1)))
+                stager = SlabStager(host, n_real, n_total, mesh)
             elif (planes[0].shape != host[0].shape[1:]
                     or planes[1].shape != host[1].shape[1:]
                     or planes[2].shape != host[2].shape[1:]):
@@ -455,28 +423,11 @@ def _device_plane_stack(ctx, source, quality, cache, hint_ids=(),
                 return None
             for s, p in zip(host, planes):
                 s[n] = p
-            if pipelined and (n + 1) % SLAB == 0:
-                futs.append(stager.submit(ship, n + 1 - SLAB, n + 1))
-        for i in range(n_real, n_total):          # tail padding rows
-            for s in host:
-                s[i] = s[n_real - 1]
-        if pipelined:
-            shipped = (n_real // SLAB) * SLAB
-            if shipped < n_total:
-                futs.append(stager.submit(ship, shipped, n_total))
-            slab_devs = [f.result() for f in futs]
-        else:
-            slab_devs = [ship(0, n_total)]
+            stager.note_row(n)
+        stacks = stager.finish()
     finally:
         if stager is not None:
-            stager.shutdown(wait=True)
-    if len(slab_devs) == 1:
-        stacks = slab_devs[0]
-    else:
-        jnp = backend.jnp
-        stacks = tuple(jnp.concatenate([sd[k] for sd in slab_devs],
-                                       axis=0)
-                       for k in range(3))
+            stager.close()
     row_of = {f: i for i, f in enumerate(frames)}
     # host copies retained: growing a replayed entry by a few frames
     # then re-decodes ONLY the missing ones (the pre-pad rows seed the

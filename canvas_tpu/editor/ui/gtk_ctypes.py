@@ -272,8 +272,16 @@ class GtkCtypesVideoWidget:
             nch = libs['pixbuf'].gdk_pixbuf_get_n_channels(pb)
             stride = libs['pixbuf'].gdk_pixbuf_get_rowstride(pb)
             p = libs['pixbuf'].gdk_pixbuf_get_pixels(pb)
-            raw = np.ctypeslib.as_array(p, shape=(ph, stride))
-            out = raw[:, :pw * nch].reshape(ph, pw, nch)[:, :, :3].copy()
+            # A pixbuf buffer is (ph-1)*stride + pw*nch bytes — the
+            # LAST row is NOT padded to the stride, so a (ph, stride)
+            # view would read past the allocation when pw*nch < stride.
+            nbytes = (ph - 1) * stride + pw * nch
+            flat = np.ctypeslib.as_array(p, shape=(nbytes,))
+            out = np.empty((ph, pw, nch), np.uint8)
+            for r in range(ph):
+                row = flat[r * stride:r * stride + pw * nch]
+                out[r] = row.reshape(pw, nch)
+            out = out[:, :, :3].copy()
         finally:
             libs['gobject'].g_object_unref(pb)
         return out

@@ -336,6 +336,105 @@ class StageLRU:
         return len(self._entries)
 
 
+class SlabStager:
+    """Pipelined host->device staging shared by the coded-plane path
+    (coded.py _device_plane_stack) and the generic staged-frame path
+    (PlanContext.stage): rows decode/pull into preallocated host
+    stacks, every completed slab ships from a one-worker stager thread
+    WHILE later rows fill (through a tunneled device the transfer is
+    the cold-path wall), and the device stacks are a device-side
+    concatenation of the slabs.
+
+    Policy lives here once (the two call sites drifted in round 4's
+    first cut):
+
+    - Slab size targets >= ~16 MB per ship — each device_put costs
+      ~1-8 ms of tunnel marshaling regardless of size, so small-frame
+      streams ship fewer, larger slabs (8-row slabs on a 0.69 MB/frame
+      stream measured ~30% SLOWER cold from call overhead alone).
+    - Pipelining is decided AFTER the slab size is known: a build whose
+      whole row count fits one slab takes the single-shot path with no
+      stager thread (the first cut spawned the thread and then shipped
+      one tail slab anyway — serial transfer plus thread overhead).
+    - The mesh path stays single-shot (concatenation does not preserve
+      the replicated NamedSharding commitment sharded programs
+      declare).
+    - Large stacks stay single-shot too: slabs + the concatenated
+      result transiently DOUBLE device memory, which the pre-flight
+      footprint guard does not model — pipelining is capped at stacks
+      whose doubled bytes stay a small fraction of the HBM budget
+      (on CPU, where _hbm_budget_bytes() is None, a 4 GiB default
+      stands in).
+    - CANVAS_STAGE_PIPELINE=0 forces single-shot (A/B gate; verified
+      bit-identical output either way); CANVAS_STAGE_THREADS widens
+      the stager (parallel device_put streams measured SLOWER through
+      the tunnel — default 1).
+    """
+
+    def __init__(self, host_arrays, n_real, n_total, mesh):
+        self.host = tuple(host_arrays)
+        self.n_real = int(n_real)
+        self.n_total = int(n_total)
+        self.mesh = mesh
+        row_bytes = sum(int(s.nbytes) for s in self.host) // max(
+            self.n_total, 1)
+        self.slab = 8 * max(1, -(-int(16e6) // max(row_bytes * 8, 1)))
+        total = row_bytes * self.n_total
+        budget = _hbm_budget_bytes() or (4 << 30)
+        self.pipelined = (
+            mesh is None and self.n_total > self.slab
+            and 2 * total < 0.35 * budget
+            and os.environ.get('CANVAS_STAGE_PIPELINE', '1') != '0')
+        self._futs = []
+        self._pool = None
+        if self.pipelined:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                max_workers=max(1, int(os.environ.get(
+                    'CANVAS_STAGE_THREADS', '1'))),
+                thread_name_prefix='canvas-stage')
+
+    def _ship(self, lo, hi):
+        return tuple(backend.stage_to_device(s[lo:hi], self.mesh)
+                     for s in self.host)
+
+    def note_row(self, n):
+        """Call after host row *n* is filled (0-based, fill in order)."""
+        if self.pipelined and (n + 1) % self.slab == 0:
+            self._futs.append(self._pool.submit(self._ship,
+                                                n + 1 - self.slab,
+                                                n + 1))
+
+    def finish(self):
+        """Pad tail rows (repeat the last real row), ship the
+        remainder, and return the device stacks (tuple matching
+        host_arrays order)."""
+        try:
+            for i in range(self.n_real, self.n_total):
+                for s in self.host:
+                    s[i] = s[self.n_real - 1]
+            if self.pipelined:
+                shipped = (self.n_real // self.slab) * self.slab
+                if shipped < self.n_total:
+                    self._futs.append(self._pool.submit(
+                        self._ship, shipped, self.n_total))
+                slabs = [f.result() for f in self._futs]
+            else:
+                slabs = [self._ship(0, self.n_total)]
+        finally:
+            self.close()
+        if len(slabs) == 1:
+            return slabs[0]
+        _jax, jnp = _jx()
+        return tuple(jnp.concatenate([sd[k] for sd in slabs], axis=0)
+                     for k in range(len(self.host)))
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+
+
 class PlanContext:
     """Planning context handed to ``VideoSource.emit``.
 
@@ -515,45 +614,16 @@ class PlanContext:
                             if fkey not in cache and i < len(seed['host']):
                                 cache[fkey] = (seed['host'][i],
                                                seed['windows'][fw_old])
-                    # Pipelined pull -> H2D (same slab design as the
-                    # coded plane path, canvas_tpu/coded.py): staged
-                    # f16 frames are ~16 MB each at 1080p, so through a
-                    # tunneled device the transfer must stream while
-                    # later frames pull. Frames land in a preallocated
-                    # host stack; every completed 8-row slab ships from
-                    # a one-thread stager; the device stack is a
-                    # device-side concat of the slabs. Mesh path keeps
-                    # single-shot staging (concat does not preserve the
-                    # replicated commitment).
+                    # Pipelined pull -> H2D via the shared SlabStager
+                    # (policy + concurrency live there; the coded plane
+                    # path uses the same class).
                     windows = {}
                     Hn = self.window.height
                     Wn = self.window.width
                     n_real = len(frames)
                     n_total = n_real + ((-n_real) % 8)
-                    # Slab size targets >= ~16 MB per ship (device_put
-                    # costs ~1-8 ms of tunnel marshaling regardless of
-                    # size — see the coded-path note); 1080p f16 frames
-                    # (16.6 MB each) keep the 8-row quantum, small test
-                    # windows collapse to one tail ship.
-                    frame_bytes = 4 * Hn * Wn * 2
-                    SLAB = 8 * max(1, -(-int(16e6)
-                                        // max(frame_bytes * 8, 1)))
-                    pipelined = (mesh is None and n_total > SLAB
-                                 and os.environ.get(
-                                     'CANVAS_STAGE_PIPELINE', '1')
-                                 != '0')
                     host = np.empty((n_total, 4, Hn, Wn), np.float16)
-                    futs = []
-                    stager = None
-                    if pipelined:
-                        from concurrent.futures import ThreadPoolExecutor
-                        stager = ThreadPoolExecutor(
-                            max_workers=1,
-                            thread_name_prefix='canvas-stage')
-
-                    def ship(lo, hi):
-                        return backend.stage_to_device(host[lo:hi], mesh)
-
+                    stager = SlabStager((host,), n_real, n_total, mesh)
                     try:
                         with backend.force_backend('numpy'):
                             for n, fw in enumerate(frames):
@@ -567,27 +637,10 @@ class PlanContext:
                                     cache[fkey] = got
                                 host[n] = got[0]
                                 windows[fw] = got[1]
-                                if pipelined and (n + 1) % SLAB == 0:
-                                    futs.append(stager.submit(
-                                        ship, n + 1 - SLAB, n + 1))
-                        for i in range(n_real, n_total):
-                            host[i] = host[n_real - 1]
-                        if pipelined:
-                            shipped = (n_real // SLAB) * SLAB
-                            if shipped < n_total:
-                                futs.append(stager.submit(ship, shipped,
-                                                          n_total))
-                            slabs = [fu.result() for fu in futs]
-                        else:
-                            slabs = [ship(0, n_total)]
+                                stager.note_row(n)
+                        (stack,) = stager.finish()
                     finally:
-                        if stager is not None:
-                            stager.shutdown(wait=True)
-                    if len(slabs) == 1:
-                        stack = slabs[0]
-                    else:
-                        _jax, _jnp = _jx()
-                        stack = _jnp.concatenate(slabs, axis=0)
+                        stager.close()
                     entry = cache[key] = {
                         'stack': stack,
                         # host stack retained so a later grow of this

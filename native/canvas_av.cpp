@@ -740,7 +740,7 @@ CAV_EXPORT int cav_muxer_add_video_ex(CavMuxer *m, const char *codec_name,
     AVDictionary *opts = nullptr;
     if (options && *options) av_dict_parse_string(&opts, options, "=", ":", 0);
     int rc = avcodec_open2(s->codec, codec, &opts);
-    warn_unconsumed_opts(opts, codec_name);
+    if (rc >= 0) warn_unconsumed_opts(opts, codec_name);
     av_dict_free(&opts);
     if (rc < 0) {
         set_err(err, errlen, "avcodec_open2: " + av_errstr(rc));
@@ -1071,7 +1071,7 @@ CAV_EXPORT CavEncoder *cav_video_encoder_open(const char *codec_name,
     AVDictionary *opts = nullptr;
     if (options && *options) av_dict_parse_string(&opts, options, "=", ":", 0);
     int rc = avcodec_open2(e->codec, codec, &opts);
-    warn_unconsumed_opts(opts, codec_name);
+    if (rc >= 0) warn_unconsumed_opts(opts, codec_name);
     av_dict_free(&opts);
     if (rc < 0) {
         set_err(err, errlen, "avcodec_open2: " + av_errstr(rc));
@@ -1265,7 +1265,7 @@ CAV_EXPORT CavEncoder *cav_video_encoder_open_planar(
     AVDictionary *opts = nullptr;
     if (options && *options) av_dict_parse_string(&opts, options, "=", ":", 0);
     int rc = avcodec_open2(e->codec, codec, &opts);
-    warn_unconsumed_opts(opts, codec_name);
+    if (rc >= 0) warn_unconsumed_opts(opts, codec_name);
     av_dict_free(&opts);
     if (rc < 0) {
         set_err(err, errlen, "avcodec_open2: " + av_errstr(rc));

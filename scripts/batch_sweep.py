@@ -32,15 +32,26 @@ if os.environ.get('CANVAS_FORCE_CPU'):
 
 
 def run_cell(batch, inflight, frames_mult):
-    """One health-gated cold measurement; prints one JSON row."""
+    """One health-gated cold measurement; prints one JSON row.
+
+    A fully-down tunnel hangs the first device op with no in-process
+    recovery; bound the cell so it can't hang the driving sweep
+    (CANVAS_SWEEP_WATCHDOG seconds, default 30 min, 0 disables —
+    bench.py's watchdog is now internal to bench.main()'s budget)."""
     import threading
 
-    # A fully-down tunnel hangs the first device op with no in-process
-    # recovery; bound the cell so it can't hang the driving sweep
-    # (CANVAS_BENCH_WATCHDOG seconds, 0 disables).
-    from bench import _start_watchdog
+    limit = float(os.environ.get('CANVAS_SWEEP_WATCHDOG', '1800'))
     done = threading.Event()
-    _start_watchdog(done)
+    if limit > 0:
+        def watch():
+            if not done.wait(limit):
+                print(json.dumps({'batch': batch, 'inflight': inflight,
+                                  'fps': 0.0,
+                                  'error': 'watchdog_%ds' % int(limit)}),
+                      flush=True)
+                os._exit(2)
+        threading.Thread(target=watch, daemon=True,
+                         name='sweep-watchdog').start()
 
     from benchmarks import health_gate, timeit_batches
     from bench import build_timeline

@@ -83,6 +83,11 @@ ITEMS = {
 
 def main():
     names = sys.argv[1:] or ['bw', 'bw16', 'matrix', 'suite', 'dlp']
+    unknown = [n for n in names if n not in ITEMS]
+    if unknown:
+        log('unknown item(s) %s — valid: %s'
+            % (unknown, sorted(ITEMS)))
+        return 2
     for n in names:
         cmd, t, env = ITEMS[n]
         run(n, cmd, t, env)
