@@ -37,7 +37,7 @@ import numpy as np
 
 from canvas_tpu.clock import PresentationClock, gettime
 
-__all__ = ['AudioPlayer', 'NullSink', 'WavFileSink', 'AlsaSink',
+__all__ = ['AudioPlayer', 'AlsaPlayer', 'NullSink', 'WavFileSink', 'AlsaSink',
            'alsa_available']
 
 
@@ -380,3 +380,9 @@ class AudioPlayer(PresentationClock):
                     self._base_time = gettime()
                     self._seek_time = self._sample_time(self._next_sample) \
                         - (self._sample_time(delay) * n) // d
+
+
+# Reference-name alias (fluggo.media.alsa.AlsaPlayer, src/alsa/AlsaPlayer.c:
+# same (rate, channels, source) constructor; our AudioPlayer defaults to a
+# NullSink unless an AlsaSink/WavFileSink is passed).
+AlsaPlayer = AudioPlayer

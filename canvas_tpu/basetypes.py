@@ -12,8 +12,14 @@ import fractions
 
 import yaml
 
+# 'fractions' is deliberately exported: the reference's basetypes module
+# has no __all__, so its `import fractions` leaks into star-imports, and
+# client code relies on it (e.g. /root/reference/tests/canvas/
+# ItemManipulator.py:8 uses `fractions.Fraction` after
+# `from fluggo.media.basetypes import *`).
 __all__ = ['v2i', 'v2f', 'box2i', 'box2f', 'rgba',
-           'box2i_intersect', 'box2i_union', 'box2i_normalize']
+           'box2i_intersect', 'box2i_union', 'box2i_normalize',
+           'fractions']
 
 
 _v2i_base = collections.namedtuple('_v2i_base', 'x y')

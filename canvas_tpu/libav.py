@@ -161,6 +161,17 @@ def _load():
             ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int]
         lib.cav_muxer_finish.argtypes = [ctypes.c_void_p]
+        lib.cav_muxer_add_copy_video.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int]
+        lib.cav_muxer_set_extradata.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int]
+        lib.cav_muxer_write_packet.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int]
         lib.cav_version.restype = ctypes.c_char_p
         _lib = lib
         return lib
@@ -187,7 +198,13 @@ def _as_frame_rate(value):
         return Fraction(int(value[0]), int(value[1]))
     if hasattr(value, 'x') and hasattr(value, 'y'):   # v2i rate
         return Fraction(int(value.x), int(value.y))
-    return Fraction(value)
+    rate = Fraction(value)
+    if rate.denominator > 1 << 24 or rate.numerator > 1 << 30:
+        # A Fraction built FROM a float (e.g. the reference
+        # test_packets.py's Fraction(30000/1001)) carries a ~10^15
+        # denominator that overflows avcodec's int timebase — snap it.
+        rate = rate.limit_denominator(65535)
+    return rate
 
 
 def _err_buf():
@@ -504,14 +521,43 @@ class AVMuxer:
         self._started = False
         self._video_dims = {}       # stream idx -> (w, h)
         self._audio_channels = {}   # stream idx -> channels
+        self._copy_streams = {}     # stream idx -> {'source', 'rate'}
 
-    def add_video_stream(self, codec, frame_size, frame_rate,
-                         bit_rate=0, options='',
-                         sample_aspect_ratio=None, interlaced=False,
-                         top_field_first=False):
-        """sample_aspect_ratio (Fraction; DV NTSC 4:3 is 10/11),
-        interlaced and top_field_first mirror the reference
-        AVVideoEncoder kwargs (src/libav/AVVideoEncoder.c)."""
+    def add_video_stream(self, *args, **kw):
+        """Add an ENCODING video stream:
+        ``add_video_stream(codec, frame_size, frame_rate, bit_rate=0,
+        options='', sample_aspect_ratio=None, interlaced=False,
+        top_field_first=False)`` — sample_aspect_ratio (Fraction; DV
+        NTSC 4:3 is 10/11), interlaced and top_field_first mirror the
+        reference AVVideoEncoder kwargs (src/libav/AVVideoEncoder.c).
+
+        The reference calling convention is also accepted
+        (src/libav/AVMuxer.c:144-210): ``add_video_stream(source,
+        codec, frame_rate, frame_size, sample_aspect_ratio)`` where
+        *source* is a CodecPacketSource — adds a STREAM-COPY stream
+        whose pre-encoded packets :meth:`run` pumps into the file."""
+        if args and not isinstance(args[0], str):
+            # reference style: (source, codec, frame_rate, frame_size,
+            # sample_aspect_ratio)
+            names = ['source', 'codec', 'frame_rate', 'frame_size',
+                     'sample_aspect_ratio']
+            params = dict(zip(names, args))
+            for k, v in kw.items():
+                if k not in names:
+                    raise TypeError('unexpected kwarg %r' % k)
+                if k in params:
+                    raise TypeError('multiple values for %r' % k)
+                params[k] = v
+            return self._add_copy_video_stream(
+                params['source'], params['codec'],
+                params.get('frame_rate'), params.get('frame_size'),
+                params.get('sample_aspect_ratio'))
+        return self._add_encoding_video_stream(*args, **kw)
+
+    def _add_encoding_video_stream(self, codec, frame_size, frame_rate,
+                                   bit_rate=0, options='',
+                                   sample_aspect_ratio=None,
+                                   interlaced=False, top_field_first=False):
         err = _err_buf()
         from fractions import Fraction
         rate = _as_frame_rate(frame_rate)
@@ -539,6 +585,85 @@ class AVMuxer:
             raise IOError(err.value.decode())
         self._audio_channels[idx] = int(channels)
         return idx
+
+    def _add_copy_video_stream(self, source, codec, frame_rate, frame_size,
+                               sample_aspect_ratio):
+        """Stream-copy video stream (reference AVMuxer model,
+        src/libav/AVMuxer.c:144-210): *source* is a CodecPacketSource
+        whose packets are already encoded with *codec*."""
+        from fractions import Fraction
+        if not isinstance(codec, str):
+            raise TypeError('codec name must be a string')
+        if frame_rate is None or frame_size is None:
+            raise TypeError('copy streams require frame_rate and '
+                            'frame_size')
+        rate = _as_frame_rate(frame_rate)
+        sar_num = sar_den = 0
+        if sample_aspect_ratio is not None:
+            sar = Fraction(sample_aspect_ratio)
+            sar_num, sar_den = sar.numerator, sar.denominator
+        err = _err_buf()
+        idx = _load().cav_muxer_add_copy_video(
+            self._handle, codec.encode(), int(frame_size[0]),
+            int(frame_size[1]), rate.numerator, rate.denominator,
+            sar_num, sar_den, err, len(err))
+        if idx < 0:
+            raise IOError(err.value.decode())
+        self._copy_streams[idx] = {'source': source, 'rate': rate}
+        return idx
+
+    def run(self):
+        """Pump packets from every copy-stream source into the file and
+        finalize it (reference AVMuxer_run, src/libav/AVMuxer.c:212-333):
+        fetch each source's global header, write the container header,
+        then repeatedly write the packet whose dts maps to the earliest
+        real time across streams, until all sources are exhausted."""
+        from fractions import Fraction
+        if not self._copy_streams:
+            raise RuntimeError('run() needs at least one copy stream '
+                               '(add_video_stream(source, codec, ...))')
+        lib = _load()
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        for idx, cs in self._copy_streams.items():
+            get_header = getattr(cs['source'], 'get_header', None)
+            header = get_header() if get_header else None
+            if header:
+                buf = (ctypes.c_uint8 * len(header)).from_buffer_copy(header)
+                lib.cav_muxer_set_extradata(self._handle, idx,
+                                            ctypes.cast(buf, u8p),
+                                            len(header))
+        if not self._started:
+            self.start()
+
+        NOPTS = -(1 << 63)          # AV_NOPTS_VALUE
+
+        def real_time(idx, pkt):
+            dts = pkt.dts if pkt.dts is not None else (pkt.pts or 0)
+            return Fraction(dts) / self._copy_streams[idx]['rate']
+
+        pending = {}
+        for idx, cs in self._copy_streams.items():
+            pkt = cs['source'].get_next_packet()
+            if pkt is not None:
+                pending[idx] = pkt
+        while pending:
+            idx = min(pending, key=lambda i: real_time(i, pending[i]))
+            pkt = pending[idx]
+            data = bytes(pkt.data)
+            buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+            rc = lib.cav_muxer_write_packet(
+                self._handle, idx, ctypes.cast(buf, u8p), len(data),
+                NOPTS if pkt.pts is None else int(pkt.pts),
+                NOPTS if pkt.dts is None else int(pkt.dts),
+                int(pkt.duration or 0), 1 if pkt.keyframe else 0)
+            if rc < 0:
+                raise IOError('write_packet failed: %d' % rc)
+            nxt = self._copy_streams[idx]['source'].get_next_packet()
+            if nxt is None:
+                del pending[idx]
+            else:
+                pending[idx] = nxt
+        self.close()
 
     def start(self):
         err = _err_buf()
@@ -832,6 +957,12 @@ class _EncoderBase:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_int]
+        lib.cav_video_encoder_open_ex.restype = ctypes.c_void_p
+        lib.cav_video_encoder_open_ex.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int]
         lib.cav_audio_encoder_open.restype = ctypes.c_void_p
         lib.cav_audio_encoder_open.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
@@ -895,19 +1026,70 @@ class AVVideoEncoder(_EncoderBase):
     out of get_next_packet() for a muxer (e.g. MatroskaWriter).
     """
 
-    def __init__(self, source, start_frame, end_frame, codec='libx264',
-                 frame_size=(720, 480), frame_rate=None, bit_rate=0,
-                 options='', window=None):
+    def __new__(cls, source=None, *args, **kw):
+        # The reference's AVVideoEncoder consumes CODED IMAGES
+        # (AVVideoEncoder.c:64, py_coded_image_take_source) — that role
+        # is AVPlanarVideoEncoder here.  A coded-image source (get_frame
+        # but no get_frame_f16/f32 pull protocol) redirects there, so
+        # test_packets.py's AVVideoEncoder(AVVideoDecoder(...),
+        # 'dvvideo', ...) builds the planar pipeline unchanged.
+        if (cls is AVVideoEncoder and source is not None
+                and hasattr(source, 'get_frame')
+                and not hasattr(source, 'get_frame_f16')
+                and not hasattr(source, 'get_frame_f32')):
+            inst = object.__new__(AVPlanarVideoEncoder)
+            inst.__init__(source, *args, **kw)
+            return inst
+        return object.__new__(cls)
+
+    def __init__(self, source, *args, **kw):
+        """``AVVideoEncoder(source, start_frame, end_frame,
+        codec='libx264', ...)``; the reference's convention with the
+        codec name second (``AVVideoEncoder(source, 'dvvideo',
+        start_frame=0, end_frame=200, sample_aspect_ratio=...,
+        interlaced=..., top_field_first=..., frame_rate=...)``,
+        src/libav/AVVideoEncoder.c:41-175) is also accepted."""
         from fractions import Fraction
+        if args and isinstance(args[0], str):
+            if 'codec' in kw:
+                raise TypeError('multiple values for codec')
+            kw['codec'] = args[0]
+            args = args[1:]
+        for name, val in zip(('start_frame', 'end_frame'), args):
+            if name in kw:
+                raise TypeError('multiple values for %r' % name)
+            kw[name] = val
+        if len(args) > 2:
+            raise TypeError('too many positional arguments')
+
+        start_frame = kw.pop('start_frame')
+        end_frame = kw.pop('end_frame')
+        codec = kw.pop('codec', 'libx264')
+        frame_size = kw.pop('frame_size', (720, 480))
+        frame_rate = kw.pop('frame_rate', None)
+        bit_rate = kw.pop('bit_rate', 0)
+        options = kw.pop('options', '')
+        window = kw.pop('window', None)
+        sample_aspect_ratio = kw.pop('sample_aspect_ratio', None)
+        interlaced = kw.pop('interlaced', False)
+        top_field_first = kw.pop('top_field_first', False)
+        if kw:
+            raise TypeError('unexpected kwargs: %s' % ', '.join(sorted(kw)))
+
         lib = self._setup()
         if frame_rate is None:
             frame_rate = Fraction(30000, 1001)
         frame_rate = _as_frame_rate(frame_rate)
+        sar_num = sar_den = 0
+        if sample_aspect_ratio is not None:
+            sar = Fraction(sample_aspect_ratio)
+            sar_num, sar_den = sar.numerator, sar.denominator
         err = _err_buf()
-        self._handle = lib.cav_video_encoder_open(
+        self._handle = lib.cav_video_encoder_open_ex(
             codec.encode(), int(frame_size[0]), int(frame_size[1]),
             frame_rate.numerator, frame_rate.denominator, int(bit_rate),
-            options.encode(), err, len(err))
+            sar_num, sar_den, 1 if interlaced else 0,
+            1 if top_field_first else 0, options.encode(), err, len(err))
         if not self._handle:
             raise IOError(err.value.decode())
 
@@ -1057,15 +1239,45 @@ class AVPlanarVideoEncoder(_EncoderBase):
     trip.
     """
 
-    def __init__(self, source, start_frame, end_frame, codec='dvvideo',
-                 pix_fmt='yuv411p', frame_size=(720, 480), frame_rate=None,
-                 bit_rate=0, options=''):
+    def __init__(self, source, *args, **kw):
+        """``AVPlanarVideoEncoder(source, start_frame, end_frame,
+        codec='dvvideo', pix_fmt='yuv411p', ...)``; the reference's
+        codec-second convention and its sample_aspect_ratio /
+        interlaced / top_field_first kwargs (AVVideoEncoder.c:41-175)
+        are also accepted (AVVideoEncoder redirects coded-image
+        sources here)."""
         from fractions import Fraction
+        if args and isinstance(args[0], str):
+            if 'codec' in kw:
+                raise TypeError('multiple values for codec')
+            kw['codec'] = args[0]
+            args = args[1:]
+        for name, val in zip(('start_frame', 'end_frame'), args):
+            if name in kw:
+                raise TypeError('multiple values for %r' % name)
+            kw[name] = val
+        if len(args) > 2:
+            raise TypeError('too many positional arguments')
+        start_frame = kw.pop('start_frame')
+        end_frame = kw.pop('end_frame')
+        codec = kw.pop('codec', 'dvvideo')
+        pix_fmt = kw.pop('pix_fmt', 'yuv411p')
+        frame_size = kw.pop('frame_size', (720, 480))
+        frame_rate = kw.pop('frame_rate', None)
+        bit_rate = kw.pop('bit_rate', 0)
+        options = kw.pop('options', '')
+        sample_aspect_ratio = kw.pop('sample_aspect_ratio', None)
+        interlaced = kw.pop('interlaced', False)
+        top_field_first = kw.pop('top_field_first', False)
+        if kw:
+            raise TypeError('unexpected kwargs: %s' % ', '.join(sorted(kw)))
+
         lib = self._setup()
-        lib.cav_video_encoder_open_planar.restype = ctypes.c_void_p
-        lib.cav_video_encoder_open_planar.argtypes = [
+        lib.cav_video_encoder_open_planar_ex.restype = ctypes.c_void_p
+        lib.cav_video_encoder_open_planar_ex.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_int]
         lib.cav_encoder_send_planar.argtypes = [
             ctypes.c_void_p,
@@ -1075,12 +1287,17 @@ class AVPlanarVideoEncoder(_EncoderBase):
         if frame_rate is None:
             frame_rate = Fraction(30000, 1001)
         frame_rate = _as_frame_rate(frame_rate)
+        sar_num = sar_den = 0
+        if sample_aspect_ratio is not None:
+            sar = Fraction(sample_aspect_ratio)
+            sar_num, sar_den = sar.numerator, sar.denominator
         err = _err_buf()
-        self._handle = lib.cav_video_encoder_open_planar(
+        self._handle = lib.cav_video_encoder_open_planar_ex(
             codec.encode(), pix_fmt.encode(), int(frame_size[0]),
             int(frame_size[1]), frame_rate.numerator,
-            frame_rate.denominator, int(bit_rate), options.encode(), err,
-            len(err))
+            frame_rate.denominator, int(bit_rate), sar_num, sar_den,
+            1 if interlaced else 0, 1 if top_field_first else 0,
+            options.encode(), err, len(err))
         if not self._handle:
             raise IOError(err.value.decode())
 

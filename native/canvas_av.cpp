@@ -664,6 +664,8 @@ struct CavMuxStream {
     AVFrame *frame = nullptr;
     int64_t next_pts = 0;
     int is_video = 0;
+    // Copy streams (no encoder): original packet timestamp base.
+    AVRational copy_in_tb = {0, 1};
     // Interleaved f32 samples not yet forming a full codec frame:
     // fixed-frame-size codecs (aac: 1024) reject a short non-final
     // frame, so call tails buffer here until the next write or finish.
@@ -675,6 +677,94 @@ struct CavMuxer {
     std::vector<CavMuxStream *> streams;
     bool header_written = false;
 };
+
+// Stream-copy muxing: a stream that receives pre-encoded packets from a
+// CodecPacketSource instead of running an encoder — the reference
+// AVMuxer's model (src/libav/AVMuxer.c:144-210: streams carry codec
+// parameters only; AVMuxer_run pumps packets from the sources).  Copy
+// streams have s->codec == nullptr; in_tb remembers the packet
+// timestamp base (1/frame_rate) because avformat_write_header may
+// rewrite stream->time_base (e.g. avi).
+CAV_EXPORT int cav_muxer_add_copy_video(CavMuxer *m, const char *codec_name,
+                                        int width, int height, int fps_num,
+                                        int fps_den, int sar_num, int sar_den,
+                                        char *err, int errlen) {
+    const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
+    const AVCodecDescriptor *desc =
+        codec ? avcodec_descriptor_get(codec->id)
+              : avcodec_descriptor_get_by_name(codec_name);
+    if (!codec && !desc) {
+        set_err(err, errlen, std::string("no codec: ") + codec_name);
+        return -1;
+    }
+    auto *s = new CavMuxStream();
+    s->is_video = 1;
+    s->stream = avformat_new_stream(m->ctx, nullptr);
+    if (!s->stream) {
+        set_err(err, errlen, "avformat_new_stream failed");
+        delete s;
+        return -1;
+    }
+    s->stream->time_base = {fps_den, fps_num};
+    s->stream->avg_frame_rate = {fps_num, fps_den};
+    AVCodecParameters *par = s->stream->codecpar;
+    par->codec_type = AVMEDIA_TYPE_VIDEO;
+    par->codec_id = codec ? codec->id : desc->id;
+    par->width = width;
+    par->height = height;
+    if (sar_num > 0 && sar_den > 0) {
+        par->sample_aspect_ratio = {sar_num, sar_den};
+        s->stream->sample_aspect_ratio = {sar_num, sar_den};
+    }
+    s->copy_in_tb = {fps_den, fps_num};
+    m->streams.push_back(s);
+    return (int)m->streams.size() - 1;
+}
+
+// Global header (extradata) for a copy stream; must run before
+// cav_muxer_start (AVMuxer.c:219-228 fetches get_header at run()).
+CAV_EXPORT int cav_muxer_set_extradata(CavMuxer *m, int stream,
+                                       const uint8_t *data, int size) {
+    CavMuxStream *s = m->streams[stream];
+    AVCodecParameters *par = s->stream->codecpar;
+    if (par->extradata) av_freep(&par->extradata);
+    par->extradata_size = 0;
+    if (size > 0) {
+        par->extradata =
+            (uint8_t *)av_mallocz(size + AV_INPUT_BUFFER_PADDING_SIZE);
+        if (!par->extradata) return AVERROR(ENOMEM);
+        memcpy(par->extradata, data, size);
+        par->extradata_size = size;
+    }
+    return 0;
+}
+
+// Write one pre-encoded packet to a copy stream (AVMuxer.c:262-290).
+// pts/dts/duration are in frame units (1/frame_rate); AV_NOPTS_VALUE
+// passes through for unknown timestamps.
+CAV_EXPORT int cav_muxer_write_packet(CavMuxer *m, int stream,
+                                      const uint8_t *data, int size,
+                                      int64_t pts, int64_t dts,
+                                      int64_t duration, int keyframe) {
+    CavMuxStream *s = m->streams[stream];
+    AVPacket *pkt = av_packet_alloc();
+    if (!pkt) return AVERROR(ENOMEM);
+    int rc = av_new_packet(pkt, size);
+    if (rc < 0) {
+        av_packet_free(&pkt);
+        return rc;
+    }
+    memcpy(pkt->data, data, size);
+    pkt->pts = pts;
+    pkt->dts = dts;
+    pkt->duration = duration > 0 ? duration : 0;
+    if (keyframe) pkt->flags |= AV_PKT_FLAG_KEY;
+    av_packet_rescale_ts(pkt, s->copy_in_tb, s->stream->time_base);
+    pkt->stream_index = s->stream->index;
+    rc = av_interleaved_write_frame(m->ctx, pkt);
+    av_packet_free(&pkt);
+    return rc;
+}
 
 CAV_EXPORT CavMuxer *cav_muxer_create(const char *filename,
                                       const char *format_name, char *err,
@@ -985,6 +1075,7 @@ CAV_EXPORT int cav_muxer_write_audio(CavMuxer *m, int stream,
 CAV_EXPORT int cav_muxer_finish(CavMuxer *m) {
     int rc = 0;
     for (auto *s : m->streams) {
+        if (!s->codec) continue;        // copy stream: nothing to flush
         if (!s->pending_audio.empty()) {
             // a short FINAL audio frame is legal for fixed-size codecs
             mux_send_audio_chunk(
@@ -1044,12 +1135,18 @@ struct CavEncoder {
     int is_video = 0;
 };
 
-CAV_EXPORT CavEncoder *cav_video_encoder_open(const char *codec_name,
-                                              int width, int height,
-                                              int fps_num, int fps_den,
-                                              int64_t bit_rate,
-                                              const char *options, char *err,
-                                              int errlen) {
+// _ex: adds sample aspect ratio + interlacing flags (the reference
+// AVVideoEncoder's sample_aspect_ratio / interlaced / top_field_first
+// kwargs, src/libav/AVVideoEncoder.c:41-175).
+CAV_EXPORT CavEncoder *cav_video_encoder_open_ex(const char *codec_name,
+                                                 int width, int height,
+                                                 int fps_num, int fps_den,
+                                                 int64_t bit_rate,
+                                                 int sar_num, int sar_den,
+                                                 int interlaced,
+                                                 int top_field_first,
+                                                 const char *options,
+                                                 char *err, int errlen) {
     const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
     if (!codec) {
         set_err(err, errlen, std::string("no encoder: ") + codec_name);
@@ -1065,6 +1162,13 @@ CAV_EXPORT CavEncoder *cav_video_encoder_open(const char *codec_name,
     e->codec->pix_fmt = codec->pix_fmts ? codec->pix_fmts[0]
                                         : AV_PIX_FMT_YUV420P;
     if (bit_rate > 0) e->codec->bit_rate = bit_rate;
+    if (sar_num > 0 && sar_den > 0)
+        e->codec->sample_aspect_ratio = {sar_num, sar_den};
+    if (interlaced) {
+        e->codec->field_order = top_field_first ? AV_FIELD_TT : AV_FIELD_BB;
+        e->codec->flags |=
+            AV_CODEC_FLAG_INTERLACED_DCT | AV_CODEC_FLAG_INTERLACED_ME;
+    }
     e->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;  // SPS/PPS in extradata
 
     enable_codec_threads(e->codec);
@@ -1083,11 +1187,31 @@ CAV_EXPORT CavEncoder *cav_video_encoder_open(const char *codec_name,
     e->frame->format = e->codec->pix_fmt;
     e->frame->width = width;
     e->frame->height = height;
+    if (interlaced) {
+#if LIBAVUTIL_VERSION_MAJOR >= 58
+        e->frame->flags |= AV_FRAME_FLAG_INTERLACED;
+        if (top_field_first) e->frame->flags |= AV_FRAME_FLAG_TOP_FIELD_FIRST;
+#else
+        e->frame->interlaced_frame = 1;
+        e->frame->top_field_first = top_field_first ? 1 : 0;
+#endif
+    }
     av_frame_get_buffer(e->frame, 0);
     e->sws = sws_getContext(width, height, AV_PIX_FMT_RGBA, width, height,
                             e->codec->pix_fmt, SWS_BILINEAR, nullptr, nullptr,
                             nullptr);
     return e;
+}
+
+CAV_EXPORT CavEncoder *cav_video_encoder_open(const char *codec_name,
+                                              int width, int height,
+                                              int fps_num, int fps_den,
+                                              int64_t bit_rate,
+                                              const char *options, char *err,
+                                              int errlen) {
+    return cav_video_encoder_open_ex(codec_name, width, height, fps_num,
+                                     fps_den, bit_rate, 0, 0, 0, 0, options,
+                                     err, errlen);
 }
 
 CAV_EXPORT CavEncoder *cav_audio_encoder_open(const char *codec_name,
@@ -1236,9 +1360,12 @@ CAV_EXPORT int cav_encoder_packet(CavEncoder *e, CavPacket *out) {
 // the TPU DV/MPEG-2 subsample output) without an RGB round trip — the
 // reference's X264VideoEncoder/AVVideoEncoder consume coded images the
 // same way.
-CAV_EXPORT CavEncoder *cav_video_encoder_open_planar(
+// _ex: sample aspect ratio + interlacing flags, like
+// cav_video_encoder_open_ex (reference AVVideoEncoder.c kwargs).
+CAV_EXPORT CavEncoder *cav_video_encoder_open_planar_ex(
     const char *codec_name, const char *pix_fmt_name, int width, int height,
-    int fps_num, int fps_den, int64_t bit_rate, const char *options,
+    int fps_num, int fps_den, int64_t bit_rate, int sar_num, int sar_den,
+    int interlaced, int top_field_first, const char *options,
     char *err, int errlen) {
     const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
     if (!codec) {
@@ -1259,6 +1386,13 @@ CAV_EXPORT CavEncoder *cav_video_encoder_open_planar(
     e->codec->framerate = {fps_num, fps_den};
     e->codec->pix_fmt = fmt;
     if (bit_rate > 0) e->codec->bit_rate = bit_rate;
+    if (sar_num > 0 && sar_den > 0)
+        e->codec->sample_aspect_ratio = {sar_num, sar_den};
+    if (interlaced) {
+        e->codec->field_order = top_field_first ? AV_FIELD_TT : AV_FIELD_BB;
+        e->codec->flags |=
+            AV_CODEC_FLAG_INTERLACED_DCT | AV_CODEC_FLAG_INTERLACED_ME;
+    }
     e->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
 
     enable_codec_threads(e->codec);
@@ -1277,8 +1411,26 @@ CAV_EXPORT CavEncoder *cav_video_encoder_open_planar(
     e->frame->format = fmt;
     e->frame->width = width;
     e->frame->height = height;
+    if (interlaced) {
+#if LIBAVUTIL_VERSION_MAJOR >= 58
+        e->frame->flags |= AV_FRAME_FLAG_INTERLACED;
+        if (top_field_first) e->frame->flags |= AV_FRAME_FLAG_TOP_FIELD_FIRST;
+#else
+        e->frame->interlaced_frame = 1;
+        e->frame->top_field_first = top_field_first ? 1 : 0;
+#endif
+    }
     av_frame_get_buffer(e->frame, 0);
     return e;
+}
+
+CAV_EXPORT CavEncoder *cav_video_encoder_open_planar(
+    const char *codec_name, const char *pix_fmt_name, int width, int height,
+    int fps_num, int fps_den, int64_t bit_rate, const char *options,
+    char *err, int errlen) {
+    return cav_video_encoder_open_planar_ex(
+        codec_name, pix_fmt_name, width, height, fps_num, fps_den, bit_rate,
+        0, 0, 0, 0, options, err, errlen);
 }
 
 // Push one planar frame: three contiguous planes with given row strides.
