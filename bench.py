@@ -113,9 +113,14 @@ def _emit(error=None):
         'unit': 'frames/sec',
         'vs_baseline': round(_STATE['vs'], 2),
     }
-    err = error or _STATE['note']
-    if err:
-        line['error'] = err
+    # 'error' is reserved for zero/failed measurements; informational
+    # notes (e.g. budget_cut_reps_at_N next to a VALID fps) go under
+    # 'note' so a driver treating any 'error' as failure doesn't
+    # discard a real headline.
+    if error:
+        line['error'] = error
+    elif _STATE['note']:
+        line['note'] = _STATE['note']
     print(json.dumps(line), flush=True)
     return True
 

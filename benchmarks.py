@@ -165,10 +165,14 @@ def median_of(fn, n=3):
     produce a tight-spread set of uniformly bogus numbers (observed:
     config8 2.19 fps spread 1.8..2.7 in a run that measured 26.7 fps
     standalone). Rejected sets re-run after a cool-down. Returns
-    (median, lo, hi, health) where health is the (rtt_s, h2d_mbps,
-    d2h_mbps) measured by the gate immediately before the accepted
+    (median, lo, hi, health, accepted) where health is the (rtt_s,
+    h2d_mbps, d2h_mbps) measured by the gate immediately before the
     samples — recorded per row so a reader can see the link state a
-    number was taken in."""
+    number was taken in — and accepted is False when even the last
+    attempt failed the drift/spread/health criteria (the caller marks
+    such rows REJECTED in the table instead of passing them off as
+    accepted measurements)."""
+    accepted = False
     for attempt in range(3):
         health = health_gate()
         vals = sorted(float(fn()) for _ in range(n))
@@ -176,10 +180,11 @@ def median_of(fn, n=3):
         spread = (vals[-1] - vals[0]) / med if med else 1.0
         drift_ok = med > 0 and vals[0] / med >= MIN_OVER_MED
         if spread <= SPREAD_LIMIT and drift_ok and health_check():
+            accepted = True
             break
         if attempt < 2:
             time.sleep(30.0)         # cool-down before the re-queue
-    return med, vals[0], vals[-1], health
+    return med, vals[0], vals[-1], health, accepted
 
 
 def timeit_batches(planner, batch, n_frames, start=0, max_inflight=None):
@@ -529,7 +534,7 @@ def main():
         # One config's failure (e.g. a transient remote-compile 500)
         # must not abort the whole matrix: record it and keep going.
         try:
-            med, lo, hi, health = median_of(fn, n)
+            med, lo, hi, health, accepted = median_of(fn, n)
         except Exception as e:
             import traceback
             traceback.print_exc()
@@ -538,6 +543,8 @@ def main():
             return
         rtt, h2d, d2h = health
         link = '%.0fms %d/%d' % (rtt * 1e3, round(h2d), round(d2h))
+        if not accepted:
+            link += ' REJECTED'
         results[key] = (round(med, 2), round(lo, 2), round(hi, 2), link)
         print('%-44s %10.2f  (%.2f .. %.2f)  link %s'
               % (key, med, lo, hi, link), flush=True)

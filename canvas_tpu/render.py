@@ -380,10 +380,16 @@ class SlabStager:
             self.n_total, 1)
         self.slab = 8 * max(1, -(-int(16e6) // max(row_bytes * 8, 1)))
         total = row_bytes * self.n_total
-        budget = _hbm_budget_bytes() or (4 << 30)
+        # CANVAS_HBM_MB=0 is a documented explicit disable of HBM
+        # checks — including this doubled-transient cap; only the
+        # "no device info" case substitutes the 4 GiB stand-in.
+        if os.environ.get('CANVAS_HBM_MB', '').strip() in ('0', '0.0'):
+            fits = True
+        else:
+            budget = _hbm_budget_bytes() or (4 << 30)
+            fits = 2 * total < 0.35 * budget
         self.pipelined = (
-            mesh is None and self.n_total > self.slab
-            and 2 * total < 0.35 * budget
+            mesh is None and self.n_total > self.slab and fits
             and os.environ.get('CANVAS_STAGE_PIPELINE', '1') != '0')
         self._futs = []
         self._pool = None

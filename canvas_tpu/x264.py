@@ -109,9 +109,12 @@ class X264EncoderParams:
             opts.append('bufsize=%d' % bps)
         if self.sample_aspect_ratio:
             sar = self.sample_aspect_ratio
-            opts.append('sar=%d/%d' % (sar.numerator, sar.denominator)
-                        if hasattr(sar, 'numerator')
-                        else 'sar=%s' % (sar,))
+            if hasattr(sar, 'numerator'):
+                opts.append('sar=%d/%d' % (sar.numerator, sar.denominator))
+            else:
+                # a '10:11'-style string would split on the ':' option
+                # separator and corrupt the dict — normalize to '/'
+                opts.append('sar=%s' % str(sar).replace(':', '/'))
         if self.interlaced:
             opts.append('flags=+ildct+ilme')
         # Reference VUI pins (X264VideoEncoder.c:131-137): studio-range
