@@ -275,6 +275,139 @@ def config3():
     return timeit_batches(planner, 16, 128)
 
 
+def _device_only_fps(make_planner, batch, r1=2, r2=8):
+    """Device-compute-only fps of a planner's program via the
+    R-difference recipe (scripts/device_loop_probe.py): plan r2 batches
+    with DISTINCT params, evaluate R of them inside ONE jitted dispatch
+    summing every output element, and report
+    batch / ((t(r2)-t(r1)) / (r2-r1)) — dispatch + fetch transport
+    cancels in the difference, so this isolates what the transfer-bound
+    configs' tables can't show (round-5 verdict item 2: config3/7/8
+    rows sit at the LINK ceiling; the device column proves the compute
+    side outruns the reference's C kernels)."""
+    import jax
+    import jax.numpy as jnp
+
+    from canvas_tpu import render
+
+    planner = make_planner()
+    planner.plan_cache_segments = 0
+    by_sig = {}
+    lo = 0
+    for _ in range(r2 * 4):
+        if by_sig and max(len(v) for v in by_sig.values()) >= r2:
+            break
+        ctx = render.PlanContext(planner, np.arange(lo, lo + batch),
+                                 planner.window)
+        planner._stage_cache = {}
+        planner._frame_hints = {}
+        node = ctx.plan(planner.source)
+        by_sig.setdefault(node.signature(), []).append(
+            [dict(p) for p in node.flat_params([])])
+        lo += batch
+    sig, plists = max(by_sig.items(), key=lambda kv: len(kv[1]))
+    if len(plists) < r2:
+        raise RuntimeError('largest signature group %d < %d batches'
+                           % (len(plists), r2))
+    plists = jax.device_put(plists[:r2])
+
+    def run_many(batches):
+        acc = jnp.float32(0.0)
+        for params in batches:
+            out = render._eval(sig, iter(params), jnp, jax)
+            # full sum: a fused chain only computes elements the
+            # consumer reads (see device_loop_probe.py)
+            acc = acc + jnp.sum(out.astype(jnp.float32))
+        return acc
+
+    times = {}
+    for R in (r1, r2):
+        fn = jax.jit(run_many)
+        float(fn(plists[:R]))                 # compile + first run
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(plists[:R]))
+            best = min(best, time.perf_counter() - t0)
+        times[R] = best
+    per = (times[r2] - times[r1]) / (r2 - r1)
+    planner.close()
+    return batch / per
+
+
+def config3_device_only():
+    """config3's reconstruction+pulldown compute with the coded planes
+    already device-resident (content VARIES per frame so XLA cannot
+    CSE the replicated batches)."""
+    from canvas_tpu import render
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.coded import (CodedImage, CodedImageSource,
+                                  DVReconstructionFilter,
+                                  Pulldown23RemovalFilter)
+
+    rng = np.random.RandomState(0)
+    y = rng.randint(16, 236, (480, 720)).astype(np.uint8)
+    cb = rng.randint(16, 241, (480, 180)).astype(np.uint8)
+    cr = rng.randint(16, 241, (480, 180)).astype(np.uint8)
+
+    class Source(CodedImageSource):
+        def get_frame(self, frame_index, quality=0):
+            r = int(frame_index) % 480
+            return CodedImage([np.roll(y, r, axis=0),
+                               np.roll(cb, r, axis=0),
+                               np.roll(cr, r, axis=0)])
+
+    def make():
+        src = Pulldown23RemovalFilter(DVReconstructionFilter(Source()), 0)
+        planner = render.RenderPlanner(src, box2i(0, -1, 719, 478))
+        planner.stage_cache_mb = 0
+        return planner
+
+    return _device_only_fps(make, 16)
+
+
+def config7_device_only():
+    """config7's mixed-content program, device compute only."""
+    from canvas_tpu import render
+    from canvas_tpu.basetypes import box2i
+
+    def make():
+        planner = render.RenderPlanner(_mixed_timeline(),
+                                       box2i(0, 0, 1919, 1079))
+        planner.stage_cache_mb = 0
+        return planner
+
+    return _device_only_fps(make, 16)
+
+
+def config8_device_only(tmp='/tmp/canvas_bench_1080p.avi'):
+    """config8's decoded-planar reconstruction, device compute only."""
+    import fractions
+
+    from canvas_tpu import libav, render
+    from canvas_tpu.basetypes import box2i
+    from canvas_tpu.coded import PlanarReconstructionFilter
+    from canvas_tpu.framefuncs import LerpFunc
+    from canvas_tpu.sources import SolidColorVideoSource
+
+    if not os.path.exists(tmp):
+        src = SolidColorVideoSource(LerpFunc((0, 0, 0, 1), (1, 1, 1, 1),
+                                             64))
+        libav.write_video(tmp, src, None, 0, 64, frame_size=(1920, 1080),
+                          frame_rate=fractions.Fraction(25),
+                          video_codec='mpeg4', bit_rate=8_000_000,
+                          format='avi')
+
+    def make():
+        filt = PlanarReconstructionFilter(libav.AVVideoDecoder(tmp),
+                                          width=1920, height=1080)
+        planner = render.RenderPlanner(filt, box2i(0, 0, 1919, 1079))
+        planner.stage_cache_mb = 0
+        return planner
+
+    return _device_only_fps(make, 8)
+
+
 def _config4_graph():
     import bench
     from canvas_tpu import render
@@ -310,10 +443,20 @@ def config4_p50(display_size=None):
     return once
 
 
+#: config5 pairs every sharded sample with an unsharded run of the SAME
+#: range taken back-to-back (round-5 verdict item 7: the r4 matrix
+#: compared config5 against a config4 row sampled in a different link
+#: phase and read a bogus 0.67x). Each call produces (sharded_fps,
+#: same_phase_ratio); the ratio row consumes the queued companion.
+_CONFIG5_RATIOS = []
+
+
 def config5():
     """Frame-parallel sharded render (all local devices) — since
     round 3 a thin collector over the same streaming executor, so a
-    1-device mesh matches plain iter_batches."""
+    1-device mesh matches plain iter_batches. Also measures an
+    UNSHARDED streaming pass over the same range immediately after,
+    in the same phase, and queues sharded/unsharded for the ratio row."""
     import bench
     from canvas_tpu import render
     from canvas_tpu.basetypes import box2i
@@ -329,7 +472,7 @@ def config5():
     frames = max(256, 128 * n)
     probe = _probe()
 
-    def run_range():
+    def run_sharded():
         # ONE call over the whole range, like a real export drives it:
         # render_sharded streams internally (plan-ahead + program
         # reuse); per-chunk calls would re-plan per call.
@@ -339,8 +482,33 @@ def config5():
         float(probe(out))
         return frames / (time.perf_counter() - t0)
 
-    run_range()            # pays compiles
-    return run_range()
+    plain_planner = render.RenderPlanner(bench.build_timeline(), window)
+    plain_planner.plan_cache_segments = 0
+    plain_planner.pipeline_chunk = max(plain_planner.pipeline_chunk, 128)
+
+    def run_plain():
+        t0 = time.perf_counter()
+        last = None
+        for (_s, _n, out) in plain_planner.iter_batches(
+                0, frames, batch=128, device_out=True):
+            last = out
+        float(probe(last))
+        return frames / (time.perf_counter() - t0)
+
+    run_sharded()          # pays compiles
+    run_plain()
+    sh = run_sharded()     # back-to-back: same link phase
+    pl = run_plain()
+    _CONFIG5_RATIOS.append(sh / max(pl, 1e-9))
+    return sh
+
+
+def config5_ratio():
+    """Same-phase sharded/unsharded ratio, consuming the companion
+    measured inside the config5 sample (or measuring a fresh pair)."""
+    if not _CONFIG5_RATIOS:
+        config5()
+    return _CONFIG5_RATIOS.pop(0)
 
 
 def config6():
@@ -558,6 +726,8 @@ def main():
             config4_p50(display_size=(960, 540)))
     measure('config5_sharded_fps_%d_devices' % len(jax.devices()),
             config5)
+    measure('config5_sharded_vs_unsharded_same_phase_ratio',
+            config5_ratio)
     measure('config6_4k_10layer_export_path_fps', config6)
     measure('config6b_4k_export_yuv420_transport_fps', config6b)
     measure('config7_mixed_content_10layer_fps', config7)
