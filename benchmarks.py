@@ -744,6 +744,10 @@ def main():
     measure('config1_720p_single_clip_fps', config1)
     measure('config2_1080p_crossfade_fps', config2)
     measure('config3_dv_reconstruct_pulldown_fps', config3)
+    # Device-only companions for the transfer-bound configs (verdict
+    # item 2): R-difference device compute, single sample (the recipe
+    # is transport-independent — medianing full re-plans buys nothing).
+    measure('config3_device_only_fps', config3_device_only, n=1)
     measure('config4_10layer_1080p_fps', config4)
     measure('config4_single_frame_p50_ms', config4_p50())
     measure('config4_viewport_960x540_p50_ms',
@@ -755,9 +759,11 @@ def main():
     measure('config6_4k_10layer_export_path_fps', config6)
     measure('config6b_4k_export_yuv420_transport_fps', config6b)
     measure('config7_mixed_content_10layer_fps', config7)
+    measure('config7_device_only_fps', config7_device_only, n=1)
     measure('config7b_mixed_content_cached_replay_fps', config7b())
     measure('config7c_replay_while_editing_elsewhere_fps', config7c())
     measure('config8_1080p_decoded_planar_fps', config8)
+    measure('config8_device_only_fps', config8_device_only, n=1)
 
     print(json.dumps({k: v[0] for k, v in results.items()}, indent=1))
 

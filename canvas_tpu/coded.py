@@ -24,21 +24,60 @@ __all__ = ['CodecPacketSource', 'CodedImage', 'CodedImageSource', 'DVReconstruct
            'PlanarReconstructionFilter', 'Pulldown23RemovalFilter']
 
 
+class CodedPlane(np.ndarray):
+    """One plane exposed with the reference's per-plane field names
+    (coded_image.data/stride/line_count, framework.h) — an ndarray
+    subclass, so every array consumer keeps working (``.data`` is the
+    inherited buffer view, which PIL's ``Image.frombuffer`` accepts)."""
+
+    @property
+    def stride(self):
+        return self.strides[0] // self.itemsize
+
+    @property
+    def line_count(self):
+        return self.shape[0]
+
+
 class CodedImage:
     """A planar coded image: a list of 2-D uint8 arrays.
 
     Mirrors the reference's ``coded_image`` (data/stride/line_count per
     plane, framework.h); strides are implicit in the arrays.
+
+    The reference's PER-PLANE constructor is also accepted
+    (``process.CodedImage(buffer, stride, line_count)``, as its
+    scripts/decode_raw_image.py builds planes): the object then wraps
+    ONE plane sharing memory with *buffer* (mutations to the buffer
+    show through), with ``.data``/``.stride``/``.line_count``
+    attributes, and converts to that plane under ``np.asarray``.
     """
 
-    def __init__(self, planes):
+    def __init__(self, planes, stride=None, line_count=None):
+        if stride is not None:
+            if line_count is None:
+                raise TypeError('per-plane form needs (data, stride, '
+                                'line_count)')
+            self.data = planes                 # the caller's buffer
+            arr = np.frombuffer(memoryview(planes), np.uint8)
+            arr = arr[:stride * line_count].reshape(line_count, stride)
+            self.planes = [arr]
+            self.stride = int(stride)
+            self.line_count = int(line_count)
+            return
         self.planes = [np.asarray(p) for p in planes]
+
+    def __array__(self, dtype=None, copy=None):
+        if len(self.planes) != 1:
+            raise TypeError('multi-plane CodedImage is not one array')
+        a = self.planes[0]
+        return a.astype(dtype) if dtype is not None else a
 
     def __len__(self):
         return len(self.planes)
 
     def __getitem__(self, i):
-        return self.planes[i]
+        return self.planes[i].view(CodedPlane)
 
     @property
     def strides(self):

@@ -19,3 +19,21 @@ class AACAudioEncoder(libav.AVAudioEncoder):
         libav.AVAudioEncoder.__init__(
             self, source, start_sample, end_sample, codec='aac',
             sample_rate=sample_rate, channels=channels, bit_rate=bit_rate)
+        self._pts_base = None
+
+    def get_next_packet(self):
+        """Packets with pts rebased to start at 0: libfaac (what the
+        reference wraps, AACAudioEncoder.c) numbers output frames from
+        zero, while avcodec's aac encoder emits priming pts < 0 — the
+        reference's muxing scripts feed pts straight into UNSIGNED
+        Matroska timecodes (scripts/encode_faac_mkv.py:78-83), so the
+        negative head must be rebased for them to run unchanged."""
+        pkt = libav.AVAudioEncoder.get_next_packet(self)
+        if pkt is not None and pkt.pts is not None:
+            if self._pts_base is None:
+                self._pts_base = pkt.pts
+            if self._pts_base < 0:
+                pkt.pts -= self._pts_base
+                if pkt.dts is not None:
+                    pkt.dts -= self._pts_base
+        return pkt

@@ -266,17 +266,21 @@ class AVContainer:
 
 
 class CodecPacket:
-    """One coded packet (reference codec_packet, framework.h)."""
+    """One coded packet (reference codec_packet, framework.h:420-433;
+    ``discardable`` is its B-frame droppable flag)."""
 
-    __slots__ = ('data', 'pts', 'dts', 'duration', 'keyframe', 'stream')
+    __slots__ = ('data', 'pts', 'dts', 'duration', 'keyframe', 'stream',
+                 'discardable')
 
-    def __init__(self, data, pts, dts, duration, keyframe, stream):
+    def __init__(self, data, pts, dts, duration, keyframe, stream,
+                 discardable=False):
         self.data = data
         self.pts = pts
         self.dts = dts
         self.duration = duration
         self.keyframe = keyframe
         self.stream = stream
+        self.discardable = discardable
 
 
 class AVDemuxer(CodecPacketSource):
@@ -1026,22 +1030,6 @@ class AVVideoEncoder(_EncoderBase):
     out of get_next_packet() for a muxer (e.g. MatroskaWriter).
     """
 
-    def __new__(cls, source=None, *args, **kw):
-        # The reference's AVVideoEncoder consumes CODED IMAGES
-        # (AVVideoEncoder.c:64, py_coded_image_take_source) — that role
-        # is AVPlanarVideoEncoder here.  A coded-image source (get_frame
-        # but no get_frame_f16/f32 pull protocol) redirects there, so
-        # test_packets.py's AVVideoEncoder(AVVideoDecoder(...),
-        # 'dvvideo', ...) builds the planar pipeline unchanged.
-        if (cls is AVVideoEncoder and source is not None
-                and hasattr(source, 'get_frame')
-                and not hasattr(source, 'get_frame_f16')
-                and not hasattr(source, 'get_frame_f32')):
-            inst = object.__new__(AVPlanarVideoEncoder)
-            inst.__init__(source, *args, **kw)
-            return inst
-        return object.__new__(cls)
-
     def __init__(self, source, *args, **kw):
         """``AVVideoEncoder(source, start_frame, end_frame,
         codec='libx264', ...)``; the reference's convention with the
@@ -1075,6 +1063,33 @@ class AVVideoEncoder(_EncoderBase):
         top_field_first = kw.pop('top_field_first', False)
         if kw:
             raise TypeError('unexpected kwargs: %s' % ', '.join(sorted(kw)))
+
+        # The reference's AVVideoEncoder/X264VideoEncoder consume CODED
+        # IMAGES (AVVideoEncoder.c:64, py_coded_image_take_source) —
+        # that role is AVPlanarVideoEncoder here.  A coded-image source
+        # (get_frame but no get_frame_f16/f32 pull protocol) delegates
+        # to the planar pipeline, so test_packets.py and the encode
+        # scripts (e.g. X264VideoEncoder over MPEG2SubsampleFilter)
+        # run unchanged; video sources take the batched render path.
+        if (hasattr(source, 'get_frame')
+                and not hasattr(source, 'get_frame_f16')
+                and not hasattr(source, 'get_frame_f32')):
+            pix = 'yuv411p' if codec == 'dvvideo' else 'yuv420p'
+            self._handle = None
+            self._delegate = AVPlanarVideoEncoder(
+                source, start_frame, end_frame, codec=codec, pix_fmt=pix,
+                frame_size=frame_size, frame_rate=frame_rate,
+                bit_rate=bit_rate, options=options,
+                sample_aspect_ratio=sample_aspect_ratio,
+                interlaced=interlaced, top_field_first=top_field_first)
+            self.source = source
+            self.start_frame = int(start_frame)
+            self.end_frame = int(end_frame)
+            self.frame_size = frame_size
+            self.frame_rate = self._delegate.frame_rate
+            self.window = window
+            return
+        self._delegate = None
 
         lib = self._setup()
         if frame_rate is None:
@@ -1159,7 +1174,7 @@ class AVVideoEncoder(_EncoderBase):
                 return
             self._pending.append(pkt)
 
-    def get_next_packet(self):
+    def _pump_next_packet(self):
         while True:
             if self._pending:
                 return self._pending.pop(0)
@@ -1169,6 +1184,21 @@ class AVVideoEncoder(_EncoderBase):
                     return self._pending.pop(0)
                 return None
             self._drain()
+
+    def get_next_packet(self):
+        if self._delegate is not None:
+            return self._delegate.get_next_packet()
+        return self._pump_next_packet()
+
+    def get_header(self):
+        if self._delegate is not None:
+            return self._delegate.get_header()
+        return _EncoderBase.get_header(self)
+
+    def close(self):
+        if getattr(self, '_delegate', None) is not None:
+            return self._delegate.close()
+        _EncoderBase.close(self)
 
 
 class AVAudioEncoder(_EncoderBase):
@@ -1226,7 +1256,7 @@ class AVAudioEncoder(_EncoderBase):
         return True
 
     _drain = AVVideoEncoder._drain
-    get_next_packet = AVVideoEncoder.get_next_packet
+    get_next_packet = AVVideoEncoder._pump_next_packet
 
 
 class AVPlanarVideoEncoder(_EncoderBase):
@@ -1348,4 +1378,4 @@ class AVPlanarVideoEncoder(_EncoderBase):
         return True
 
     _drain = AVVideoEncoder._drain
-    get_next_packet = AVVideoEncoder.get_next_packet
+    get_next_packet = AVVideoEncoder._pump_next_packet

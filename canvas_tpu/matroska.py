@@ -294,6 +294,8 @@ class Track(ebml):
     FlagDefault = 0x88
     FlagForced = 0x55AA
     FlagLacing = 0x9C
+    MinCache = 0x6DE7
+    MaxCache = 0x6DF8
     DefaultDuration = 0x23E383
     Name = 0x536E
     Language = 0x22B59C
@@ -305,7 +307,18 @@ class Track(ebml):
                  default=True, forced=False, lacing=True,
                  default_duration=None, name=None, language=None,
                  codec_private=None, codec_name=None, video=None,
-                 audio=None):
+                 audio=None, min_cache=0, max_cache=None,
+                 default_duration_ns=None):
+        # default_duration_ns / min_cache / max_cache are the
+        # reference's kwarg names (fluggo/media/matroska.py:446-448) —
+        # accepted so its scripts run unchanged. DefaultDuration IS in
+        # ns in Matroska, so the two duration spellings are synonyms;
+        # min/max_cache map to the MinCache/MaxCache elements.
+        if default_duration_ns is not None:
+            if default_duration is not None:
+                raise TypeError('pass only one of default_duration / '
+                                'default_duration_ns')
+            default_duration = default_duration_ns
         ebml.__init__(self, self.Element, [])
         self.number = number
         self.type_ = type_
@@ -316,6 +329,10 @@ class Track(ebml):
         self.add_bool(self.FlagDefault, default, default=True)
         self.add_bool(self.FlagForced, forced, default=False)
         self.add_bool(self.FlagLacing, lacing, default=True)
+        if min_cache:
+            self.add_int(self.MinCache, min_cache)
+        if max_cache is not None:
+            self.add_int(self.MaxCache, max_cache)
         self.add_int(self.DefaultDuration, default_duration)
         self.add_utf8(self.Name, name)
         self.add_string(self.Language, language, default='eng')

@@ -127,6 +127,36 @@ class X264EncoderParams:
         return ':'.join(opts)
 
 
+def _annexb_to_length_prefixed(data):
+    """Convert an Annex-B NAL stream (3- or 4-byte start codes) to
+    4-byte-length-prefixed NALs (the x264 b_annexb=0 output the
+    reference's AVCC-muxing scripts expect — avcodec's libx264 wrapper
+    always emits Annex B, so annex_b=False converts here)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    starts = []
+    while i < n - 2:
+        if data[i] == 0 and data[i + 1] == 0:
+            if data[i + 2] == 1:
+                starts.append((i, i + 3))
+                i += 3
+                continue
+            if i < n - 3 and data[i + 2] == 0 and data[i + 3] == 1:
+                starts.append((i, i + 4))
+                i += 4
+                continue
+        i += 1
+    if not starts:
+        return bytes(data)
+    for idx, (s, payload) in enumerate(starts):
+        end = starts[idx + 1][0] if idx + 1 < len(starts) else n
+        nal = data[payload:end]
+        out += len(nal).to_bytes(4, 'big')
+        out += nal
+    return bytes(out)
+
+
 def _split_nals(extradata):
     """Split avcC or Annex-B extradata into (sps, pps, sei)."""
     sps = pps = sei = b''
@@ -190,19 +220,38 @@ class X264VideoEncoder(libav.AVVideoEncoder):
         self.params = params
         self._headers = None
 
+    def get_next_packet(self):
+        pkt = libav.AVVideoEncoder.get_next_packet(self)
+        if pkt is not None and self.params.annex_b is False:
+            pkt.data = _annexb_to_length_prefixed(pkt.data)
+        return pkt
+
     def _parse_headers(self):
         if self._headers is None:
             self._headers = _split_nals(self.get_header())
         return self._headers
 
+    def _prefixed(self, nal):
+        """The reference's sps/pps/sei carry the 4-byte x264 NAL prefix
+        (X264VideoEncoder.c exposes x264_encoder_headers' payloads:
+        a 4-byte length with annex_b=False, the 00 00 00 01 start code
+        otherwise) — its encode scripts slice it off with ``[4:]``
+        (scripts/encode_x264_mkv.py:55-56), so the prefix must be
+        there for them to run unchanged."""
+        if not nal:
+            return nal
+        if self.params.annex_b:
+            return b'\x00\x00\x00\x01' + nal
+        return len(nal).to_bytes(4, 'big') + nal
+
     @property
     def sps(self):
-        return self._parse_headers()[0]
+        return self._prefixed(self._parse_headers()[0])
 
     @property
     def pps(self):
-        return self._parse_headers()[1]
+        return self._prefixed(self._parse_headers()[1])
 
     @property
     def sei(self):
-        return self._parse_headers()[2]
+        return self._prefixed(self._parse_headers()[2])

@@ -583,17 +583,24 @@ CAV_EXPORT int64_t cav_audio_decode(CavAudioDec *d, int64_t min_sample,
     memset(out, 0, sizeof(float) * count * d->channels);
 
     AVStream *s = d->fmt->streams[d->stream];
-    // Seek when going backward (AVAudioDecoder.c seek-avoidance: small
-    // forward distances just decode ahead, :240-295)
-    if (min_sample < d->next_sample ||
-        min_sample > d->next_sample + d->sample_rate * 4) {
-        int64_t ts = av_rescale_q(min_sample, {1, d->sample_rate},
+    auto do_seek = [&](int64_t target_sample) {
+        if (target_sample < 0) target_sample = 0;
+        int64_t ts = av_rescale_q(target_sample, {1, d->sample_rate},
                                   s->time_base);
         int64_t start =
             s->start_time == AV_NOPTS_VALUE ? 0 : s->start_time;
         av_seek_frame(d->fmt, d->stream, start + ts, AVSEEK_FLAG_BACKWARD);
         avcodec_flush_buffers(d->codec);
         d->next_sample = -1;
+    };
+    // Seek when going backward (AVAudioDecoder.c seek-avoidance: small
+    // forward distances just decode ahead, :240-295)
+    int64_t seek_bias = 0;
+    bool just_sought = false;
+    if (min_sample < d->next_sample ||
+        min_sample > d->next_sample + d->sample_rate * 4) {
+        do_seek(min_sample);
+        just_sought = true;
     }
 
     int64_t filled = 0;
@@ -631,6 +638,21 @@ CAV_EXPORT int64_t cav_audio_decode(CavAudioDec *d, int64_t min_sample,
         } else {
             pos = d->next_sample < 0 ? 0 : d->next_sample;
         }
+        // Seek landed PAST the read point (e.g. avformat's dv demuxer
+        // rounds a mid-frame target up to the next frame, losing the
+        // head of the requested window — the reference's decoders keep
+        // a last-frame cache for the same reason, DVAudioDecoder.c
+        // "Previous frame contains our read point"): verify the first
+        // post-seek frame and re-seek with a growing back-bias.
+        if (just_sought && pos > min_sample &&
+            seek_bias < 2 * d->sample_rate) {
+            seek_bias = seek_bias ? seek_bias * 4 : d->sample_rate / 8;
+            av_frame_unref(d->frame);
+            do_seek(min_sample - seek_bias);
+            continue;
+        }
+        just_sought = false;
+
         int n = d->frame->nb_samples;
         d->next_sample = pos + n;
 

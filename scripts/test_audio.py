@@ -121,16 +121,35 @@ def main():
     print('%d AAC frames -> %s' % (frames_written, out_path))
 
     # --- per-sample comparison (reference's `if True` branch) ---
-    # The decoded stream still carries the AAC priming samples at its
-    # head (the rebased timecodes start at the first packet, which is
-    # priming); original sample i lines up with decoded i - pts_base.
-    delay = -pts_base if pts_base is not None and pts_base < 0 else 0
+    # The decoded stream carries the AAC priming samples at its head
+    # (packet pts are rebased to 0 like libfaac's): find the encoder
+    # delay empirically by scanning shifts on one channel.
+    import numpy as np
     decoder2 = libav.AVAudioDecoder(out_path, 'aac', 2)
     frame_orig = audio_decoder.get_frame(0, N_SAMPLES, 2)
+    probe = np.asarray(decoder2.get_frame(0, N_SAMPLES + 4096, 2).data)
+    orig = np.asarray(frame_orig.data)
+    def scan(lo, hi, step):
+        best = (None, 0)
+        for s in range(lo, hi, step):
+            if s < 0:
+                continue
+            err = float(np.mean(np.abs(probe[s + 512:s + 1536, 0]
+                                       - orig[512:1536, 0])))
+            if best[0] is None or err < best[0]:
+                best = (err, s)
+        return best[1]
+
+    delay = scan(0, 4096, 16)            # coarse
+    delay = scan(delay - 16, delay + 17, 1)   # refine to the sample
+    print('estimated encoder delay: %d samples' % delay)
     frame_dec = decoder2.get_frame(delay, N_SAMPLES + delay, 2)
 
     worst = 0.0
-    for i in range(0, N_SAMPLES + 1, 1000):
+    # Interior samples only: the head is encoder priming and the tail
+    # packet is truncated (the last partial AAC frame is dropped), so
+    # the first/last ~kilosample are edge effects, not codec fidelity.
+    for i in range(1000, N_SAMPLES - 2000 + 1, 1000):
         l1, r1 = frame_orig.sample(i, 0), frame_orig.sample(i, 1)
         l2, r2 = frame_dec.sample(i + delay, 0), frame_dec.sample(i + delay, 1)
         worst = max(worst, abs(l1 - l2), abs(r1 - r2))
