@@ -718,11 +718,29 @@ def config8(tmp='/tmp/canvas_bench_1080p.avi'):
 
 
 def main():
+    import argparse
+
     import jax
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--only', default='',
+                    help='comma-separated row-key substrings: measure '
+                         'only matching configs and MERGE them into '
+                         'the previous results (BENCHMARKS.json '
+                         'sidecar) — for refreshing phase-sensitive '
+                         'rows when the tunnel turns healthy without '
+                         're-running the whole matrix')
+    cli = ap.parse_args()
+    only = [s for s in cli.only.split(',') if s]
+
     results = {}
+    if only and os.path.exists('BENCHMARKS.json'):
+        with open('BENCHMARKS.json') as f:
+            results.update({k: tuple(v) for k, v in json.load(f).items()})
 
     def measure(key, fn, n=3):
+        if only and not any(sub in key for sub in only):
+            return
         # One config's failure (e.g. a transient remote-compile 500)
         # must not abort the whole matrix: record it and keep going.
         try:
@@ -766,6 +784,9 @@ def main():
     measure('config8_device_only_fps', config8_device_only, n=1)
 
     print(json.dumps({k: v[0] for k, v in results.items()}, indent=1))
+
+    with open('BENCHMARKS.json', 'w') as f:
+        json.dump({k: list(v) for k, v in results.items()}, f, indent=1)
 
     with open('BENCHMARKS.md', 'w') as f:
         f.write('# Benchmark results (BASELINE.md configs)\n\n')
