@@ -447,21 +447,25 @@ def config4():
     return timeit_batches(planner, 128, 512)
 
 
-def config4_p50(display_size=None):
+def config4_p50(display_size=None, transport='u8'):
     """p50 single-frame pull latency on the headline graph through the
     low-latency display path (render_display — one warm fused program
     rendering + converting to u8 BGRA on device, single u8 fetch; what
     a playback surface waits for). display_size fetches a viewport-
     sized frame (the reference's soft mode paints at widget size,
-    widget_gl.c:793-816)."""
+    widget_gl.c:793-816). transport='yuv420' measures the lossy
+    packed scrub transport (1.5 B/px vs 4 — what playback.py uses on a
+    degraded link)."""
     planner = _config4_graph()
-    planner.render_display(199, display_size=display_size)   # warm
+    planner.render_display(199, display_size=display_size,
+                           transport=transport)   # warm
 
     def once():
         lat = []
         for i in range(20):
             t0 = time.perf_counter()
-            planner.render_display(200 + i, display_size=display_size)
+            planner.render_display(200 + i, display_size=display_size,
+                                   transport=transport)
             lat.append(time.perf_counter() - t0)
         return float(np.percentile(lat, 50) * 1e3)
     return once
@@ -770,6 +774,8 @@ def main():
     measure('config4_single_frame_p50_ms', config4_p50())
     measure('config4_viewport_960x540_p50_ms',
             config4_p50(display_size=(960, 540)))
+    measure('config4_viewport_yuv420_p50_ms',
+            config4_p50(display_size=(960, 540), transport='yuv420'))
     measure('config5_sharded_fps_%d_devices' % len(jax.devices()),
             config5)
     measure('config5_sharded_vs_unsharded_same_phase_ratio',

@@ -749,3 +749,31 @@ def test_dv_audio_12bit_nonlinear(tmp_path):
         np.nonzero(got_l != exp_l)[0][:10]
     assert np.array_equal(got_r, exp_r), \
         np.nonzero(got_r != exp_r)[0][:10]
+
+
+def test_aac_audio_specific_config_fields():
+    """get_header() returns a well-formed AudioSpecificConfig whose
+    fields match the encoder's configuration (reference
+    AACAudioEncoder.c: faacEncGetDecoderSpecificInfo gives the same
+    2-byte ASC; Matroska/MP4 players parse it, so wrong bits mean
+    silent streams): 5-bit audioObjectType (2 = AAC-LC), 4-bit sample
+    rate index, 4-bit channel config. Covers the 48k/44.1k/32k rows of
+    the ISO 14496-3 sampling_frequency_index table and mono/stereo."""
+    rate_index = {96000: 0, 88200: 1, 64000: 2, 48000: 3, 44100: 4,
+                  32000: 5, 24000: 6, 22050: 7, 16000: 8}
+    for rate, channels in ((48000, 2), (44100, 2), (32000, 1)):
+        try:
+            enc = faac.AACAudioEncoder(ToneSource(), 0, 4095,
+                                       sample_rate=rate,
+                                       channels=channels)
+        except IOError as e:
+            pytest.skip('aac unavailable: %s' % e)
+        asc = enc.get_header()
+        assert len(asc) >= 2, (rate, channels, asc)
+        aot = asc[0] >> 3
+        sr_idx = ((asc[0] & 0x07) << 1) | (asc[1] >> 7)
+        ch_cfg = (asc[1] >> 3) & 0x0F
+        assert aot == 2, (rate, channels, 'audioObjectType', aot)
+        assert sr_idx == rate_index[rate], (rate, sr_idx)
+        assert ch_cfg == channels, (rate, channels, ch_cfg)
+        enc.close()
