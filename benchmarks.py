@@ -311,14 +311,15 @@ def _device_only_fps(make_planner, batch, r1=2, r2=8):
     if not by_sig:
         raise RuntimeError('no non-empty batches planned')
     sig, plists = max(by_sig.items(), key=lambda kv: len(kv[1]))
+    n_orig = len(plists)
     while len(plists) < r2:
         # Animated geometry re-quantizes signatures every few batches
         # (the mixed timeline tops out at ~4 same-signature batches);
         # pad the group with PERTURBED copies of existing batches —
         # same signature/program, distinct values, so XLA cannot CSE
         # two replicas into one.
-        src_params = plists[len(plists) % max(len(plists), 1)]
         r = len(plists)
+        src_params = plists[r % n_orig]
         bumped = []
         for p in src_params:
             q = {}
@@ -536,7 +537,10 @@ def config5_ratio():
     measured inside the config5 sample (or measuring a fresh pair)."""
     if not _CONFIG5_RATIOS:
         config5()
-    return _CONFIG5_RATIOS.pop(0)
+    # LIFO: the newest companions come from the most recent (i.e. the
+    # ACCEPTED) config5 attempt; a rejected earlier attempt's ratios
+    # must not surface under a fresh healthy link tag.
+    return _CONFIG5_RATIOS.pop()
 
 
 def config6():
@@ -745,6 +749,12 @@ def main():
     def measure(key, fn, n=3):
         if only and not any(sub in key for sub in only):
             return
+        # Factory rows (config4_p50/config7b/config7c build a planner
+        # and pay a warm pass): lazy=deferred past the --only check so
+        # a targeted refresh never runs non-selected configs' device
+        # work. Mark by passing (factory,) 1-tuples.
+        if isinstance(fn, tuple):
+            fn = fn[0]()
         # One config's failure (e.g. a transient remote-compile 500)
         # must not abort the whole matrix: record it and keep going.
         try:
@@ -771,11 +781,12 @@ def main():
     # is transport-independent — medianing full re-plans buys nothing).
     measure('config3_device_only_fps', config3_device_only, n=1)
     measure('config4_10layer_1080p_fps', config4)
-    measure('config4_single_frame_p50_ms', config4_p50())
+    measure('config4_single_frame_p50_ms', (config4_p50,))
     measure('config4_viewport_960x540_p50_ms',
-            config4_p50(display_size=(960, 540)))
+            (lambda: config4_p50(display_size=(960, 540)),))
     measure('config4_viewport_yuv420_p50_ms',
-            config4_p50(display_size=(960, 540), transport='yuv420'))
+            (lambda: config4_p50(display_size=(960, 540),
+                                 transport='yuv420'),))
     measure('config5_sharded_fps_%d_devices' % len(jax.devices()),
             config5)
     measure('config5_sharded_vs_unsharded_same_phase_ratio',
@@ -784,8 +795,8 @@ def main():
     measure('config6b_4k_export_yuv420_transport_fps', config6b)
     measure('config7_mixed_content_10layer_fps', config7)
     measure('config7_device_only_fps', config7_device_only, n=1)
-    measure('config7b_mixed_content_cached_replay_fps', config7b())
-    measure('config7c_replay_while_editing_elsewhere_fps', config7c())
+    measure('config7b_mixed_content_cached_replay_fps', (config7b,))
+    measure('config7c_replay_while_editing_elsewhere_fps', (config7c,))
     measure('config8_1080p_decoded_planar_fps', config8)
     measure('config8_device_only_fps', config8_device_only, n=1)
 

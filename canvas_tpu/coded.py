@@ -54,10 +54,10 @@ class CodedImage:
     """
 
     def __init__(self, planes, stride=None, line_count=None):
-        if stride is not None:
-            if line_count is None:
-                raise TypeError('per-plane form needs (data, stride, '
-                                'line_count)')
+        if stride is not None or line_count is not None:
+            if stride is None or line_count is None:
+                raise TypeError('per-plane form needs BOTH stride and '
+                                'line_count')
             self.data = planes                 # the caller's buffer
             arr = np.frombuffer(memoryview(planes), np.uint8)
             arr = arr[:stride * line_count].reshape(line_count, stride)

@@ -89,6 +89,13 @@ def _load():
         if not os.path.exists(_LIB_PATH):
             _build_library()
         lib = ctypes.CDLL(_LIB_PATH)
+        # Stale-binary guard: a .so built before this revision lacks
+        # the newest exports and the argtype assignments below would
+        # raise for EVERY libav user. Probe the newest symbol (keep
+        # this name current when adding exports) and rebuild once.
+        if not hasattr(lib, 'cav_muxer_write_packet'):
+            _build_library()
+            lib = ctypes.CDLL(_LIB_PATH)
 
         lib.cav_open.restype = ctypes.c_void_p
         lib.cav_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
@@ -545,6 +552,8 @@ class AVMuxer:
             # sample_aspect_ratio)
             names = ['source', 'codec', 'frame_rate', 'frame_size',
                      'sample_aspect_ratio']
+            if len(args) > len(names):
+                raise TypeError('too many positional arguments')
             params = dict(zip(names, args))
             for k, v in kw.items():
                 if k not in names:
@@ -626,6 +635,15 @@ class AVMuxer:
         if not self._copy_streams:
             raise RuntimeError('run() needs at least one copy stream '
                                '(add_video_stream(source, codec, ...))')
+        if self._started:
+            # extradata (avcC/SPS-PPS) lands in the container header:
+            # applying it after avformat_write_header already ran would
+            # silently produce files many players cannot decode
+            raise RuntimeError(
+                'run() must drive the mux from the start: the container '
+                'header was already written (did an encoding stream '
+                'auto-start the muxer?), so copy-stream extradata can '
+                'no longer be applied')
         lib = _load()
         u8p = ctypes.POINTER(ctypes.c_uint8)
         for idx, cs in self._copy_streams.items():
@@ -636,8 +654,7 @@ class AVMuxer:
                 lib.cav_muxer_set_extradata(self._handle, idx,
                                             ctypes.cast(buf, u8p),
                                             len(header))
-        if not self._started:
-            self.start()
+        self.start()
 
         NOPTS = -(1 << 63)          # AV_NOPTS_VALUE
 

@@ -380,14 +380,14 @@ class SlabStager:
             self.n_total, 1)
         self.slab = 8 * max(1, -(-int(16e6) // max(row_bytes * 8, 1)))
         total = row_bytes * self.n_total
-        # CANVAS_HBM_MB=0 is a documented explicit disable of HBM
-        # checks — including this doubled-transient cap; only the
-        # "no device info" case substitutes the 4 GiB stand-in.
-        if os.environ.get('CANVAS_HBM_MB', '').strip() in ('0', '0.0'):
+        # An explicit CANVAS_HBM_MB<=0 disable (budget == 0) skips the
+        # doubled-transient cap too; only "no device info" (None)
+        # substitutes the 4 GiB stand-in.
+        budget = _hbm_budget_bytes()
+        if budget == 0:
             fits = True
         else:
-            budget = _hbm_budget_bytes() or (4 << 30)
-            fits = 2 * total < 0.35 * budget
+            fits = 2 * total < 0.35 * (budget or (4 << 30))
         self.pipelined = (
             mesh is None and self.n_total > self.slab and fits
             and os.environ.get('CANVAS_STAGE_PIPELINE', '1') != '0')
@@ -1513,10 +1513,11 @@ def _pace_probe(x):
 def _hbm_budget_bytes():
     """Device memory budget for the pre-dispatch footprint check.
 
-    ``CANVAS_HBM_MB`` overrides (0 disables the check entirely); else
-    the device's reported ``bytes_limit`` when available; else 16 GiB
-    for a TPU (v5e HBM) — and None (disabled) on CPU, where the check
-    would gate tests on a host-RAM heuristic that doesn't apply."""
+    ``CANVAS_HBM_MB`` overrides; else the device's reported
+    ``bytes_limit`` when available; else 16 GiB for a TPU (v5e HBM).
+    Returns 0 for an EXPLICIT disable (``CANVAS_HBM_MB`` <= 0 — skip
+    every HBM heuristic) and None for "unknown/not applicable" (CPU,
+    or no device info — callers may substitute a stand-in)."""
     env = os.environ.get('CANVAS_HBM_MB')
     if env is not None:
         try:
@@ -1527,7 +1528,7 @@ def _hbm_budget_bytes():
                 'CANVAS_HBM_MB=%r is not a number (want MB, e.g. '
                 '16384); falling back to device detection', env)
         else:
-            return int(mb * (1 << 20)) if mb > 0 else None
+            return int(mb * (1 << 20)) if mb > 0 else 0
     try:
         jax, _ = _jx()
         dev = jax.devices()[0]
@@ -1565,7 +1566,7 @@ def _check_hbm_footprint(batch, window, post, max_inflight, shards,
     separately). Raises above the budget, logs a warning above 80%
     of it."""
     budget = _hbm_budget_bytes()
-    if budget is None:
+    if not budget:        # None = unknown/CPU; 0 = explicit disable
         return
     px = window.width * window.height
     out_bpp = {None: 8, 'rgba_u8': 4, 'bgra_u8': 4,

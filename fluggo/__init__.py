@@ -72,6 +72,8 @@ _ALIASES = [
 
 
 def _install():
+    import pkgutil
+
     media = types.ModuleType('fluggo.media')
     media.__doc__ = ('Namespace module aliasing canvas_tpu media modules; '
                      'see fluggo/__init__.py.')
@@ -81,7 +83,33 @@ def _install():
     this = sys.modules[__name__]
     this.media = media
 
+    aliases = list(_ALIASES)
+
+    # Aliased REAL packages keep their real __path__, so a submodule
+    # that is in the package but NOT in sys.modules under its fluggo
+    # name would be re-executed as a DUPLICATE module object (two
+    # distinct classes, split module state). Close the hole by
+    # enumerating every submodule of every aliased package and
+    # aliasing it too.
+    def expand(alias, target):
+        mod = importlib.import_module(target)
+        for info in pkgutil.iter_modules(getattr(mod, '__path__', [])):
+            sub_alias = alias + '.' + info.name
+            sub_target = target + '.' + info.name
+            if all(a != sub_alias for a, _ in aliases):
+                aliases.append((sub_alias, sub_target))
+                if info.ispkg:
+                    expand(sub_alias, sub_target)
+
     for alias, target in _ALIASES:
+        try:
+            mod = importlib.import_module(target)
+        except ImportError:
+            continue
+        if hasattr(mod, '__path__'):
+            expand(alias, target)
+
+    for alias, target in aliases:
         mod = importlib.import_module(target)
         sys.modules[alias] = mod
         parent_name, _, leaf = alias.rpartition('.')
