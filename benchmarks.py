@@ -814,7 +814,9 @@ def main():
                                         len(jax.devices())))
         f.write('| Config | median | min..max | link rtt, H2D/D2H MB/s |\n'
                 '|---|---|---|---|\n')
-        for key, vals in results.items():
+        # canonical row order regardless of --only merge history
+        for key in sorted(results, key=lambda k: (k.split('_')[0], k)):
+            vals = results[key]
             if len(vals) == 4:
                 f.write('| %s | %s | %s .. %s | %s |\n'
                         % (key, vals[0], vals[1], vals[2], vals[3]))
