@@ -39,6 +39,11 @@ void cav_video_decoder_close(CavVideoDec *);
 int cav_video_decode_rgba(CavVideoDec *, int64_t, uint8_t *, int, int);
 int cav_video_decode_planar(CavVideoDec *, int64_t, uint8_t *, uint8_t *,
                             uint8_t *, int *, int64_t, int64_t);
+int cav_muxer_add_copy_video(CavMuxer *, const char *, int, int, int, int,
+                             int, int, char *, int);
+int cav_muxer_set_extradata(CavMuxer *, int, const uint8_t *, int);
+int cav_muxer_write_packet(CavMuxer *, int, const uint8_t *, int, int64_t,
+                           int64_t, int64_t, int);
 const char *cav_version();
 }
 
@@ -214,6 +219,51 @@ int main() {
             threads[t] = std::thread(worker, t);
         for (int t = 0; t < 4; t++)
             threads[t].join();
+    }
+
+    // Stream-copy remux (the AVMuxer.run model): demux the original's
+    // packets and write them UNRE-ENCODED into a new container via a
+    // copy stream, then decode the remux and check the ramp survived
+    // byte-identical compression.
+    {
+        const char *copy_path = "/tmp/canvas_av_selftest_copy.avi";
+        CavMuxer *cm = cav_muxer_create(copy_path, "avi", err, sizeof(err));
+        assert(cm && "copy muxer create");
+        int cv = cav_muxer_add_copy_video(cm, "mpeg4", 64, 48, 25, 1,
+                                          0, 0, err, sizeof(err));
+        assert(cv == 0 && "add copy stream");
+        // mpeg4-in-avi needs no extradata, but the call must be safe
+        uint8_t dummy[4] = {0, 0, 1, 0xB0};
+        assert(cav_muxer_set_extradata(cm, cv, dummy, 0) == 0);
+        assert(cav_muxer_start(cm, err, sizeof(err)) == 0);
+        CavFormat *src = cav_open(path, err, sizeof(err));
+        assert(src);
+        CavPacket cpkt;
+        int copied = 0;
+        while (cav_read_packet(src, 0, &cpkt) == 1) {
+            assert(cav_muxer_write_packet(cm, cv, cpkt.data, cpkt.size,
+                                          cpkt.pts, cpkt.dts,
+                                          cpkt.duration,
+                                          cpkt.keyframe) >= 0);
+            copied++;
+            cav_packet_free(&cpkt);
+        }
+        cav_close(src);
+        assert(copied == 10);
+        assert(cav_muxer_finish(cm) >= 0);
+
+        CavVideoDec *cd = cav_video_decoder_open(copy_path, -1, err,
+                                                 sizeof(err));
+        assert(cd && "copy decode open");
+        std::vector<uint8_t> cout_(64 * 48 * 4);
+        assert(cav_video_decode_rgba(cd, 8, cout_.data(), 64, 48) == 1);
+        int clate = cout_[(24 * 64 + 32) * 4];
+        assert(cav_video_decode_rgba(cd, 0, cout_.data(), 64, 48) == 1);
+        int cearly = cout_[(24 * 64 + 32) * 4];
+        assert(clate == late && cearly == early &&
+               "stream copy is bit-preserving");
+        cav_video_decoder_close(cd);
+        remove(copy_path);
     }
 
     printf("canvas_av selftest OK (%d packets, ramp %d -> %d)\n",
