@@ -553,3 +553,43 @@ def test_frame_rate_specs():
     assert _as_frame_rate(v2i(30000, 1001)) == Fraction(30000, 1001)
     assert _as_frame_rate(30000 / 1001) == Fraction(30000, 1001)
     assert _as_frame_rate(Fraction(24)) == 24
+
+
+def test_copy_mux_run_guards(tmp_path):
+    """Stream-copy muxing edge cases: run() without copy streams is an
+    error; run() after the container header was written (an encoding
+    stream auto-started the mux) raises instead of silently writing a
+    file whose extradata never landed."""
+    from fractions import Fraction
+
+    src_path = str(tmp_path / 'src.avi')
+    with libav.AVMuxer(src_path) as mux:
+        v = mux.add_video_stream('mpeg4', (64, 48), 25, bit_rate=400_000)
+        frame = np.zeros((48, 64, 4), np.uint8)
+        frame[..., 3] = 255
+        for _ in range(3):
+            mux.write_video_frame(v, frame)
+
+    out = str(tmp_path / 'out.avi')
+    mux = libav.AVMuxer(out, 'avi')
+    with pytest.raises(RuntimeError):
+        mux.run()                      # no copy streams
+
+    demux = libav.AVDemuxer(src_path, 0)
+    mux.add_video_stream(demux, 'mpeg4', frame_rate=Fraction(25),
+                         frame_size=(64, 48))
+    mux.start()                        # simulate premature header write
+    with pytest.raises(RuntimeError):
+        mux.run()
+    mux.close()
+
+    # and the happy path still remuxes
+    demux2 = libav.AVDemuxer(src_path, 0)
+    out2 = str(tmp_path / 'out2.avi')
+    mux2 = libav.AVMuxer(out2, 'avi')
+    mux2.add_video_stream(demux2, 'mpeg4', frame_rate=Fraction(25),
+                          frame_size=(64, 48))
+    mux2.run()
+    c = libav.AVContainer(out2)
+    assert [s.type for s in c.streams] == ['video']
+    c.close()
