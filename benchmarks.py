@@ -787,6 +787,9 @@ def main():
     measure('config4_single_frame_p50_ms', (config4_p50,))
     measure('config4_viewport_960x540_p50_ms',
             (lambda: config4_p50(display_size=(960, 540)),))
+    measure('config4_viewport_rgb24_p50_ms',
+            (lambda: config4_p50(display_size=(960, 540),
+                                 transport='rgb24'),))
     measure('config4_viewport_yuv420_p50_ms',
             (lambda: config4_p50(display_size=(960, 540),
                                  transport='yuv420'),))

@@ -2141,6 +2141,13 @@ class RenderPlanner:
         forced opaque). Solid regions survive the round trip within
         u8 rounding; detail sees chroma blur — preview-only, pair it
         with quality hints, never with exports.
+
+        transport='rgb24' is the LOSSLESS middle option: identical u8
+        color math but only the three color channels cross the link
+        (3 bytes/px — 25% fewer fetch bytes); the host pads the alpha
+        byte to 255. Display surfaces blit X-channel layouts anyway,
+        so this is the right default whenever source alpha is not
+        being inspected.
         """
         from canvas_tpu.ops import color as color_ops
         backend.ensure_initialized()
@@ -2196,10 +2203,14 @@ class RenderPlanner:
                 if transport == 'yuv420':
                     return color_ops.yuv420_pack_device(
                         out, None if intent is None else float(intent))
+                conv_order = tuple(order)
+                if transport == 'rgb24':
+                    # fetch only the color channels; alpha pads host-side
+                    conv_order = tuple(c for c in conv_order if c != 3)
                 if intent is None:
-                    return color_ops._u8_device(out, tuple(order))
+                    return color_ops._u8_device(out, conv_order)
                 return color_ops.display_u8_device(out, float(intent),
-                                                   tuple(order))
+                                                   conv_order)
 
             fn = jax.jit(run)
             with _program_lock:
@@ -2225,6 +2236,13 @@ class RenderPlanner:
                 dh, dw = self.window.height, self.window.width
             return color_ops.yuv420_unpack(flat[0], dh, dw,
                                            tuple(order))
+        if transport == 'rgb24':
+            rgb = flat.reshape(flat.shape[1], -1, 3)
+            out = np.empty(rgb.shape[:2] + (4,), np.uint8)
+            color_pos = [i for i, c in enumerate(order) if c != 3]
+            out[..., color_pos] = rgb
+            out[..., order.index(3)] = 255
+            return out
         return flat.reshape(flat.shape[1], -1, 4)
 
     def _display_matrices(self, display_size):

@@ -2231,3 +2231,28 @@ def test_workspace_sole_item_can_change_z_kind():
     ws.add(source=SolidColorVideoSource((0, 1, 0, 1)), x=0, length=10, z=4)
     with pytest.raises(TypeError):
         item.update(z=(1, 2))
+
+
+def test_render_display_rgb24_transport():
+    """transport='rgb24' (lossless 3-byte/px fetch) matches the BGRA
+    transport's color channels EXACTLY with alpha padded to 255, for
+    both the gamma45 path and an intent conversion, full-size and
+    viewport-sized."""
+    ws = VideoWorkspace()
+    ws.add(source=SolidColorVideoSource((0.2, 0.4, 0.6, 1.0)),
+           x=0, length=8, z=0)
+    ws.add(source=SolidColorVideoSource(
+        LerpFunc((1.0, 0.2, 0.1, 0.8), (0.0, 0.9, 0.5, 0.3), 8),
+        window=box2i(4, 4, 40, 40)), x=0, length=8, z=1)
+    window = box2i(0, 0, 63, 63)
+    planner = render.RenderPlanner(ws, window)
+
+    for kwargs in ({}, {'intent': 1.25},
+                   {'display_size': (32, 32)},
+                   {'intent': 1.25, 'display_size': (32, 32)}):
+        full = planner.render_display(3, **kwargs)
+        rgb = planner.render_display(3, transport='rgb24', **kwargs)
+        assert rgb.shape == full.shape and rgb.dtype == np.uint8
+        np.testing.assert_array_equal(rgb[..., :3], full[..., :3],
+                                      err_msg=str(kwargs))
+        assert (rgb[..., 3] == 255).all()
