@@ -437,9 +437,18 @@ class VideoPlaybackEngine:
                 for i in range(packed.shape[0]):
                     bgra[i] = color_ops.yuv420_unpack(packed[i], h, w)
             else:
+                # Lossless rgb24 transport: only the three color
+                # channels cross the link (3 bytes/px vs BGRA's 4);
+                # display surfaces blit X-channel layouts, so the
+                # alpha byte pads host-side. Identical color math to
+                # the full BGRA fetch (tests pin channel-exactness).
                 flat = np.asarray(
-                    color_ops.display_u8_device(data, intent))
-                bgra = flat.reshape(flat.shape[0], flat.shape[1], -1, 4)
+                    color_ops.display_u8_device(data, intent,
+                                                order=(2, 1, 0)))
+                rgb = flat.reshape(flat.shape[0], flat.shape[1], -1, 3)
+                bgra = np.empty(rgb.shape[:3] + (4,), np.uint8)
+                bgra[..., :3] = rgb
+                bgra[..., 3] = 255
         else:
             if viewport is not None:
                 Dy, Dx = render.display_matrices_host(
