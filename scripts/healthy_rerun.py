@@ -33,7 +33,7 @@ print('%f %f %f' % (rtt, h2d, d2h))
 
 ONLY = ('config4_10layer_1080p_fps,config4_single_frame_p50_ms,'
         'config4_viewport_960x540_p50_ms,config4_viewport_rgb24_p50_ms,config4_viewport_yuv420_p50_ms,config5_sharded,'
-        'config3_dv_reconstruct')
+        'config3_dv_reconstruct,config6')
 
 
 def log(msg):
