@@ -70,9 +70,13 @@ def _run_ref_script(name, workdir, *argv):
         'runpy.run_path(%r, run_name="__main__")\n'
         % ('/root/repo', name, list(argv),
            os.path.join(REF_SCRIPTS, name)))
+    # 1200 s: the subprocess pays its own cold XLA CPU compiles for the
+    # filter chains; under a loaded host (parallel suite runs, fuzz
+    # soaks) 600 s was observed to trip while the script itself is
+    # healthy.
     result = subprocess.run([sys.executable, '-c', code],
                             capture_output=True, text=True,
-                            cwd=str(workdir), env=env, timeout=600)
+                            cwd=str(workdir), env=env, timeout=1200)
     assert result.returncode == 0, result.stderr[-3000:]
     return result
 
