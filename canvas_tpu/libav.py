@@ -61,6 +61,23 @@ class _CavStreamInfo(ctypes.Structure):
     ]
 
 
+class _CavContainerInfo(ctypes.Structure):
+    _fields_ = [
+        ('format_long_name', ctypes.c_char * 128),
+        ('mime_type', ctypes.c_char * 64),
+        ('duration', ctypes.c_int64),
+        ('bit_rate', ctypes.c_int64),
+    ]
+
+
+class _CavStreamExtra(ctypes.Structure):
+    _fields_ = [
+        ('id', ctypes.c_int32),
+        ('bit_rate', ctypes.c_int64),
+        ('codec_long_name', ctypes.c_char * 96),
+    ]
+
+
 class _CavPacket(ctypes.Structure):
     _fields_ = [
         ('data', ctypes.POINTER(ctypes.c_uint8)),
@@ -93,7 +110,7 @@ def _load():
         # the newest exports and the argtype assignments below would
         # raise for EVERY libav user. Probe the newest symbol (keep
         # this name current when adding exports) and rebuild once.
-        if not hasattr(lib, 'cav_muxer_write_packet'):
+        if not hasattr(lib, 'cav_stream_extra'):
             _build_library()
             lib = ctypes.CDLL(_LIB_PATH)
 
@@ -106,6 +123,10 @@ def _load():
         lib.cav_format_name.argtypes = [ctypes.c_void_p]
         lib.cav_stream_info.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                         ctypes.POINTER(_CavStreamInfo)]
+        lib.cav_container_info.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(_CavContainerInfo)]
+        lib.cav_stream_extra.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(_CavStreamExtra)]
         lib.cav_read_packet.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                         ctypes.POINTER(_CavPacket)]
         lib.cav_packet_free.argtypes = [ctypes.POINTER(_CavPacket)]
@@ -224,9 +245,16 @@ class AVStreamInfo:
     """Probed stream metadata (reference AVContainer/AVStream,
     src/libav/AVContainer.c:65-358)."""
 
-    def __init__(self, raw):
+    def __init__(self, raw, index=None, extra=None):
         self.type = {0: 'video', 1: 'audio', 2: 'other'}[raw.type]
         self.codec = raw.codec_name.decode()
+        # reference AVStream getters (AVContainer.c:254-343)
+        self.index = index
+        self.id = extra.id if extra is not None else None
+        self.bit_rate = (int(extra.bit_rate) or None) if extra is not None \
+            else None
+        self.encoding = (extra.codec_long_name.decode() or None) \
+            if extra is not None else None
         self.frame_size = (raw.width, raw.height)
         self.pixel_format = raw.pix_fmt.decode()
         from fractions import Fraction
@@ -241,7 +269,10 @@ class AVStreamInfo:
         self.frame_count = raw.nb_frames
         self.sample_rate = raw.sample_rate
         self.channels = raw.channels
-        self.start_time = raw.start_time
+        # AV_NOPTS_VALUE -> None (the reference getter's convention;
+        # the raw sentinel is truthy and would satisfy `if start_time:`)
+        self.start_time = (None if raw.start_time == -(1 << 63)
+                           else raw.start_time)
 
 
 class AVContainer:
@@ -254,11 +285,20 @@ class AVContainer:
         if not self._handle:
             raise IOError(err.value.decode())
         self.format_name = lib.cav_format_name(self._handle).decode()
+        # container-level metadata (reference AVContainer getters)
+        cinfo = _CavContainerInfo()
+        lib.cav_container_info(self._handle, ctypes.byref(cinfo))
+        self.format_long_name = cinfo.format_long_name.decode()
+        self.mime_type = cinfo.mime_type.decode() or None
+        self.duration = int(cinfo.duration)       # microseconds
+        self.bit_rate = int(cinfo.bit_rate) or None
         self.streams = []
         for i in range(lib.cav_stream_count(self._handle)):
             raw = _CavStreamInfo()
             lib.cav_stream_info(self._handle, i, ctypes.byref(raw))
-            self.streams.append(AVStreamInfo(raw))
+            extra = _CavStreamExtra()
+            lib.cav_stream_extra(self._handle, i, ctypes.byref(extra))
+            self.streams.append(AVStreamInfo(raw, index=i, extra=extra))
 
     def close(self):
         if self._handle:

@@ -140,6 +140,57 @@ CAV_EXPORT const char *cav_format_name(CavFormat *f) {
     return f && f->ctx && f->ctx->iformat ? f->ctx->iformat->name : "";
 }
 
+// Container-level metadata (the reference AVContainer's
+// format_long_name / mime_type / duration / bit_rate getters,
+// src/libav/AVContainer.c:140-180).
+struct CavContainerInfo {
+    char format_long_name[128];
+    char mime_type[64];
+    int64_t duration;       // microseconds, AV_NOPTS -> 0
+    int64_t bit_rate;
+};
+
+CAV_EXPORT int cav_container_info(CavFormat *f, CavContainerInfo *out) {
+    if (!f || !f->ctx) return -1;
+    memset(out, 0, sizeof(*out));
+    const AVInputFormat *in = f->ctx->iformat;
+    if (in && in->long_name)
+        snprintf(out->format_long_name, sizeof(out->format_long_name),
+                 "%s", in->long_name);
+    if (in && in->mime_type)
+        snprintf(out->mime_type, sizeof(out->mime_type), "%s",
+                 in->mime_type);
+    out->duration =
+        f->ctx->duration == AV_NOPTS_VALUE ? 0 : f->ctx->duration;
+    out->bit_rate = f->ctx->bit_rate;
+    return 0;
+}
+
+// Per-stream extras beyond CavStreamInfo (reference AVStream id /
+// bit_rate / encoding getters, AVContainer.c:254-343; 'encoding' is
+// the descriptive codec name).
+struct CavStreamExtra {
+    int32_t id;
+    int64_t bit_rate;
+    char codec_long_name[96];
+};
+
+CAV_EXPORT int cav_stream_extra(CavFormat *f, int idx,
+                                CavStreamExtra *out) {
+    if (!f || !f->ctx || idx < 0 || idx >= (int)f->ctx->nb_streams)
+        return -1;
+    AVStream *s = f->ctx->streams[idx];
+    memset(out, 0, sizeof(*out));
+    out->id = s->id;
+    out->bit_rate = s->codecpar->bit_rate;
+    const AVCodecDescriptor *desc =
+        avcodec_descriptor_get(s->codecpar->codec_id);
+    if (desc && desc->long_name)
+        snprintf(out->codec_long_name, sizeof(out->codec_long_name),
+                 "%s", desc->long_name);
+    return 0;
+}
+
 CAV_EXPORT int cav_stream_info(CavFormat *f, int idx, CavStreamInfo *out) {
     if (!f || !f->ctx || idx < 0 || idx >= (int)f->ctx->nb_streams) return -1;
     AVStream *s = f->ctx->streams[idx];

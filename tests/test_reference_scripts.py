@@ -150,3 +150,28 @@ def test_decode_raw_image_verbatim(dv_tape, tmp_path):
                         ('plane_cr.png', (240, 360))):
         img = np.asarray(Image.open(str(tmp_path / name)))
         assert img.shape == shape, (name, img.shape)
+
+
+def test_probe_verbatim(dv_tape, tmp_path):
+    """The reference's `probe` script (no .py suffix) runs verbatim and
+    prints the full container/stream report (exercises the round-5
+    AVContainer/AVStream metadata getters: format_long_name, duration,
+    stream id/encoding/bit_rate/time_base)."""
+    env = dict(os.environ, CANVAS_FORCE_CPU='1')
+    code = (
+        'import sys, runpy\n'
+        "sys.path.insert(0, '/root/repo')\n"
+        'sys.argv = ["probe", %r]\n'
+        "runpy.run_path('/root/reference/probe', run_name='__main__')\n"
+        % dv_tape)
+    result = subprocess.run([sys.executable, '-c', code],
+                            capture_output=True, text=True,
+                            cwd=str(tmp_path), env=env, timeout=300)
+    assert result.returncode == 0, result.stderr[-2000:]
+    out = result.stdout
+    assert 'Format: DV (Digital Video) (dv)' in out
+    assert 'Stream #0 (video)' in out
+    assert 'Stream #1 (audio)' in out
+    assert 'Codec: dvvideo' in out
+    assert 'Encoding: PCM signed 16-bit little-endian' in out
+    assert 'Sample rate: 48000 Hz' in out
