@@ -1252,6 +1252,20 @@ class AVVideoEncoder(_EncoderBase):
             return self._delegate.get_header()
         return _EncoderBase.get_header(self)
 
+    # Reference progress API (AVVideoEncoder.c:243-251): frames done /
+    # frames total — the encode scripts' status lines read these.
+    @property
+    def progress(self):
+        if getattr(self, '_delegate', None) is not None:
+            return self._delegate.progress
+        return min(self._next_to_send, self.end_frame + 1) - self.start_frame
+
+    @property
+    def progress_count(self):
+        if getattr(self, '_delegate', None) is not None:
+            return self._delegate.progress_count
+        return self.end_frame - self.start_frame
+
     def close(self):
         if getattr(self, '_delegate', None) is not None:
             return self._delegate.close()
@@ -1314,6 +1328,16 @@ class AVAudioEncoder(_EncoderBase):
 
     _drain = AVVideoEncoder._drain
     get_next_packet = AVVideoEncoder._pump_next_packet
+
+    @property
+    def progress(self):
+        # samples done / samples total (AACAudioEncoder.c:280-289)
+        return (min(self._next_to_send, self.end_sample + 1)
+                - self.start_sample)
+
+    @property
+    def progress_count(self):
+        return self.end_sample - self.start_sample + 1
 
 
 class AVPlanarVideoEncoder(_EncoderBase):
@@ -1436,3 +1460,13 @@ class AVPlanarVideoEncoder(_EncoderBase):
 
     _drain = AVVideoEncoder._drain
     get_next_packet = AVVideoEncoder._pump_next_packet
+
+    @property
+    def progress(self):
+        # frames done / frames total (AVVideoEncoder.c:243-251)
+        return (min(self._next_to_send, self.end_frame + 1)
+                - self.start_frame)
+
+    @property
+    def progress_count(self):
+        return self.end_frame - self.start_frame

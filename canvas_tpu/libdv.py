@@ -24,8 +24,28 @@ class DVVideoDecoder(libav.AVVideoDecoder):
 class DVAudioDecoder(libav.AVAudioDecoder):
     """DV audio (AAUX) -> audio source (DVAudioDecoder.c:76-447). The
     AAUX parsing the reference does by hand lives inside avcodec's DV
-    demuxer/decoder."""
+    demuxer/decoder.
+
+    The reference feeds this the VIDEO packet stream (DV audio lives
+    inside the video DIF blocks — its scripts build it over
+    ``AVDemuxer(path, 0)``, e.g. scripts/encode-video.py:74-75); in
+    avformat terms the dv demuxer extracts that AAUX audio as the
+    container's audio stream, so a stream that turns out to carry
+    dvvideo resolves to the file's FIRST AUDIO stream here."""
 
     def __init__(self, source, channels=2, stream=None):
+        if isinstance(source, libav.AVDemuxer):
+            pick = source.stream if stream is None else stream
+            try:
+                info = libav.AVContainer(source.filename)
+                streams = info.streams
+                if (0 <= pick < len(streams)
+                        and streams[pick].type != 'audio'
+                        and streams[pick].codec == 'dvvideo'):
+                    stream = next((i for i, s in enumerate(streams)
+                                   if s.type == 'audio'), pick)
+                info.close()
+            except IOError:
+                pass
         libav.AVAudioDecoder.__init__(self, source, channels=channels,
                                       stream=stream)

@@ -98,7 +98,9 @@ class X264EncoderParams:
             opts.append('crf=%g' % self.constant_ratefactor)
         if self.constant_quantizer is not None:
             opts.append('qp=%d' % self.constant_quantizer)
-        if self.vbv_max_bitrate:
+        if self.vbv_max_bitrate and self.vbv_max_bitrate > 0:
+            # the reference passes -1 for "unset"
+            # (scripts/encode-video.py: vbv_max_bitrate=(max or -1))
             # x264's unit is kbit/s (x264_param_t.rc.i_vbv_max_bitrate;
             # scripts/encode_video.py documents --max-bitrate KBPS).
             # avcodec's generic maxrate/bufsize AVOptions take BITS/s —

@@ -6,16 +6,17 @@ the encode scripts run unchanged"): each test executes a script from
 temp dir, the fluggo compat namespace on sys.path) against a generated
 DV tape, then validates the artifact the script wrote.
 
-Covered verbatim: encode_x264_mkv.py, encode_faac_mkv.py,
-write_raw_audio.py, decode_raw_image.py.  Excluded:
+Covered verbatim: encode-video.py (the full A/V interleaved mkv
+pipeline), encode_x264_mkv.py, encode_faac_mkv.py, write_raw_audio.py,
+decode_raw_image.py, probe.  Excluded:
 ``encode_x264_faac_mkv.py`` hardcodes its tape's 1-hour range
 (min/max_sample 0..177163458, scripts/encode_x264_faac_mkv.py:42) and
 the reference encoder is "honor-bound to encode silence" to end_sample
 (AACAudioEncoder.c:176-181), so the script runs for ~an hour on ANY
 short input — against the reference too; its entire API surface is the
-union of the two covered encode scripts.  ``encode-video.py`` and
-``test_audio.py`` have argparse/ALSA interfaces exercised by our ports
-(scripts/encode_video.py, scripts/test_audio.py).
+union of the covered encode scripts.  ``test_audio.py`` decodes from
+a LIVE encoder packet source (our decoders are file-backed); its role
+is covered by scripts/test_audio.py + test_audio_script_end_to_end.
 """
 
 import os
@@ -175,3 +176,26 @@ def test_probe_verbatim(dv_tape, tmp_path):
     assert 'Codec: dvvideo' in out
     assert 'Encoding: PCM signed 16-bit little-endian' in out
     assert 'Sample rate: 48000 Hz' in out
+
+
+def test_encode_video_verbatim(dv_tape, tmp_path):
+    """scripts/encode-video.py — the reference's most complete script:
+    argparse CLI, AVContainer probing for ranges, DVAudioDecoder over
+    the VIDEO packet stream (DV AAUX), x264 + AAC encoders pumped
+    through the interleaved MatroskaWriter loop with Tags, progress
+    API. Runs byte-for-byte; output must decode as an A/V mkv."""
+    label = dv_tape.replace('.dv', '.label')
+    with open(label, 'w') as f:
+        f.write('acceptance tape description')
+    out = str(tmp_path / 'out_ev.mkv')
+    _run_ref_script('encode-video.py', tmp_path, dv_tape, out,
+                    '--preset', 'ultrafast')
+    c = libav.AVContainer(out)
+    kinds = sorted((s.type, s.codec) for s in c.streams)
+    assert kinds == [('audio', 'aac'), ('video', 'h264')], kinds
+    c.close()
+    dec = libav.AVVideoDecoder(out)
+    f0 = dec.get_frame_rgba(0, 720, 480)
+    f9 = dec.get_frame_rgba(9, 720, 480)
+    assert int(f9[240, 360, 1]) > int(f0[240, 360, 1]) + 100
+    dec.close()
