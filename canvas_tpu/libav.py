@@ -265,14 +265,16 @@ class AVStreamInfo:
                                     if raw.sar_den and raw.sar_num else None)
         self.time_base = (Fraction(raw.time_base_num, raw.time_base_den)
                           if raw.time_base_den else None)
-        self.duration = raw.duration
+        # Non-positive (incl. the AV_NOPTS_VALUE sentinel, whose raw
+        # -2^63 is truthy and would satisfy `if duration:`) -> None,
+        # the reference getters' convention (AVContainer.c:318-332
+        # return None for start_time/duration <= 0).
+        self.duration = raw.duration if raw.duration > 0 else None
         self.frame_count = raw.nb_frames
         self.sample_rate = raw.sample_rate
         self.channels = raw.channels
-        # AV_NOPTS_VALUE -> None (the reference getter's convention;
-        # the raw sentinel is truthy and would satisfy `if start_time:`)
-        self.start_time = (None if raw.start_time == -(1 << 63)
-                           else raw.start_time)
+        self.start_time = (raw.start_time if raw.start_time > 0
+                           else None)
 
 
 class AVContainer:

@@ -34,10 +34,19 @@ class DVAudioDecoder(libav.AVAudioDecoder):
     dvvideo resolves to the file's FIRST AUDIO stream here."""
 
     def __init__(self, source, channels=2, stream=None):
-        if isinstance(source, libav.AVDemuxer):
-            pick = source.stream if stream is None else stream
+        # Only the demuxer's IMPLICIT stream is remapped; an explicit
+        # stream= argument is the caller's choice and stands.
+        if stream is None and isinstance(source, libav.AVDemuxer):
+            pick = source.stream
             try:
                 info = libav.AVContainer(source.filename)
+            except IOError as e:
+                import logging as _stdlog
+                _stdlog.getLogger('canvas_tpu.libdv').warning(
+                    'could not probe %s to resolve the DV audio '
+                    'stream (%s); using stream %d as-is',
+                    source.filename, e, pick)
+            else:
                 streams = info.streams
                 if (0 <= pick < len(streams)
                         and streams[pick].type != 'audio'
@@ -45,7 +54,5 @@ class DVAudioDecoder(libav.AVAudioDecoder):
                     stream = next((i for i, s in enumerate(streams)
                                    if s.type == 'audio'), pick)
                 info.close()
-            except IOError:
-                pass
         libav.AVAudioDecoder.__init__(self, source, channels=channels,
                                       stream=stream)

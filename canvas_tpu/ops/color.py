@@ -656,6 +656,21 @@ def _yuv420_pack_studio_math(data):
     return jnp.concatenate([yq, cbq, crq], axis=1)
 
 
+def rgb24_unpack(flat3, order=(2, 1, 0, 3)):
+    """Host inverse of the rgb24 display transport: (..., W*3) u8
+    color-only rows -> (..., W, 4) u8 in channel *order*, alpha forced
+    255. The device packed the color channels in order-minus-alpha, so
+    the color bytes land at the non-alpha positions of *order*. Shared
+    by render_display and the playback engine so the two lossless
+    paths cannot drift."""
+    rgb = flat3.reshape(flat3.shape[:-1] + (-1, 3))
+    out = np.empty(rgb.shape[:-1] + (4,), np.uint8)
+    color_pos = [i for i, c in enumerate(order) if c != 3]
+    out[..., color_pos] = rgb
+    out[..., order.index(3)] = 255
+    return out
+
+
 def yuv420_unpack(flat, h, w, order=(2, 1, 0, 3)):
     """Host inverse of yuv420_pack_device for ONE frame: (N,) u8 ->
     (h, w, 4) u8 in channel *order*, alpha forced 255."""

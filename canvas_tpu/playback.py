@@ -445,10 +445,7 @@ class VideoPlaybackEngine:
                 flat = np.asarray(
                     color_ops.display_u8_device(data, intent,
                                                 order=(2, 1, 0)))
-                rgb = flat.reshape(flat.shape[0], flat.shape[1], -1, 3)
-                bgra = np.empty(rgb.shape[:3] + (4,), np.uint8)
-                bgra[..., :3] = rgb
-                bgra[..., 3] = 255
+                bgra = color_ops.rgb24_unpack(flat)
         else:
             if viewport is not None:
                 Dy, Dx = render.display_matrices_host(
@@ -459,8 +456,11 @@ class VideoPlaybackEngine:
                                  data).astype(np.float16)
             u8 = color_ops.apply_display_u8(np.asarray(data), intent)
             bgra = np.empty(u8.shape[0:1] + u8.shape[2:] + (4,), np.uint8)
-            for c_dst, c_src in enumerate((2, 1, 0, 3)):
+            for c_dst, c_src in enumerate((2, 1, 0)):
                 bgra[..., c_dst] = u8[:, c_src]
+            # alpha padded opaque like the device rgb24 path — the two
+            # backends must present identical pixels
+            bgra[..., 3] = 255
         with self._lock:
             if (source is not self.source or window is not self.window
                     or intent != self._rendering_intent

@@ -2237,12 +2237,7 @@ class RenderPlanner:
             return color_ops.yuv420_unpack(flat[0], dh, dw,
                                            tuple(order))
         if transport == 'rgb24':
-            rgb = flat.reshape(flat.shape[1], -1, 3)
-            out = np.empty(rgb.shape[:2] + (4,), np.uint8)
-            color_pos = [i for i, c in enumerate(order) if c != 3]
-            out[..., color_pos] = rgb
-            out[..., order.index(3)] = 255
-            return out
+            return color_ops.rgb24_unpack(flat[0], tuple(order))
         return flat.reshape(flat.shape[1], -1, 4)
 
     def _display_matrices(self, display_size):
